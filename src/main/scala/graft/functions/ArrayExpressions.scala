@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot inner loops of similarity /
+  * dedup. Spark's higher-order functions (`transform`/`aggregate`/
+  * `zip_with`) evaluate their lambdas interpreted, one virtual call per
+  * element — measured 322 s for MinHash signatures at sf0.1. These
+  * expressions do the same math in one tight JVM loop per row
+  * (CodegenFallback: the per-row call overhead is negligible at row
+  * granularity; the win is eliminating per-element interpretation).
+  *
+  * Arithmetic is strictly sequential left-to-right with independent
+  * accumulators, bit-identical to both the HOF formulation and the DuckDB
+  * oracle's `list_reduce` folds.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature of a shingle array in ONE pass over the shingles:
+  * xxhash64 (same function and seed as the `xxhash64` builtin) reduced
+  * into [0, p), then min over the universal-hash family per position.
+  * p = 2^31-1 keeps a*h within 62 bits (ANSI-safe, no overflow). */
+case class MinHashSignature(child: Expression, coeffA: Seq[Long], coeffB: Seq[Long], prime: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = coeffA.length
+    val a = coeffA.toArray; val b = coeffB.toArray
+    val mins = Array.fill(k)(prime) // empty shingle set → all-prime signature
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val hm = ((h % prime) + prime) % prime
+        var j = 0
+        while (j < k) {
+          val v = (a(j) * hm + b(j)) % prime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fraction of equal positions of two equal-length long-array signatures —
+  * the MinHash Jaccard estimate, one loop instead of zip_with+filter. */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-API entry points for the native expressions. */
+object native {
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  private def e(col: Column): Expression = GraftBridge.expression(col)
+
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def minhash_sig(shingles: Column, family: Seq[(Long, Long)], prime: Long): Column =
+    c(MinHashSignature(e(shingles), family.map(_._1), family.map(_._2), prime))
+  def sig_agreement(a: Column, b: Column): Column = c(SignatureAgreement(e(a), e(b)))
+}

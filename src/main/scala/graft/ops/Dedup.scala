@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over
+  * `documents(doc_id, text, ...)`.
+  *
+  * Scale notes, per operator:
+  *  - exact: one hash-aggregate shuffle on the dedup key (or its hash).
+  *  - MinHash+LSH: near-dup candidate generation is a self-equi-join on
+  *    (band_id, band_hash) — shuffle on the bucket key, never an all-pairs
+  *    product. Hot buckets (boilerplate docs) are real at 100 TB: AQE skew
+  *    join splits them, and the band hash includes the band index so bands
+  *    don't collide with each other.
+  *  - SimHash: 64-bit signature; pairs via 16-bit-chunk pigeonhole banding
+  *    (hamming ≤ 3 ⇒ at least one of 4 chunks equal), same join shape.
+  *  - n-gram Jaccard: exact verify, run on LSH/blocked candidates only.
+  *  - embedding near-dup: sign-bit LSH buckets then exact cosine verify.
+  *
+  * All signatures are computed with deterministic seeded hash families so
+  * reruns (and both sides of self-joins) agree.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct key with the keeper
+    * (min id) and the multiplicity. */
+  def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep one row (min id) per distinct key. Implemented as a
+    * hash aggregate (min over the full row struct), not dropDuplicates, so
+    * the keeper is deterministic. */
+  def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val others = df.columns.filterNot(_ == keyCol)
+    df.groupBy(col(keyCol))
+      .agg(min(struct(col(idCol) +: others.filterNot(_ == idCol).map(col): _*)).as("r"))
+      .select(col(keyCol) +: others.map(c => col(s"r.$c").as(c)): _*)
+  }
+
+  /** Seeded universal-hash family for MinHash: h_i(x) = (a_i*x + b_i) mod p
+    * over a base hash of each shingle (xxhash64 — Spark-native, codegen'd)
+    * reduced into [0, p). p = 2^31-1 keeps a_i*x within 62 bits, so the
+    * arithmetic never overflows a long (ANSI-safe). */
+  private val mersennePrime = (1L << 31) - 1
+  def hashFamily(n: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(((rnd.nextLong() % (mersennePrime - 1) + mersennePrime) % (mersennePrime - 1) + 1,
+      (rnd.nextLong() % mersennePrime + mersennePrime) % mersennePrime))
+  }
+
+  /** MinHash signature (length = family size) of a shingle array column —
+    * one native-expression pass over the shingles (the per-hash-function
+    * HOF formulation cost 64 interpreted array traversals per row). */
+  def minhashSignature(shingleCol: Column, family: Seq[(Long, Long)]): Column =
+    graft.functions.native.minhash_sig(shingleCol, family, mersennePrime)
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * docs(idCol, textCol) → shingle → signature(bands*rowsPerBand) →
+    * explode to (band_id, band_hash) → self-join on the bucket →
+    * estimated-Jaccard filter (fraction of equal signature positions).
+    * Output: (left_id, right_id, est_jaccard) with left < right, distinct. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val family = hashFamily(bands * rowsPerBand)
+    val sigs = df.select(
+      col(idCol).as("doc_id"),
+      minhashSignature(
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
+        family).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+    ).select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_hash"))
+    val l = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("left_id"), col("sig").as("left_sig"))
+    val r = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("right_id"), col("sig").as("right_sig"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        graft.functions.native.sig_agreement(col("left_sig"), col("right_sig"))
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** 64-bit SimHash of a token array: per-bit vote sum of each token's
+    * xxhash64 bits (+1/-1), sign → bit. Returned as an array of 64 0/1
+    * longs plus 4 16-bit chunk keys for pigeonhole banding. */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bitsOf = (t: Column) => array((0 until 64).map(j =>
+      when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*)
+    val votes = aggregate(toks,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, t) => zip_with(acc, bitsOf(t), (a, b) => a + b))
+    val bits = transform(votes, v => when(v > 0, 1L).otherwise(0L))
+    val withBits = df.select(col(idCol).as("doc_id"), bits.as("bits"))
+    val chunk = (c: Int) => aggregate(
+      slice(col("bits"), c * 16 + 1, 16), lit(0L), (acc, b) => acc * 2 + b)
+    withBits.select(
+      col("doc_id"), col("bits"),
+      array((0 until 4).map(chunk): _*).as("chunks"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 for
+    * the 4×16-bit pigeonhole to be lossless). Join on (chunk_id, chunk
+    * value), exact hamming verify, distinct pairs. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = withSimhash(df, idCol, textCol)
+    val banded = sh.select(col("doc_id"), col("bits"), posexplode(col("chunks")))
+      .select(col("doc_id"), col("bits"), col("pos").as("chunk_id"), col("col").as("chunk_val"))
+    val l = banded.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("left_id"), col("bits").as("left_bits"))
+    val r = banded.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("right_id"), col("bits").as("right_bits"))
+    l.join(r, Seq("chunk_id", "chunk_val"))
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        aggregate(zip_with(col("left_bits"), col("right_bits"),
+          (x, y) => when(x === y, 0L).otherwise(1L)), lit(0L), (a, b) => a + b).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking key
+    * (e.g. source). Quadratic within a block by design — use only on
+    * pre-blocked/LSH-candidate data. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = df.select(
+      col(blockCol).as("block"), col(idCol).as("doc_id"),
+      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+    val l = sh.select(col("block"), col("doc_id").as("left_id"), col("sh").as("lsh"))
+    val r = sh.select(col("block"), col("doc_id").as("right_id"), col("sh").as("rsh"))
+    l.join(r, Seq("block"))
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (size(array_intersect(col("lsh"), col("rsh"))).cast("double") /
+          size(array_union(col("lsh"), col("rsh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs: sign-bit LSH bucket join, then exact
+    * cosine ≥ threshold verify. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    val b = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+    val l = b.select(col("bucket"), col("vid").as("left_id"), col("v").as("lv"))
+    val r = b.select(col("bucket"), col("vid").as("right_id"), col("v").as("rv"))
+    l.join(r, Seq("bucket"))
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        Similarity.cosine(col("lv"), col("rv")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** One (candidate id, similarity score) pair flowing into top-k selection. */
+case class ScoredId(id: Long, score: Double)
+
+/** Bounded top-k aggregator: keeps at most k best (score desc, id asc)
+  * entries in its buffer, so a billion candidates per query aggregate in
+  * O(k) memory with map-side partial aggregation — the property that makes
+  * top-k-per-query scale without `collect_list`ing the full candidate set.
+  * Deterministic: ties break on ascending id. */
+class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+  private def better(a: ScoredId, b: ScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+  private def insert(buf: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+    if (buf.size >= k && better(buf.last, a)) buf
+    else ((a +: buf).sortWith(better)).take(k)
+  override def zero: Seq[ScoredId] = Vector.empty
+  override def reduce(buf: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = insert(buf, a)
+  override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =
+    (b1 ++ b2).sortWith(better).take(k)
+  override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r.sortWith(better)
+  override def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
+}
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Math is done with higher-order functions on `array<double>` (exact
+  * float→double widening, strictly left-to-right accumulation) so results
+  * are bit-reproducible and oracle-comparable. All expressions are
+  * codegen'd built-ins; the only shuffle is the final per-query top-k
+  * aggregation, whose partials are k-bounded.
+  */
+object Similarity {
+
+  /** Strict left-to-right dot product of two `array<double>` columns —
+    * native expression (graft.functions.DotProduct): the HOF formulation
+    * (`aggregate(zip_with(...))`) evaluates interpreted per element. */
+  def dot(a: Column, b: Column): Column = graft.functions.native.dot_product(a, b)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Bit-identical to dot/(sqrt(dot aa)*sqrt(dot bb)) computed
+    * sequentially — the formulation the DuckDB oracle reproduces. */
+  def cosine(a: Column, b: Column): Column = graft.functions.native.cosine_sim(a, b)
+
+  /** Exact brute-force top-k cosine neighbors.
+    *
+    * Plan shape (the 100 TB-safe one): the query set is broadcast — a
+    * BroadcastNestedLoopJoin fans each candidate partition over Q query
+    * vectors with no shuffle of the candidate table; per-partition partial
+    * top-k heaps (TopKAggregator) then shuffle only Q×k rows for the final
+    * merge. Output: (query_id, neighbor_id, rank, sim). */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    val cand = candidates.select(
+      col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cand_emb"))
+    val qry = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("query_emb"))
+    cand
+      .join(broadcast(qry), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cand_emb"), col("query_emb")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        col("col.score").as("sim"))
+  }
+
+  /** Deterministic random hyperplanes for sign-bit (SimHash-style) vector
+    * LSH, seeded so both sides of a join bucket identically. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id of an `array<double>` embedding: bit i = sign
+    * of dot(v, plane_i). nPlanes ≤ 30 so the bucket fits an int. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates and queries are bucketed by sign-bit
+    * LSH and only same-bucket pairs are scored — the scale path when the
+    * Q×N cross product is too big even broadcast. Shuffle is on the bucket
+    * key (hash-partitioned equi-join), then the same k-bounded top-k merge.
+    * Recall < 1.0 by construction; nPlanes trades recall vs. candidate
+    * count. */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val topk = udaf(new TopKAggregator(k))
+    val cand = candidates.select(
+      col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cand_emb"))
+      .withColumn("bucket", lshBucket(col("cand_emb"), planes))
+    val qry = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("query_emb"))
+      .withColumn("bucket", lshBucket(col("query_emb"), planes))
+    cand
+      .join(qry, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cand_emb"), col("query_emb")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        col("col.score").as("sim"))
+  }
+}

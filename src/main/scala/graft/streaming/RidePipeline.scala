@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.model.Schemas
+import graft.ops.{Ingest, Metrics}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** The reference's end-to-end streaming job re-expressed Spark-first
+  * (reference: spark_jobs/streaming_job.py:63-135):
+  *
+  *   source (Kafka / memory / file) → from_json(declared schema) →
+  *   star-expand → epoch→timestamp cast → watermark 10 min →
+  *   1-min tumbling window × city → count(trip_id), avg(fare_amount) →
+  *   update mode → foreachBatch upsert.
+  *
+  * The plan below the source is identical whatever the source format; in
+  * the zero-egress test env a MemoryStream or file source stands in for
+  * Kafka (same downstream Catalyst plan, per SURVEY.md §2.1 S1).
+  */
+object RidePipeline {
+
+  /** The analytic plan from a raw frame with a `value` payload column to
+    * per-(window, city) metrics. Works on batch and streaming frames. */
+  def metricsPlan(raw: DataFrame, streaming: Boolean): DataFrame = {
+    val spec = Metrics.WindowSpec()
+    val parsed = Ingest.consume(Schemas.rideEventSchema)(raw)
+    Metrics.windowedMetrics(spec, streaming)(parsed)
+  }
+
+  /** Kafka source, production shape (unexercised in the test env — no
+    * broker; kept so the format is a parameter, not a rewrite). */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession,
+      broker: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", broker)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** Wire the metrics stream into a foreachBatch upsert sink, update mode,
+    * 1-minute processing-time trigger (reference: streaming_job.py:128-132),
+    * plus a checkpoint dir (proper practice the reference omits —
+    * SURVEY.md §2.6.6). */
+  def start(metrics: DataFrame, sink: UpsertSink, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 minute")): StreamingQuery =
+    metrics.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink.merge(batch, epochId)
+      }
+      .start()
+}
+
+/** Keyed upsert sink with exactly-once *intent* semantics (SURVEY.md
+  * §2.6.4): state is per (city, window_end), so an update-mode re-emission
+  * of a late-updated window *replaces* that window's contribution instead
+  * of double-adding it (the reference's ON CONFLICT adds the whole count
+  * again — we reproduce the documented intent, an idempotent running
+  * total, not the quirk). Per-city totals are derived: total_trips = sum
+  * over windows, average_fare/last_updated = latest window's. */
+trait UpsertSink {
+  def merge(batch: DataFrame, epochId: Long): Unit
+}
+
+/** In-memory backend (tests). Thread-safe via synchronization — foreachBatch
+  * invocations are serial per query, but tests may inspect concurrently. */
+class InMemoryUpsertSink extends UpsertSink {
+  import scala.collection.mutable
+  // (city, windowEnd micros) -> (count, avg)
+  private val state = mutable.Map.empty[(String, java.sql.Timestamp), (Long, Double)]
+
+  override def merge(batch: DataFrame, epochId: Long): Unit = {
+    val rows = batch.collect() // update-mode deltas only: small by construction
+    synchronized {
+      rows.foreach { r =>
+        val city = r.getAs[String]("city")
+        val ts = r.getAs[java.sql.Timestamp]("last_updated")
+        state((city, ts)) = (r.getAs[Long]("total_trips"), r.getAs[Double]("average_fare"))
+      }
+    }
+  }
+
+  /** Materialized per-city metrics, the `city_metrics` table analog. */
+  def cityMetrics: Map[String, graft.model.CityMetric] = synchronized {
+    state.groupBy(_._1._1).map { case (city, entries) =>
+      val total = entries.values.map(_._1).sum
+      val ((_, lastTs), (_, lastAvg)) = entries.maxBy(_._1._2.getTime)
+      city -> graft.model.CityMetric(city, total, lastAvg, lastTs)
+    }
+  }
+}
+
+/** JDBC-parity merge statement builder (production path; unexercised here —
+  * no database in the test env). Mirrors the reference's ON CONFLICT merge
+  * (streaming_job.py:37-44) but per-(city, window) keyed for idempotency. */
+object MergeSql {
+  def upsertStatement(table: String): String =
+    s"""INSERT INTO $table (city, window_end, total_trips, average_fare)
+       |SELECT city, last_updated, total_trips, average_fare FROM ${table}_micro_batch
+       |ON CONFLICT (city, window_end) DO UPDATE SET
+       |  total_trips = EXCLUDED.total_trips,
+       |  average_fare = EXCLUDED.average_fare""".stripMargin
+}

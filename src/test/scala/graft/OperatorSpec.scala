@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Operator-level correctness on crafted inputs (the DuckDB oracle gate
+  * covers fixture parity; these pin semantics the oracle can't, e.g. the
+  * hash-signature dedup family on planted near-duplicates). */
+class OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("every SparkEntry query runs and is non-empty on sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"empty results: $empties")
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val nearDup = base.replace("lazy", "sleepy") // one token changed
+    val other = "completely different content about spark shuffles and joins " * 5
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(pairs.contains((1L, 4L)), s"exact-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
+  }
+
+  test("simhash: exact dups pair at hamming 0; one-token edit stays local") {
+    val base = Seq.tabulate(80)(i => s"tok$i").mkString(" ")
+    val oneEdit = Seq.tabulate(80)(i => if (i == 79) "changed" else s"tok$i").mkString(" ")
+    val other = Seq.tabulate(80)(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, other), (4L, oneEdit)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly (1,2): $pairs")
+    // locality: a single-token edit moves few bits; unrelated text moves many
+    val sh = Dedup.withSimhash(docs, "doc_id", "text")
+      .select($"doc_id", $"bits").as[(Long, Seq[Long])].collect().toMap
+    def hamming(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 != p._2)
+    assert(hamming(sh(1L), sh(4L)) < 16, s"edit hamming ${hamming(sh(1L), sh(4L))}")
+    assert(hamming(sh(1L), sh(3L)) > 16, s"unrelated hamming ${hamming(sh(1L), sh(3L))}")
+  }
+
+  test("ngram jaccard is exact on a constructed pair") {
+    // texts: "a b c d" vs "a b c e": 3-gram shingles {abc,bcd} vs {abc,bce}
+    // jaccard = 1/3
+    val docs = Seq((1L, "a b c d", "s"), (2L, "a b c e", "s")).toDF("doc_id", "text", "source")
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 3, threshold = 0.0)
+      .select("jaccard").as[Double].collect()
+    assert(j.length == 1 && math.abs(j.head - 1.0 / 3.0) < 1e-15, j.mkString(","))
+  }
+
+  test("brute-force top-k cosine ranks an exact copy first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // exact copy of 0
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // close
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),   // orthogonal
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L, 3L), top.mkString(","))
+  }
+
+  test("embedding near-dup LSH finds planted duplicate vectors") {
+    val dim = 64
+    val rnd = new scala.util.Random(1)
+    val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val aJitter = a.map(x => x + 0.001f)
+    val b = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val vecs = Seq((1L, a), (2L, aJitter), (3L, b)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.99)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.mkString(","))
+  }
+
+  test("language id picks the language with most function words") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is happy"),
+      (2L, "el gato es un animal que no se mueve"),
+      (3L, "der hund ist ein tier und das ist nicht schlecht"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "de", out.toString)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("accumulated metrics: lifetime total + latest-window average") {
+    val ev = Seq(
+      ("a", "2024-01-01 00:00:10", 10.0),
+      ("a", "2024-01-01 00:00:20", 20.0),
+      ("a", "2024-01-01 00:02:10", 50.0),
+      ("b", "2024-01-01 00:00:30", 7.0),
+    ).toDF("city", "ts_s", "fare")
+      .select($"city", to_timestamp($"ts_s").as("event_timestamp"),
+        $"fare".as("fare_amount"), monotonically_increasing_id().cast("string").as("trip_id"))
+    val out = Metrics.accumulatedMetrics(Metrics.WindowSpec())(ev)
+      .select("city", "total_trips", "average_fare").as[(String, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") == ((3L, 50.0)), out.toString)  // total 3, latest window avg 50
+    assert(out("b") == ((1L, 7.0)), out.toString)
+  }
+
+  test("multimodal decode stub emits one feature row per media object") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text"), "doc_id", "text")
+    val feats = Multimodal.decodeStub(spark, media).collect()
+    assert(feats.length == 2)
+    assert(feats.forall(f => f.width >= 16 && f.height >= 16 && f.feature.length == 8))
+    // determinism
+    val again = Multimodal.decodeStub(spark, media).collect()
+    assert(feats.map(_.feature.toSeq).toSet == again.map(_.feature.toSeq).toSet)
+  }
+}
