@@ -85,6 +85,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("total_trips"), avg(col("value")).as("average_fare"))
         .orderBy(col("total_trips").desc, col("user_id"))),
 
+    // ── streaming operator batch twins (same plan minus watermark) ─────
+    "stream_sliding_window" -> ((s, dir) =>
+      graft.streaming.StreamOps.slidingMetrics(t(s, dir, "events"),
+        timeCol = "ts", keyCol = "event_type", valueCol = "value",
+        duration = "2 minutes", slide = "1 minute", lateness = "10 minutes",
+        streaming = false)),
+
+    "stream_session_window" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionMetrics(t(s, dir, "events"),
+        timeCol = "ts", keyCol = "user_id", valueCol = "value",
+        gap = "5 minutes", lateness = "10 minutes", streaming = false)),
+
+    "stream_dedup_exact" -> ((s, dir) =>
+      graft.streaming.StreamOps.dedupStream(
+        t(s, dir, "events").unionAll(t(s, dir, "events")),
+        timeCol = "ts", idCol = "event_id", lateness = "10 minutes",
+        streaming = false)),
+
     // ── flagship pricing aggregate (partial+final hash agg, 1 shuffle) ──
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -233,6 +251,15 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"))),
 
+    // ── SQL entry point (the reference exposes none — SURVEY.md §2.5) ──
+    // The engine's spark.sql surface: same ANSI text runs on Spark and
+    // the oracle verbatim. TPC-H Q5-style revenue per nation.
+    "sql_entrypoint" -> { (s, dir) =>
+      Seq("customer", "orders", "lineitem", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlQ5)
+    },
+
     // ── dedup suite ───────────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -320,8 +347,21 @@ object SparkEntry {
     t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("custkey")).distinct()
 
+  /** ANSI SQL shared verbatim by the engine (spark.sql) and the oracle. */
+  private val sqlQ5: String =
+    """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+      |       count(*) AS n_lineitems
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
   // ────────────────────────────────────────────────────────────────────
   def oracleSql: Map[String, String] = Map(
+    "sql_entrypoint" -> sqlQ5,
     "ref_window_agg" ->
       """SELECT event_type, count(event_id) AS total_trips, avg(value) AS average_fare,
         |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated
@@ -355,6 +395,35 @@ object SparkEntry {
     "ref_sort_bi" ->
       """SELECT user_id, count(*) AS total_trips, avg(value) AS average_fare
         |FROM events GROUP BY user_id ORDER BY total_trips DESC, user_id""".stripMargin,
+
+    "stream_sliding_window" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |         date_trunc('minute', ts) - i.i * INTERVAL 1 MINUTE AS window_start
+        |  FROM events, unnest([0, 1]) AS i(i))
+        |SELECT event_type, count(*) AS n_events, avg(value) AS avg_fare,
+        |       window_start, window_start + INTERVAL 2 MINUTE AS window_end
+        |FROM w GROUP BY event_type, window_start""".stripMargin,
+
+    "stream_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, count(*) AS n_events, sum(value) AS session_fare,
+        |       min(ts) AS session_start, max(ts) + INTERVAL 5 MINUTE AS session_end
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "stream_dedup_exact" ->
+      """SELECT DISTINCT * FROM
+        |  (SELECT * FROM events UNION ALL SELECT * FROM events)""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -66,11 +66,13 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val family = hashFamily(bands * rowsPerBand)
+    // Fused native expression: tokenize → shingle → hash → signature in
+    // one pass per row (identical output to minhashSignature over the
+    // HOF-built shingle array, without materializing it).
     val sigs = df.select(
       col(idCol).as("doc_id"),
-      minhashSignature(
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
-        family).as("sig"))
+      graft.functions.textnative
+        .text_minhash(col(textCol), shingleSize, family, mersennePrime).as("sig"))
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -134,16 +136,18 @@ object Dedup {
     * pre-blocked/LSH-candidate data. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    // Shingle sets as sorted distinct 64-bit hashes (native expression);
+    // per-pair Jaccard is then a linear merge walk instead of string-set
+    // intersection — same counts, same double, oracle-compatible.
     val sh = df.select(
       col(blockCol).as("block"), col(idCol).as("doc_id"),
-      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+      graft.functions.textnative.shingle_hashes(col(textCol), n).as("sh"))
     val l = sh.select(col("block"), col("doc_id").as("left_id"), col("sh").as("lsh"))
     val r = sh.select(col("block"), col("doc_id").as("right_id"), col("sh").as("rsh"))
     l.join(r, Seq("block"))
       .filter(col("left_id") < col("right_id"))
       .select(col("left_id"), col("right_id"),
-        (size(array_intersect(col("lsh"), col("rsh"))).cast("double") /
-          size(array_union(col("lsh"), col("rsh")))).as("jaccard"))
+        graft.functions.textnative.jaccard_sorted(col("lsh"), col("rsh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-key open-session accumulator for StreamOps.sessionize. Top-level and
+  * public: the state encoder's generated code instantiates it reflectively. */
+case class SessionState(n: Long, fare: Double, startMs: Long, lastMs: Long)
+
+/** Streaming operators beyond the reference's surface (SURVEY.md §2.4
+  * lists these as absent there): sliding & session event-time windows,
+  * watermark-bounded streaming dedup, stream-static enrichment joins, and
+  * custom sessionization state via flatMapGroupsWithState. All are
+  * standard Structured Streaming building blocks — state is always
+  * watermark-bounded so they hold at unbounded input. */
+object StreamOps {
+
+  /** Overlapping (sliding) event-time windows: window(duration, slide).
+    * slide < duration ⇒ each event lands in duration/slide windows. */
+  def slidingMetrics(df: DataFrame, timeCol: String, keyCol: String,
+      valueCol: String, duration: String, slide: String, lateness: String,
+      streaming: Boolean): DataFrame = {
+    val src = if (streaming) df.withWatermark(timeCol, lateness) else df
+    src.groupBy(window(col(timeCol), duration, slide), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), avg(col(valueCol)).as("avg_fare"))
+      .select(col(keyCol), col("n_events"), col("avg_fare"),
+        col("window.start").as("window_start"), col("window.end").as("window_end"))
+  }
+
+  /** Session windows: events within `gap` of each other merge into one
+    * session per key (built-in session_window — state merges adjacent
+    * sessions and closes them once the watermark passes the gap). */
+  def sessionMetrics(df: DataFrame, timeCol: String, keyCol: String,
+      valueCol: String, gap: String, lateness: String, streaming: Boolean): DataFrame = {
+    val src = if (streaming) df.withWatermark(timeCol, lateness) else df
+    src.groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("session_fare"))
+      .select(col(keyCol), col("n_events"), col("session_fare"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"))
+  }
+
+  /** Streaming exact dedup on an id column with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): duplicates arriving within the
+    * lateness bound are suppressed; state for older ids is evicted. On a
+    * batch frame falls back to plain dropDuplicates (same semantics when
+    * the input is finite). */
+  def dedupStream(df: DataFrame, timeCol: String, idCol: String,
+      lateness: String, streaming: Boolean): DataFrame =
+    if (streaming)
+      df.withWatermark(timeCol, lateness).dropDuplicatesWithinWatermark(Seq(idCol))
+    else df.dropDuplicates(Seq(idCol))
+
+  /** Stream-static enrichment join: the static dim is broadcast per
+    * micro-batch (no state, no shuffle of the stream). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** One closed trip session per (key) burst of activity. */
+  case class TripSession(city: String, n_trips: Long, total_fare: Double,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  /** Custom sessionization with explicit state (flatMapGroupsWithState,
+    * event-time timeout): demonstrates arbitrary per-key state where the
+    * built-in session_window's merge semantics don't fit (e.g. emitting
+    * only on session close). State is dropped via event-time timeout tied
+    * to the watermark — bounded at scale. */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long): Dataset[TripSession] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("city"), col("event_timestamp").cast("timestamp").as("ts"),
+        col("fare_amount"))
+      .withWatermark("ts", "10 minutes")
+      .as[(String, java.sql.Timestamp, Double)]
+
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (city: String, rows: Iterator[(String, java.sql.Timestamp, Double)],
+       state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(TripSession(city, s.n, s.fare,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs)))
+        } else {
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          var closed = List.empty[TripSession]
+          var cur = state.getOption
+          sorted.foreach { case (_, ts, fare) =>
+            val t = ts.getTime
+            cur match {
+              case Some(s) if t - s.lastMs <= gapMs =>
+                cur = Some(s.copy(n = s.n + 1, fare = s.fare + fare, lastMs = t))
+              case Some(s) =>
+                closed ::= TripSession(city, s.n, s.fare,
+                  new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs))
+                cur = Some(SessionState(1, fare, t, t))
+              case None =>
+                cur = Some(SessionState(1, fare, t, t))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastMs + gapMs)
+          }
+          closed.reverseIterator
+        }
+    }
+  }
+}

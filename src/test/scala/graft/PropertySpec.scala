@@ -1,0 +1,88 @@
+package graft
+
+import graft.ops.{Dedup, Metrics, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property-based invariants (SURVEY.md §5.2.3) over generated event
+  * streams and documents. ScalaCheck generators with fixed seeds drive a
+  * handful of Spark jobs; invariants must hold on every sample. */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val cities = Seq("nyc", "sf", "la", "chi", "mia")
+  private val eventGen: Gen[(String, Double, Double)] = for {
+    city <- Gen.oneOf(cities)
+    // event times across ~3 hours from 2024-01-01 00:00 UTC
+    offset <- Gen.choose(0.0, 3 * 3600.0)
+    fare <- Gen.choose(5.0, 150.0)
+  } yield (city, 1704067200.0 + offset, fare)
+
+  private def samples[A](g: Gen[List[A]], n: Int): Seq[List[A]] =
+    (1 to n).map { i =>
+      g.apply(Gen.Parameters.default, rng.Seed(i.toLong))
+        .getOrElse(sys.error("gen failed"))
+    }
+
+  test("windowed metrics: totals partition the input; avg within [min,max]; minute-aligned ends") {
+    samples(Gen.listOfN(300, eventGen), 3).foreach { events =>
+      val df = events.toDF("city", "epoch", "fare")
+        .select($"city", $"epoch".cast("timestamp").as("event_timestamp"),
+          $"fare".as("fare_amount"),
+          monotonically_increasing_id().cast("string").as("trip_id"))
+      val out = Metrics.windowedMetrics(Metrics.WindowSpec(), streaming = false)(df)
+        .collect()
+      // counts partition the input exactly
+      assert(out.map(_.getAs[Long]("total_trips")).sum == events.size)
+      // per-group avg bounded by global fare range
+      val fares = events.map(_._3)
+      out.foreach { r =>
+        val avg = r.getAs[Double]("average_fare")
+        assert(avg >= fares.min - 1e-9 && avg <= fares.max + 1e-9)
+      }
+      // window ends are minute-aligned and strictly after some event
+      out.foreach { r =>
+        val endS = r.getAs[java.sql.Timestamp]("last_updated").toInstant.getEpochSecond
+        assert(endS % 60 == 0, s"window end not minute-aligned: $endS")
+      }
+      // weighted mean of group avgs == global mean
+      val weighted = out.map(r =>
+        r.getAs[Double]("average_fare") * r.getAs[Long]("total_trips")).sum
+      assert(math.abs(weighted - fares.sum) < 1e-6 * math.max(1.0, fares.sum.abs))
+    }
+  }
+
+  private val wordGen = Gen.oneOf("spark", "query", "table", "join", "scan",
+    "merge", "the", "a", "fast", "slow", "row", "batch")
+  private val docGen: Gen[String] = Gen.chooseNum(3, 40)
+    .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("minhash: identical docs agree fully; signature values in [0, p)") {
+    samples(Gen.listOfN(20, docGen), 2).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val p = (1L << 31) - 1
+      val sigs = df.select($"doc_id",
+        graft.functions.textnative.text_minhash($"text", 3, Dedup.hashFamily(64), p).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      sigs.values.foreach(sig => assert(sig.forall(v => v >= 0 && v <= p)))
+      // same text ⇒ same signature (pure function of content)
+      val byText = docs.zipWithIndex.groupBy(_._1)
+      byText.values.filter(_.size > 1).foreach { grp =>
+        val sigSet = grp.map { case (_, i) => sigs(i.toLong) }.toSet
+        assert(sigSet.size == 1)
+      }
+    }
+  }
+
+  test("fingerprint: stable under repetition, in [0, p), order-sensitive") {
+    samples(Gen.listOfN(15, docGen), 2).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val fps = TextAnalysis.fingerprint(df)
+        .select($"doc_id", $"fingerprint").as[(Long, Long)].collect().toMap
+      fps.values.foreach(v => assert(v >= 0 && v < 1000000007L))
+      val again = TextAnalysis.fingerprint(df)
+        .select($"doc_id", $"fingerprint").as[(Long, Long)].collect().toMap
+      assert(fps == again)
+    }
+  }
+}

@@ -85,6 +85,70 @@ class StreamingSpec extends SparkSuite {
     assert(m.average_fare == 20.0)
   }
 
+  test("streaming dedup suppresses duplicate trip ids within the watermark") {
+    import graft.streaming.StreamOps
+    val source = MemoryStream[String]
+    val parsed = graft.ops.Ingest.consume(graft.model.Schemas.rideEventSchema)(source.toDF())
+    val deduped = StreamOps.dedupStream(parsed, "event_timestamp", "trip_id",
+      "10 minutes", streaming = true)
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      source.addData(Seq(
+        rideJson("nyc", t0 + 1, 10.0, "dup"),
+        rideJson("nyc", t0 + 2, 10.0, "dup"),   // same id, same batch
+        rideJson("nyc", t0 + 3, 11.0, "other")))
+      q.processAllAvailable()
+      source.addData(Seq(rideJson("nyc", t0 + 4, 12.0, "dup"))) // same id, later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("trip_id").as[String].collect().sorted
+      assert(ids.toSeq == Seq("dup", "other"), ids.mkString(","))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join broadcasts the dim and preserves stream rows") {
+    import graft.streaming.StreamOps
+    val source = MemoryStream[String]
+    val parsed = graft.ops.Ingest.consume(graft.model.Schemas.rideEventSchema)(source.toDF())
+    val dim = Seq(("nyc", "east"), ("sf", "west")).toDF("city", "region")
+    val q = StreamOps.enrich(parsed, dim, "city")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      source.addData(Seq(rideJson("nyc", t0 + 1, 10.0, "a"),
+        rideJson("la", t0 + 2, 11.0, "b")))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").select("city", "region")
+        .as[(String, Option[String])].collect().toMap
+      assert(rows == Map("nyc" -> Some("east"), "la" -> None), rows.toString)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes a session on gap timeout") {
+    import graft.streaming.StreamOps
+    val source = MemoryStream[String]
+    val parsed = graft.ops.Ingest.consume(graft.model.Schemas.rideEventSchema)(source.toDF())
+    val sessions = StreamOps.sessionize(spark, parsed, gapMs = 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // session: 3 trips within 1-min gaps, then silence
+      source.addData(Seq(
+        rideJson("nyc", t0 + 1, 10.0, "a"),
+        rideJson("nyc", t0 + 30, 20.0, "b"),
+        rideJson("nyc", t0 + 59, 30.0, "c")))
+      q.processAllAvailable()
+      // advance event time + watermark far beyond the gap so the state
+      // times out, then once more so the timed-out emission is visible
+      source.addData(Seq(rideJson("nyc", t0 + 30 * 60, 1.0, "later")))
+      q.processAllAvailable()
+      source.addData(Seq(rideJson("nyc", t0 + 60 * 60, 1.0, "even_later")))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select("city", "n_trips", "total_fare").as[(String, Long, Double)].collect()
+      assert(out.contains(("nyc", 3L, 60.0)), out.mkString(";"))
+    } finally q.stop()
+  }
+
   test("malformed JSON becomes null fields, excluded by count(trip_id) key null group") {
     val source = MemoryStream[String]
     val metrics = RidePipeline.metricsPlan(source.toDF(), streaming = true)
