@@ -251,6 +251,44 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"))),
 
+    // ── statistics aggregates ──────────────────────────────────────────
+    "rel_stats" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          median(col("o_totalprice")).as("median_price"),
+          stddev_samp(col("o_totalprice")).as("sd_price"),
+          var_samp(col("o_totalprice")).as("var_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))),
+
+    // ── skew mitigation (results provably equal the unsalted plan) ─────
+    "skew_salted_join" -> { (s, dir) =>
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(t(s, dir, "orders"), dim, "o_custkey", salts = 8,
+        bigIdCols = Seq("o_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+    },
+
+    "skew_salted_agg" -> ((s, dir) =>
+      Skew.saltedCountSum(t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+        salts = 8, idCols = Seq("o_orderkey"))),
+
+    // Native expressions through the SQL surface (FunctionRegistry).
+    "sql_native_funcs" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(
+        """SELECT e.vec_id,
+          |       cosine_sim(CAST(e.embedding AS ARRAY<DOUBLE>),
+          |                  CAST(q.embedding AS ARRAY<DOUBLE>)) AS sim
+          |FROM embeddings e
+          |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          |WHERE e.vec_id <> 0""".stripMargin)
+    },
+
     // ── SQL entry point (the reference exposes none — SURVEY.md §2.5) ──
     // The engine's spark.sql surface: same ANSI text runs on Spark and
     // the oracle verbatim. TPC-H Q5-style revenue per nation.
@@ -362,6 +400,33 @@ object SparkEntry {
   // ────────────────────────────────────────────────────────────────────
   def oracleSql: Map[String, String] = Map(
     "sql_entrypoint" -> sqlQ5,
+
+    "rel_stats" ->
+      """SELECT o_orderpriority,
+        |       median(o_totalprice) AS median_price,
+        |       stddev_samp(o_totalprice) AS sd_price,
+        |       var_samp(o_totalprice) AS var_price,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_rows, sum(o_totalprice) AS sum_value
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "sql_native_funcs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       list_reduce(list_transform(range(0, len(e.v)), i -> e.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+        |       (sqrt(list_reduce(list_transform(range(0, len(e.v)), i -> e.v[i+1] * e.v[i+1]), (x,y) -> x + y)) *
+        |        sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+        |FROM e, q WHERE e.vec_id <> 0""".stripMargin,
     "ref_window_agg" ->
       """SELECT event_type, count(event_id) AS total_trips, avg(value) AS average_fare,
         |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated

@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** Registers the native expressions as SQL functions so `spark.sql` users
+  * get the same codepaths as the Column API (`cosine_sim(a, b)`,
+  * `dot_product(a, b)`, `jaccard_sorted(a, b)`, `shingle_hashes(text, n)`,
+  * `sig_agreement(a, b)`). */
+object GraftFunctions {
+  private def intLit(e: Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("sig_agreement",
+      es => SignatureAgreement(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaccard_sorted",
+      es => JaccardSorted(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es(0), intLit(es(1))), "built-in")
+  }
+}

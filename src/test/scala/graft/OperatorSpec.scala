@@ -123,6 +123,42 @@ class OperatorSpec extends SparkSuite {
     assert(out("b") == ((1L, 7.0)), out.toString)
   }
 
+  test("salted join equals the plain join exactly") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    val salted = Skew.saltedJoin(orders, dim, "o_custkey", 8, Seq("o_orderkey"))
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val plain = orders.join(dim, "o_custkey")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("salted two-phase aggregation equals plain groupBy") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val salted = Skew.saltedCountSum(orders, "o_orderpriority", "o_totalprice",
+      8, Seq("o_orderkey"))
+      .select($"o_orderpriority", $"n_rows").as[(String, Long)].collect().toMap
+    val plain = orders.groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("registered SQL functions match the Column API expressions") {
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>), CAST(array(1.0, 1.0) AS ARRAY<DOUBLE>))")
+      .as[Double].head()
+    assert(math.abs(viaSql - 1.0 / math.sqrt(2)) < 1e-15)
+    val jac = spark.sql("SELECT jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L))")
+      .as[Double].head()
+    assert(jac == 0.5)
+    val sh = spark.sql("SELECT size(shingle_hashes('a b c d', 3))").as[Int].head()
+    assert(sh == 2)
+  }
+
   test("multimodal decode stub emits one feature row per media object") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text"), "doc_id", "text")
