@@ -251,6 +251,17 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"))),
 
+    // ── array functions over the embedding column ──────────────────────
+    "rel_array_funcs" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).as("first_val"),
+          element_at(col("embedding"), -1).as("last_val"),
+          array_max(col("embedding")).as("max_val"),
+          array_min(col("embedding")).as("min_val"))),
+
     // ── statistics aggregates ──────────────────────────────────────────
     "rel_stats" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -400,6 +411,12 @@ object SparkEntry {
   // ────────────────────────────────────────────────────────────────────
   def oracleSql: Map[String, String] = Map(
     "sql_entrypoint" -> sqlQ5,
+
+    "rel_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |       embedding[1] AS first_val, embedding[-1] AS last_val,
+        |       list_max(embedding) AS max_val, list_min(embedding) AS min_val
+        |FROM embeddings""".stripMargin,
 
     "rel_stats" ->
       """SELECT o_orderpriority,

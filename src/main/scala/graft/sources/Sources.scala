@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch source/sink formats with explicit schemas. The reference's only
+  * I/O is Kafka in / JDBC out (SURVEY.md §2.1); a complete engine also
+  * reads and writes the lake formats. Schemas are always declared — never
+  * inferred — matching the reference's consumer-side posture and avoiding
+  * an extra inference scan at 100 TB. */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Partitioned layout: the scan prunes entire directories for filters on
+    * the partition columns — the first lever at 100 TB (SCALE.md). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** JDBC sink parity with the reference (streaming_job.py:26-34) — wired
+    * but unexercised in the zero-egress test env. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.format("jdbc").option("url", url).option("dbtable", table)
+      .mode(mode).save()
+}

@@ -159,6 +159,33 @@ class OperatorSpec extends SparkSuite {
     assert(sh == 2)
   }
 
+  test("file-format roundtrips preserve rows; partitioned layout prunes") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val n = df.count()
+
+    Sources.writePartitioned(df.withColumn("o_year", year($"o_orderdate")),
+      s"$dir/part", Seq("o_year"))
+    val back = Sources.readParquet(spark, s"$dir/part")
+    assert(back.count() == n)
+    val pruned = back.filter($"o_year" === 1995)
+    assert(pruned.count() == df.filter(year($"o_orderdate") === 1995).count())
+    // partition pruning visible in the plan: no o_year filter survives to scan
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+
+    Sources.writeCsv(df.select($"o_orderkey", $"o_orderstatus", $"o_totalprice"), s"$dir/csv")
+    val csvSchema = new StructType().add("o_orderkey", LongType)
+      .add("o_orderstatus", StringType).add("o_totalprice", DoubleType)
+    assert(Sources.readCsv(spark, s"$dir/csv", csvSchema).count() == n)
+
+    Sources.writeJsonLines(df.select($"o_orderkey", $"o_orderpriority"), s"$dir/json")
+    val jsonSchema = new StructType().add("o_orderkey", LongType)
+      .add("o_orderpriority", StringType)
+    assert(Sources.readJsonLines(spark, s"$dir/json", jsonSchema).count() == n)
+  }
+
   test("multimodal decode stub emits one feature row per media object") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text"), "doc_id", "text")
