@@ -350,6 +350,12 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 8),
         k = 10)),
 
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 8),
+        k = 10)),
+
     // ── text analysis ─────────────────────────────────────────────────
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"))

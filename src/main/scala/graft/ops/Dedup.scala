@@ -151,6 +151,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Transitive duplicate groups from a pair list: connected components
+    * by iterative min-label propagation (label = smallest doc id in the
+    * component). O(component diameter) rounds, each one shuffle on the
+    * join key — near-dup components are shallow in practice (dup clusters
+    * are cliques or stars from LSH), so this converges in 2–3 rounds.
+    * Output: (doc_id, group_id) for every id appearing in a pair; the
+    * canonical keeper of a group is its group_id. */
+  def duplicateGroups(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("left_id").as("a"), col("right_id").as("b"))
+      .union(pairs.select(col("right_id").as("a"), col("left_id").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(col("a").as("id2")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+  }
+
   /** Embedding near-duplicate pairs: sign-bit LSH bucket join, then exact
     * cosine ≥ threshold verify. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

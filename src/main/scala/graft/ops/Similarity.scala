@@ -93,6 +93,86 @@ object Similarity {
       when(dot(v, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) approximate top-k: vectors are routed to their
+    * nearest of `nCells` centroids; each query probes its `nProbe`
+    * nearest cells and scores only those cells' vectors.
+    *
+    * Centroid training is deliberately driver-side over a bounded,
+    * deterministic sample (first `sampleN` vectors by id, `iters` Lloyd
+    * iterations) — at 100 TB the sample stays fixed-size, the centroids
+    * broadcast as literals, and the per-row work is nCells dot products.
+    * Assignment and probing shuffle only on the cell id (equi-join), the
+    * same scale shape as the LSH variant; recall is tuned by nProbe. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2, sampleN: Int = 256,
+      iters: Int = 5): DataFrame = {
+    val sample = candidates.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nCells, s"need >= $nCells sample vectors")
+    // Lloyd's k-means on the sample (pure Scala, deterministic seed-free:
+    // init = first nCells sample vectors).
+    var centroids = sample.take(nCells).map(_.clone())
+    val dim = centroids.head.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Int](nCells)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCells) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    // cell assignment: argmin_c ||v||² - 2·v·c + ||c||² (‖v‖² constant per
+    // row ⇒ argmin of (||c||² - 2·v·c)); struct(score, idx) + array_min
+    // gives a deterministic argmin with index tie-break.
+    def cellScores(v: Column): Seq[Column] = centroids.toSeq.zipWithIndex.map {
+      case (c, i) =>
+        val cLit = array(c.map(lit).toSeq: _*)
+        val cNorm2 = c.map(x => x * x).sum
+        struct((lit(cNorm2) - lit(2.0) * dot(v, cLit)).as("score"), lit(i).as("cell"))
+    }
+    def nearestCell(v: Column): Column =
+      array_min(array(cellScores(v): _*)).getField("cell")
+    def probeCells(v: Column, n: Int): Column =
+      slice(transform(array_sort(array(cellScores(v): _*)), s => s.getField("cell")), 1, n)
+
+    val topk = udaf(new TopKAggregator(k))
+    val cand = candidates.select(
+      col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cand_emb"))
+      .withColumn("cell", nearestCell(col("cand_emb")))
+    val qry = queries.select(
+      col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("query_emb"))
+      .withColumn("cell", explode(probeCells(col("query_emb"), nProbe)))
+    cand
+      .join(qry, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cand_emb"), col("query_emb")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        col("col.score").as("sim"))
+  }
+
   /** Approximate top-k: candidates and queries are bucketed by sign-bit
     * LSH and only same-bucket pairs are scored — the scale path when the
     * Q×N cross product is too big even broadcast. Shuffle is on the bucket

@@ -76,6 +76,17 @@ class OperatorSpec extends SparkSuite {
     assert(top.toSeq == Seq(1L, 2L, 3L), top.mkString(","))
   }
 
+  test("IVF top-k routes an exact duplicate to the same cell and ranks it first") {
+    val dim = 64
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 300L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    // vec 300 = exact copy of vec 0
+    val vecs = (base :+ ((300L, base.head._2.clone()))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0), k = 5)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.headOption.contains(300L), s"expected copy first, got ${out.mkString(",")}")
+  }
+
   test("embedding near-dup LSH finds planted duplicate vectors") {
     val dim = 64
     val rnd = new scala.util.Random(1)
@@ -121,6 +132,41 @@ class OperatorSpec extends SparkSuite {
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out("a") == ((3L, 50.0)), out.toString)  // total 3, latest window avg 50
     assert(out("b") == ((1L, 7.0)), out.toString)
+  }
+
+  test("duplicate groups: transitive closure labels components by min id") {
+    // components: {1,2,4} via 1-2, 2-4 (transitive), and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("left_id", "right_id")
+    val groups = Dedup.duplicateGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L), groups.toString)
+  }
+
+  test("bucketed tables join without an exchange") {
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directories persist — clear both the catalog entry and the location
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_orders", "b_customer").foreach { tbl =>
+      val dir = new java.io.File(wh, tbl)
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .hint("merge") // force SMJ so the broadcast path doesn't mask bucketing
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should have no shuffle exchange:\n$plan")
+    assert(joined.count() == spark.read.parquet(s"$sfDir/orders.parquet").count())
   }
 
   test("salted join equals the plain join exactly") {
