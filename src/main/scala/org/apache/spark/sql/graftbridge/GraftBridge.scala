@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a session-extension installer to an existing session's function
+    * registry (tests: `spark.sql.extensions` is a static conf, unusable
+    * once a context exists). */
+  def applyFunctionExtensions(
+      f: org.apache.spark.sql.SparkSessionExtensions => Unit,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    f(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }

@@ -232,6 +232,17 @@ class OperatorSpec extends SparkSuite {
     assert(Sources.readJsonLines(spark, s"$dir/json", jsonSchema).count() == n)
   }
 
+  test("GraftExtensions injects native functions resolvable from SQL") {
+    // spark.sql.extensions is a static conf — apply the installer to the
+    // live session's registry through the same injectFunction path.
+    org.apache.spark.sql.graftbridge.GraftBridge
+      .applyFunctionExtensions(new graft.GraftExtensions, spark)
+    val v = spark.sql(
+      "SELECT dot_product(CAST(array(2.0, 3.0) AS ARRAY<DOUBLE>), CAST(array(4.0, 5.0) AS ARRAY<DOUBLE>)) AS d")
+      .collect().head.getDouble(0)
+    assert(v == 23.0)
+  }
+
   test("multimodal decode stub emits one feature row per media object") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text"), "doc_id", "text")
