@@ -151,33 +151,83 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard verification of a candidate pair list (the
+    * output shape of [[minhashLshPairs]] / [[simhashPairs]]): joins each
+    * (left_id, right_id) candidate back to its shingle set and keeps pairs
+    * whose TRUE Jaccard clears the threshold. Cost is linear in the number
+    * of candidates — the shape that survives 100 TB, where the
+    * block-quadratic [[ngramJaccardPairs]] is reserved for data already
+    * reduced to small blocks. */
+  def jaccardVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      graft.functions.textnative.shingle_hashes(col(textCol), n).as("__sh"))
+    candidates.select(col("left_id"), col("right_id"))
+      .join(sh.select(col("__id").as("left_id"), col("__sh").as("lsh")), Seq("left_id"))
+      .join(sh.select(col("__id").as("right_id"), col("__sh").as("rsh")), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        graft.functions.textnative.jaccard_sorted(col("lsh"), col("rsh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Transitive duplicate groups from a pair list: connected components
     * by iterative min-label propagation (label = smallest doc id in the
     * component). O(component diameter) rounds, each one shuffle on the
     * join key — near-dup components are shallow in practice (dup clusters
     * are cliques or stars from LSH), so this converges in 2–3 rounds.
     * Output: (doc_id, group_id) for every id appearing in a pair; the
-    * canonical keeper of a group is its group_id. */
-  def duplicateGroups(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("left_id").as("a"), col("right_id").as("b"))
-      .union(pairs.select(col("right_id").as("a"), col("left_id").as("b")))
-      .distinct().cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    * canonical keeper of a group is its group_id.
+    *
+    * Each round's labels are eagerly `localCheckpoint`ed: lineage depth
+    * stays O(1) across iterations instead of growing one join per round
+    * (at 100 TB and deep components an unbounded plan re-executes or blows
+    * analysis time), and each superseded round's checkpoint blocks are
+    * unpersisted so executor storage holds at most two label snapshots.
+    * Throws if the loop exits via `maxIters` without converging — silent
+    * partially-propagated labels would be wrong groups. */
+  def duplicateGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint registers its blocks as persistent RDDs but outside
+    // the cache manager, so DataFrame.unpersist can't free them; track the
+    // RDD ids each checkpoint adds and unpersist those when superseded.
+    def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint() // eager: materializes now
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    val (edges, edgeIds) = checkpoint(
+      pairs.select(col("left_id").as("a"), col("right_id").as("b"))
+        .union(pairs.select(col("right_id").as("a"), col("left_id").as("b")))
+        .distinct())
+    var (labels, labelIds) = checkpoint(
+      edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+      val (updated, updatedIds) = checkpoint(
+        labels.join(neighborMin, labels("id") === col("id2"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
+      free(labelIds)
       labels = updated
+      labelIds = updatedIds
       converged = changed == 0
       i += 1
+    }
+    free(edgeIds)
+    if (!converged) {
+      free(labelIds)
+      throw new IllegalStateException(
+        s"duplicateGroups did not converge within $maxIters iterations " +
+          "(component diameter exceeds maxIters); raise maxIters")
     }
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }

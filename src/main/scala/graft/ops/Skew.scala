@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
   * one probe key dominates, and two-phase aggregation when a single group
   * would bottleneck the final reducer.
   *
-  * Results are identical to the unsalted plan (verified against the plain
-  * join/aggregate oracle) — salting only changes the shuffle layout. */
+  * Join results and counts are identical to the unsalted plan — salting
+  * only changes the shuffle layout. Floating-point SUMs are a different
+  * story: two-phase summation changes the IEEE-754 fold order, so double
+  * sums would only be approximately equal. `saltedCountSum` therefore
+  * accumulates sums in DECIMAL(38,6) (exact, order-independent) and casts
+  * the final result back to double — bit-identical to any other exact
+  * accumulation of the same values, salted or not. */
 object Skew {
 
   /** Deterministic per-row salt in [0, salts): hash of the given columns.
@@ -32,12 +37,16 @@ object Skew {
   /** Two-phase (salted) aggregation: partial count/sum per (key, salt),
     * then combine per key. The partial shuffle spreads a hot group across
     * `salts` partitions; the final shuffle moves only `salts` rows per
-    * group. Equivalent to groupBy(key).agg(count, sum). */
+    * group. Equivalent to groupBy(key).agg(count, sum) — exactly: the sum
+    * accumulates in DECIMAL(38,6), so the result does not depend on the
+    * fold order the salting introduces. */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String, salts: Int,
       idCols: Seq[String]): DataFrame =
     df.withColumn("__salt", saltOf(salts, idCols.map(col): _*))
       .groupBy(col(key), col("__salt"))
-      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(38,6)")).as("__s"))
       .groupBy(col(key))
-      .agg(sum(col("__n")).as("n_rows"), sum(col("__s")).as("sum_value"))
+      .agg(sum(col("__n")).as("n_rows"),
+        sum(col("__s")).cast("double").as("sum_value"))
 }

@@ -12,6 +12,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # array-typed columns (e.g. a query that leaks an array<long>) arrive
+    # as list/ndarray: normalize element-wise to a stable string so rows
+    # stay sortable instead of crashing pandas/sorted()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm(x) for x in v) + "]"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
