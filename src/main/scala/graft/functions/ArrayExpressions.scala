@@ -19,13 +19,20 @@ import org.apache.spark.sql.types._
   * accumulators, bit-identical to both the HOF formulation and the DuckDB
   * oracle's `list_reduce` folds.
   */
+/** Returns null (not NaN, not a silently-truncated answer) on the two
+  * degenerate inputs: mismatched array lengths and zero-norm vectors. A
+  * NaN would otherwise poison downstream top-k comparators (sortWith under
+  * NaN: every comparison false -> nondeterministic order); callers filter
+  * null sims before aggregation. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -33,7 +40,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Plan-size-safe vector quantization expressions.
+  *
+  * The naive formulation embeds each centroid / hyperplane as an
+  * `array(lit, lit, ...)` of `dim` literal nodes, so the expression tree,
+  * the plan string, and codegen all grow O(nCells x dim) — fine at the
+  * 16x64 test defaults, fatal at a realistic 100 TB config (nCells = 2-8k,
+  * dim = 768+). These expressions instead carry the whole matrix as ONE
+  * flat Array[Double] constant inside the expression object: the tree has
+  * a single node whatever the matrix size, toString stays O(1) (JVM
+  * arrays print as an opaque ref), and the matrix ships to executors once
+  * per stage via the task-binary broadcast, not per plan node.
+  *
+  * Scoring math is strictly sequential left-to-right per vector, matching
+  * the previous literal-based HOF formulation bit for bit (verified by
+  * OperatorSpec: same buckets, same cells, same probe order).
+  */
+
+/** Sign-bit LSH bucket: bit i of the result is set iff dot(v, plane_i) >= 0.
+  * `planes` is row-major (nPlanes x dim); nPlanes <= 62 to fit a long. */
+case class LshBucketBits(child: Expression, planes: Array[Double], dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val nPlanes = planes.length / dim
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val off = p * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * planes(off + i); i += 1 }
+      if (dot >= 0) bucket += 1L << p
+      p += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Index of the nearest centroid by L2 distance, computed as
+  * argmin_c (||c||^2 - 2 v.c) — ||v||^2 is constant per row. Ties break on
+  * the lower centroid index. `centroids` is row-major (nCells x dim). */
+case class NearestCentroid(child: Expression, centroids: Array[Double], dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  private val nCells = centroids.length / dim
+  // precomputed sequentially, same fold order as the score formula expects
+  private val norms2: Array[Double] = Array.tabulate(nCells) { c =>
+    var s = 0.0; var i = 0
+    while (i < dim) { val x = centroids(c * dim + i); s += x * x; i += 1 }
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var best = 0
+    var bestScore = Double.PositiveInfinity
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * centroids(off + i); i += 1 }
+      val score = norms2(c) - 2.0 * dot
+      if (score < bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The `nProbe` nearest centroid indices, ascending by (score, index) —
+  * the cells an IVF query probes. Same scoring as [[NearestCentroid]]. */
+case class ProbeCentroids(child: Expression, centroids: Array[Double], dim: Int,
+    nProbe: Int) extends UnaryExpression with CodegenFallback {
+  private val nCells = centroids.length / dim
+  private val norms2: Array[Double] = Array.tabulate(nCells) { c =>
+    var s = 0.0; var i = 0
+    while (i < dim) { val x = centroids(c * dim + i); s += x * x; i += 1 }
+    s
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val scores = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * centroids(off + i); i += 1 }
+      scores(c) = norms2(c) - 2.0 * dot
+      c += 1
+    }
+    val idx = Array.range(0, nCells).sortBy(i => (scores(i), i))
+    new GenericArrayData(idx.take(math.min(nProbe, nCells)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API entry points. Matrices are passed as Seq[Seq[Double]] rows
+  * and flattened once here. */
+object vectornative {
+  private def c(e: Expression): Column = GraftBridge.column(e)
+  private def e(col: Column): Expression = GraftBridge.expression(col)
+  private def flat(rows: Seq[Seq[Double]]): (Array[Double], Int) = {
+    val dim = rows.head.length
+    require(rows.forall(_.length == dim), "ragged matrix")
+    (rows.flatten.toArray, dim)
+  }
+
+  def lsh_bucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val (m, dim) = flat(planes)
+    c(LshBucketBits(e(v), m, dim))
+  }
+  def nearest_centroid(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val (m, dim) = flat(centroids)
+    c(NearestCentroid(e(v), m, dim))
+  }
+  def probe_centroids(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    val (m, dim) = flat(centroids)
+    c(ProbeCentroids(e(v), m, dim, nProbe))
+  }
+}

@@ -87,6 +87,44 @@ class OperatorSpec extends SparkSuite {
     assert(out.headOption.contains(300L), s"expected copy first, got ${out.mkString(",")}")
   }
 
+  test("IVF and LSH hit recall floors on clusterable data; plan size is O(1) in nCells") {
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = for (c <- centers.indices; j <- 0 until 40)
+      yield ((c * 40 + j).toLong, centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    val vecs = pts.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" % 40 === 0) // one query per cluster
+    val exact = Similarity.bruteForceTopK(vecs, qs, k = 10)
+    def minRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx).values.min
+    // when the data actually clusters, the index earns its keep
+    assert(minRecall(Similarity.ivfTopK(vecs, qs, k = 10, nCells = 8, nProbe = 2)) >= 0.9)
+    assert(minRecall(Similarity.lshTopK(vecs, qs, k = 10)) >= 0.6)
+    // de-literalized centroids: the plan must not grow with the cell count
+    def planChars(nCells: Int) = Similarity
+      .ivfTopK(vecs, qs, k = 10, nCells = nCells, sampleN = 320)
+      .queryExecution.optimizedPlan.toString.length
+    val (p8, p64) = (planChars(8), planChars(64))
+    assert(p64 < p8 + 500, s"plan grew with nCells: $p8 -> $p64 chars")
+  }
+
+  test("cosine_sim: null (not NaN) on length mismatch and zero norm; top-k unpoisoned") {
+    val degenerate = Seq(
+      (Array(1.0, 0.0), Array(1.0)),      // length mismatch
+      (Array(0.0, 0.0), Array(1.0, 1.0))) // zero-norm side
+      .toDF("a", "b")
+      .select(graft.functions.native.cosine_sim($"a", $"b").as("sim"))
+      .collect()
+    assert(degenerate.forall(_.isNullAt(0)), degenerate.mkString(","))
+    // a zero vector in the candidate set is filtered, not ranked nondeterministically
+    val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 0f)), (2L, Array(1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 3)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(2L), top.mkString(","))
+  }
+
   test("embedding near-dup LSH finds planted duplicate vectors") {
     val dim = 64
     val rnd = new scala.util.Random(1)
@@ -140,6 +178,21 @@ class OperatorSpec extends SparkSuite {
     val groups = Dedup.duplicateGroups(pairs)
       .as[(Long, Long)].collect().toMap
     assert(groups == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L), groups.toString)
+  }
+
+  test("duplicate groups: deep chain converges, frees checkpoints, throws past maxIters") {
+    // a 12-node path needs ~11 label-propagation rounds — exercises the
+    // per-iteration localCheckpoint path well beyond typical LSH cliques
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val groups = Dedup.duplicateGroups(chain).as[(Long, Long)].collect().toMap
+    assert(groups.size == 12 && groups.values.toSet == Set(1L), groups.toString)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 3, s"leaked checkpoint blocks: $before -> $after persistent RDDs")
+    // partially-propagated labels must fail loudly, not return wrong groups
+    intercept[IllegalStateException] {
+      Dedup.duplicateGroups(chain, maxIters = 3).count()
+    }
   }
 
   test("bucketed tables join without an exchange") {
