@@ -28,15 +28,11 @@ object StreamBench {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    // Pre-serialize the event payloads (generator cost excluded from the
-    // measured window; the pipeline still does full JSON parsing).
-    val cities = Array("nyc", "sf", "la", "chi", "mia", "bos", "sea", "den", "atl", "dal")
-    val t0 = 1704067200.0
-    val payloads = spark.range(nEvents).select(to_json(struct(
-      col("id").cast("string").as("trip_id"),
-      element_at(lit(cities), (col("id") % cities.length + 1).cast("int")).as("city"),
-      (rand(42) * 145 + 5).as("fare_amount"),
-      (lit(t0) + col("id") / 1000.0).as("event_timestamp"))).as("value"))
+    // Pre-serialize the event payloads through the library's deterministic
+    // generator (generator cost excluded from the measured window; the
+    // pipeline still does full JSON parsing). The collect is MemoryStream
+    // harness plumbing, not pipeline work.
+    val payloads = graft.sources.EventGen.rideEventsJson(spark, nEvents)
       .as[String].collect()
 
     val source = MemoryStream[String]

@@ -34,8 +34,9 @@ object Sources {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
-  /** JDBC sink parity with the reference (streaming_job.py:26-34) — wired
-    * but unexercised in the zero-egress test env. */
+  /** JDBC sink parity with the reference (streaming_job.py:26-34) —
+    * exercised against embedded Derby in StreamingSpec; the streaming
+    * upsert path is graft.streaming.JdbcUpsertSink. */
   def writeJdbc(df: DataFrame, url: String, table: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.format("jdbc").option("url", url).option("dbtable", table)

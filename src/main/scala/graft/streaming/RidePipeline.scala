@@ -67,7 +67,10 @@ trait UpsertSink {
 }
 
 /** In-memory backend (tests). Thread-safe via synchronization — foreachBatch
-  * invocations are serial per query, but tests may inspect concurrently. */
+  * invocations are serial per query, but tests may inspect concurrently.
+  * The `collect` here is a TEST-BACKEND convenience only (update-mode
+  * deltas over ~10 keys); the production JDBC backend ([[JdbcUpsertSink]])
+  * stages batches with a distributed `df.write.jdbc`, never collect. */
 class InMemoryUpsertSink extends UpsertSink {
   import scala.collection.mutable
   // (city, windowEnd micros) -> (count, avg)
@@ -94,14 +97,68 @@ class InMemoryUpsertSink extends UpsertSink {
   }
 }
 
-/** JDBC-parity merge statement builder (production path; unexercised here —
-  * no database in the test env). Mirrors the reference's ON CONFLICT merge
-  * (streaming_job.py:37-44) but per-(city, window) keyed for idempotency. */
+/** JDBC merge statement builders. Mirrors the reference's ON CONFLICT
+  * merge (streaming_job.py:37-44) but per-(city, window) keyed for
+  * idempotency: re-delivering the same micro-batch (foreachBatch replays
+  * after a restart) converges to the same table state. */
 object MergeSql {
+  /** PostgreSQL-dialect upsert — the reference's target database. */
   def upsertStatement(table: String): String =
     s"""INSERT INTO $table (city, window_end, total_trips, average_fare)
        |SELECT city, last_updated, total_trips, average_fare FROM ${table}_micro_batch
        |ON CONFLICT (city, window_end) DO UPDATE SET
        |  total_trips = EXCLUDED.total_trips,
        |  average_fare = EXCLUDED.average_fare""".stripMargin
+
+  /** Standard SQL:2003 MERGE (Derby, DB2, Oracle, SQL Server...) —
+    * exercised for real against embedded Derby in StreamingSpec. All
+    * identifiers are quoted: Spark's JDBC writer creates the stage with
+    * quoted lowercase column names, which case-folding databases would
+    * otherwise fail to resolve unquoted. */
+  def ansiMergeStatement(table: String, stage: String): String =
+    s"""MERGE INTO $table t USING $stage s
+       |ON t."city" = s."city" AND t."window_end" = s."window_end"
+       |WHEN MATCHED THEN UPDATE SET
+       |  "total_trips" = s."total_trips", "average_fare" = s."average_fare"
+       |WHEN NOT MATCHED THEN INSERT ("city", "window_end", "total_trips", "average_fare")
+       |VALUES (s."city", s."window_end", s."total_trips", s."average_fare")""".stripMargin
+}
+
+/** JDBC-backed upsert sink, the production shape of the reference's
+  * per-minute Postgres writes (streaming_job.py:26-58): each update-mode
+  * micro-batch is staged with a DISTRIBUTED `df.write.jdbc` (executors
+  * write in parallel; nothing is collected to the driver), then one ANSI
+  * MERGE folds the stage into the target keyed on (city, window_end).
+  * Idempotent per key — a replayed batch merges to the same state. */
+class JdbcUpsertSink(url: String, table: String) extends UpsertSink {
+  import org.apache.spark.sql.SaveMode
+  import org.apache.spark.sql.functions.col
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** Create the target once; tolerate "already exists" so restarts and
+    * multiple sinks against one database are safe. */
+  def ensureTarget(): Unit = withConn { conn =>
+    try conn.createStatement().executeUpdate(
+      s"""CREATE TABLE $table ("city" VARCHAR(64) NOT NULL,
+         |  "window_end" TIMESTAMP NOT NULL, "total_trips" BIGINT,
+         |  "average_fare" DOUBLE, PRIMARY KEY ("city", "window_end"))""".stripMargin)
+    catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+  }
+
+  override def merge(batch: DataFrame, epochId: Long): Unit = {
+    ensureTarget()
+    val stage = s"${table}_stage"
+    batch.select(col("city"), col("last_updated").as("window_end"),
+      col("total_trips"), col("average_fare"))
+      .write.mode(SaveMode.Overwrite).format("jdbc")
+      // default StringType mapping is CLOB on some dialects (Derby), which
+      // can't be compared in the MERGE's ON clause — pin a VARCHAR key
+      .option("createTableColumnTypes", "city VARCHAR(64)")
+      .option("url", url).option("dbtable", stage).save()
+    withConn(_.createStatement().executeUpdate(MergeSql.ansiMergeStatement(table, stage)))
+  }
 }
