@@ -354,8 +354,9 @@ object SparkEntry {
 
     // Fixture embeddings are random (no near-dups above any meaningful
     // threshold), so the verifiable surface is the deterministic LSH
-    // bucketing itself; pair extraction is pinned by OperatorSpec on
-    // planted duplicates.
+    // bucketing itself — now fully hash-gated: the oracle recomputes every
+    // bucket in DuckDB from the same plane matrix as SQL literals. Pair
+    // extraction is pinned by OperatorSpec on planted duplicates.
     "dedup_embedding_lsh" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -444,17 +445,28 @@ object SparkEntry {
         .select(col("media_id"), col("frame_id").cast("long").as("frame_id"),
           col("frame_len"), md5(col("frame_bytes")).as("frame_md5"))),
 
-    // mapPartitions decode stub — engine-defined features, rows-only.
-    // The float feature vector is digested to an md5 so every output
-    // column is a sortable scalar (driver-checker requirement).
+    // mapPartitions decode stub, now fully hash-gated: the stub's float
+    // feature f_i = (byte_i + i)/255f round-trips exactly back to the
+    // source byte via round(f*255) - i (the float rounding error is
+    // ~1e-5, far under the 0.5 round threshold), so the oracle recomputes
+    // width/height/frames from byte length and the feature bytes from the
+    // text itself. Scoped to non-empty ASCII payloads on both sides
+    // (DuckDB's substr/ascii are char-based). Every column is a sortable
+    // scalar (driver-checker requirement).
     "mm_decode_features" -> ((s, dir) =>
       Multimodal.decodeStub(s,
-        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")).toDF()
+        Multimodal.asMedia(
+          t(s, dir, "documents").filter(
+            octet_length(col("text")) === length(col("text")) &&
+              octet_length(col("text")) > 0),
+          "doc_id", "text")).toDF()
         .select(col("media_id"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"),
-          md5(array_join(col("feature").cast("array<string>"), ",")).as("feature_md5"))),
+          array_join(transform(col("feature"),
+            (f, i) => (round(f.cast("double") * 255) - i).cast("long").cast("string")), ",")
+            .as("feature_bytes"))),
   )
 
   private def bigSpenders(s: SparkSession, dir: String): DataFrame =
@@ -475,16 +487,22 @@ object SparkEntry {
   private def sqlDoubleArray(xs: Seq[Double]): String =
     xs.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]::DOUBLE[]")
 
-  private val lshOracleSql: String = {
-    val planeRows = Similarity.hyperplanes(8, 64).zipWithIndex
+  /** CTE chain `e, planes, b` computing every vector's sign-bit bucket
+    * from a literal plane matrix — shared by the two LSH oracles. */
+  private def bucketCtes(planes: Seq[Seq[Double]]): String = {
+    val planeRows = planes.zipWithIndex
       .map { case (p, i) => s"($i, ${sqlDoubleArray(p)})" }.mkString(", ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |planes(pid, p) AS (VALUES $planeRows),
        |b AS (
        |  SELECT vec_id, v,
        |         sum(CASE WHEN list_reduce(list_transform(range(0, len(v)), i -> v[i+1] * p[i+1]), (x,y) -> x + y) >= 0
        |                  THEN CAST(1 AS BIGINT) << pid ELSE 0 END) AS bucket
-       |  FROM e, planes GROUP BY vec_id, v),
+       |  FROM e, planes GROUP BY vec_id, v)""".stripMargin
+  }
+
+  private val lshOracleSql: String =
+    s"""WITH ${bucketCtes(Similarity.hyperplanes(8, 64))},
        |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 8),
        |p2 AS (SELECT qid, b.vec_id AS nid,
        |        list_reduce(list_transform(range(0, len(qv)), i -> b.v[i+1] * qv[i+1]), (x,y) -> x + y) /
@@ -495,7 +513,12 @@ object SparkEntry {
        |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
        |        ORDER BY sim DESC, nid) AS rnk FROM p2)
        |WHERE rnk <= 10""".stripMargin
-  }
+
+  /** Same plane-literal technique for the embedding near-dup bucketing
+    * query (12 planes): every bucket value is recomputed by DuckDB. */
+  private val embeddingLshOracleSql: String =
+    s"""WITH ${bucketCtes(Similarity.hyperplanes(12, 64))}
+       |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b""".stripMargin
 
   /** ANSI SQL shared verbatim by the engine (spark.sql) and the oracle. */
   private val sqlQ5: String =
@@ -777,6 +800,8 @@ object SparkEntry {
 
     "ann_lsh_topk" -> lshOracleSql,
 
+    "dedup_embedding_lsh" -> embeddingLshOracleSql,
+
     "ann_ivf_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8",
 
@@ -837,5 +862,15 @@ object SparkEntry {
         |       CAST(strlen(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_len,
         |       md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM f""".stripMargin,
+
+    "mm_decode_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(16 + strlen(text) % 64 AS BIGINT) AS width,
+        |       CAST(16 + (strlen(text) // 64) % 64 AS BIGINT) AS height,
+        |       CAST(1 + strlen(text) % 4 AS BIGINT) AS n_frames,
+        |       array_to_string(list_transform(range(0, 8),
+        |         i -> ascii(substr(text, CAST(i % strlen(text) AS INT) + 1, 1))), ',') AS feature_bytes
+        |FROM documents
+        |WHERE strlen(text) = length(text) AND strlen(text) > 0""".stripMargin,
   )
 }
