@@ -244,6 +244,21 @@ object SparkEntry {
           .otherwise("large").as("price_band"))
         .agg(count(lit(1)).as("n_orders"), avg(col("o_totalprice")).as("avg_price"))),
 
+    // As-of (backward) join: for every purchase, the user's most recent
+    // view at-or-before it (attribution). Right side pre-aggregated to
+    // one row per (user, ts) — "the" row at a timestamp must be unique
+    // for as-of to be well-defined. Oracle: DuckDB's native ASOF JOIN.
+    "rel_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      AsOfJoin.asOfBackward(purchases, views, keyCol = "user_id",
+        timeCol = "ts", payloadCols = Seq("view_value"))
+    },
+
     // HLL++ sketch. The estimate itself is engine-defined, so the gated
     // surface is quantitative: the engine computes BOTH the sketch and the
     // exact count and asserts the estimate lands within ±5%; the oracle's
@@ -729,6 +744,18 @@ object SparkEntry {
 
     "rel_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "rel_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       v.ts AS asof_time, v.view_value AS asof_view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
     "rel_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,

@@ -195,6 +195,35 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("as-of join: inclusive backward match, tolerance bound, null when none") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, "k1", "2024-01-01 00:00:10"), // after q@00:00:05 -> 100.0
+      (2L, "k1", "2024-01-01 00:00:30"), // exactly at q@00:00:30 -> inclusive, 200.0
+      (3L, "k1", "2024-01-01 00:10:00"), // far after last quote
+      (4L, "k2", "2024-01-01 00:00:10"), // no quote for k2 -> null
+    ).toDF("trade_id", "key", "t").select($"trade_id", $"key", to_timestamp($"t").as("ts"))
+    val quotes = Seq(
+      ("k1", "2024-01-01 00:00:05", 100.0),
+      ("k1", "2024-01-01 00:00:30", 200.0),
+    ).toDF("key", "t", "px").select($"key", to_timestamp($"t").as("ts"), $"px")
+
+    val out = AsOfJoin.asOfBackward(trades, quotes, "key", "ts", Seq("px"))
+      .select($"trade_id", $"asof_px").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(100.0), 2L -> Some(200.0), 3L -> Some(200.0), 4L -> None), out.toString)
+
+    // 60 s tolerance: trade 3 is ~9.5 min after the last quote -> nulled
+    val tol = AsOfJoin.asOfBackward(trades, quotes, "key", "ts", Seq("px"),
+      toleranceSec = Some(60.0))
+      .select($"trade_id", $"asof_px").as[(Long, Option[Double])].collect().toMap
+    assert(tol == Map(1L -> Some(100.0), 2L -> Some(200.0), 3L -> None, 4L -> None), tol.toString)
+
+    // scale shape: exactly one exchange (the key hash-partitioning)
+    val plan = AsOfJoin.asOfBackward(trades, quotes, "key", "ts", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 2, s"unexpected shuffles:\n$plan")
+  }
+
   test("bucketed tables join without an exchange") {
     // the in-memory catalog forgets tables between JVMs but the warehouse
     // directories persist — clear both the catalog entry and the location
