@@ -103,6 +103,20 @@ object SparkEntry {
         timeCol = "ts", idCol = "event_id", lateness = "10 minutes",
         streaming = false)),
 
+    // Stream-stream interval join, batch twin: every view within the 10
+    // minutes before a purchase by the same user. Streaming semantics
+    // (watermark-bounded two-sided state) pinned in StreamingSpec.
+    "stream_interval_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      graft.streaming.StreamOps.intervalJoin(p, v, "user_id", "p_ts", "v_ts",
+        maxDelaySec = 600, lateness = "10 minutes", streaming = false)
+        .select(col("purchase_id"), col("view_id"))
+    },
+
     // ── flagship pricing aggregate (partial+final hash agg, 1 shuffle) ──
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -273,6 +287,17 @@ object SparkEntry {
           (abs(col("approx") - col("exact_parts")).cast("double") /
             col("exact_parts") <= 0.05).as("approx_within_5pct"))),
 
+    // t-digest-style sketch gated like the HLL row: the engine computes
+    // both the approx and the exact median and asserts ±5%.
+    "rel_approx_quantile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_med"),
+          median(col("o_totalprice")).as("exact_med"))
+        .select(col("o_orderpriority"), col("exact_med"),
+          (abs(col("approx_med") - col("exact_med")) / col("exact_med") <= 0.05)
+            .as("approx_within_5pct"))),
+
     // ── array functions over the embedding column ──────────────────────
     "rel_array_funcs" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -353,6 +378,19 @@ object SparkEntry {
           element_at(col("chunks"), 2).as("chunk1"),
           element_at(col("chunks"), 3).as("chunk2"),
           element_at(col("chunks"), 4).as("chunk3"))),
+
+    // End-to-end dedup: LSH candidates → exact Jaccard verify (≥ 0.5) →
+    // transitive closure into duplicate groups (keeper = min doc_id). The
+    // oracle rebuilds the same groups with a recursive-CTE connected-
+    // components walk over the all-pairs ≥ 0.5 edge set — the full
+    // pipeline output is hash-gated, not just the pair list.
+    "dedup_groups" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateGroups(
+        Dedup.jaccardVerifiedPairs(docs, "doc_id", "text",
+          Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.0),
+          n = 3, threshold = 0.5))
+    },
 
     // Scale shape: LSH candidate generation → exact Jaccard verify, linear
     // in candidates (a block self-join on a data column would be quadratic
@@ -648,6 +686,18 @@ object SparkEntry {
       """SELECT DISTINCT * FROM
         |  (SELECT * FROM events UNION ALL SELECT * FROM events)""".stripMargin,
 
+    "stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL 600 SECOND AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin,
+
+    "rel_approx_quantile" ->
+      """SELECT o_orderpriority, median(o_totalprice) AS exact_med,
+        |       true AS approx_within_5pct
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
@@ -797,6 +847,28 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    "dedup_groups" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(0, len(w) - 2),
+        |           i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |p AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b
+        |  FROM s l JOIN s r ON l.doc_id < r.doc_id
+        |  WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p
+        |      UNION SELECT a, a FROM p UNION SELECT b, b FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS group_id
+        |FROM reach GROUP BY a""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH s AS (

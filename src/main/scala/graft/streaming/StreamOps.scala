@@ -57,6 +57,30 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream (or batch-batch) interval join: left rows paired with
+    * right rows of the same key whose time lies in
+    * [left.time - maxDelaySec, left.time] — the attribution/correlation
+    * join. In streaming both sides carry a watermark and the join
+    * condition bounds the time range, so each side's buffered state is
+    * evicted once the other side's watermark passes `maxDelay + lateness`
+    * — state stays bounded at unbounded input; the executed join is a
+    * key-equality shuffle with a range predicate, never a cross product.
+    * Column names must be disjoint apart from the key (pre-alias). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String, maxDelaySec: Long,
+      lateness: String, streaming: Boolean): DataFrame = {
+    val (l, r) =
+      if (streaming)
+        (left.withWatermark(leftTimeCol, lateness),
+          right.withWatermark(rightTimeCol, lateness))
+      else (left, right)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTimeCol) >= l(leftTimeCol) - expr(s"INTERVAL $maxDelaySec SECONDS") &&
+        r(rightTimeCol) <= l(leftTimeCol))
+      .drop(r(keyCol))
+  }
+
   /** One closed trip session per (key) burst of activity. */
   case class TripSession(city: String, n_trips: Long, total_fare: Double,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)

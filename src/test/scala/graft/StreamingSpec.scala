@@ -233,6 +233,33 @@ class StreamingSpec extends SparkSuite {
       back.toString)
   }
 
+  test("stream-stream interval join pairs in-range rows and drops out-of-range") {
+    import graft.streaming.StreamOps
+    def parsed(src: MemoryStream[String]) =
+      graft.ops.Ingest.consume(graft.model.Schemas.rideEventSchema)(src.toDF())
+    val lSrc = MemoryStream[String]
+    val rSrc = MemoryStream[String]
+    val left = parsed(lSrc).select($"trip_id".as("l_id"), $"city",
+      $"event_timestamp".as("l_ts"))
+    val right = parsed(rSrc).select($"trip_id".as("r_id"), $"city",
+      $"event_timestamp".as("r_ts"))
+    val joined = StreamOps.intervalJoin(left, right, "city", "l_ts", "r_ts",
+      maxDelaySec = 60, lateness = "10 minutes", streaming = true)
+      .select($"l_id", $"r_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      rSrc.addData(Seq(
+        rideJson("nyc", t0 + 10, 1.0, "r_in"),       // 50 s before the left row
+        rideJson("nyc", t0 - 120, 1.0, "r_too_old"), // 3 min before -> out of range
+        rideJson("sf", t0 + 30, 1.0, "r_wrong_key")))
+      lSrc.addData(Seq(rideJson("nyc", t0 + 60, 1.0, "l1")))
+      q.processAllAvailable()
+      val pairs = spark.table("ij_out").as[(String, String)].collect().toSet
+      assert(pairs == Set(("l1", "r_in")), pairs.toString)
+    } finally q.stop()
+  }
+
   test("event generator is deterministic and partitioning-independent") {
     import graft.sources.EventGen
     val a = EventGen.rideEvents(spark, 1000).collect().map(_.toSeq)
