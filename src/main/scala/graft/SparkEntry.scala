@@ -350,6 +350,29 @@ object SparkEntry {
           |WHERE e.vec_id <> 0""".stripMargin)
     },
 
+    // Correlated scalar subquery through the SQL surface: orders costing
+    // more than 2x their customer's average order. Verbatim-shared ANSI.
+    "sql_correlated_subquery" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlCorrelated)
+    },
+
+    // Grouped array aggregation, serialized to a join-string so the
+    // output stays checker-sortable; order pinned by array_sort.
+    "rel_agg_arrays" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))),
+
+    // GROUPING SETS with grouping() disambiguation of "null because
+    // aggregated" vs "null in the data".
+    "rel_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlGroupingSets)
+    },
+
     // ── SQL entry point (the reference exposes none — SURVEY.md §2.5) ──
     // The engine's spark.sql surface: same ANSI text runs on Spark and
     // the oracle verbatim. TPC-H Q5-style revenue per nation.
@@ -573,6 +596,20 @@ object SparkEntry {
     s"""WITH ${bucketCtes(Similarity.hyperplanes(12, 64))}
        |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b""".stripMargin
 
+  private val sqlCorrelated: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+      |                          WHERE i.o_custkey = o.o_custkey)""".stripMargin
+
+  private val sqlGroupingSets: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |       count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
+
   /** ANSI SQL shared verbatim by the engine (spark.sql) and the oracle. */
   private val sqlQ5: String =
     """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
@@ -588,6 +625,14 @@ object SparkEntry {
   // ────────────────────────────────────────────────────────────────────
   def oracleSql: Map[String, String] = Map(
     "sql_entrypoint" -> sqlQ5,
+    "sql_correlated_subquery" -> sqlCorrelated,
+    "rel_grouping_sets" -> sqlGroupingSets,
+
+    "rel_agg_arrays" ->
+      """SELECT l_returnflag,
+        |       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |       count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "rel_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
