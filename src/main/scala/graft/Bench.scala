@@ -24,15 +24,23 @@ object Bench {
     // Session warmup (scheduler, codegen compiler, parquet footer cache):
     // keeps per-query numbers about the queries, not JVM init.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Min of `runs` executions per query: the host exhibits intermittent
+    // multi-10-second I/O stalls (BASELINE.md round-2 caveat) that inflate
+    // a single sample uniformly; the minimum is the standard microbenchmark
+    // estimator for the code's actual cost under such additive noise.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}""")
     spark.stop()
   }
 }

@@ -74,6 +74,74 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("as-of join equals the naive per-row maximum-prior-match on random data") {
+    val rowGen: Gen[(String, Int, Double)] = for {
+      key <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0, 500)
+      v <- Gen.choose(0.0, 100.0)
+    } yield (key, t, v)
+    samples(Gen.listOfN(60, rowGen), 3).foreach { rows =>
+      val (lRows, rRows0) = rows.splitAt(30)
+      // right side unique per (key, time) — the operator's contract
+      val rRows = rRows0.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+      def ts(t: Int) = new java.sql.Timestamp(1704067200000L + t * 1000L)
+      val left = lRows.zipWithIndex
+        .map { case ((k, t, _), i) => (i.toLong, k, ts(t)) }.toDF("lid", "key", "ts")
+      val right = rRows.map { case (k, t, v) => (k, ts(t), v) }.toDF("key", "ts", "px")
+      val got = graft.ops.AsOfJoin.asOfBackward(left, right, "key", "ts", Seq("px"))
+        .select($"lid", $"asof_px").as[(Long, Option[Double])].collect().toMap
+      // oracle: per left row, the right row with max time <= left time
+      lRows.zipWithIndex.foreach { case ((k, t, _), i) =>
+        val expect = rRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(got(i.toLong) == expect, s"left=($k,$t): got ${got(i.toLong)}, want $expect")
+      }
+    }
+  }
+
+  test("interval join equals the filtered cross product on random data") {
+    val rowGen: Gen[(String, Int)] = for {
+      key <- Gen.oneOf("a", "b")
+      t <- Gen.choose(0, 300)
+    } yield (key, t)
+    samples(Gen.listOfN(40, rowGen), 3).foreach { rows =>
+      val (lRows, rRows) = rows.splitAt(20)
+      def ts(t: Int) = new java.sql.Timestamp(1704067200000L + t * 1000L)
+      val left = lRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }.toDF("lid", "key", "lts")
+      val right = rRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }.toDF("rid", "key", "rts")
+      val got = graft.streaming.StreamOps.intervalJoin(left, right, "key", "lts", "rts",
+          maxDelaySec = 60, lateness = "10 minutes", streaming = false)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        ((lk, lt), li) <- lRows.zipWithIndex
+        ((rk, rt), ri) <- rRows.zipWithIndex
+        if lk == rk && rt <= lt && rt >= lt - 60
+      } yield (li.toLong, ri.toLong)).toSet
+      assert(got == expect, s"diff: ${(got diff expect) ++ (expect diff got)}")
+    }
+  }
+
+  test("top-k aggregator equals global sort-take for any k") {
+    val vGen: Gen[(Long, Double)] = for {
+      id <- Gen.choose(0L, 1000L)
+      s <- Gen.choose(-1.0, 1.0)
+    } yield (id, s)
+    samples(Gen.listOfN(80, vGen), 3).foreach { scored0 =>
+      val scored = scored0.distinctBy(_._1)
+      for (k <- Seq(1, 5, 17)) {
+        val topk = udaf(new graft.ops.TopKAggregator(k))
+        val got = scored.toDF("id", "score").repartition(7)
+          .select(lit(0L).as("q"), struct($"id", $"score").as("s"))
+          .groupBy($"q").agg(topk($"s.id", $"s.score").as("top"))
+          .select(explode($"top")).select($"col.id").as[Long].collect().toSeq
+        val expect = scored.sortBy(p => (-p._2, p._1)).take(k).map(_._1)
+        assert(got == expect, s"k=$k: $got vs $expect")
+      }
+    }
+  }
+
   test("fingerprint: stable under repetition, in [0, p), order-sensitive") {
     samples(Gen.listOfN(15, docGen), 2).foreach { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
