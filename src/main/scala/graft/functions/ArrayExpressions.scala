@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.GraftBridge
@@ -23,9 +23,13 @@ import org.apache.spark.sql.types._
   * degenerate inputs: mismatched array lengths and zero-norm vectors. A
   * NaN would otherwise poison downstream top-k comparators (sortWith under
   * NaN: every comparison false -> nondeterministic order); callers filter
-  * null sims before aggregation. */
+  * null sims before aggregation.
+  *
+  * Fully codegen'd (doGenCode emits the same strict left-to-right loop),
+  * so the ANN scoring Project stays inside the WholeStageCodegen span
+  * instead of falling back to an interpreted Project per candidate pair. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -43,12 +47,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (nx == 0.0 || ny == 0.0) null
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot, nx, ny, xi, yi) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("dot"), ctx.freshName("nx"), ctx.freshName("ny"),
+        ctx.freshName("xi"), ctx.freshName("yi"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = $a.getDouble($i);
+         |    final double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
+/** Codegen'd strict left-to-right dot product over min(len(a), len(b)). */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -59,6 +88,18 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
     dot
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("dot"))
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -96,9 +137,11 @@ case class MinHashSignature(child: Expression, coeffA: Seq[Long], coeffB: Seq[Lo
 }
 
 /** Fraction of equal positions of two equal-length long-array signatures —
-  * the MinHash Jaccard estimate, one loop instead of zip_with+filter. */
+  * the MinHash Jaccard estimate, one loop instead of zip_with+filter.
+  * Codegen'd: runs per CANDIDATE PAIR inside the LSH join's filter, the
+  * hottest dedup loop. */
 case class SignatureAgreement(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -109,6 +152,18 @@ case class SignatureAgreement(left: Expression, right: Expression)
     while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
     if (n == 0) 0.0 else eq.toDouble / n
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, eq) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("eq"))
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = $n == 0 ? 0.0 : ((double) $eq) / $n;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
