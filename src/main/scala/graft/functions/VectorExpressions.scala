@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.GraftBridge
@@ -25,9 +25,12 @@ import org.apache.spark.sql.types._
   */
 
 /** Sign-bit LSH bucket: bit i of the result is set iff dot(v, plane_i) >= 0.
-  * `planes` is row-major (nPlanes x dim); nPlanes <= 62 to fit a long. */
+  * `planes` is row-major (nPlanes x dim); nPlanes <= 62 to fit a long.
+  * Codegen'd: the matrix enters the generated class as ONE reference
+  * object (ctx.addReferenceObj), so per-row bucketing runs inside the
+  * WholeStageCodegen span with zero per-row boxing. */
 case class LshBucketBits(child: Expression, planes: Array[Double], dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val nPlanes = planes.length / dim
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
@@ -45,14 +48,37 @@ case class LshBucketBits(child: Expression, planes: Array[Double], dim: Int)
     }
     bucket
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (n, p, i, off, dot, bucket) = (ctx.freshName("n"), ctx.freshName("p"),
+        ctx.freshName("i"), ctx.freshName("off"), ctx.freshName("dot"),
+        ctx.freshName("bucket"))
+      s"""
+         |final int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  final int $off = $p * $dim;
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $v.getDouble($i) * $mat[$off + $i];
+         |  }
+         |  if ($dot >= 0) $bucket += 1L << $p;
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Index of the nearest centroid by L2 distance, computed as
   * argmin_c (||c||^2 - 2 v.c) — ||v||^2 is constant per row. Ties break on
-  * the lower centroid index. `centroids` is row-major (nCells x dim). */
+  * the lower centroid index. `centroids` is row-major (nCells x dim).
+  * Codegen'd with the codebook as a reference object — the per-candidate
+  * cell assignment (the IVF build-side hot loop) stays in codegen. */
 case class NearestCentroid(child: Expression, centroids: Array[Double], dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val nCells = centroids.length / dim
   // precomputed sequentially, same fold order as the score formula expects
   private val norms2: Array[Double] = Array.tabulate(nCells) { c =>
@@ -77,6 +103,31 @@ case class NearestCentroid(child: Expression, centroids: Array[Double], dim: Int
       c += 1
     }
     best
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("centroids", centroids, "double[]")
+    val nrm = ctx.addReferenceObj("norms2", norms2, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (n, c, i, off, dot, score, best, bestScore) = (ctx.freshName("n"),
+        ctx.freshName("c"), ctx.freshName("i"), ctx.freshName("off"),
+        ctx.freshName("dot"), ctx.freshName("score"), ctx.freshName("best"),
+        ctx.freshName("bestScore"))
+      s"""
+         |final int $n = java.lang.Math.min($v.numElements(), $dim);
+         |int $best = 0;
+         |double $bestScore = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  final int $off = $c * $dim;
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $v.getDouble($i) * $mat[$off + $i];
+         |  }
+         |  final double $score = $nrm[$c] - 2.0 * $dot;
+         |  if ($score < $bestScore) { $bestScore = $score; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
