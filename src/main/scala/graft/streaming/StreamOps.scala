@@ -52,6 +52,22 @@ object StreamOps {
       df.withWatermark(timeCol, lateness).dropDuplicatesWithinWatermark(Seq(idCol))
     else df.dropDuplicates(Seq(idCol))
 
+  /** Streaming near-duplicate suppression for document streams: a doc
+    * whose full 64-permutation MinHash signature equals an earlier doc's
+    * within the watermark is dropped (64/64 agreeing minima ⇒ Jaccard ≈ 1
+    * — re-posts, boilerplate, trivial edits of whitespace-identical
+    * token streams). State = one 64-bit signature hash per distinct doc
+    * inside the watermark, evicted like any streaming-dedup key. Softer
+    * thresholds (banded LSH) belong offline, where candidates can be
+    * exactly verified — a stream can't retract an already-emitted doc. */
+  def nearDupDedupStream(docs: DataFrame, timeCol: String, textCol: String,
+      lateness: String, streaming: Boolean, shingleSize: Int = 3): DataFrame = {
+    val sig = graft.functions.textnative.text_minhash(
+      col(textCol), shingleSize, graft.ops.Dedup.hashFamily(64), (1L << 31) - 1)
+    val keyed = docs.withColumn("__sig_key", xxhash64(sig))
+    dedupStream(keyed, timeCol, "__sig_key", lateness, streaming).drop("__sig_key")
+  }
+
   /** Stream-static enrichment join: the static dim is broadcast per
     * micro-batch (no state, no shuffle of the stream). */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{InMemoryUpsertSink, RidePipeline}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming-semantics tests of the reference pipeline (SURVEY.md §2.6):
@@ -103,6 +104,27 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       val ids = spark.table("dedup_out").select("trip_id").as[String].collect().sorted
       assert(ids.toSeq == Seq("dup", "other"), ids.mkString(","))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup dedup suppresses signature-identical docs across batches") {
+    import graft.streaming.StreamOps
+    val source = MemoryStream[(Long, Long, String)] // (doc_id, epoch_s, text)
+    val docs = source.toDF().toDF("doc_id", "epoch", "text")
+      .select($"doc_id", timestamp_seconds($"epoch").as("ts"), $"text")
+    val out = StreamOps.nearDupDedupStream(docs, "ts", "text", "10 minutes", streaming = true)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("nd_out").start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog " * 3
+      val b = "completely different text about spark plans and shuffles " * 3
+      source.addData(Seq((1L, t0.toLong + 1, a), (2L, t0.toLong + 2, a),
+        (3L, t0.toLong + 3, b)))
+      q.processAllAvailable()
+      source.addData(Seq((4L, t0.toLong + 10, a))) // same signature, later batch
+      q.processAllAvailable()
+      val ids = spark.table("nd_out").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L), ids.mkString(","))
     } finally q.stop()
   }
 
