@@ -232,6 +232,25 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 
+  /** One-call corpus dedup — the full pipeline a training-data user runs:
+    * MinHash-LSH candidates → exact n-gram-Jaccard verify (≥ threshold) →
+    * transitive duplicate groups → every doc labeled with its group id
+    * (the keeper = min doc id; singletons keep themselves). Filter on
+    * `!is_duplicate` for the deduplicated corpus. Every stage is the
+    * scale shape documented in SCALE.md: no all-pairs product anywhere. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleSize: Int = 3): DataFrame = {
+    val cands = minhashLshPairs(docs, idCol, textCol,
+      shingleSize = shingleSize, threshold = 0.0)
+    val verified = jaccardVerifiedPairs(docs, idCol, textCol, cands,
+      n = shingleSize, threshold = threshold)
+    val groups = duplicateGroups(verified).withColumnRenamed("doc_id", "__gid")
+    docs.join(groups, docs(idCol) === col("__gid"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col(idCol)))
+      .withColumn("is_duplicate", col("group_id") =!= col(idCol))
+      .drop("__gid")
+  }
+
   /** Embedding near-duplicate pairs: sign-bit LSH bucket join, then exact
     * cosine ≥ threshold verify. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

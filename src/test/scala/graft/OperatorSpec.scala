@@ -172,6 +172,20 @@ class OperatorSpec extends SparkSuite {
     assert(out("b") == ((1L, 7.0)), out.toString)
   }
 
+  test("dedupCorpus labels near-dup groups with min-id keeper; singletons survive") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val nearDup = base.replace("lazy", "sleepy")
+    val other = "completely different content about spark shuffles and joins " * 5
+    val docs = Seq((10L, base), (11L, nearDup), (12L, other), (13L, base))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id", $"group_id", $"is_duplicate")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      10L -> ((10L, false)), 11L -> ((10L, true)),
+      12L -> ((12L, false)), 13L -> ((10L, true))), out.toString)
+  }
+
   test("duplicate groups: transitive closure labels components by min id") {
     // components: {1,2,4} via 1-2, 2-4 (transitive), and {7,9}
     val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("left_id", "right_id")
