@@ -188,6 +188,17 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("gap_us"))
     },
 
+    // Distribution window functions over a deterministic total order.
+    "rel_window_dist" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+    },
+
     "rel_union" -> ((s, dir) =>
       bigSpenders(s, dir).union(buildingCustomers(s, dir)).distinct()),
     "rel_intersect" -> ((s, dir) =>
@@ -521,6 +532,19 @@ object SparkEntry {
         .select(col("media_id"), col("frame_id").cast("long").as("frame_id"),
           col("frame_len"), md5(col("frame_bytes")).as("frame_md5"))),
 
+    // Resize stub (every 4th byte), hash-gated: for ASCII payloads the
+    // byte stride equals a character stride, so DuckDB rebuilds the
+    // identical downsampled payload and its md5.
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(s,
+        Multimodal.asMedia(
+          t(s, dir, "documents").filter(
+            octet_length(col("text")) === length(col("text")) &&
+              octet_length(col("text")) > 0),
+          "doc_id", "text"), stride = 4).toDF()
+        .select(col("media_id"), col("n_bytes_out"),
+          md5(col("resized")).as("resized_md5"))),
+
     // mapPartitions decode stub, now fully hash-gated: the stub's float
     // feature f_i = (byte_i + i)/255f round-trips exactly back to the
     // source byte via round(f*255) - i (the float rounding error is
@@ -800,6 +824,15 @@ object SparkEntry {
         |         ORDER BY ts, event_id)) AS gap_us
         |FROM events""".stripMargin,
 
+    "rel_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
     "rel_union" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
         |UNION
@@ -1006,6 +1039,18 @@ object SparkEntry {
         |       CAST(strlen(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_len,
         |       md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM f""".stripMargin,
+
+    "mm_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(
+        |           range(0, CAST(ceil(strlen(text) / 4.0) AS BIGINT)),
+        |           i -> substr(text, CAST(i * 4 + 1 AS INT), 1)), '') AS resized
+        |  FROM documents
+        |  WHERE strlen(text) = length(text) AND strlen(text) > 0)
+        |SELECT doc_id AS media_id, CAST(strlen(resized) AS BIGINT) AS n_bytes_out,
+        |       md5(resized) AS resized_md5
+        |FROM r""".stripMargin,
 
     "mm_decode_features" ->
       """SELECT doc_id AS media_id,

@@ -59,6 +59,27 @@ object Multimodal {
         octet_length(col("col")).cast("long").as("frame_len"))
   }
 
+  /** One resized media payload. */
+  case class ResizedMedia(media_id: Long, resized: Array[Byte], n_bytes_out: Long)
+
+  /** STUB resize, batch-shaped like [[decodeStub]]: keeps every
+    * `stride`-th byte of the payload (a deterministic stand-in for an
+    * image downsample kernel — swap the loop body for a real resampler;
+    * the partition-batched iteration, binary schema, and size bookkeeping
+    * are the production shape). */
+  def resizeStub(spark: SparkSession, media: DataFrame, stride: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(stride >= 1, "stride >= 1")
+    media.select(col("media_id"), col("media"), col("mime"), col("n_bytes"))
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        batch.map { rec =>
+          val out = rec.media.indices.by(stride).map(rec.media(_)).toArray
+          ResizedMedia(rec.media_id, out, out.length.toLong)
+        }
+      }
+  }
+
   /** STUB decoder, batch-shaped: iterates each partition once (the way a
     * vectorized `mapInPandas` decode batches Arrow record batches) and
     * emits deterministic fake dimensions/features derived from the bytes.
