@@ -25,11 +25,15 @@ object EventGen {
     pmod(xxhash64(col("id"), lit(salt)), lit(1000000L)) / 1000000.0
 
   /** n structured ride events at `eventsPerSecond`, starting at
-    * `startEpochS` (default 2024-01-01 00:00:00 UTC). */
+    * `startEpochS` (default 2024-01-01 00:00:00 UTC). `startId` offsets
+    * the id range so a caller can generate a long stream in contiguous
+    * time slices (event i is identical whether generated in one call or
+    * sliced). */
   def rideEvents(spark: SparkSession, n: Long,
       startEpochS: Double = 1704067200.0,
-      eventsPerSecond: Double = 1000.0): DataFrame =
-    spark.range(n).select(
+      eventsPerSecond: Double = 1000.0,
+      startId: Long = 0L): DataFrame =
+    spark.range(startId, startId + n).select(
       col("id").cast("string").as("trip_id"),
       element_at(lit(cities.toArray), pmod(col("id"), lit(cities.length)).cast("int") + 1).as("city"),
       (u01(1) * 145.0 + 5.0).as("fare_amount"),
@@ -39,8 +43,9 @@ object EventGen {
     * pipeline consumes (reference: producer publishes JSON to Kafka). */
   def rideEventsJson(spark: SparkSession, n: Long,
       startEpochS: Double = 1704067200.0,
-      eventsPerSecond: Double = 1000.0): DataFrame =
-    rideEvents(spark, n, startEpochS, eventsPerSecond)
+      eventsPerSecond: Double = 1000.0,
+      startId: Long = 0L): DataFrame =
+    rideEvents(spark, n, startEpochS, eventsPerSecond, startId)
       .select(to_json(struct(col("trip_id"), col("city"), col("fare_amount"),
         col("event_timestamp"))).as("value"))
 }
