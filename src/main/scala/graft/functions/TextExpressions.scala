@@ -124,6 +124,80 @@ case class TextMinHash(child: Expression, n: Int, coeffA: Seq[Long], coeffB: Seq
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused tokenize → per-token xxhash64 → 64-bit vote → SimHash, one pass
+  * per row. Returns struct(bits: 64 0/1 longs, chunks: 4 big-endian
+  * 16-bit keys for pigeonhole banding). The HOF formulation interpreted
+  * 64 lambda calls per TOKEN (the same per-element interpretation that
+  * cost 322 s for MinHash, BASELINE.md); this is one JVM loop.
+  * Tokenization replicates `split(trim(text), "\s+")` exactly, including
+  * the empty-input → [""] quirk of Java's split, so outputs are
+  * bit-identical to the previous formulation. */
+case class TextSimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("bits", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("chunks", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.trim
+    val toks = if (s.isEmpty) Array("") else Shingling.ws.split(s)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = XxHash64Function.hash(UTF8String.fromString(toks(i)), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    val bits = Array.tabulate(64)(j => if (votes(j) > 0) 1L else 0L)
+    val chunks = Array.tabulate(4) { c =>
+      var acc = 0L
+      var j = 0
+      while (j < 16) { acc = acc * 2 + bits(c * 16 + j); j += 1 }
+      acc
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      new GenericArrayData(bits), new GenericArrayData(chunks))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Positions where two long arrays differ (the hamming distance of two
+  * bit arrays) — one codegen'd loop per candidate pair, replacing the
+  * interpreted zip_with+aggregate walk. */
+case class HammingBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0L
+    var i = 0
+    while (i < n) { if (x.getLong(i) != y.getLong(i)) d += 1; i += 1 }
+    d
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, d) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("d"))
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $d = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) != $b.getLong($i)) $d++;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object textnative {
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def e(col: Column): Expression = GraftBridge.expression(col)
@@ -132,4 +206,6 @@ object textnative {
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
   def text_minhash(text: Column, n: Int, family: Seq[(Long, Long)], prime: Long): Column =
     c(TextMinHash(e(text), n, family.map(_._1), family.map(_._2), prime))
+  def text_simhash(text: Column): Column = c(TextSimHash(e(text)))
+  def hamming_bits(a: Column, b: Column): Column = c(HammingBits(e(a), e(b)))
 }

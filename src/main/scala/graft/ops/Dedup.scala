@@ -91,24 +91,15 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash of a token array: per-bit vote sum of each token's
+  /** 64-bit SimHash of the token stream: per-bit vote sum of each token's
     * xxhash64 bits (+1/-1), sign → bit. Returned as an array of 64 0/1
-    * longs plus 4 16-bit chunk keys for pigeonhole banding. */
-  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val bitsOf = (t: Column) => array((0 until 64).map(j =>
-      when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*)
-    val votes = aggregate(toks,
-      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => zip_with(acc, bitsOf(t), (a, b) => a + b))
-    val bits = transform(votes, v => when(v > 0, 1L).otherwise(0L))
-    val withBits = df.select(col(idCol).as("doc_id"), bits.as("bits"))
-    val chunk = (c: Int) => aggregate(
-      slice(col("bits"), c * 16 + 1, 16), lit(0L), (acc, b) => acc * 2 + b)
-    withBits.select(
-      col("doc_id"), col("bits"),
-      array((0 until 4).map(chunk): _*).as("chunks"))
-  }
+    * longs plus 4 16-bit chunk keys for pigeonhole banding. One fused
+    * native-expression pass per row (the HOF formulation interpreted 64
+    * lambda evaluations per token — the MinHash lesson, BASELINE.md). */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.textnative.text_simhash(col(textCol)).as("__sh"))
+      .select(col("doc_id"), col("__sh.bits").as("bits"), col("__sh.chunks").as("chunks"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 for
     * the 4×16-bit pigeonhole to be lossless). Join on (chunk_id, chunk
@@ -125,8 +116,8 @@ object Dedup {
     l.join(r, Seq("chunk_id", "chunk_val"))
       .filter(col("left_id") < col("right_id"))
       .select(col("left_id"), col("right_id"),
-        aggregate(zip_with(col("left_bits"), col("right_bits"),
-          (x, y) => when(x === y, 0L).otherwise(1L)), lit(0L), (a, b) => a + b).as("hamming"))
+        graft.functions.textnative.hamming_bits(col("left_bits"), col("right_bits"))
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
