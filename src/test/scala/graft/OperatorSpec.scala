@@ -288,6 +288,19 @@ class OperatorSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("salted sum is BIT-exact vs unsalted decimal accumulation (not just close)") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val salted = Skew.saltedCountSum(orders, "o_orderpriority", "o_totalprice",
+      8, Seq("o_orderkey"))
+      .select($"o_orderpriority", $"sum_value").as[(String, Double)].collect().toMap
+    val exact = orders.groupBy($"o_orderpriority")
+      .agg(sum($"o_totalprice".cast("decimal(38,6)")).cast("double").as("s"))
+      .as[(String, Double)].collect().toMap
+    // == on doubles deliberately: DECIMAL accumulation makes the salted
+    // fold order irrelevant, so equality is exact, not approximate
+    assert(salted == exact, s"$salted vs $exact")
+  }
+
   test("registered SQL functions match the Column API expressions") {
     graft.functions.GraftFunctions.register(spark)
     val viaSql = spark.sql(
