@@ -35,5 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "shingle_hashes(text, n) - sorted distinct word n-gram hashes"),
       (es: Seq[Expression]) => ShingleHashes(es(0), intLit(es(1)))))
+    ext.injectFunction((FunctionIdentifier("text_simhash"),
+      info("text_simhash", "text_simhash(text) - struct(bits, chunks) 64-bit SimHash"),
+      (es: Seq[Expression]) => TextSimHash(es(0))))
+    ext.injectFunction((FunctionIdentifier("hamming_bits"),
+      info("hamming_bits", "hamming_bits(a, b) - positions where two long arrays differ"),
+      (es: Seq[Expression]) => HammingBits(es(0), es(1))))
   }
 }

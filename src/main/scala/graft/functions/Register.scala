@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 /** Registers the native expressions as SQL functions so `spark.sql` users
   * get the same codepaths as the Column API (`cosine_sim(a, b)`,
   * `dot_product(a, b)`, `jaccard_sorted(a, b)`, `shingle_hashes(text, n)`,
-  * `sig_agreement(a, b)`). */
+  * `sig_agreement(a, b)`, `text_simhash(text)`, `hamming_bits(a, b)`). */
 object GraftFunctions {
   private def intLit(e: Expression): Int =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
@@ -23,5 +23,9 @@ object GraftFunctions {
       es => JaccardSorted(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("shingle_hashes",
       es => ShingleHashes(es(0), intLit(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("text_simhash",
+      es => TextSimHash(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("hamming_bits",
+      es => HammingBits(es(0), es(1)), "built-in")
   }
 }

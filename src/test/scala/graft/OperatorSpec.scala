@@ -312,6 +312,11 @@ class OperatorSpec extends SparkSuite {
     assert(jac == 0.5)
     val sh = spark.sql("SELECT size(shingle_hashes('a b c d', 3))").as[Int].head()
     assert(sh == 2)
+    val hd = spark.sql("SELECT hamming_bits(array(1L, 0L, 1L), array(1L, 1L, 0L))")
+      .as[Long].head()
+    assert(hd == 2L)
+    val simBits = spark.sql("SELECT size(text_simhash('a b c').bits)").as[Int].head()
+    assert(simBits == 64)
   }
 
   test("file-format roundtrips preserve rows; partitioned layout prunes") {
