@@ -28,6 +28,22 @@ object Explain {
         catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
       sb.append(s"\n## $name\n\n```\n$plan```\n")
     }
+    // Scale audit: headline plans re-derived at sf0.1, where table sizes are
+    // big enough for Catalyst's size estimates to matter (at sf0.001 every
+    // join broadcasts trivially). Round-3 finding recorded here: the r2 bench
+    // read sql_entrypoint at 2.63 s; min-of-5 re-measure gives 1.36 s and the
+    // sf0.1 plan below is the desired shape — nation/region/customer (and the
+    // 3-column-pruned lineitem, at this SF only) broadcast, single Exchange
+    // for the final group-by. The 2.63 s sample was host noise (BASELINE.md
+    // I/O-stall caveat); Bench now defaults to min-of-3.
+    val auditSf = "/root/testdata/sf0.1"
+    Seq("sql_entrypoint", "dedup_minhash_lsh", "dedup_groups").foreach { name =>
+      val plan =
+        try SparkEntry.queries(name)(spark, auditSf)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+      sb.append(s"\n## scale-audit:$name (sf0.1)\n\n```\n$plan```\n")
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
     println(s"wrote $out")
     spark.stop()

@@ -422,7 +422,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Dedup.duplicateGroups(
         Dedup.jaccardVerifiedPairs(docs, "doc_id", "text",
-          Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.0),
+          Dedup.minhashLshCandidates(docs, "doc_id", "text"),
           n = 3, threshold = 0.5))
     },
 
@@ -435,7 +435,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       Dedup.jaccardVerifiedPairs(docs, "doc_id", "text",
-        Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.0),
+        Dedup.minhashLshCandidates(docs, "doc_id", "text"),
         n = 3, threshold = 0.5)
     },
 

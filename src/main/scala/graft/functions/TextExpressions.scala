@@ -50,22 +50,32 @@ private[functions] object Shingling {
 
 /** Distinct word-n-gram shingle hashes of a text column, sorted — the
   * set representation for exact Jaccard. One pass per row, no interpreted
-  * lambdas. */
-case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+  * lambdas; codegen emits a direct static call (no per-row InternalRow
+  * boxing, and the projection stays inside the WholeStageCodegen span). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       Shingling.sortedDistinctShingleHashes(input.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.Shingling$$.MODULE$$.sortedDistinctShingleHashes($input, $n));
+       """.stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Exact Jaccard of two sorted long arrays by a single merge walk —
   * |A∩B| / |A∪B|. Replaces array_intersect/array_union over string sets
   * (hash collisions at 64 bits are negligible; the *counts*, and thus the
-  * Jaccard double, equal the string-set computation). */
+  * Jaccard double, equal the string-set computation). Runs once per
+  * candidate PAIR — the dedup-verify hot path — so the walk is codegen'd
+  * inline rather than dispatched through interpreted eval. */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -81,6 +91,29 @@ case class JaccardSorted(left: Expression, right: Expression)
     val union = nx + ny - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      s"""
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  final long $xi = $a.getLong($i);
+         |  final long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $inter++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |final int $union = $nx + $ny - $inter;
+         |${ev.value} = ($union == 0) ? 0.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -89,12 +122,32 @@ case class JaccardSorted(left: Expression, right: Expression)
   * the raw text to the k-position signature (no intermediate shingle
   * array materialized per row). */
 case class TextMinHash(child: Expression, n: Int, coeffA: Seq[Long], coeffB: Seq[Long], prime: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val toks = Shingling.tokens(input.asInstanceOf[UTF8String])
-    val k = coeffA.length
-    val a = coeffA.toArray; val b = coeffB.toArray
+  @transient private lazy val aArr = coeffA.toArray
+  @transient private lazy val bArr = coeffB.toArray
+  override def nullSafeEval(input: Any): Any =
+    TextMinHash.compute(input.asInstanceOf[UTF8String], n, aArr, bArr, prime)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, input =>
+      s"""${ev.value} = graft.functions.TextMinHash$$.MODULE$$.compute(
+         |  $input, $n, $aRef, $bRef, ${prime}L);
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextMinHash {
+  /** Static body shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int, a: Array[Long], b: Array[Long],
+      prime: Long): GenericArrayData = {
+    val toks = Shingling.tokens(text)
+    val k = a.length
     val mins = Array.fill(k)(prime)
     if (toks.length >= n) {
       val sb = new java.lang.StringBuilder
@@ -121,7 +174,6 @@ case class TextMinHash(child: Expression, n: Int, coeffA: Seq[Long], coeffB: Seq
     }
     new GenericArrayData(mins)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Fused tokenize → per-token xxhash64 → 64-bit vote → SimHash, one pass

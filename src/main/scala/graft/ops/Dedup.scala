@@ -56,39 +56,69 @@ object Dedup {
   def minhashSignature(shingleCol: Column, family: Seq[(Long, Long)]): Column =
     graft.functions.native.minhash_sig(shingleCol, family, mersennePrime)
 
-  /** MinHash + LSH near-duplicate pairs.
+  /** MinHash signatures (doc_id, sig) for a corpus — the shared front of
+    * [[minhashLshCandidates]] and [[minhashLshPairs]]. Fused native
+    * expression: tokenize → shingle → hash → signature in one pass per row
+    * (identical output to minhashSignature over the HOF-built shingle
+    * array, without materializing it). */
+  private def minhashSigs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, shingleSize: Int): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      graft.functions.textnative
+        .text_minhash(col(textCol), shingleSize,
+          hashFamily(bands * rowsPerBand), mersennePrime).as("sig"))
+
+  /** LSH candidate pairs only — (left_id, right_id), left < right,
+    * distinct. The band self-join exchange carries just (band_id,
+    * band_hash, doc_id): the 64-long signature is projected away BEFORE
+    * the shuffle. At 100 TB candidate generation is the dominant shuffle
+    * of the dedup pipeline, and ~8 KB of signature per doc per band per
+    * side would multiply its width ~40× for a payload the join never
+    * looks at. Callers that immediately exact-verify (dedupCorpus,
+    * dedup_groups) use this directly — the estimated-Jaccard payload
+    * would be pure overhead there. */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame =
+    lshCandidatesFromSigs(
+      minhashSigs(df, idCol, textCol, bands, rowsPerBand, shingleSize),
+      bands, rowsPerBand)
+
+  private def lshCandidatesFromSigs(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+    ).select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
+    val l = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("left_id"))
+    val r = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("right_id"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+  }
+
+  /** MinHash + LSH near-duplicate pairs with their estimated Jaccard.
     *
-    * docs(idCol, textCol) → shingle → signature(bands*rowsPerBand) →
-    * explode to (band_id, band_hash) → self-join on the bucket →
-    * estimated-Jaccard filter (fraction of equal signature positions).
+    * docs(idCol, textCol) → signature(bands*rowsPerBand) → narrow band
+    * self-join ([[minhashLshCandidates]]) → re-attach the two signatures
+    * to the surviving candidates by doc-id equi-join (candidates are a
+    * tiny fraction of the banded explosion, so the wide rows exist only
+    * after the cut) → estimated-Jaccard (fraction of equal signature
+    * positions) filter.
     * Output: (left_id, right_id, est_jaccard) with left < right, distinct. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val family = hashFamily(bands * rowsPerBand)
-    // Fused native expression: tokenize → shingle → hash → signature in
-    // one pass per row (identical output to minhashSignature over the
-    // HOF-built shingle array, without materializing it).
-    val sigs = df.select(
-      col(idCol).as("doc_id"),
-      graft.functions.textnative
-        .text_minhash(col(textCol), shingleSize, family, mersennePrime).as("sig"))
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-    ).select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_hash"))
-    val l = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("left_id"), col("sig").as("left_sig"))
-    val r = banded.select(col("band_id"), col("band_hash"),
-      col("doc_id").as("right_id"), col("sig").as("right_sig"))
-    l.join(r, Seq("band_id", "band_hash"))
-      .filter(col("left_id") < col("right_id"))
+    val sigs = minhashSigs(df, idCol, textCol, bands, rowsPerBand, shingleSize)
+    lshCandidatesFromSigs(sigs, bands, rowsPerBand)
+      .join(sigs.select(col("doc_id").as("left_id"), col("sig").as("left_sig")), Seq("left_id"))
+      .join(sigs.select(col("doc_id").as("right_id"), col("sig").as("right_sig")), Seq("right_id"))
       .select(col("left_id"), col("right_id"),
         graft.functions.native.sig_agreement(col("left_sig"), col("right_sig"))
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   /** 64-bit SimHash of the token stream: per-bit vote sum of each token's
@@ -202,13 +232,18 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("b") === labels("id"))
         .groupBy(col("a").as("id2")).agg(min(col("label")).as("nlabel"))
+      // The per-row "did my label shrink" flag rides inside the frame the
+      // round materializes anyway (localCheckpoint is eager), so the
+      // convergence probe below is a scan of already-computed blocks — not
+      // the extra join+count job per round it used to be.
       val (updated, updatedIds) = checkpoint(
         labels.join(neighborMin, labels("id") === col("id2"), "left")
-          .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+            (coalesce(col("nlabel"), col("label")) < col("label")).as("__changed")))
+      val changed = updated.filter(col("__changed")).limit(1).count()
       free(labelIds)
-      labels = updated
+      labels = updated.drop("__changed")
       labelIds = updatedIds
       converged = changed == 0
       i += 1
@@ -231,8 +266,8 @@ object Dedup {
     * scale shape documented in SCALE.md: no all-pairs product anywhere. */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleSize: Int = 3): DataFrame = {
-    val cands = minhashLshPairs(docs, idCol, textCol,
-      shingleSize = shingleSize, threshold = 0.0)
+    val cands = minhashLshCandidates(docs, idCol, textCol,
+      shingleSize = shingleSize)
     val verified = jaccardVerifiedPairs(docs, idCol, textCol, cands,
       n = shingleSize, threshold = threshold)
     val groups = duplicateGroups(verified).withColumnRenamed("doc_id", "__gid")

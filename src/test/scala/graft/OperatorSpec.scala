@@ -357,6 +357,75 @@ class OperatorSpec extends SparkSuite {
     assert(v == 23.0)
   }
 
+  // ── plan-shape regression guards (scale properties, not row values) ──
+
+  /** Shuffle-exchange count in the (pre-AQE) executed plan. */
+  private def numShuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  /** Run `body` with AQE off so ShuffleExchangeExec nodes are directly
+    * collectible from the executed plan (AdaptiveSparkPlanExec hides its
+    * subtree from TreeNode.collect). */
+  private def withoutAqe[T](body: => T): T = {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  test("plan: LSH band-join exchanges are narrow — no signature payload") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    withoutAqe {
+      // force the at-scale shape: at sf0.001 the band join would broadcast
+      val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+      val plan = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.0)
+        .queryExecution.executedPlan
+      val bandExchangeCols = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("band_hash") =>
+          e.output.map(_.name)
+      }
+      assert(bandExchangeCols.nonEmpty, "expected band-keyed exchanges in the LSH plan")
+      bandExchangeCols.foreach { cols =>
+        assert(!cols.exists(_.contains("sig")),
+          s"band exchange carries signature arrays: $cols")
+      }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
+
+  test("plan: sql_entrypoint (TPC-H Q5) broadcasts dims, single agg shuffle") {
+    val df = SparkEntry.queries("sql_entrypoint")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected nation/region/customer broadcast, got $bhj BHJ:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dim join fell back to sort-merge at test scale:\n$plan")
+    assert(numShuffles(df) <= 1, s"expected only the final group-by exchange:\n$plan")
+  }
+
+  test("plan: salted join replicates the small side map-side (one exchange per side)") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val joined = Skew.saltedJoin(
+      orders.hint("merge"), dim.hint("merge"), "o_custkey", salts = 4,
+      bigIdCols = Seq("o_orderkey"))
+    // exactly the join's own two hash-partitionings: the explode-based
+    // replication must not introduce a third exchange on the small side
+    assert(numShuffles(joined) == 2,
+      s"salt replication added an exchange:\n${joined.queryExecution.executedPlan}")
+  }
+
+  test("plan: interval-join batch twin shuffles each side once") {
+    val df = SparkEntry.queries("stream_interval_join")(spark, sfDir)
+    assert(numShuffles(df) <= 2,
+      s"interval join shuffles more than once per side:\n${df.queryExecution.executedPlan}")
+  }
+
   test("multimodal decode stub emits one feature row per media object") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text"), "doc_id", "text")
