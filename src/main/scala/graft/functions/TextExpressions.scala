@@ -250,6 +250,90 @@ case class HammingBits(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused per-document text statistics: one pass over the string instead
+  * of five interpreted HOF `aggregate`/`filter` walks (per-element lambda
+  * interpretation is the cost documented for MinHash in BASELINE.md).
+  * Emits struct(n_tokens, n_regex_tokens, sum_token_len, n_chars,
+  * n_punct, n_upper, n_stop) — all counts; the ratio arithmetic stays in
+  * the (codegen'd) projection layer so existing outputs are bit-identical:
+  *  - n_tokens replicates `size(split(trim(text), "\s+"))`, including the
+  *    empty-string → [""] Java split quirk (count 1).
+  *  - n_regex_tokens counts `[A-Za-z0-9]+|[^A-Za-z0-9\s]` matches.
+  *  - n_chars/n_punct/n_upper iterate code points (Java regex character
+  *    classes are code-point based, as is Spark's length()).
+  *  - n_stop counts tokens exactly equal to a stopword (the `isin` set). */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_regex_tokens", LongType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_upper", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[UTF8String], stopSet)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val stopRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.TextStats$$.MODULE$$.compute($input, $stopRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextStats {
+  private val regexTok =
+    java.util.regex.Pattern.compile("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")
+
+  /** Static body shared by interpreted eval and generated code. */
+  def compute(text: UTF8String,
+      stop: java.util.HashSet[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = text.toString
+    // tokens: split(trim(s), "\s+") — Java semantics, "" → [""]
+    val trimmed = raw.trim
+    val toks = if (trimmed.isEmpty) Array("") else Shingling.ws.split(trimmed)
+    var sumTokLen = 0L
+    var nStop = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumTokLen += t.codePointCount(0, t.length)
+      if (stop.contains(t)) nStop += 1
+      i += 1
+    }
+    // regex tokens over the RAW text (matches regexp_extract_all)
+    var nRegex = 0L
+    val m = regexTok.matcher(raw)
+    while (m.find()) nRegex += 1
+    // code-point walk for char-class counts
+    var nChars = 0L; var nPunct = 0L; var nUpper = 0L
+    var k = 0
+    while (k < raw.length) {
+      val cp = raw.codePointAt(k)
+      nChars += 1
+      val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9')
+      // Java regex \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r]
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!alnum && !ws) nPunct += 1
+      if (cp >= 'A' && cp <= 'Z') nUpper += 1
+      k += Character.charCount(cp)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      toks.length.toLong, nRegex, sumTokLen, nChars, nPunct, nUpper, nStop)
+  }
+}
+
 object textnative {
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def e(col: Column): Expression = GraftBridge.expression(col)
@@ -259,5 +343,7 @@ object textnative {
   def text_minhash(text: Column, n: Int, family: Seq[(Long, Long)], prime: Long): Column =
     c(TextMinHash(e(text), n, family.map(_._1), family.map(_._2), prime))
   def text_simhash(text: Column): Column = c(TextSimHash(e(text)))
+  def text_stats(text: Column, stopwords: Seq[String]): Column =
+    c(TextStats(e(text), stopwords))
   def hamming_bits(a: Column, b: Column): Column = c(HammingBits(e(a), e(b)))
 }

@@ -229,18 +229,22 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val neighborMin = edges
+      // One join + one aggregation per round (2 shuffles, down from the
+      // join → groupBy → left-join formulation's 3): each node's new label
+      // is min over its neighbors' labels UNION its own, delivered as
+      // per-edge contributions plus a self row. The "did my label shrink"
+      // flag rides inside the frame the round materializes anyway
+      // (localCheckpoint is eager), so the convergence probe below is a
+      // scan of already-computed blocks — not an extra join+count job.
+      val contributions = edges
         .join(labels, edges("b") === labels("id"))
-        .groupBy(col("a").as("id2")).agg(min(col("label")).as("nlabel"))
-      // The per-row "did my label shrink" flag rides inside the frame the
-      // round materializes anyway (localCheckpoint is eager), so the
-      // convergence probe below is a scan of already-computed blocks — not
-      // the extra join+count job per round it used to be.
+        .select(col("a").as("nid"), col("label"), lit(false).as("self"))
+        .union(labels.select(col("id").as("nid"), col("label"), lit(true).as("self")))
       val (updated, updatedIds) = checkpoint(
-        labels.join(neighborMin, labels("id") === col("id2"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-            (coalesce(col("nlabel"), col("label")) < col("label")).as("__changed")))
+        contributions.groupBy(col("nid").as("id"))
+          .agg(min(col("label")).as("label"),
+            (min(col("label")) <
+              max(when(col("self"), col("label")))).as("__changed")))
       val changed = updated.filter(col("__changed")).limit(1).count()
       free(labelIds)
       labels = updated.drop("__changed")

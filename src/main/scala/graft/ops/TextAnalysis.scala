@@ -35,14 +35,18 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
   /** Per-document token statistics: token count (whitespace), regex token
-    * count, mean token length. */
+    * count, mean token length. One fused native pass per document
+    * ([[graft.functions.TextStats]]) — the HOF `aggregate` formulation
+    * interpreted its lambda once per token; the counts and the ratio
+    * doubles are unchanged (long sum cast to double, then divided). */
   def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    df.withColumn("n_tokens", size(toks))
-      .withColumn("n_regex_tokens", size(regexTokens(col(textCol))))
-      .withColumn(
-        "avg_token_len",
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+    val st = graft.functions.textnative.text_stats(col(textCol), stopwords("en"))
+    df.withColumn("__st", st)
+      .withColumn("n_tokens", col("__st.n_tokens"))
+      .withColumn("n_regex_tokens", col("__st.n_regex_tokens"))
+      .withColumn("avg_token_len",
+        col("__st.sum_token_len").cast("double") / col("__st.n_tokens"))
+      .drop("__st")
   }
 
   /** A small function-word list used by both the quality score and the
@@ -60,19 +64,24 @@ object TextAnalysis {
 
   /** Heuristic quality scoring: length, punctuation ratio, stopword ratio,
     * uppercase ratio, mean word length — the standard cheap filters a
-    * pretraining pipeline applies before anything expensive. */
+    * pretraining pipeline applies before anything expensive. All five
+    * counts come from the single fused [[graft.functions.TextStats]] pass
+    * (subexpression elimination in whole-stage codegen evaluates the
+    * struct once per row); the ratio doubles are formed exactly as the
+    * regexp_replace/HOF formulation did (count cast to double / count). */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nChars = length(col(textCol))
-    val nPunct = nChars - length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))
-    val nUpper = nChars - length(regexp_replace(col(textCol), "[A-Z]", ""))
-    df.withColumn("n_tokens", size(toks))
-      .withColumn("punct_ratio", nPunct.cast("double") / nChars)
-      .withColumn("upper_ratio", nUpper.cast("double") / nChars)
+    val st = graft.functions.textnative.text_stats(col(textCol), stopwords("en"))
+    df.withColumn("__st", st)
+      .withColumn("n_tokens", col("__st.n_tokens"))
+      .withColumn("punct_ratio",
+        col("__st.n_punct").cast("double") / col("__st.n_chars"))
+      .withColumn("upper_ratio",
+        col("__st.n_upper").cast("double") / col("__st.n_chars"))
       .withColumn("stopword_ratio",
-        countIn(toks, stopwords("en")).cast("double") / size(toks))
+        col("__st.n_stop").cast("double") / col("__st.n_tokens"))
       .withColumn("avg_word_len",
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+        col("__st.sum_token_len").cast("double") / col("__st.n_tokens"))
+      .drop("__st")
   }
 
   /** n-gram-heuristic language ID: score each candidate language by its
