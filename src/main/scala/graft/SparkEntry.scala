@@ -493,6 +493,20 @@ object SparkEntry {
         .select(col("query_id"), (col("n_hits") >= 4).as("recall_ok"))
     },
 
+    // Hash-gated IVF twin on planted clusterable data: 4 tight, well-
+    // separated clusters (cross-cluster cosine < 0.02, within > 0.99), so
+    // at nProbe=2 every query's true top-5 provably lives in its probed
+    // cells and the IVF list EQUALS the exact brute-force list — which the
+    // oracle computes in DuckDB from the same vector literals. This pins
+    // the approximate answer itself (routing + scoring + k-bounded merge);
+    // ann_ivf_topk stays as the rows-only random-fixture twin.
+    "ann_ivf_planted" -> { (s, dir) =>
+      import s.implicits._
+      val df = plantedClusterVectors.toDF("vec_id", "embedding")
+      Similarity.ivfTopK(df, df.filter(col("vec_id") % 10 === 0), k = 5,
+        nCells = 4, nProbe = 2, sampleN = 40)
+    },
+
     // ── text analysis ─────────────────────────────────────────────────
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"))
@@ -619,6 +633,40 @@ object SparkEntry {
   private val embeddingLshOracleSql: String =
     s"""WITH ${bucketCtes(Similarity.hyperplanes(12, 64))}
        |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b""".stripMargin
+
+  /** Planted clusterable vectors for the IVF hash gate: 4 clusters of 10
+    * in dim 8, cluster c centered at 10·e_c with deterministic per-
+    * coordinate jitter ≤ 0.06 — tight within, near-orthogonal across, so
+    * k-means (any reasonable run) recovers the clusters and nProbe=2
+    * recall is provably 1.0. Doubles round-trip through Double.toString
+    * literals, so the DuckDB twin computes over identical values. */
+  private[graft] def plantedClusterVectors: Seq[(Long, Seq[Double])] =
+    for {
+      c <- 0 until 4
+      i <- 0 until 10
+    } yield {
+      val id = (c * 10 + i).toLong
+      (id, Seq.tabulate(8) { j =>
+        (if (j == c) 10.0 else 0.0) + 0.01 * ((id * 8 + j) % 7)
+      })
+    }
+
+  private val ivfPlantedOracleSql: String = {
+    val rows = plantedClusterVectors
+      .map { case (id, v) => s"($id, ${sqlDoubleArray(v)})" }.mkString(", ")
+    s"""WITH pv(vec_id, v) AS (VALUES $rows),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM pv WHERE vec_id % 10 = 0),
+       |p2 AS (SELECT qid, pv.vec_id AS nid,
+       |        list_reduce(list_transform(range(0, len(qv)), i -> pv.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+       |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> pv.v[i+1] * pv.v[i+1]), (x,y) -> x + y)) *
+       |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+       |      FROM q JOIN pv ON pv.vec_id <> qid)
+       |SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
+       |       CAST(rnk AS INT) AS rank, sim
+       |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, nid) AS rnk FROM p2)
+       |WHERE rnk <= 5""".stripMargin
+  }
 
   private val sqlCorrelated: String =
     """SELECT o_orderkey, o_custkey, o_totalprice
@@ -981,6 +1029,8 @@ object SparkEntry {
 
     "ann_ivf_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8",
+
+    "ann_ivf_planted" -> ivfPlantedOracleSql,
 
     "text_token_stats" ->
       """SELECT doc_id,
