@@ -102,26 +102,39 @@ class InMemoryUpsertSink extends UpsertSink {
   * idempotency: re-delivering the same micro-batch (foreachBatch replays
   * after a restart) converges to the same table state. */
 object MergeSql {
-  /** PostgreSQL-dialect upsert — the reference's target database. */
+  /** Single source of truth for the upsert contract: key columns, updated
+    * columns, and the micro-batch source columns feeding them (in target
+    * order). BOTH dialect strings below are generated from these lists, so
+    * the never-executed Postgres string cannot drift from the ANSI MERGE
+    * that StreamingSpec exercises against embedded Derby — a column
+    * rename/add flows into both or neither. */
+  val keyCols: Seq[String] = Seq("city", "window_end")
+  val valCols: Seq[String] = Seq("total_trips", "average_fare")
+  val sourceCols: Seq[String] = Seq("city", "last_updated", "total_trips", "average_fare")
+  val targetCols: Seq[String] = keyCols ++ valCols
+
+  /** PostgreSQL-dialect upsert — the reference's target database
+    * (streaming_job.py:37-44 uses the same ON CONFLICT shape). */
   def upsertStatement(table: String): String =
-    s"""INSERT INTO $table (city, window_end, total_trips, average_fare)
-       |SELECT city, last_updated, total_trips, average_fare FROM ${table}_micro_batch
-       |ON CONFLICT (city, window_end) DO UPDATE SET
-       |  total_trips = EXCLUDED.total_trips,
-       |  average_fare = EXCLUDED.average_fare""".stripMargin
+    s"""INSERT INTO $table (${targetCols.mkString(", ")})
+       |SELECT ${sourceCols.mkString(", ")} FROM ${table}_micro_batch
+       |ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET
+       |${valCols.map(c => s"  $c = EXCLUDED.$c").mkString(",\n")}""".stripMargin
 
   /** Standard SQL:2003 MERGE (Derby, DB2, Oracle, SQL Server...) —
     * exercised for real against embedded Derby in StreamingSpec. All
     * identifiers are quoted: Spark's JDBC writer creates the stage with
     * quoted lowercase column names, which case-folding databases would
     * otherwise fail to resolve unquoted. */
-  def ansiMergeStatement(table: String, stage: String): String =
+  def ansiMergeStatement(table: String, stage: String): String = {
+    def q(c: String) = "\"" + c + "\""
     s"""MERGE INTO $table t USING $stage s
-       |ON t."city" = s."city" AND t."window_end" = s."window_end"
+       |ON ${keyCols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(" AND ")}
        |WHEN MATCHED THEN UPDATE SET
-       |  "total_trips" = s."total_trips", "average_fare" = s."average_fare"
-       |WHEN NOT MATCHED THEN INSERT ("city", "window_end", "total_trips", "average_fare")
-       |VALUES (s."city", s."window_end", s."total_trips", s."average_fare")""".stripMargin
+       |  ${valCols.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")}
+       |WHEN NOT MATCHED THEN INSERT (${targetCols.map(q).mkString(", ")})
+       |VALUES (${targetCols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+  }
 }
 
 /** JDBC-backed upsert sink, the production shape of the reference's
@@ -152,8 +165,8 @@ class JdbcUpsertSink(url: String, table: String) extends UpsertSink {
   override def merge(batch: DataFrame, epochId: Long): Unit = {
     ensureTarget()
     val stage = s"${table}_stage"
-    batch.select(col("city"), col("last_updated").as("window_end"),
-      col("total_trips"), col("average_fare"))
+    batch.select(MergeSql.sourceCols.zip(MergeSql.targetCols)
+        .map { case (s, t) => col(s).as(t) }: _*)
       .write.mode(SaveMode.Overwrite).format("jdbc")
       // default StringType mapping is CLOB on some dialects (Derby), which
       // can't be compared in the MERGE's ON clause — pin a VARCHAR key

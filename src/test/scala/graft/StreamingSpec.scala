@@ -255,6 +255,26 @@ class StreamingSpec extends SparkSuite {
       back.toString)
   }
 
+  test("PG upsert string is generated from the Derby-proven clause lists") {
+    import graft.streaming.MergeSql
+    // Both dialect strings derive from the same keyCols/valCols/sourceCols,
+    // so the Derby round-trip above transitively covers the PG string's
+    // column contract; this pins the PG-specific syntax around it.
+    val pg = MergeSql.upsertStatement("city_metrics")
+    assert(pg.contains(
+      s"INSERT INTO city_metrics (${MergeSql.targetCols.mkString(", ")})"))
+    assert(pg.contains(
+      s"SELECT ${MergeSql.sourceCols.mkString(", ")} FROM city_metrics_micro_batch"))
+    assert(pg.contains(s"ON CONFLICT (${MergeSql.keyCols.mkString(", ")}) DO UPDATE SET"))
+    MergeSql.valCols.foreach(c => assert(pg.contains(s"$c = EXCLUDED.$c"), c))
+    // every key/val column has a Derby-exercised twin in the ANSI merge
+    val ansi = MergeSql.ansiMergeStatement("t", "s")
+    MergeSql.targetCols.foreach(c => assert(ansi.contains("\"" + c + "\""), c))
+    // structural sanity: balanced parens, no interpolation residue
+    assert(pg.count(_ == '(') == pg.count(_ == ')'))
+    assert(!pg.contains("null") && !pg.contains("$"))
+  }
+
   test("stream-stream interval join pairs in-range rows and drops out-of-range") {
     import graft.streaming.StreamOps
     def parsed(src: MemoryStream[String]) =
@@ -290,6 +310,34 @@ class StreamingSpec extends SparkSuite {
     val fares = EventGen.rideEvents(spark, 1000).select("fare_amount").as[Double].collect()
     assert(fares.forall(f => f >= 5.0 && f < 150.0))
     assert(EventGen.rideEvents(spark, 1000).select("city").distinct().count() == 10)
+  }
+
+  test("generator wire payload round-trips the FULL 11-field schema") {
+    import graft.sources.EventGen
+    // serialize → parse with the consumer's declared schema: every field
+    // (incl. the nested lat/lon string structs) must survive, no nulls
+    val parsed = graft.ops.Ingest.parseJson(graft.model.Schemas.rideEventSchema)(
+      EventGen.rideEventsJson(spark, 500))
+    assert(parsed.columns.toSeq == graft.model.Schemas.rideEventSchema.fieldNames.toSeq)
+    val nullCounts = parsed.select(
+      parsed.columns.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(c)): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Long])
+    assert(nullCounts.forall(_ == 0L), s"null fields: ${parsed.columns.zip(nullCounts)}")
+    val checks = parsed.select(
+      min(col("pickup_datetime") <= col("dropoff_datetime")).as("dur_ok"),
+      min(col("pickup_location.latitude").cast("double").between(-90, 90)).as("lat_ok"),
+      min(col("dropoff_location.longitude").cast("double").between(-180, 180)).as("lon_ok"),
+      min(col("trip_id").rlike("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")).as("uuid_ok"),
+      min(col("tip_amount").between(0, 50)).as("tip_ok"),
+      countDistinct(col("trip_id")).as("n_ids"))
+      .collect().head
+    assert(checks.getBoolean(0) && checks.getBoolean(1) && checks.getBoolean(2)
+      && checks.getBoolean(3) && checks.getBoolean(4), checks.toString)
+    assert(checks.getLong(5) == 500L) // uuid-shaped ids don't collide
+    // the 4 downstream fields the metrics plan consumes are all present
+    val m = graft.streaming.RidePipeline.metricsPlan(
+      EventGen.rideEventsJson(spark, 2000), streaming = false)
+    assert(m.count() > 0)
   }
 
   test("malformed JSON becomes null fields, excluded by count(trip_id) key null group") {
