@@ -398,15 +398,36 @@ object SparkEntry {
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
         .select(md5(col("text")).as("text_md5"), col("keeper_id"), col("n_copies"))),
 
-    // xxhash64-based signatures: engine-defined, rows-only.
+    // xxhash64-based signatures: engine-defined, rows-only (pinned by
+    // planted-dup tests + the hash-gated md5 twin below).
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.0)),
+
+    // Hash-gated oracle twin of the FULL MinHash+LSH pipeline: identical
+    // stages (fused signature pass → narrow band self-join → signature
+    // re-attach → agreement), engine-independent hashes (md5-derived base
+    // hash, raw slice band keys) so DuckDB replicates every stage — the
+    // real pipeline is verified end-to-end, not a simplification.
+    "dedup_minhash_md5" -> ((s, dir) =>
+      Dedup.minhashLshPairsMd5(t(s, dir, "documents"), "doc_id", "text")),
 
     // Chunks projected as scalar columns (one per 16-bit pigeonhole band):
     // array columns aren't sortable by the driver's checker.
     "dedup_simhash" -> ((s, dir) =>
       Dedup.withSimhash(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          element_at(col("chunks"), 1).as("chunk0"),
+          element_at(col("chunks"), 2).as("chunk1"),
+          element_at(col("chunks"), 3).as("chunk2"),
+          element_at(col("chunks"), 4).as("chunk3"))),
+
+    // Hash-gated oracle twin of the SimHash pass: same fused expression,
+    // same per-bit vote → sign → 16-bit pigeonhole chunks, but each
+    // token's 64 hash bits come from md5 (first 8 digest bytes) so DuckDB
+    // recomputes every chunk value bit-for-bit.
+    "dedup_simhash_md5" -> ((s, dir) =>
+      Dedup.withSimhash(t(s, dir, "documents"), "doc_id", "text", md5Base = true)
         .select(col("doc_id"),
           element_at(col("chunks"), 1).as("chunk0"),
           element_at(col("chunks"), 2).as("chunk1"),
@@ -666,6 +687,37 @@ object SparkEntry {
        |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
        |        ORDER BY sim DESC, nid) AS rnk FROM p2)
        |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** DuckDB replica of the ENTIRE md5-twin MinHash+LSH pipeline
+    * (minhashLshPairsMd5): the seeded (a·h+b) mod p family as 64 literal
+    * rows, shingling via list slices, base hash = integer of the first 8
+    * md5 hex digits, per-band slice-string bucket keys, candidate
+    * self-join, and position-agreement estimated Jaccard. */
+  private val minhashMd5OracleSql: String = {
+    val famRows = graft.ops.Dedup.hashFamily(64).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH fam(hid, a, b) AS (VALUES $famRows),
+       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |sh AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS s
+       |       FROM tk, unnest(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
+       |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS h
+       |       FROM sh),
+       |sig AS (SELECT doc_id, hid, min((a * h + b) % 2147483647) AS m
+       |        FROM hs, fam GROUP BY doc_id, hid),
+       |sigl AS (SELECT doc_id, list(m ORDER BY hid) AS sig FROM sig GROUP BY doc_id),
+       |banded AS (SELECT doc_id, b AS band_id,
+       |             array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS bkey
+       |           FROM sigl, unnest(range(0, 16)) AS u(b)),
+       |cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+       |         FROM banded l JOIN banded r
+       |           ON l.band_id = r.band_id AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |pairs AS (SELECT left_id, right_id,
+       |            len(list_filter(range(64), i -> ls.sig[i+1] = rs.sig[i+1])) / 64.0 AS est_jaccard
+       |          FROM cand
+       |          JOIN sigl ls ON ls.doc_id = left_id
+       |          JOIN sigl rs ON rs.doc_id = right_id)
+       |SELECT left_id, right_id, est_jaccard FROM pairs""".stripMargin
   }
 
   private val sqlCorrelated: String =
@@ -1031,6 +1083,33 @@ object SparkEntry {
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8",
 
     "ann_ivf_planted" -> ivfPlantedOracleSql,
+
+    "dedup_minhash_md5" -> minhashMd5OracleSql,
+
+    // SimHash md5 twin: per-token 64-bit hash = first 16 md5 hex digits
+    // (UBIGINT, same bit pattern as the engine's signed long); bit j is
+    // the j-th least-significant; majority vote per bit over the token
+    // MULTISET (unnest keeps duplicates, as the engine's loop does);
+    // chunk c packs bits c*16..c*16+15 MSB-first. The empty-document
+    // Java-split quirk ([''] -> one empty token) matches both sides.
+    "dedup_simhash_md5" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+        |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, j,
+        |           CASE WHEN 2 * sum(CAST((h >> j) & 1 AS BIGINT)) > count(*)
+        |                THEN 1 ELSE 0 END AS bit
+        |         FROM th, unnest(range(0, 64)) AS u(j)
+        |         GROUP BY doc_id, j),
+        |chunks AS (SELECT doc_id, j // 16 AS c,
+        |             sum(bit * (CAST(1 AS BIGINT) << CAST(15 - (j % 16) AS INT))) AS v
+        |           FROM bits GROUP BY doc_id, j // 16)
+        |SELECT doc_id,
+        |       max(CASE WHEN c = 0 THEN v END) AS chunk0,
+        |       max(CASE WHEN c = 1 THEN v END) AS chunk1,
+        |       max(CASE WHEN c = 2 THEN v END) AS chunk2,
+        |       max(CASE WHEN c = 3 THEN v END) AS chunk3
+        |FROM chunks GROUP BY doc_id""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -118,16 +118,21 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Fused tokenize → shingle → xxhash64 → MinHash signature: one pass from
-  * the raw text to the k-position signature (no intermediate shingle
-  * array materialized per row). */
-case class TextMinHash(child: Expression, n: Int, coeffA: Seq[Long], coeffB: Seq[Long], prime: Long)
+/** Fused tokenize → shingle → base-hash → MinHash signature: one pass
+  * from the raw text to the k-position signature (no intermediate shingle
+  * array materialized per row). Base hash is xxhash64 (seed 42, Spark's
+  * builtin — the fast production path) or, with `md5Base = true`, the
+  * first 4 bytes of md5 as an unsigned 32-bit value — exactly
+  * `conv(substring(md5(s), 1, 8), 16, 10)`, an engine-independent hash a
+  * DuckDB oracle can replicate (`('0x' || substr(md5(s), 1, 8))::BIGINT`). */
+case class TextMinHash(child: Expression, n: Int, coeffA: Seq[Long], coeffB: Seq[Long],
+    prime: Long, md5Base: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   @transient private lazy val aArr = coeffA.toArray
   @transient private lazy val bArr = coeffB.toArray
   override def nullSafeEval(input: Any): Any =
-    TextMinHash.compute(input.asInstanceOf[UTF8String], n, aArr, bArr, prime)
+    TextMinHash.compute(input.asInstanceOf[UTF8String], n, aArr, bArr, prime, md5Base)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
@@ -136,7 +141,7 @@ case class TextMinHash(child: Expression, n: Int, coeffA: Seq[Long], coeffB: Seq
     val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
     nullSafeCodeGen(ctx, ev, input =>
       s"""${ev.value} = graft.functions.TextMinHash$$.MODULE$$.compute(
-         |  $input, $n, $aRef, $bRef, ${prime}L);
+         |  $input, $n, $aRef, $bRef, ${prime}L, $md5Base);
        """.stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -145,10 +150,11 @@ case class TextMinHash(child: Expression, n: Int, coeffA: Seq[Long], coeffB: Seq
 object TextMinHash {
   /** Static body shared by interpreted eval and generated code. */
   def compute(text: UTF8String, n: Int, a: Array[Long], b: Array[Long],
-      prime: Long): GenericArrayData = {
+      prime: Long, md5Base: Boolean): GenericArrayData = {
     val toks = Shingling.tokens(text)
     val k = a.length
     val mins = Array.fill(k)(prime)
+    val md = if (md5Base) java.security.MessageDigest.getInstance("MD5") else null
     if (toks.length >= n) {
       val sb = new java.lang.StringBuilder
       var i = 0
@@ -160,8 +166,16 @@ object TextMinHash {
           sb.append(toks(i + j))
           j += 1
         }
-        val h = XxHash64Function.hash(
-          UTF8String.fromString(sb.toString), StringType, 42L)
+        val h =
+          if (md5Base) {
+            // first 4 digest bytes, big-endian unsigned — the integer value
+            // of the first 8 hex digits of md5(shingle)
+            val d = md.digest(
+              sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          } else XxHash64Function.hash(
+            UTF8String.fromString(sb.toString), StringType, 42L)
         val hm = ((h % prime) + prime) % prime
         var m = 0
         while (m < k) {
@@ -184,18 +198,43 @@ object TextMinHash {
   * Tokenization replicates `split(trim(text), "\s+")` exactly, including
   * the empty-input → [""] quirk of Java's split, so outputs are
   * bit-identical to the previous formulation. */
-case class TextSimHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TextSimHash(child: Expression, md5Base: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("bits", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("chunks", ArrayType(LongType, containsNull = false), nullable = false)))
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.trim
+  override def nullSafeEval(input: Any): Any =
+    TextSimHash.compute(input.asInstanceOf[UTF8String], md5Base)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.TextSimHash$$.MODULE$$.compute($input, $md5Base);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextSimHash {
+  /** Static body shared by interpreted eval and generated code. With
+    * `md5Base`, each token's 64 hash bits are the first 8 md5 digest
+    * bytes big-endian — the value of the first 16 md5 hex digits, which
+    * DuckDB reproduces via `('0x' || substr(md5(t), 1, 16))::UBIGINT`
+    * (same bit pattern as this signed long). */
+  def compute(input: UTF8String, md5Base: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = input.toString.trim
     val toks = if (s.isEmpty) Array("") else Shingling.ws.split(s)
+    val md = if (md5Base) java.security.MessageDigest.getInstance("MD5") else null
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val h = XxHash64Function.hash(UTF8String.fromString(toks(i)), StringType, 42L)
+      val h =
+        if (md5Base) {
+          val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var acc = 0L
+          var k = 0
+          while (k < 8) { acc = (acc << 8) | (d(k) & 0xffL); k += 1 }
+          acc
+        } else XxHash64Function.hash(UTF8String.fromString(toks(i)), StringType, 42L)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -213,7 +252,6 @@ case class TextSimHash(child: Expression)
     org.apache.spark.sql.catalyst.InternalRow(
       new GenericArrayData(bits), new GenericArrayData(chunks))
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Positions where two long arrays differ (the hamming distance of two
@@ -340,9 +378,11 @@ object textnative {
 
   def shingle_hashes(text: Column, n: Int): Column = c(ShingleHashes(e(text), n))
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))
-  def text_minhash(text: Column, n: Int, family: Seq[(Long, Long)], prime: Long): Column =
-    c(TextMinHash(e(text), n, family.map(_._1), family.map(_._2), prime))
-  def text_simhash(text: Column): Column = c(TextSimHash(e(text)))
+  def text_minhash(text: Column, n: Int, family: Seq[(Long, Long)], prime: Long,
+      md5Base: Boolean = false): Column =
+    c(TextMinHash(e(text), n, family.map(_._1), family.map(_._2), prime, md5Base))
+  def text_simhash(text: Column, md5Base: Boolean = false): Column =
+    c(TextSimHash(e(text), md5Base))
   def text_stats(text: Column, stopwords: Seq[String]): Column =
     c(TextStats(e(text), stopwords))
   def hamming_bits(a: Column, b: Column): Column = c(HammingBits(e(a), e(b)))

@@ -82,14 +82,16 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame =
     lshCandidatesFromSigs(
       minhashSigs(df, idCol, textCol, bands, rowsPerBand, shingleSize),
-      bands, rowsPerBand)
+      bands, murmurBandKey(rowsPerBand))
 
+  /** `bandKey(b)` maps band index b (a Column) to that band's bucket key
+    * over `col("sig")` — murmur3-compressed by default; the md5 oracle
+    * twin uses the raw joined-slice string so DuckDB can reproduce it. */
   private def lshCandidatesFromSigs(sigs: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame = {
+      bandKey: Column => Column): DataFrame = {
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey))
     ).select(col("doc_id"), col("pos").as("band_id"), col("col").as("band_hash"))
     val l = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("left_id"))
     val r = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("right_id"))
@@ -98,6 +100,9 @@ object Dedup {
       .select(col("left_id"), col("right_id"))
       .distinct()
   }
+
+  private def murmurBandKey(rowsPerBand: Int)(b: Column): Column =
+    hash(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
 
   /** MinHash + LSH near-duplicate pairs with their estimated Jaccard.
     *
@@ -110,15 +115,44 @@ object Dedup {
     * Output: (left_id, right_id, est_jaccard) with left < right, distinct. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSigs(df, idCol, textCol, bands, rowsPerBand, shingleSize)
-    lshCandidatesFromSigs(sigs, bands, rowsPerBand)
+      threshold: Double = 0.5): DataFrame =
+    pairsFromSigs(
+      minhashSigs(df, idCol, textCol, bands, rowsPerBand, shingleSize),
+      bands, murmurBandKey(rowsPerBand), threshold)
+
+  private def pairsFromSigs(sigs: DataFrame, bands: Int,
+      bandKey: Column => Column, threshold: Double): DataFrame =
+    lshCandidatesFromSigs(sigs, bands, bandKey)
       .join(sigs.select(col("doc_id").as("left_id"), col("sig").as("left_sig")), Seq("left_id"))
       .join(sigs.select(col("doc_id").as("right_id"), col("sig").as("right_sig")), Seq("right_id"))
       .select(col("left_id"), col("right_id"),
         graft.functions.native.sig_agreement(col("left_sig"), col("right_sig"))
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+
+  /** Oracle twin of [[minhashLshPairs]]: the identical pipeline shape —
+    * fused signature pass, narrow band self-join, signature re-attach,
+    * agreement filter — but with the two engine-opaque hashes swapped for
+    * engine-independent ones a DuckDB oracle can replicate exactly:
+    * the per-shingle base hash is the integer value of the first 8 hex
+    * digits of md5 (`('0x' || substr(md5(s), 1, 8))::BIGINT`), and band
+    * bucket keys are the raw comma-joined signature slices instead of a
+    * murmur3 compression. Same (a·h+b) mod p family, same banding, same
+    * estimated Jaccard — so the driver's hash gate verifies the REAL LSH
+    * pipeline end-to-end, not a simplification. Docs with fewer than
+    * `shingleSize` tokens have no shingles and are excluded (their
+    * all-prime signatures would spuriously pair all short docs). */
+  def minhashLshPairsMd5(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
+      threshold: Double = 0.0): DataFrame = {
+    val sigs = df
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= shingleSize)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.textnative.text_minhash(col(textCol), shingleSize,
+          hashFamily(bands * rowsPerBand), mersennePrime, md5Base = true).as("sig"))
+    pairsFromSigs(sigs, bands,
+      b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))),
+      threshold)
   }
 
   /** 64-bit SimHash of the token stream: per-bit vote sum of each token's
@@ -126,9 +160,10 @@ object Dedup {
     * longs plus 4 16-bit chunk keys for pigeonhole banding. One fused
     * native-expression pass per row (the HOF formulation interpreted 64
     * lambda evaluations per token — the MinHash lesson, BASELINE.md). */
-  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def withSimhash(df: DataFrame, idCol: String, textCol: String,
+      md5Base: Boolean = false): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      graft.functions.textnative.text_simhash(col(textCol)).as("__sh"))
+      graft.functions.textnative.text_simhash(col(textCol), md5Base).as("__sh"))
       .select(col("doc_id"), col("__sh.bits").as("bits"), col("__sh.chunks").as("chunks"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 for
