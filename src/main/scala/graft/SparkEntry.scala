@@ -528,6 +528,20 @@ object SparkEntry {
         nCells = 4, nProbe = 2, sampleN = 40)
     },
 
+    // ── deterministic sampling (training-split stability at 100 TB) ───
+    // Membership from md5(key), not rand(): same subset every run, every
+    // partitioning, every engine — the oracle recomputes it row-for-row.
+    "sample_consistent" -> ((s, dir) =>
+      Sampling.consistentSample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"))),
+
+    // Per-stratum fractions as one codegen'd CASE cutoff (downsample the
+    // dominant language, keep all of a rare one).
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "es" -> 1.0), defaultFraction = 0.1)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))),
+
     // ── text analysis ─────────────────────────────────────────────────
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"))
@@ -1085,6 +1099,18 @@ object SparkEntry {
     "ann_ivf_planted" -> ivfPlantedOracleSql,
 
     "dedup_minhash_md5" -> minhashMd5OracleSql,
+
+    "sample_consistent" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 < 250000""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 <
+        |      CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 1000000 ELSE 100000 END
+        |GROUP BY lang""".stripMargin,
 
     // SimHash md5 twin: per-token 64-bit hash = first 16 md5 hex digits
     // (UBIGINT, same bit pattern as the engine's signed long); bit j is

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for a training-data pipeline.
+  *
+  * `DataFrame.sample()` draws from a per-partition RNG: the selected set
+  * changes with partitioning, retries, and engine version — useless when a
+  * 100 TB corpus must be sampled CONSISTENTLY (the same doc either is or
+  * isn't in the 1% eval split, today and in next month's rerun, here and
+  * in the DuckDB audit job). These operators decide membership from a
+  * hash of a stable key instead: pure narrow codegen'd projections, no
+  * shuffle, no state, trivially reproducible by any engine with md5.
+  *
+  * The hash is the integer value of the first 8 hex digits of
+  * md5(key) — 32 uniform bits, engine-independent (DuckDB:
+  * `('0x' || substr(md5(key), 1, 8))::BIGINT`) — reduced mod 1e6 to a
+  * per-row draw in [0, 1e6); a row is kept iff draw < fraction·1e6.
+  * Keys hash independently of each other, so subsamples nest: the 1%
+  * sample is a subset of the 10% sample (same draw, smaller cutoff) —
+  * the property that makes scaling-law subsets comparable.
+  */
+object Sampling {
+
+  private val buckets = 1000000L
+
+  /** Per-row draw in [0, 1e6) from the stable key. */
+  def drawOf(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Keep a deterministic `fraction` of rows by key. */
+  def consistentSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(drawOf(col(keyCol)) < math.round(fraction * buckets))
+
+  /** Per-stratum fractions (e.g. downsample dominant languages, keep all
+    * of rare ones). Strata absent from `fractions` fall back to
+    * `defaultFraction`. The thresholds compile to one codegen'd CASE —
+    * no join, no shuffle; the draw stays a function of the key alone so
+    * per-stratum subsets still nest across fraction changes. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    val cutoff = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultFraction * buckets))) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === stratum, lit(math.round(f * buckets))).otherwise(acc)
+    }
+    df.filter(drawOf(col(keyCol)) < cutoff)
+  }
+}

@@ -357,6 +357,21 @@ class OperatorSpec extends SparkSuite {
     assert(v == 23.0)
   }
 
+  test("consistent sampling is stable, partition-independent, and nests") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val s10 = Sampling.consistentSample(docs, "doc_id", 0.10)
+      .select("doc_id").as[Long].collect().toSet
+    val s25 = Sampling.consistentSample(docs.repartition(7), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s25), "subsamples must nest (same draw, smaller cutoff)")
+    val n = docs.count().toDouble
+    assert(math.abs(s25.size / n - 0.25) < 0.08, s"got ${s25.size / n}")
+    // fraction 1.0 for a stratum keeps every row of it; 0.0 default drops rest
+    val es = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("es" -> 1.0))
+    assert(es.count() == docs.filter($"lang" === "es").count())
+    assert(es.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("es"))
+  }
+
   // ── plan-shape regression guards (scale properties, not row values) ──
 
   /** Shuffle-exchange count in the (pre-AQE) executed plan. */
