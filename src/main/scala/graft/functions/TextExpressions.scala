@@ -15,10 +15,26 @@ import org.apache.spark.unsafe.types.UTF8String
 private[functions] object Shingling {
   val ws = java.util.regex.Pattern.compile("\\s+")
 
-  def tokens(text: UTF8String): Array[String] = {
-    val s = text.toString.trim
-    if (s.isEmpty) Array.empty[String] else ws.split(s)
+  /** Space-only trim — Spark SQL's trim()/UTF8String.trim strip the space
+    * character 0x20 ONLY (as does DuckDB's trim), while Java's
+    * String.trim also strips tabs/newlines. A tab-edged document must
+    * tokenize identically to `split(trim(text), "\s+")`, so the fused
+    * expressions replicate the SQL semantics, not Java's. */
+  def spaceTrim(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
   }
+
+  /** Tokens exactly as `split(trim(text), "\s+")` produces them — Spark's
+    * split passes limit -1 (trailing empty fields KEPT, "" → [""]), and
+    * DuckDB's string_split_regex behaves identically (verified on
+    * tab-edged and empty inputs). Do not "simplify" to Java's one-arg
+    * split: it drops trailing empties and diverges on "a b\t". */
+  def tokens(text: UTF8String): Array[String] =
+    ws.split(spaceTrim(text.toString), -1)
 
   /** xxhash64 (seed 42, the builtin's) of each distinct word n-gram,
     * sorted ascending. */
@@ -221,8 +237,7 @@ object TextSimHash {
     * DuckDB reproduces via `('0x' || substr(md5(t), 1, 16))::UBIGINT`
     * (same bit pattern as this signed long). */
   def compute(input: UTF8String, md5Base: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
-    val s = input.toString.trim
-    val toks = if (s.isEmpty) Array("") else Shingling.ws.split(s)
+    val toks = Shingling.tokens(input)
     val md = if (md5Base) java.security.MessageDigest.getInstance("MD5") else null
     val votes = new Array[Int](64)
     var i = 0
@@ -336,9 +351,7 @@ object TextStats {
   def compute(text: UTF8String,
       stop: java.util.HashSet[String]): org.apache.spark.sql.catalyst.InternalRow = {
     val raw = text.toString
-    // tokens: split(trim(s), "\s+") — Java semantics, "" → [""]
-    val trimmed = raw.trim
-    val toks = if (trimmed.isEmpty) Array("") else Shingling.ws.split(trimmed)
+    val toks = Shingling.tokens(text)
     var sumTokLen = 0L
     var nStop = 0L
     var i = 0

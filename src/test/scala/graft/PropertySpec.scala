@@ -142,6 +142,43 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("fused TextStats equals the HOF formulation on adversarial strings") {
+    // mixed pool: stopwords, case, unicode (incl. non-BMP 𝄞 = U+1D11E),
+    // punctuation runs, empties — the quirks the fused code-point walk
+    // must reproduce (Java split semantics, regex \s, codepoint length)
+    val pool = Seq("the", "a", "of", "Spark!", "ÜBER", "中文字", "𝄞clef",
+      "...", "x1", "", "MiXeD", "\trun,run")
+    val advGen: Gen[String] = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString(" ")))
+    samples(Gen.listOfN(25, advGen), 2).foreach { docs0 =>
+      val docs = docs0 ++ Seq("", "   ", "\t\n", "𝄞")
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val toks = split(trim($"text"), "\\s+")
+      val sw = TextAnalysis.stopwords("en")
+      val rows = df.select(
+        graft.functions.textnative.text_stats($"text", sw).as("st"),
+        size(toks).cast("long").as("e_tokens"),
+        size(regexp_extract_all($"text", lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("e_rtokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("e_sumlen"),
+        length($"text").cast("long").as("e_chars"),
+        (length($"text") - length(regexp_replace($"text", "[^A-Za-z0-9\\s]", "")))
+          .cast("long").as("e_punct"),
+        (length($"text") - length(regexp_replace($"text", "[A-Z]", "")))
+          .cast("long").as("e_upper"),
+        size(filter(toks, t => t.isin(sw.map(lit): _*))).cast("long").as("e_stop"),
+        $"text").collect()
+      rows.foreach { r =>
+        val st = r.getStruct(0)
+        // struct order: n_tokens, n_regex_tokens, sum_token_len, n_chars,
+        // n_punct, n_upper, n_stop — e_* columns follow in the same order
+        val got = (0 to 6).map(st.getLong)
+        val expect = (1 to 7).map(r.getLong)
+        assert(got == expect, s"text=${r.getString(8)}: fused=$got hof=$expect")
+      }
+    }
+  }
+
   test("fingerprint: stable under repetition, in [0, p), order-sensitive") {
     samples(Gen.listOfN(15, docGen), 2).foreach { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
