@@ -211,9 +211,10 @@ object TextMinHash {
   * 16-bit keys for pigeonhole banding). The HOF formulation interpreted
   * 64 lambda calls per TOKEN (the same per-element interpretation that
   * cost 322 s for MinHash, BASELINE.md); this is one JVM loop.
-  * Tokenization replicates `split(trim(text), "\s+")` exactly, including
-  * the empty-input → [""] quirk of Java's split, so outputs are
-  * bit-identical to the previous formulation. */
+  * Tokenization replicates `split(trim(text), "\s+")` exactly
+  * (space-only trim, limit -1 split: trailing empties kept, "" → [""] —
+  * see Shingling.tokens), so outputs are bit-identical to the SQL
+  * formulation. */
 case class TextSimHash(child: Expression, md5Base: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
