@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hamming_bits"),
       info("hamming_bits", "hamming_bits(a, b) - positions where two long arrays differ"),
       (es: Seq[Expression]) => HammingBits(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("text_stats"),
+      info("text_stats", "text_stats(text) - struct(n_tokens, n_regex_tokens, " +
+        "sum_token_len, n_chars, n_punct, n_upper, n_stop), en stopwords"),
+      (es: Seq[Expression]) => TextStats(es(0), graft.ops.TextAnalysis.stopwords("en"))))
   }
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 /** Registers the native expressions as SQL functions so `spark.sql` users
   * get the same codepaths as the Column API (`cosine_sim(a, b)`,
   * `dot_product(a, b)`, `jaccard_sorted(a, b)`, `shingle_hashes(text, n)`,
-  * `sig_agreement(a, b)`, `text_simhash(text)`, `hamming_bits(a, b)`). */
+  * `sig_agreement(a, b)`, `text_simhash(text)`, `hamming_bits(a, b)`,
+  * `text_stats(text)` — en-stopword variant of the fused statistics). */
 object GraftFunctions {
   private def intLit(e: Expression): Int =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
@@ -27,5 +28,7 @@ object GraftFunctions {
       es => TextSimHash(es(0)), "built-in")
     reg.createOrReplaceTempFunction("hamming_bits",
       es => HammingBits(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("text_stats",
+      es => TextStats(es(0), graft.ops.TextAnalysis.stopwords("en")), "built-in")
   }
 }

@@ -317,6 +317,10 @@ class OperatorSpec extends SparkSuite {
     assert(hd == 2L)
     val simBits = spark.sql("SELECT size(text_simhash('a b c').bits)").as[Int].head()
     assert(simBits == 64)
+    val ts = spark.sql("SELECT text_stats('the Quick fox!') AS s")
+      .select("s.n_tokens", "s.n_punct", "s.n_upper", "s.n_stop")
+      .as[(Long, Long, Long, Long)].head()
+    assert(ts == ((3L, 1L, 1L, 1L)), ts.toString)
   }
 
   test("file-format roundtrips preserve rows; partitioned layout prunes") {
