@@ -36,13 +36,17 @@ object Explain {
     // 3-column-pruned lineitem, at this SF only) broadcast, single Exchange
     // for the final group-by. The 2.63 s sample was host noise (BASELINE.md
     // I/O-stall caveat); Bench now defaults to min-of-3.
-    val auditSf = "/root/testdata/sf0.1"
-    Seq("sql_entrypoint", "dedup_minhash_lsh", "dedup_groups").foreach { name =>
-      val plan =
-        try SparkEntry.queries(name)(spark, auditSf)
-          .queryExecution.explainString(ExplainMode.fromString("formatted"))
-        catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
-      sb.append(s"\n## scale-audit:$name (sf0.1)\n\n```\n$plan```\n")
+    val auditSf = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.1")
+    if (auditSf.isDirectory) {
+      Seq("sql_entrypoint", "dedup_minhash_lsh", "dedup_groups").foreach { name =>
+        val plan =
+          try SparkEntry.queries(name)(spark, auditSf.getPath)
+            .queryExecution.explainString(ExplainMode.fromString("formatted"))
+          catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
+        sb.append(s"\n## scale-audit:$name (sf0.1)\n\n```\n$plan```\n")
+      }
+    } else {
+      sb.append(s"\n(scale-audit section skipped: no sf0.1 sibling of $sfDir)\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
     println(s"wrote $out")

@@ -1128,7 +1128,8 @@ object SparkEntry {
         |         FROM th, unnest(range(0, 64)) AS u(j)
         |         GROUP BY doc_id, j),
         |chunks AS (SELECT doc_id, j // 16 AS c,
-        |             sum(bit * (CAST(1 AS BIGINT) << CAST(15 - (j % 16) AS INT))) AS v
+        |             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(15 - (j % 16) AS INT)))
+        |                  AS BIGINT) AS v
         |           FROM bits GROUP BY doc_id, j // 16)
         |SELECT doc_id,
         |       max(CASE WHEN c = 0 THEN v END) AS chunk0,

@@ -12,6 +12,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `split(trim(text), "\s+")` (Java regex semantics) so results line up
   * with the HOF formulation and the DuckDB oracle's
   * `string_split_regex(trim(text), '\s+')`. */
+/** Per-thread MD5 instance for the md5Base oracle-twin hot paths —
+  * MessageDigest is stateful but digest() resets it, so one instance per
+  * thread avoids a getInstance allocation per row/shingle. */
+private[functions] object Md5 {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def get(): java.security.MessageDigest = tl.get()
+}
+
 private[functions] object Shingling {
   val ws = java.util.regex.Pattern.compile("\\s+")
 
@@ -170,7 +181,7 @@ object TextMinHash {
     val toks = Shingling.tokens(text)
     val k = a.length
     val mins = Array.fill(k)(prime)
-    val md = if (md5Base) java.security.MessageDigest.getInstance("MD5") else null
+    val md = if (md5Base) Md5.get() else null
     if (toks.length >= n) {
       val sb = new java.lang.StringBuilder
       var i = 0
@@ -239,7 +250,7 @@ object TextSimHash {
     * (same bit pattern as this signed long). */
   def compute(input: UTF8String, md5Base: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val toks = Shingling.tokens(input)
-    val md = if (md5Base) java.security.MessageDigest.getInstance("MD5") else null
+    val md = if (md5Base) Md5.get() else null
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {

@@ -121,14 +121,24 @@ object Dedup {
       bands, murmurBandKey(rowsPerBand), threshold)
 
   private def pairsFromSigs(sigs: DataFrame, bands: Int,
-      bandKey: Column => Column, threshold: Double): DataFrame =
-    lshCandidatesFromSigs(sigs, bands, bandKey)
-      .join(sigs.select(col("doc_id").as("left_id"), col("sig").as("left_sig")), Seq("left_id"))
-      .join(sigs.select(col("doc_id").as("right_id"), col("sig").as("right_sig")), Seq("right_id"))
+      bandKey: Column => Column, threshold: Double): DataFrame = {
+    // The sigs subtree feeds four plan branches (both band self-join
+    // sides + both signature re-attach joins); without materialization
+    // the corpus scan and the fused text_minhash pass re-run per branch
+    // (exchange reuse only merges the two band sides). A lazy
+    // localCheckpoint computes the signatures once and truncates the
+    // lineage; the RDD-level blocks (unlike Dataset.persist cache
+    // entries) are freed by the ContextCleaner once the plan is
+    // unreachable, so a library call doesn't leak executor storage.
+    val s = sigs.localCheckpoint(eager = false)
+    lshCandidatesFromSigs(s, bands, bandKey)
+      .join(s.select(col("doc_id").as("left_id"), col("sig").as("left_sig")), Seq("left_id"))
+      .join(s.select(col("doc_id").as("right_id"), col("sig").as("right_sig")), Seq("right_id"))
       .select(col("left_id"), col("right_id"),
         graft.functions.native.sig_agreement(col("left_sig"), col("right_sig"))
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
 
   /** Oracle twin of [[minhashLshPairs]]: the identical pipeline shape —
     * fused signature pass, narrow band self-join, signature re-attach,

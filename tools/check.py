@@ -49,6 +49,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
             n_bad += 1
             continue
+        # Numeric-kind drift (int64 vs float64, e.g. an uncast DuckDB
+        # sum(BIGINT) -> HUGEINT -> float64) hashes differently in the
+        # driver even when %.9g-normalized values match — fail it here.
+        kind_bad = [c for c in got.columns
+                    if got[c].dtype.kind in "iuf" and exp[c].dtype.kind in "iuf"
+                    and (got[c].dtype.kind == "f") != (exp[c].dtype.kind == "f")]
+        if kind_bad:
+            print(f"FAIL {name}: numeric-kind drift {[(c, str(got[c].dtype), str(exp[c].dtype)) for c in kind_bad]}")
+            n_bad += 1
+            continue
         g = sorted(tuple(norm(v) for v in row) for row in got.itertuples(index=False))
         e = sorted(tuple(norm(v) for v in row) for row in exp.itertuples(index=False))
         if len(g) != len(e):
