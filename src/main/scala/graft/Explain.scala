@@ -36,7 +36,11 @@ object Explain {
     // 3-column-pruned lineitem, at this SF only) broadcast, single Exchange
     // for the final group-by. The 2.63 s sample was host noise (BASELINE.md
     // I/O-stall caveat); Bench now defaults to min-of-3.
-    val auditSf = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.1")
+    // getAbsoluteFile first: a single-segment relative sfDir (e.g. "sf0.001")
+    // has a null getParentFile, and new File(null, "sf0.1") would silently
+    // resolve against the CWD — auditing an unrelated ./sf0.1 if one exists.
+    val auditSf =
+      new java.io.File(new java.io.File(sfDir).getAbsoluteFile.getParentFile, "sf0.1")
     if (auditSf.isDirectory) {
       Seq("sql_entrypoint", "dedup_minhash_lsh", "dedup_groups").foreach { name =>
         val plan =

@@ -45,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("text_stats", "text_stats(text) - struct(n_tokens, n_regex_tokens, " +
         "sum_token_len, n_chars, n_punct, n_upper, n_stop), en stopwords"),
       (es: Seq[Expression]) => TextStats(es(0), graft.ops.TextAnalysis.stopwords("en"))))
+    ext.injectFunction((FunctionIdentifier("text_repetition"),
+      info("text_repetition", "text_repetition(text) - struct(n_tokens, n_distinct, " +
+        "max_count, n_2grams, n_distinct_2grams), one fused pass"),
+      (es: Seq[Expression]) => TextRepetition(es(0))))
   }
 }

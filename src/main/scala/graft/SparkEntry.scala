@@ -564,6 +564,57 @@ object SparkEntry {
       TextAnalysis.fingerprint(t(s, dir, "documents"))
         .select(col("doc_id"), col("fingerprint"))),
 
+    // PII scrub over fixture text with deterministic synthetic PII mixed
+    // in (the fixture corpus itself is a clean word salad — appending
+    // id-derived emails/IPs/phones on BOTH sides exercises nonzero match
+    // counts and the sequential redaction, which an all-zeros run would
+    // not). ASCII-scoped md5 of the scrubbed text pins the exact
+    // replacement output, not just the counts.
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(
+          t(s, dir, "documents").withColumn("text", concat(
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" u"), col("doc_id").cast("string"), lit("@ex-a.org")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(" b.c@mail.example.com")).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" 10.2."), (col("doc_id") % 256).cast("string"), lit(".9")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(" +44 20 7946 0958")).otherwise(lit("")))))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("scrubbed")).as("scrubbed_md5"))),
+
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("top_token_frac"),
+          col("distinct_ratio"), col("dup_2gram_frac"))),
+
+    // ── training-data preparation ─────────────────────────────────────
+    "pack_chunks" -> ((s, dir) =>
+      Training.chunkDocuments(t(s, dir, "documents"), "doc_id", "text", chunkTokens = 32)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))),
+
+    "pack_sequences" -> ((s, dir) =>
+      Training.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        capacity = 512, bucketSize = 64)),
+
+    // Decontamination against a benchmark slice (doc_id % 97 == 0), with
+    // planted leaks: the benchmark docs re-enter the corpus under
+    // doc_id+1000000, so the gate proves BOTH directions — leaked copies
+    // are flagged contaminated with full n-gram overlap, and the
+    // untouched corpus majority scores its true (usually zero) overlap.
+    "decon_ngram" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(bench.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Training.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_ngrams"), col("n_hits"), col("contaminated"))
+    },
+
     // ── multimodal columns ────────────────────────────────────────────
     "mm_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -1181,6 +1232,85 @@ object SparkEntry {
         |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1000000007),
         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // Identical pattern text on both sides (common Java-regex/RE2
+    // subset); DuckDB regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all default.
+    "text_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0 THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex-a.org' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0 THEN ' b.c@mail.example.com' ELSE '' END
+        |         || CASE WHEN doc_id % 4 = 0 THEN ' 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.9' ELSE '' END
+        |         || CASE WHEN doc_id % 7 = 0 THEN ' +44 20 7946 0958' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+\d[\d -]{5,}\d')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |        '\+\d[\d -]{5,}\d', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM p""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |tc AS (SELECT doc_id, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS t FROM tk) GROUP BY doc_id, t),
+        |mx AS (SELECT doc_id, max(c) AS max_count FROM tc GROUP BY doc_id),
+        |base AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_2grams,
+        |    CAST(len(list_distinct(list_transform(range(0, greatest(len(toks) - 1, 0)),
+        |      i -> toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]))) AS BIGINT) AS d2
+        |  FROM tk)
+        |SELECT b.doc_id, b.n_tokens,
+        |       CAST(m.max_count AS DOUBLE) / b.n_tokens AS top_token_frac,
+        |       CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS distinct_ratio,
+        |       CASE WHEN b.n_2grams > 0
+        |            THEN 1.0 - CAST(b.d2 AS DOUBLE) / b.n_2grams END AS dup_2gram_frac
+        |FROM base b JOIN mx m ON b.doc_id = m.doc_id""".stripMargin,
+
+    "pack_chunks" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, unnest(range(0, (len(toks) + 31) // 32)) AS i FROM tk)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |       CAST(least(32, len(toks) - i * 32) AS BIGINT) AS n_chunk_tokens,
+        |       md5(array_to_string(toks[CAST(i * 32 + 1 AS INT):CAST(i * 32 + 32 AS INT)], ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+
+    // The oracle computes the SAME running token count with one direct
+    // ordered window — fine over sf0.01, the exact single-task shape the
+    // engine's two-level prefix sum avoids at scale.
+    "pack_sequences" ->
+      """WITH n AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM n)
+        |SELECT doc_id, n_tokens, tok_before // 512 AS seq_id, tok_before % 512 AS seq_offset
+        |FROM c""".stripMargin,
+
+    "decon_ngram" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |ngl AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 7, 0)),
+        |      i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')))) AS g
+        |  FROM tk),
+        |ng AS (SELECT doc_id, md5(g) AS k FROM ngl),
+        |bench AS (SELECT DISTINCT k FROM ng WHERE doc_id % 97 = 0),
+        |corp AS (
+        |  SELECT doc_id, k FROM ng WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, k FROM ng WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |       CAST(count(b.k) AS BIGINT) AS n_hits,
+        |       count(b.k) > 0 AS contaminated
+        |FROM corp c LEFT JOIN bench b ON c.k = b.k
+        |GROUP BY c.doc_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,

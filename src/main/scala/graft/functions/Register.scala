@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   * get the same codepaths as the Column API (`cosine_sim(a, b)`,
   * `dot_product(a, b)`, `jaccard_sorted(a, b)`, `shingle_hashes(text, n)`,
   * `sig_agreement(a, b)`, `text_simhash(text)`, `hamming_bits(a, b)`,
-  * `text_stats(text)` — en-stopword variant of the fused statistics). */
+  * `text_stats(text)` — en-stopword variant of the fused statistics —
+  * and `text_repetition(text)`, the fused repetition counts). */
 object GraftFunctions {
   private def intLit(e: Expression): Int =
     e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
@@ -30,5 +31,7 @@ object GraftFunctions {
       es => HammingBits(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("text_stats",
       es => TextStats(es(0), graft.ops.TextAnalysis.stopwords("en")), "built-in")
+    reg.createOrReplaceTempFunction("text_repetition",
+      es => TextRepetition(es(0)), "built-in")
   }
 }

@@ -8,10 +8,6 @@ import org.apache.spark.sql.graftbridge.GraftBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native text-shingling expressions. Tokenization matches
-  * `split(trim(text), "\s+")` (Java regex semantics) so results line up
-  * with the HOF formulation and the DuckDB oracle's
-  * `string_split_regex(trim(text), '\s+')`. */
 /** Per-thread MD5 instance for the md5Base oracle-twin hot paths —
   * MessageDigest is stateful but digest() resets it, so one instance per
   * thread avoids a getInstance allocation per row/shingle. */
@@ -23,6 +19,10 @@ private[functions] object Md5 {
   def get(): java.security.MessageDigest = tl.get()
 }
 
+/** Native text-shingling expressions. Tokenization matches
+  * `split(trim(text), "\s+")` (Java regex semantics) so results line up
+  * with the HOF formulation and the DuckDB oracle's
+  * `string_split_regex(trim(text), '\s+')`. */
 private[functions] object Shingling {
   val ws = java.util.regex.Pattern.compile("\\s+")
 
@@ -397,6 +397,60 @@ object TextStats {
   }
 }
 
+/** Fused per-document repetition statistics (Gopher-style quality
+  * signals): token-frequency map + distinct-2-gram set built in ONE pass
+  * per row, instead of exploding every token into its own row and paying
+  * two (doc_id, token)-keyed shuffles per metric. Memory is bounded by a
+  * single document's vocabulary (rows stream through the operator), so
+  * the projection shape survives 100 TB. Emits struct(n_tokens,
+  * n_distinct, max_count, n_2grams, n_distinct_2grams) — all counts; the
+  * ratio doubles stay in the projection layer so they form exactly as the
+  * SQL `CAST(a AS DOUBLE) / b` the oracle computes.
+  * Tokenization is `split(trim(text), "\s+")` semantics exactly (see
+  * Shingling.tokens: space-only trim, "" → [""]). */
+case class TextRepetition(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_count", LongType, nullable = false),
+    StructField("n_2grams", LongType, nullable = false),
+    StructField("n_distinct_2grams", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextRepetition.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.TextRepetition$$.MODULE$$.compute($input);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextRepetition {
+  /** Static body shared by interpreted eval and generated code. */
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = Shingling.tokens(text)
+    val counts = new java.util.HashMap[String, Int]()
+    var maxCount = 0
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.merge(toks(i), 1, (a, b) => a + b)
+      if (c > maxCount) maxCount = c
+      i += 1
+    }
+    val grams = new java.util.HashSet[String]()
+    var j = 0
+    while (j < toks.length - 1) {
+      grams.add(toks(j) + " " + toks(j + 1))
+      j += 1
+    }
+    val n2 = math.max(toks.length - 1, 0)
+    org.apache.spark.sql.catalyst.InternalRow(
+      toks.length.toLong, counts.size.toLong, maxCount.toLong,
+      n2.toLong, grams.size.toLong)
+  }
+}
+
 object textnative {
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def e(col: Column): Expression = GraftBridge.expression(col)
@@ -410,5 +464,6 @@ object textnative {
     c(TextSimHash(e(text), md5Base))
   def text_stats(text: Column, stopwords: Seq[String]): Column =
     c(TextStats(e(text), stopwords))
+  def text_repetition(text: Column): Column = c(TextRepetition(e(text)))
   def hamming_bits(a: Column, b: Column): Column = c(HammingBits(e(a), e(b)))
 }

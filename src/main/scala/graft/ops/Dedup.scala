@@ -23,6 +23,43 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** How a subtree that feeds several plan branches (the MinHash
+    * signature frame) is materialized for reuse. The two strategies trade
+    * fault tolerance against storage lifecycle — neither dominates:
+    *
+    *  - [[LocalCheckpoint]] (default): blocks live on executor-local
+    *    storage with lineage TRUNCATED. Leak-free in a long-lived session
+    *    (the ContextCleaner frees the blocks once the plan is
+    *    unreachable, with no unpersist obligation on the caller), but an
+    *    executor loss — preemption, OOM kill, dynamic-allocation
+    *    decommission — fails the job unrecoverably: there is no lineage
+    *    to recompute the lost blocks from. Right for local runs and
+    *    clusters with static, reliable executors.
+    *  - [[Persist]]: `persist(MEMORY_AND_DISK)` with lineage RETAINED —
+    *    lost blocks are recomputed, so the job survives executor churn.
+    *    The entry stays registered in the CacheManager until the caller
+    *    unpersists it (or the session ends); a fire-and-forget library
+    *    call accumulates cache entries. Right for 1000-executor clusters
+    *    with dynamic allocation — pair with an explicit
+    *    `spark.catalog.clearCache()` / `unpersist` at pipeline
+    *    boundaries.
+    *  - [[NoReuse]]: no materialization; the signature pass recomputes
+    *    per branch (4×). Zero storage footprint, maximum redundant work —
+    *    for memory-constrained executors where neither storage form fits.
+    */
+  sealed trait ReuseStrategy
+  case object LocalCheckpoint extends ReuseStrategy
+  case object Persist extends ReuseStrategy
+  case object NoReuse extends ReuseStrategy
+
+  private def materialize(df: DataFrame, reuse: ReuseStrategy): DataFrame =
+    reuse match {
+      case LocalCheckpoint => df.localCheckpoint(eager = false)
+      case Persist =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case NoReuse => df
+    }
+
   /** Exact duplicate groups: one row per distinct key with the keeper
     * (min id) and the multiplicity. */
   def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
@@ -115,22 +152,22 @@ object Dedup {
     * Output: (left_id, right_id, est_jaccard) with left < right, distinct. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, reuse: ReuseStrategy = LocalCheckpoint): DataFrame =
     pairsFromSigs(
       minhashSigs(df, idCol, textCol, bands, rowsPerBand, shingleSize),
-      bands, murmurBandKey(rowsPerBand), threshold)
+      bands, murmurBandKey(rowsPerBand), threshold, reuse)
 
   private def pairsFromSigs(sigs: DataFrame, bands: Int,
-      bandKey: Column => Column, threshold: Double): DataFrame = {
+      bandKey: Column => Column, threshold: Double,
+      reuse: ReuseStrategy = LocalCheckpoint): DataFrame = {
     // The sigs subtree feeds four plan branches (both band self-join
     // sides + both signature re-attach joins); without materialization
     // the corpus scan and the fused text_minhash pass re-run per branch
-    // (exchange reuse only merges the two band sides). A lazy
-    // localCheckpoint computes the signatures once and truncates the
-    // lineage; the RDD-level blocks (unlike Dataset.persist cache
-    // entries) are freed by the ContextCleaner once the plan is
-    // unreachable, so a library call doesn't leak executor storage.
-    val s = sigs.localCheckpoint(eager = false)
+    // (exchange reuse only merges the two band sides). Materialized per
+    // the caller's ReuseStrategy — see its scaladoc for the
+    // fault-tolerance vs storage-lifecycle trade (the LocalCheckpoint
+    // default is leak-free but NOT recomputable on executor loss).
+    val s = materialize(sigs, reuse)
     lshCandidatesFromSigs(s, bands, bandKey)
       .join(s.select(col("doc_id").as("left_id"), col("sig").as("left_sig")), Seq("left_id"))
       .join(s.select(col("doc_id").as("right_id"), col("sig").as("right_sig")), Seq("right_id"))
@@ -154,7 +191,7 @@ object Dedup {
     * all-prime signatures would spuriously pair all short docs). */
   def minhashLshPairsMd5(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
-      threshold: Double = 0.0): DataFrame = {
+      threshold: Double = 0.0, reuse: ReuseStrategy = LocalCheckpoint): DataFrame = {
     val sigs = df
       .filter(size(split(trim(col(textCol)), "\\s+")) >= shingleSize)
       .select(col(idCol).as("doc_id"),
@@ -162,7 +199,7 @@ object Dedup {
           hashFamily(bands * rowsPerBand), mersennePrime, md5Base = true).as("sig"))
     pairsFromSigs(sigs, bands,
       b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))),
-      threshold)
+      threshold, reuse)
   }
 
   /** 64-bit SimHash of the token stream: per-bit vote sum of each token's
@@ -249,6 +286,12 @@ object Dedup {
     * (at 100 TB and deep components an unbounded plan re-executes or blows
     * analysis time), and each superseded round's checkpoint blocks are
     * unpersisted so executor storage holds at most two label snapshots.
+    * The [[ReuseStrategy]] executor-loss caveat applies: a lost executor
+    * mid-closure fails the job (no lineage to recompute from) — on
+    * dynamic-allocation clusters run the closure with `spark.checkpoint`
+    * to reliable storage instead, or accept the restart (each round is
+    * one join+agg; the whole closure is cheap to rerun relative to the
+    * candidate generation that feeds it).
     * Throws if the loop exits via `maxIters` without converging — silent
     * partially-propagated labels would be wrong groups. */
   def duplicateGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {

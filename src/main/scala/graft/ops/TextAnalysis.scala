@@ -106,6 +106,55 @@ object TextAnalysis {
       .withColumn("lang_score", array_max(array(scored: _*)).getField("score"))
   }
 
+  /** PII patterns shared by the scrubber and its oracle — deliberately in
+    * the common Java-regex/RE2 subset (no lookaround, no backrefs) so the
+    * DuckDB oracle evaluates the IDENTICAL pattern text. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val phoneRe = "\\+\\d[\\d -]{5,}\\d"
+
+  /** PII scrubbing, the redaction pass a pretraining pipeline runs before
+    * anything leaves the raw store: count then replace emails, IPv4
+    * addresses, and +international phone numbers. Counts are matches of
+    * each pattern over the RAW text; redaction applies sequentially
+    * (email → ip → phone) so the placeholders can't be re-matched.
+    * Entirely codegen'd regexp projections: zero shuffles, per-row work
+    * only — the shape that runs over 100 TB as a narrow map over the
+    * scan. */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(textCol), lit(ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+            ipv4Re, "<IP>"),
+          phoneRe, "<PHONE>"))
+
+  /** Gopher-style repetition quality signals: fraction of the document
+    * taken by its most frequent token, distinct-token ratio, and the
+    * duplicate-2-gram fraction. One fused native pass per document
+    * ([[graft.functions.TextRepetition]]) — the explode → groupBy(doc,
+    * token) formulation shuffles every token row twice, which at 100 TB
+    * is a token-count-sized exchange for a per-row statistic. */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = graft.functions.textnative.text_repetition(col(textCol))
+    df.withColumn("__r", st)
+      .withColumn("n_tokens", col("__r.n_tokens"))
+      .withColumn("top_token_frac",
+        col("__r.max_count").cast("double") / col("__r.n_tokens"))
+      .withColumn("distinct_ratio",
+        col("__r.n_distinct").cast("double") / col("__r.n_tokens"))
+      .withColumn("dup_2gram_frac",
+        when(col("__r.n_2grams") > 0,
+          lit(1.0) - col("__r.n_distinct_2grams").cast("double") / col("__r.n_2grams")))
+      .drop("__r")
+  }
+
   /** Deterministic document fingerprint: polynomial rolling hash over the
     * token stream, h = (h*31 + tokenHash) mod p, with tokenHash derived
     * from the first 8 hex digits of md5(token) so the oracle can reproduce

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: context-window chunking, greedy
+  * sequence packing, and benchmark decontamination — the steps between a
+  * deduplicated corpus and a tokenizer at 100 TB scale.
+  *
+  * Scale notes, per operator:
+  *  - chunking is a pure per-row explode (narrow, zero shuffles): each
+  *    document yields its own chunks independently.
+  *  - packing needs a GLOBAL prefix sum of token counts, which a single
+  *    `Window.orderBy` would serialize onto one task. It is built as a
+  *    two-level distributed prefix sum instead: per-bucket windows run in
+  *    parallel, and only the bucket TOTALS (corpus_size / bucketSize
+  *    rows) pass through the one ordered window.
+  *  - decontamination joins corpus n-grams against the benchmark n-gram
+  *    set on a fixed-width md5 key; the benchmark side (eval suites, a
+  *    few million n-grams) is explicitly broadcast, so the corpus side
+  *    never shuffles for the join — only the per-document count
+  *    aggregation exchanges, after map-side partial aggregation.
+  */
+object Training {
+
+  /** Split each document's token stream into fixed-size chunks of
+    * `chunkTokens` whitespace tokens (the context-window preparation
+    * step). Output: one row per (doc, chunk) with the chunk's index, its
+    * token count (the last chunk may be short), and its text. Pure
+    * per-row HOF + explode — codegen'd, shuffle-free, embarrassingly
+    * parallel at any corpus size. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 32): DataFrame = {
+    // Tokens materialize in their own projection first: a Generate
+    // (posexplode) can't consume a lateral alias from the same select.
+    df.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(
+        col("doc_id"),
+        col("__toks"),
+        // (n + chunk - 1) / chunk chunks; n >= 1 always ("" tokenizes to [""])
+        posexplode(transform(
+          sequence(lit(0),
+            ((size(col("__toks")) + (chunkTokens - 1)) / chunkTokens).cast("int") - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens))))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        least(lit(chunkTokens).cast("long"),
+          size(col("__toks")).cast("long") - col("pos") * chunkTokens).as("n_chunk_tokens"),
+        col("col").as("chunk_text"))
+  }
+
+  /** Greedy contiguous sequence packing: documents are concatenated in
+    * `idCol` order and cut into training sequences of `capacity` tokens;
+    * each document is assigned the sequence where its first token lands
+    * (`seq_id`) and its offset within it. The global running token count
+    * is a two-level distributed prefix sum:
+    *
+    *   1. bucket g = id / bucketSize; the intra-bucket running sum is a
+    *      `Window.partitionBy(g).orderBy(id)` — one parallel shuffle on g.
+    *   2. bucket totals aggregate to corpus_size/bucketSize rows; their
+    *      ordered prefix sum is the only single-task window, over a frame
+    *      `bucketSize`× smaller than the corpus (recurse another level if
+    *      even that is too wide), and rejoins by broadcast.
+    *
+    * A direct `Window.orderBy(id)` over the raw rows computes the same
+    * numbers but forces ALL rows through one task — the classic
+    * global-sort scale killer this formulation exists to avoid. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 512, bucketSize: Int = 64): DataFrame = {
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      (col(idCol) / bucketSize).cast("long").as("__g"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+    val intraW = Window.partitionBy(col("__g")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketW = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = base.groupBy(col("__g"))
+      .agg(sum(col("n_tokens")).as("__gtot"))
+      .select(col("__g"),
+        coalesce(sum(col("__gtot")).over(bucketW), lit(0L)).as("__gprefix"))
+    base
+      .withColumn("__intra", coalesce(sum(col("n_tokens")).over(intraW), lit(0L)))
+      .join(broadcast(bucketPrefix), Seq("__g"))
+      .withColumn("__before", col("__gprefix") + col("__intra"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("__before") / capacity).cast("long").as("seq_id"),
+        (col("__before") % capacity).as("seq_offset"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * `n`-gram with a benchmark/eval set. N-grams are keyed by md5 — a
+    * fixed 32-byte join key regardless of n-gram length (and an
+    * engine-independent one, so the oracle reproduces the join exactly).
+    * The distinct benchmark key set is broadcast; corpus n-grams are
+    * generated per row (explode of the distinct per-doc shingle set) and
+    * never shuffle for the probe — only the per-doc count aggregation
+    * exchanges, and partial aggregation collapses it to one row per doc
+    * per partition first. Documents with fewer than n tokens have no
+    * n-grams and are absent from the output (no n-gram ⇒ nothing to
+    * test). Output: (doc_id, n_ngrams, n_hits, contaminated). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    def ngramKeys(df: DataFrame): DataFrame =
+      df.select(
+          col(idCol).as("doc_id"),
+          explode(array_distinct(
+            TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n))).as("__ng"))
+        .select(col("doc_id"), md5(col("__ng")).as("__k"))
+    val benchKeys = broadcast(ngramKeys(bench).select(col("__k")).distinct()
+      .withColumn("__hit", lit(1)))
+    ngramKeys(corpus)
+      .join(benchKeys, Seq("__k"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), count(col("__hit")).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+}

@@ -445,6 +445,80 @@ class OperatorSpec extends SparkSuite {
       s"interval join shuffles more than once per side:\n${df.queryExecution.executedPlan}")
   }
 
+  test("pii scrub counts and redacts emails, ips, and phones") {
+    val docs = Seq(
+      (1L, "write to a.b@mail.org or c@d.io at 10.0.0.1 tel +44 20 7946 0958"),
+      (2L, "no pii here at all"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs)
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones", $"scrubbed")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 1L, 1L,
+      "write to <EMAIL> or <EMAIL> at <IP> tel <PHONE>")), out(0).toString)
+    assert(out(1) == ((2L, 0L, 0L, 0L, "no pii here at all")), out(1).toString)
+  }
+
+  test("repetition stats match hand-computed counts") {
+    // "a a a b": top token a×3/4, distinct {a,b}=2/4,
+    // 2-grams [aa, aa, ab]: 3 total, 2 distinct → dup frac 1/3
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs)
+      .select($"n_tokens", $"top_token_frac", $"distinct_ratio", $"dup_2gram_frac")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == 4L)
+    assert(math.abs(r._2 - 0.75) < 1e-15)
+    assert(math.abs(r._3 - 0.5) < 1e-15)
+    assert(math.abs(r._4 - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("chunking splits documents into fixed-token chunks with a short tail") {
+    val docs = Seq((1L, Seq.tabulate(10)(i => s"w$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val chunks = Training.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4)
+      .select($"doc_id", $"chunk_id", $"n_chunk_tokens", $"chunk_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(c => (c._1, c._2))
+    assert(chunks.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 2L), (2L, 0L, 1L)),
+      chunks.mkString(","))
+    assert(chunks(2)._4 == "w8 w9")
+    // reassembling the chunks recovers the document exactly
+    assert(chunks.filter(_._1 == 1L).map(_._4).mkString(" ") ==
+      Seq.tabulate(10)(i => s"w$i").mkString(" "))
+  }
+
+  test("two-level sequence packing equals the single-window prefix sum") {
+    val docs = (0L until 300L).map(i => (i, Seq.fill(1 + (i % 7).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Training.packSequences(docs, "doc_id", "text",
+        capacity = 16, bucketSize = 8)
+      .select($"doc_id", $"n_tokens", $"seq_id", $"seq_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // reference: direct running sum over doc_id order
+    var cum = 0L
+    packed.foreach { case (id, n, seqId, off) =>
+      assert(n == 1 + id % 7, s"doc $id token count")
+      assert(seqId == cum / 16, s"doc $id: seq_id $seqId, expected ${cum / 16}")
+      assert(off == cum % 16, s"doc $id: offset $off, expected ${cum % 16}")
+      cum += n
+    }
+    // packing is dense: consecutive docs land in the same or next sequences
+    assert(packed.last._3 == (packed.map(_._2).sum - packed.last._2) / 16)
+  }
+
+  test("decontamination flags a planted leak and spares disjoint docs") {
+    val benchText = Seq.tabulate(20)(i => s"bench$i").mkString(" ")
+    val cleanText = Seq.tabulate(20)(i => s"clean$i").mkString(" ")
+    // leaked doc shares an 8-token window with the benchmark
+    val leakedText = Seq.tabulate(8)(i => s"bench$i").mkString(" ") + " " + cleanText
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq((1L, leakedText), (2L, cleanText)).toDF("doc_id", "text")
+    val out = Training.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_hits", $"contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1L, true)), out(0).toString)
+    assert(out(1) == ((2L, 0L, false)), out(1).toString)
+  }
+
   test("multimodal decode stub emits one feature row per media object") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text"), "doc_id", "text")

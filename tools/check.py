@@ -5,8 +5,10 @@ Verify main dumped. Dev tool only — the shipped library has no Python.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import glob, json, math, sys
 import duckdb
+import pyarrow.parquet as pq
+import pyarrow.types as patypes
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -50,15 +52,39 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         # Numeric-kind drift (int64 vs float64, e.g. an uncast DuckDB
-        # sum(BIGINT) -> HUGEINT -> float64) hashes differently in the
-        # driver even when %.9g-normalized values match — fail it here.
-        kind_bad = [c for c in got.columns
-                    if got[c].dtype.kind in "iuf" and exp[c].dtype.kind in "iuf"
-                    and (got[c].dtype.kind == "f") != (exp[c].dtype.kind == "f")]
-        if kind_bad:
-            print(f"FAIL {name}: numeric-kind drift {[(c, str(got[c].dtype), str(exp[c].dtype)) for c in kind_bad]}")
-            n_bad += 1
-            continue
+        # sum(BIGINT) -> HUGEINT) hashes differently in the driver even
+        # when %.9g-normalized values match. Compare the DECLARED types
+        # (Spark's parquet schema vs DuckDB's DESCRIBE of the oracle),
+        # not pandas dtype kinds: pandas promotes nullable int64 columns
+        # to float64 and ships HUGEINT/DECIMAL as object dtype, so a
+        # dtype-kind gate misses exactly the drifts it exists to catch.
+        try:
+            spark_schema = pq.read_schema(
+                sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))[0])
+            duck_types = {r[0]: str(r[1]).upper()
+                          for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+            def duck_floaty(t):
+                return t in ("FLOAT", "DOUBLE", "REAL", "FLOAT4", "FLOAT8")
+            kind_bad = []
+            for field in spark_schema:
+                dt = duck_types.get(field.name)
+                if dt is None:
+                    continue  # name drift is caught by the column check above
+                sf, df_ = patypes.is_floating(field.type), duck_floaty(dt)
+                # only floatness matters for the %.9g hash (int widths and
+                # int-vs-HUGEINT normalize identically); decimal-vs-int
+                # drift surfaces in the value compare ("5" vs "5.000000")
+                if patypes.is_integer(field.type) or sf:
+                    if dt in ("HUGEINT", "BIGINT", "INTEGER", "SMALLINT",
+                              "TINYINT", "UBIGINT", "UINTEGER") or df_:
+                        if sf != df_:
+                            kind_bad.append((field.name, str(field.type), dt))
+            if kind_bad:
+                print(f"FAIL {name}: declared-type floatness drift {kind_bad}")
+                n_bad += 1
+                continue
+        except Exception as e:
+            print(f"warn {name}: type gate skipped: {str(e)[:120]}")
         g = sorted(tuple(norm(v) for v in row) for row in got.itertuples(index=False))
         e = sorted(tuple(norm(v) for v in row) for row in exp.itertuples(index=False))
         if len(g) != len(e):
