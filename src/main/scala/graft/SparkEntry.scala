@@ -199,6 +199,18 @@ object SparkEntry {
           cume_dist().over(w).as("cume"))
     },
 
+    // RANGE frame (value-based, peers included) vs the ROWS frames above:
+    // per-customer 30-day trailing spend, ordered by day number so both
+    // engines share one numeric range semantics (no interval dialects).
+    "rel_window_range" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_date(col("o_orderdate").cast("date")))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice")).over(w).as("sum_30d"))
+    },
+
     "rel_union" -> ((s, dir) =>
       bigSpenders(s, dir).union(buildingCustomers(s, dir)).distinct()),
     "rel_intersect" -> ((s, dir) =>
@@ -465,6 +477,20 @@ object SparkEntry {
     // bucketing itself — now fully hash-gated: the oracle recomputes every
     // bucket in DuckDB from the same plane matrix as SQL literals. Pair
     // extraction is pinned by OperatorSpec on planted duplicates.
+    // Edit-distance near-dup in the scale shape: md5-base LSH candidates
+    // (oracle-replicable end-to-end) verified by THRESHOLDED levenshtein —
+    // linear in candidates, never block-quadratic (which measured 40 s at
+    // sf0.1 vs <1 s for this shape). ASCII-scoped on both sides: Spark's
+    // levenshtein edits code points while DuckDB's edits bytes — they
+    // agree exactly when bytes == chars.
+    "dedup_fuzzy_lev" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(col("text")) === length(col("text")))
+      val cands = Dedup.minhashLshPairsMd5(docs, "doc_id", "text")
+        .select(col("left_id"), col("right_id"))
+      Dedup.levenshteinVerifiedPairs(docs, "doc_id", "text", cands, maxDistance = 60)
+    },
+
     "dedup_embedding_lsh" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -486,6 +512,15 @@ object SparkEntry {
 
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 8),
+        k = 10)),
+
+    // Int8 scalar quantization: scales cancel in cosine, integer dots are
+    // exact in double, and round-half-away-from-zero matches DuckDB's
+    // round() — so the oracle replicates the quantized ranking bit-exactly.
+    "ann_quantized_topk" -> ((s, dir) =>
+      Similarity.quantizedTopK(
         t(s, dir, "embeddings"),
         t(s, dir, "embeddings").filter(col("vec_id") < 8),
         k = 10)),
@@ -759,11 +794,19 @@ object SparkEntry {
     * rows, shingling via list slices, base hash = integer of the first 8
     * md5 hex digits, per-band slice-string bucket keys, candidate
     * self-join, and position-agreement estimated Jaccard. */
-  private val minhashMd5OracleSql: String = {
+  /** Shared md5-base MinHash-LSH candidate CTE chain (hash family →
+    * tokens → shingles → md5-base hashes → signatures → bands → distinct
+    * candidate pairs) over `docsSrc`, a FROM-able (doc_id, text) source.
+    * Docs with fewer than 3 tokens produce no shingles, hence no
+    * signature rows — the same exclusion the engine's pre-filter makes
+    * explicit. Used by both the minhash md5 twin and the
+    * levenshtein-verify oracle so the candidate generation can't drift
+    * between them. */
+  private def md5LshCandCtes(docsSrc: String): String = {
     val famRows = graft.ops.Dedup.hashFamily(64).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    s"""WITH fam(hid, a, b) AS (VALUES $famRows),
-       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+    s"""fam(hid, a, b) AS (VALUES $famRows),
+       |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM $docsSrc),
        |sh AS (SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS s
        |       FROM tk, unnest(range(0, greatest(len(toks) - 2, 0))) AS u(i)),
        |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS h
@@ -776,14 +819,28 @@ object SparkEntry {
        |           FROM sigl, unnest(range(0, 16)) AS u(b)),
        |cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
        |         FROM banded l JOIN banded r
-       |           ON l.band_id = r.band_id AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |           ON l.band_id = r.band_id AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  private val minhashMd5OracleSql: String =
+    s"""WITH ${md5LshCandCtes("documents")},
        |pairs AS (SELECT left_id, right_id,
        |            len(list_filter(range(64), i -> ls.sig[i+1] = rs.sig[i+1])) / 64.0 AS est_jaccard
        |          FROM cand
        |          JOIN sigl ls ON ls.doc_id = left_id
        |          JOIN sigl rs ON rs.doc_id = right_id)
        |SELECT left_id, right_id, est_jaccard FROM pairs""".stripMargin
-  }
+
+  private val dedupFuzzyLevOracleSql: String =
+    s"""WITH docs0 AS (SELECT doc_id, text FROM documents
+       |               WHERE strlen(text) = length(text)),
+       |${md5LshCandCtes("docs0")}
+       |SELECT c.left_id, c.right_id,
+       |       CAST(levenshtein(lt.text, rt.text) AS BIGINT) AS lev
+       |FROM cand c
+       |JOIN docs0 lt ON lt.doc_id = c.left_id
+       |JOIN docs0 rt ON rt.doc_id = c.right_id
+       |WHERE levenshtein(lt.text, rt.text) <= 60""".stripMargin
 
   private val sqlCorrelated: String =
     """SELECT o_orderkey, o_custkey, o_totalprice
@@ -998,6 +1055,16 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
+    // date - DATE '1970-01-01' is DuckDB's integer day number = Spark's
+    // unix_date; Spark sum(DECIMAL(15,2)) and DuckDB sum over the RANGE
+    // frame agree digit-for-digit (exact decimal accumulation).
+    "rel_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |       sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS sum_30d
+        |FROM orders""".stripMargin,
+
     "rel_union" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
         |UNION
@@ -1139,6 +1206,29 @@ object SparkEntry {
         |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
         |        ORDER BY sim DESC, nid) AS rnk FROM p)
         |WHERE rnk <= 10""".stripMargin,
+
+    // Quantized twin: q_i = round(v_i / (max|v|/127)) — integer-valued
+    // doubles, so the dot folds are exact and the ranking reproduces
+    // bit-for-bit. DuckDB round() = half away from zero = the engine's.
+    "ann_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),
+        |z AS (SELECT vec_id,
+        |        CASE WHEN sc = 0 THEN list_transform(v, x -> 0.0)
+        |             ELSE list_transform(v, x -> round(x / sc)) END AS qv FROM s),
+        |q AS (SELECT vec_id AS qid, qv AS qqv FROM z WHERE vec_id < 8),
+        |p AS (SELECT qid, z.vec_id AS nid,
+        |        list_reduce(list_transform(range(0, len(qqv)), i -> z.qv[i+1] * qqv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(qqv)), i -> z.qv[i+1] * z.qv[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(qqv)), i -> qqv[i+1] * qqv[i+1]), (x,y) -> x + y))) AS qsim
+        |      FROM q, z WHERE z.vec_id <> qid)
+        |SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS INT) AS rank, qsim
+        |FROM (SELECT qid, nid, qsim, row_number() OVER (PARTITION BY qid
+        |        ORDER BY qsim DESC, nid) AS rnk FROM p)
+        |WHERE rnk <= 10""".stripMargin,
+
+    "dedup_fuzzy_lev" -> dedupFuzzyLevOracleSql,
 
     "ann_lsh_topk" -> lshOracleSql,
 

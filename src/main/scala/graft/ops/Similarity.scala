@@ -205,6 +205,37 @@ object Similarity {
         col("col.score").as("sim"))
   }
 
+  /** Int8-quantized brute-force top-k: both sides are scalar-quantized
+    * ([[graft.functions.QuantizeInt8]]) and ranked by the cosine of the
+    * QUANTIZED vectors — the per-vector scales cancel in cosine, so there
+    * is no dequantization step, and the integer-valued dots are exact in
+    * double (≤ dim·127²), making the ranking bit-reproducible and
+    * oracle-comparable. Same broadcast + k-bounded-partials plan as
+    * [[bruteForceTopK]]; the point at 100 TB is the 4× smaller candidate
+    * payload (int8 vs float32) crossing memory and any shuffle. Output:
+    * (query_id, neighbor_id, rank, qsim). */
+  def quantizedTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    def quant(df: DataFrame, idName: String, vecName: String): DataFrame =
+      df.select(col("vec_id").as(idName),
+        graft.functions.vectornative
+          .quantize_int8(col("embedding").cast("array<double>")).as(vecName))
+    quant(candidates, "neighbor_id", "cand_q")
+      .join(broadcast(quant(queries, "query_id", "query_q")),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cand_q"), col("query_q")).as("qsim"))
+      .filter(col("qsim").isNotNull)
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("qsim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        col("col.score").as("qsim"))
+  }
+
   /** Evaluation helper: per-query recall of an approximate top-k result
     * against the exact one (both in (query_id, neighbor_id, ...) shape).
     * Collects to the driver — an offline quality metric over a bounded

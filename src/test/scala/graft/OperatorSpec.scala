@@ -519,6 +519,42 @@ class OperatorSpec extends SparkSuite {
     assert(out(1) == ((2L, 0L, false)), out(1).toString)
   }
 
+  test("int8 quantization rounds half away from zero and preserves ranking") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // scale = 127/127 = 1 → q_i = round(v_i): ±2.5 must go to ±3 (away
+    // from zero; Math.round would give -2.5 → -2)
+    val q = graft.functions.QuantizeInt8.compute(
+      new GenericArrayData(Array(127.0, 2.5, -2.5, 0.4, -0.4)))
+    assert(q.toSeq == Seq(127.0, 3.0, -3.0, 0.0, -0.0), q.mkString(","))
+    // zero vector → zeros, not NaN
+    assert(graft.functions.QuantizeInt8.compute(
+      new GenericArrayData(Array(0.0, 0.0))).toSeq == Seq(0.0, 0.0))
+    // an exact copy still ranks first under quantized cosine
+    val vecs = Seq(
+      (0L, Array(0.5f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(0.5f, 0.1f, 0.0f, 0.0f)),   // exact copy of 0
+      (2L, Array(0.4f, 0.2f, 0.1f, 0.0f)),   // close
+      (3L, Array(0.0f, 0.0f, 0.9f, 0.1f)),   // far
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.quantizedTopK(vecs, vecs.filter($"vec_id" === 0), k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L, 3L), top.mkString(","))
+  }
+
+  test("levenshtein pairs find a small edit inside a block and respect the cap") {
+    val base = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en"),
+      (2L, base.replace("tok7", "tok9"), "en"),  // 1 substituted char
+      (3L, Seq.tabulate(40)(i => s"zzz$i").mkString(" "), "en"), // far
+      (4L, base, "es"),                          // other block: never compared
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.levenshteinPairs(docs, "doc_id", "text", col("lang"),
+        maxDistance = 5)
+      .select($"left_id", $"right_id", $"lev").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1L)), pairs.toString)
+  }
+
   test("multimodal decode stub emits one feature row per media object") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text"), "doc_id", "text")
