@@ -49,5 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("text_repetition", "text_repetition(text) - struct(n_tokens, n_distinct, " +
         "max_count, n_2grams, n_distinct_2grams), one fused pass"),
       (es: Seq[Expression]) => TextRepetition(es(0))))
+    ext.injectFunction((FunctionIdentifier("shingle_md5_keys"),
+      info("shingle_md5_keys", "shingle_md5_keys(text, n) - distinct word " +
+        "n-gram md5 hex keys, one fused pass"),
+      (es: Seq[Expression]) => ShingleMd5Keys(es(0), intLit(es(1)))))
+    ext.injectFunction((FunctionIdentifier("quantize_int8"),
+      info("quantize_int8", "quantize_int8(v) - int8 scalar quantization " +
+        "round(v_i / (max|v|/127)), integer-valued doubles"),
+      (es: Seq[Expression]) => QuantizeInt8(es(0))))
   }
 }

@@ -33,5 +33,9 @@ object GraftFunctions {
       es => TextStats(es(0), graft.ops.TextAnalysis.stopwords("en")), "built-in")
     reg.createOrReplaceTempFunction("text_repetition",
       es => TextRepetition(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_md5_keys",
+      es => ShingleMd5Keys(es(0), intLit(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("quantize_int8",
+      es => QuantizeInt8(es(0)), "built-in")
   }
 }

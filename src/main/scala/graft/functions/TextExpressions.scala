@@ -397,6 +397,60 @@ object TextStats {
   }
 }
 
+/** Distinct word-n-gram md5 hex keys of a text column — the
+  * decontamination join key, fused into one pass per row (tokenize →
+  * shingle → md5 → distinct) instead of a transform+array_distinct HOF
+  * chain interpreting a lambda per shingle. md5 hex is the
+  * engine-independent key the DuckDB oracle computes verbatim; emission
+  * order is first-occurrence (matches array_distinct over the shingle
+  * stream), though every consumer treats the result as a set. */
+case class ShingleMd5Keys(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleMd5Keys.compute(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.ShingleMd5Keys$$.MODULE$$.compute($input, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleMd5Keys {
+  private val hex = "0123456789abcdef".toCharArray
+
+  /** Static body shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = Shingling.tokens(text)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val md = Md5.get()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Byte](32)
+      var k = 0
+      while (k < 16) {
+        out(2 * k) = hex((d(k) >> 4) & 0xf).toByte
+        out(2 * k + 1) = hex(d(k) & 0xf).toByte
+        k += 1
+      }
+      seen.add(UTF8String.fromBytes(out))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
+  }
+}
+
 /** Fused per-document repetition statistics (Gopher-style quality
   * signals): token-frequency map + distinct-2-gram set built in ONE pass
   * per row, instead of exploding every token into its own row and paying
@@ -465,5 +519,6 @@ object textnative {
   def text_stats(text: Column, stopwords: Seq[String]): Column =
     c(TextStats(e(text), stopwords))
   def text_repetition(text: Column): Column = c(TextRepetition(e(text)))
+  def shingle_md5_keys(text: Column, n: Int): Column = c(ShingleMd5Keys(e(text), n))
   def hamming_bits(a: Column, b: Column): Column = c(HammingBits(e(a), e(b)))
 }

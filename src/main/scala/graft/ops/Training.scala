@@ -106,12 +106,14 @@ object Training {
     * test). Output: (doc_id, n_ngrams, n_hits, contaminated). */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
+    // one fused native pass per row (tokenize → shingle → md5 → distinct);
+    // the transform+array_distinct+md5 HOF chain interpreted a lambda per
+    // shingle and was the dominant cost of this query at sf0.1
     def ngramKeys(df: DataFrame): DataFrame =
       df.select(
           col(idCol).as("doc_id"),
-          explode(array_distinct(
-            TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n))).as("__ng"))
-        .select(col("doc_id"), md5(col("__ng")).as("__k"))
+          explode(graft.functions.textnative
+            .shingle_md5_keys(col(textCol), n)).as("__k"))
     val benchKeys = broadcast(ngramKeys(bench).select(col("__k")).distinct()
       .withColumn("__hit", lit(1)))
     ngramKeys(corpus)

@@ -179,6 +179,83 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("fused TextRepetition equals the HOF formulation on adversarial strings") {
+    val pool = Seq("the", "the", "a", "Spark!", "ÜBER", "中文字", "𝄞clef",
+      "...", "x1", "", "MiXeD", "\trun,run")
+    val advGen: Gen[String] = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString(" ")))
+    samples(Gen.listOfN(25, advGen), 2).foreach { docs0 =>
+      val docs = docs0 ++ Seq("", "   ", "\t\n", "𝄞", "a a a b")
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val toks = split(trim($"text"), "\\s+")
+      val grams = when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      val rows = df.select(
+        graft.functions.textnative.text_repetition($"text").as("st"),
+        size(toks).cast("long").as("e_tokens"),
+        size(array_distinct(toks)).cast("long").as("e_distinct"),
+        // max token multiplicity via HOFs: for each distinct token count
+        // its occurrences, then take the array max
+        array_max(transform(array_distinct(toks),
+          d => size(filter(toks, t => t === d)))).cast("long").as("e_max"),
+        greatest(size(toks) - 1, lit(0)).cast("long").as("e_2grams"),
+        size(array_distinct(grams)).cast("long").as("e_d2"),
+        $"text").collect()
+      rows.foreach { r =>
+        val st = r.getStruct(0)
+        // struct order: n_tokens, n_distinct, max_count, n_2grams,
+        // n_distinct_2grams — e_* columns follow in the same order
+        val got = (0 to 4).map(st.getLong)
+        val expect = (1 to 5).map(r.getLong)
+        assert(got == expect, s"text=${r.getString(6)}: fused=$got hof=$expect")
+      }
+    }
+  }
+
+  test("fused ShingleMd5Keys equals the HOF md5 formulation on adversarial strings") {
+    val pool = Seq("the", "a", "of", "Spark!", "中文", "", "x1", "\tz")
+    val advGen: Gen[String] = Gen.chooseNum(0, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString(" ")))
+    samples(Gen.listOfN(20, advGen), 2).foreach { docs0 =>
+      val docs = docs0 ++ Seq("", "a b", "a b c", "a b c a b c")
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val toks = split(trim($"text"), "\\s+")
+      val grams = when(size(toks) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      val rows = df.select(
+        graft.functions.textnative.shingle_md5_keys($"text", 3).as("fused"),
+        transform(array_distinct(grams), g => md5(g)).as("hof"),
+        $"text").collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"text=${r.getString(2)}")
+      }
+    }
+  }
+
+  test("QuantizeInt8 equals the SQL round formulation and bounds to [-127, 127]") {
+    val vGen: Gen[List[Double]] = Gen.chooseNum(1, 16)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(-10.0, 10.0)))
+    samples(Gen.listOfN(15, vGen), 2).foreach { vecs0 =>
+      val vecs = vecs0 ++ Seq(List(0.0, 0.0), List(2.5, -2.5, 127.0))
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "v")
+      val sc = array_max(transform($"v", x => abs(x))) / 127.0
+      val rows = df.select(
+        graft.functions.vectornative.quantize_int8($"v").as("fused"),
+        when(sc === 0.0, transform($"v", _ => lit(0.0)))
+          .otherwise(transform($"v", x => round(x / sc).cast("double"))).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Double](0) == r.getSeq[Double](1),
+          s"fused=${r.getSeq[Double](0)} hof=${r.getSeq[Double](1)}")
+        r.getSeq[Double](0).foreach(q => assert(q >= -127 && q <= 127))
+      }
+    }
+  }
+
   test("fingerprint: stable under repetition, in [0, p), order-sensitive") {
     samples(Gen.listOfN(15, docGen), 2).foreach { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
