@@ -439,6 +439,46 @@ class OperatorSpec extends SparkSuite {
       s"salt replication added an exchange:\n${joined.queryExecution.executedPlan}")
   }
 
+  test("plan: text projections and chunking are shuffle-free narrow maps") {
+    for (name <- Seq("text_pii_scrub", "text_repetition", "pack_chunks")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      assert(numShuffles(df) == 0,
+        s"$name grew a shuffle:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("plan: sequence packing — parallel bucket window, broadcast prefix rejoin") {
+    val df = SparkEntry.queries("pack_sequences")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // corpus rows: ONE hash exchange (bucket id) for the intra window;
+    // the single-partition exchange holds bucket TOTALS only; the prefix
+    // rejoin must broadcast, never shuffle the corpus side again
+    assert(numShuffles(df) <= 2,
+      s"corpus side shuffles more than bucket-window + agg:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-prefix rejoin fell back to a shuffled join:\n$plan")
+  }
+
+  test("plan: decontamination probes a broadcast benchmark set") {
+    val df = SparkEntry.queries("decon_ngram")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark probe fell back to a shuffled join:\n$plan")
+    // corpus side: no exchange before the probe; only the per-doc count
+    // aggregation (plus the small bench-side distinct) shuffles
+    assert(numShuffles(df) <= 2,
+      s"corpus n-grams shuffle before the broadcast probe:\n$plan")
+  }
+
+  test("plan: quantized top-k broadcasts queries and keeps k-bounded partials") {
+    val df = SparkEntry.queries("ann_quantized_topk")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query fan-out is not the broadcast scan:\n$plan")
+    assert(numShuffles(df) <= 1,
+      s"more than the final Qxk top-k merge shuffles:\n$plan")
+  }
+
   test("plan: interval-join batch twin shuffles each side once") {
     val df = SparkEntry.queries("stream_interval_join")(spark, sfDir)
     assert(numShuffles(df) <= 2,

@@ -128,6 +128,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("training-prep projections compose with a stream: scrub + quality-filter a doc feed") {
+    // the ingestion filter a pretraining pipeline runs ON the stream:
+    // PII-scrub every doc, drop high-repetition boilerplate — both are
+    // stateless projections, so they ride a streaming plan unchanged
+    val source = MemoryStream[(Long, String)]
+    val scrubbed = graft.ops.TextAnalysis.piiScrub(
+      graft.ops.TextAnalysis.repetitionStats(
+        source.toDF().toDF("doc_id", "text")))
+      .filter($"top_token_frac" < 0.5)
+      .select($"doc_id", $"n_emails", $"scrubbed")
+    val q = scrubbed.writeStream.outputMode("append").format("memory")
+      .queryName("prep_out").start()
+    try {
+      source.addData(Seq(
+        (1L, "varied words here plus mail to a.b@x.io ok"),
+        (2L, "spam spam spam spam spam spam one"),   // top token 6/7 → dropped
+        (3L, "clean and varied with no pii at all")))
+      q.processAllAvailable()
+      val rows = spark.table("prep_out")
+        .select($"doc_id", $"n_emails", $"scrubbed")
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(1L, 3L), rows.mkString(","))
+      assert(rows(0)._2 == 1L && rows(0)._3.contains("<EMAIL>"), rows(0).toString)
+      assert(rows(1)._2 == 0L, rows(1).toString)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dim and preserves stream rows") {
     import graft.streaming.StreamOps
     val source = MemoryStream[String]
