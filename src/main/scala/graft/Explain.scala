@@ -42,7 +42,8 @@ object Explain {
     val auditSf =
       new java.io.File(new java.io.File(sfDir).getAbsoluteFile.getParentFile, "sf0.1")
     if (auditSf.isDirectory) {
-      Seq("sql_entrypoint", "dedup_minhash_lsh", "dedup_groups").foreach { name =>
+      Seq("sql_entrypoint", "dedup_minhash_lsh", "dedup_groups",
+          "decon_ngram", "pack_sequences", "rel_bloom_semi_join").foreach { name =>
         val plan =
           try SparkEntry.queries(name)(spark, auditSf.getPath)
             .queryExecution.explainString(ExplainMode.fromString("formatted"))

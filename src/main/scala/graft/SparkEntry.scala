@@ -152,6 +152,17 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)),
 
+    // Bloom-prefiltered semi join: the scan-side might_contain probe
+    // kills non-matching fact rows BEFORE the exchange; the exact semi
+    // join then removes the fpp false positives, so the result is
+    // byte-identical to the plain semi join (bloom = no false negatives).
+    "rel_bloom_semi_join" -> ((s, dir) =>
+      ops.BloomJoin.bloomSemiJoin(
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        "c_custkey", expectedItems = 10000)
+        .select(col("o_orderkey"), col("o_custkey"))),
+
     "rel_semi_join" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
@@ -1021,6 +1032,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    // The oracle is the PLAIN semi join: the bloom prefilter must be
+    // invisible in the result (no false negatives; exact join removes
+    // false positives) — any bloom-induced row loss turns this red.
+    "rel_bloom_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin,
 
     "rel_anti_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -479,6 +479,21 @@ class OperatorSpec extends SparkSuite {
       s"more than the final Qxk top-k merge shuffles:\n$plan")
   }
 
+  test("bloom semi join equals the plain semi join, probe on the scan side") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter($"c_mktsegment" === "BUILDING")
+    val bloomed = BloomJoin.bloomSemiJoin(orders, "o_custkey", dim, "c_custkey",
+      expectedItems = 10000)
+    val got = bloomed.select($"o_orderkey").as[Long].collect().toSet
+    val expect = orders
+      .join(dim.select($"c_custkey".as("o_custkey")).distinct(), Seq("o_custkey"), "semi")
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(got == expect, s"bloom changed the result: ${got diff expect} / ${expect diff got}")
+    val plan = bloomed.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("mightcontain"), s"bloom probe missing from plan:\n$plan")
+  }
+
   test("plan: interval-join batch twin shuffles each side once") {
     val df = SparkEntry.queries("stream_interval_join")(spark, sfDir)
     assert(numShuffles(df) <= 2,
