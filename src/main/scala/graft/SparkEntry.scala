@@ -636,6 +636,10 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("top_token_frac"),
           col("distinct_ratio"), col("dup_2gram_frac"))),
 
+    "text_term_stats" -> ((s, dir) =>
+      TextAnalysis.termStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("top_term"), col("tf"), col("df"))),
+
     // ── training-data preparation ─────────────────────────────────────
     "pack_chunks" -> ((s, dir) =>
       Training.chunkDocuments(t(s, dir, "documents"), "doc_id", "text", chunkTokens = 32)
@@ -1380,6 +1384,18 @@ object SparkEntry {
         |       CASE WHEN b.n_2grams > 0
         |            THEN 1.0 - CAST(b.d2 AS DOUBLE) / b.n_2grams END AS dup_2gram_frac
         |FROM base b JOIN mx m ON b.doc_id = m.doc_id""".stripMargin,
+
+    "text_term_stats" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |top AS (SELECT doc_id, term, tf,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+        |        FROM tf)
+        |SELECT t.doc_id, t.term AS top_term, t.tf, d.df
+        |FROM top t JOIN dfreq d ON t.term = d.term WHERE rn = 1""".stripMargin,
 
     "pack_chunks" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

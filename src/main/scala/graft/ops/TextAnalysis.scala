@@ -155,6 +155,32 @@ object TextAnalysis {
       .drop("__r")
   }
 
+  /** Corpus-level term statistics — the document-frequency build (the
+    * integer plumbing of IDF/BM25 scoring) plus each document's top term:
+    * tf = per-(doc, term) occurrence count, df = number of documents
+    * containing the term, top term = argmax by (tf desc, term asc).
+    * This is genuinely corpus-wide work: the token explode shuffles on
+    * (doc, term) with map-side partial counts, df aggregates the
+    * already-collapsed tf rows (one row per distinct (doc, term) — far
+    * smaller than the token stream), and the df re-join keys on term.
+    * All counts are integers, so the whole operator is hash-gate exact. */
+  def termStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term"))
+    tf.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed("term", "top_term")
+      .join(dfreq.withColumnRenamed("term", "top_term"), Seq("top_term"))
+  }
+
   /** Deterministic document fingerprint: polynomial rolling hash over the
     * token stream, h = (h*31 + tokenHash) mod p, with tokenHash derived
     * from the first 8 hex digits of md5(token) so the oracle can reproduce
