@@ -650,6 +650,14 @@ object SparkEntry {
       Training.packSequences(t(s, dir, "documents"), "doc_id", "text",
         capacity = 512, bucketSize = 64)),
 
+    // End-to-end packing materialization: the concatenated sequence text
+    // itself is md5-pinned, so assignment AND ordering are both gated.
+    "pack_build" -> ((s, dir) =>
+      Training.buildSequences(t(s, dir, "documents"), "doc_id", "text",
+        capacity = 512, bucketSize = 64)
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          md5(col("seq_text")).as("seq_md5"))),
+
     // Decontamination against a benchmark slice (doc_id % 97 == 0), with
     // planted leaks: the benchmark docs re-enter the corpus under
     // doc_id+1000000, so the gate proves BOTH directions — leaked copies
@@ -1418,6 +1426,19 @@ object SparkEntry {
         |  FROM n)
         |SELECT doc_id, n_tokens, tok_before // 512 AS seq_id, tok_before % 512 AS seq_offset
         |FROM c""".stripMargin,
+
+    "pack_build" ->
+      """WITH n AS (SELECT doc_id, text,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM n)
+        |SELECT tok_before // 512 AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5
+        |FROM c GROUP BY tok_before // 512""".stripMargin,
 
     "decon_ngram" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -106,20 +106,67 @@ object Training {
     * test). Output: (doc_id, n_ngrams, n_hits, contaminated). */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
-    // one fused native pass per row (tokenize → shingle → md5 → distinct);
-    // the transform+array_distinct+md5 HOF chain interpreted a lambda per
-    // shingle and was the dominant cost of this query at sf0.1
-    def ngramKeys(df: DataFrame): DataFrame =
-      df.select(
-          col(idCol).as("doc_id"),
-          explode(graft.functions.textnative
-            .shingle_md5_keys(col(textCol), n)).as("__k"))
-    val benchKeys = broadcast(ngramKeys(bench).select(col("__k")).distinct()
-      .withColumn("__hit", lit(1)))
-    ngramKeys(corpus)
+    val benchKeys = broadcast(
+      ngramKeys(bench, idCol, textCol, n).select(col("__k")).distinct()
+        .withColumn("__hit", lit(1)))
+    ngramKeys(corpus, idCol, textCol, n)
       .join(benchKeys, Seq("__k"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"), count(col("__hit")).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** One row per distinct (doc, n-gram md5 key) — one fused native pass
+    * per row ([[graft.functions.ShingleMd5Keys]]: tokenize → shingle →
+    * md5 → distinct); the transform+array_distinct+md5 HOF chain
+    * interpreted a lambda per shingle and was the dominant cost of the
+    * decontamination query at sf0.1 (2.15 → 0.41 s). */
+  private def ngramKeys(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.textnative
+        .shingle_md5_keys(col(textCol), n)).as("__k"))
+
+  /** Streaming decontamination: flag stream documents sharing any word
+    * n-gram with a STATIC benchmark set. The benchmark keys broadcast
+    * into every micro-batch (stream-static semi join — no streaming
+    * state for the probe itself); a doc matching on several n-grams is
+    * emitted once, with duplicates suppressed by watermark-bounded
+    * dedup state. Emits (doc_id, ts) of contaminated documents. */
+  def decontaminateStream(docs: DataFrame, idCol: String, tsCol: String,
+      textCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, n: Int = 8,
+      lateness: String = "10 minutes"): DataFrame = {
+    val benchKeys = broadcast(
+      ngramKeys(bench, benchIdCol, benchTextCol, n).select(col("__k")).distinct())
+    docs.withWatermark(tsCol, lateness)
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        explode(graft.functions.textnative
+          .shingle_md5_keys(col(textCol), n)).as("__k"))
+      .join(benchKeys, Seq("__k"), "left_semi")
+      // the watermark metadata set above rides the renamed __ts attribute
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("__ts").as(tsCol))
+  }
+
+  /** Materialize the packed training sequences: each sequence's
+    * documents concatenated in id order. The groupBy(seq_id) shuffle
+    * moves each doc's text ONCE, and per-sequence state is bounded by
+    * `capacity` tokens of text (a sequence holds at most capacity+1
+    * documents' worth), so the collect_list buffers are fixed-size at
+    * any corpus scale. Output: (seq_id, n_docs, n_tokens, seq_text). */
+  def buildSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 512, bucketSize: Int = 64): DataFrame = {
+    val packed = packSequences(df, idCol, textCol, capacity, bucketSize)
+    packed
+      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("__txt")), Seq("doc_id"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("__txt")))),
+            x => x.getField("__txt")), " ").as("seq_text"))
   }
 }

@@ -155,6 +155,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags leaked docs once against a static benchmark") {
+    val benchText = Seq.tabulate(20)(i => s"bench$i").mkString(" ")
+    val cleanText = Seq.tabulate(20)(i => s"clean$i").mkString(" ")
+    val leakedText = Seq.tabulate(8)(i => s"bench$i").mkString(" ") + " " + cleanText
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val source = MemoryStream[(Long, Long, String)] // (doc_id, epoch_s, text)
+    val docs = source.toDF().toDF("doc_id", "epoch", "text")
+      .select($"doc_id", timestamp_seconds($"epoch").as("ts"), $"text")
+    val out = graft.ops.Training.decontaminateStream(
+      docs, "doc_id", "ts", "text", bench, "doc_id", "text", n = 8)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("decon_out").start()
+    try {
+      source.addData(Seq((1L, t0.toLong + 1, leakedText), (2L, t0.toLong + 2, cleanText)))
+      q.processAllAvailable()
+      source.addData(Seq((3L, t0.toLong + 10, leakedText)))
+      q.processAllAvailable()
+      val ids = spark.table("decon_out").select("doc_id").as[Long].collect().sorted
+      // leaked docs flagged exactly once each; the clean doc never
+      assert(ids.toSeq == Seq(1L, 3L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dim and preserves stream rows") {
     import graft.streaming.StreamOps
     val source = MemoryStream[String]
