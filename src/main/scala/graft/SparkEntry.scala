@@ -650,6 +650,13 @@ object SparkEntry {
       Training.packSequences(t(s, dir, "documents"), "doc_id", "text",
         capacity = 512, bucketSize = 64)),
 
+    // Seeded epoch permutation: position is a pure function of
+    // (seed, doc_id), reproduced row-for-row by the oracle's row_number
+    // over the same md5 key.
+    "pack_shuffle" -> ((s, dir) =>
+      Training.epochShuffle(t(s, dir, "documents"), "doc_id", seed = 42L)
+        .select(col("doc_id"), col("shuffle_pos"))),
+
     // End-to-end packing materialization: the concatenated sequence text
     // itself is md5-pinned, so assignment AND ordering are both gated.
     "pack_build" -> ((s, dir) =>
@@ -1426,6 +1433,12 @@ object SparkEntry {
         |  FROM n)
         |SELECT doc_id, n_tokens, tok_before // 512 AS seq_id, tok_before % 512 AS seq_offset
         |FROM c""".stripMargin,
+
+    "pack_shuffle" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |            - 1 AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
 
     "pack_build" ->
       """WITH n AS (SELECT doc_id, text,

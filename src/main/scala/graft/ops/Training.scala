@@ -150,6 +150,39 @@ object Training {
       .select(col("doc_id"), col("__ts").as(tsCol))
   }
 
+  /** Deterministic epoch shuffle: a seeded permutation of rows by
+    * md5(seed ‖ id) — the order a training run consumes its sequences.
+    * No rand(): the permutation is a pure function of (seed, id), so it
+    * is identical across reruns, partitionings, and engines (the same
+    * argument as Sampling.consistentSample), and changing the seed gives
+    * the next epoch's order.
+    *
+    * The global 0-based position uses the same two-level prefix trick as
+    * [[packSequences]] — a naive `row_number() over (order by key)`
+    * serializes the corpus through one task. Here the bucket is the md5
+    * key's first two hex chars (256 buckets, contiguous under the global
+    * lexicographic key order, so intra-bucket rank + bucket prefix IS
+    * the global rank): per-bucket windows run in parallel and only 256
+    * bucket counts cross the ordered window. Output: input columns plus
+    * `shuffle_pos`. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val withKey = df.withColumn("__key",
+      md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+      .withColumn("__b", substring(col("__key"), 1, 2))
+    val intraW = Window.partitionBy(col("__b")).orderBy(col("__key"), col(idCol))
+    val bucketW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = withKey.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .select(col("__b"),
+        coalesce(sum(col("__bn")).over(bucketW), lit(0L)).as("__bprefix"))
+    withKey
+      .withColumn("__intra", row_number().over(intraW))
+      .join(broadcast(bucketPrefix), Seq("__b"))
+      .withColumn("shuffle_pos", col("__bprefix") + col("__intra") - 1)
+      .drop("__key", "__b", "__intra", "__bprefix", "__bn")
+  }
+
   /** Materialize the packed training sequences: each sequence's
     * documents concatenated in id order. The groupBy(seq_id) shuffle
     * moves each doc's text ONCE, and per-sequence state is bounded by

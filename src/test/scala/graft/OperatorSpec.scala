@@ -560,6 +560,27 @@ class OperatorSpec extends SparkSuite {
     assert(packed.last._3 == (packed.map(_._2).sum - packed.last._2) / 16)
   }
 
+  test("epoch shuffle is a deterministic bijection; two-level rank equals global rank") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pos = Training.epochShuffle(docs, "doc_id", seed = 7L)
+      .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect()
+    // bijection onto 0..n-1
+    assert(pos.map(_._2).sorted.toSeq == (0L until 200L))
+    // equals the single-window global rank over the same key
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(concat(lit("7"), lit(":"), $"doc_id".cast("string"))), $"doc_id")
+    val expect = docs.select($"doc_id", (row_number().over(w) - 1).cast("long").as("p"))
+      .as[(Long, Long)].collect().toMap
+    pos.foreach { case (id, p) => assert(p == expect(id), s"doc $id: $p vs ${expect(id)}") }
+    // rerun identical; different seed permutes differently
+    val again = Training.epochShuffle(docs, "doc_id", seed = 7L)
+      .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(pos.toMap == again)
+    val other = Training.epochShuffle(docs, "doc_id", seed = 8L)
+      .select($"doc_id", $"shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(pos.toMap != other)
+  }
+
   test("decontamination flags a planted leak and spares disjoint docs") {
     val benchText = Seq.tabulate(20)(i => s"bench$i").mkString(" ")
     val cleanText = Seq.tabulate(20)(i => s"clean$i").mkString(" ")
