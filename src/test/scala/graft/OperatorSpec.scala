@@ -560,6 +560,18 @@ class OperatorSpec extends SparkSuite {
     assert(packed.last._3 == (packed.map(_._2).sum - packed.last._2) / 16)
   }
 
+  test("sequence build: concatenating sequences in order reproduces the corpus") {
+    val docs = (0L until 50L)
+      .map(i => (i, Seq.tabulate(1 + (i % 5).toInt)(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val built = Training.buildSequences(docs, "doc_id", "text",
+        capacity = 16, bucketSize = 8)
+      .orderBy($"seq_id").select($"seq_text").as[String].collect()
+    val direct = docs.orderBy($"doc_id").select($"text").as[String].collect()
+    assert(built.mkString(" ") == direct.mkString(" "),
+      "sequence concatenation lost or reordered documents")
+  }
+
   test("epoch shuffle is a deterministic bijection; two-level rank equals global rank") {
     val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pos = Training.epochShuffle(docs, "doc_id", seed = 7L)
