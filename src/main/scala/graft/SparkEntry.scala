@@ -527,6 +527,21 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 8),
         k = 10)),
 
+    // Mean-pooled embedding per group (the embedding-pooling reduction a
+    // training pipeline runs per domain/cluster): element-wise mean via
+    // posexplode + groupBy(grp, pos). DECIMAL(30,15) accumulation makes
+    // the double sums fold-order-independent on both engines (the
+    // skew_salted_agg technique), so the means hash-gate exactly.
+    "ann_mean_pool" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select((col("vec_id") % 4).as("grp"),
+          posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("grp"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("col").cast("decimal(30,15)")).cast("double") / count(lit(1)))
+            .as("mean"))
+        .select(col("grp"), col("pos").cast("long").as("pos"), col("n"), col("mean"))),
+
     // Int8 scalar quantization: scales cancel in cosine, integer dots are
     // exact in double, and round-half-away-from-zero matches DuckDB's
     // round() — so the oracle replicates the quantized ranking bit-exactly.
@@ -696,6 +711,16 @@ object SparkEntry {
           "doc_id", "text"), chunkBytes = 64)
         .select(col("media_id"), col("frame_id").cast("long").as("frame_id"),
           col("frame_len"), md5(col("frame_bytes")).as("frame_md5"))),
+
+    // Overlapping windows (audio framing: window 48, hop 16) — the
+    // window > hop shape frameSample's tumbling chunks can't express.
+    "mm_audio_windows" -> ((s, dir) =>
+      Multimodal.windowSample(
+        Multimodal.asMedia(
+          t(s, dir, "documents").filter(octet_length(col("text")) === length(col("text"))),
+          "doc_id", "text"), windowBytes = 48, hopBytes = 16)
+        .select(col("media_id"), col("win_id").cast("long").as("win_id"),
+          col("win_len"), md5(col("win_bytes")).as("win_md5"))),
 
     // Resize stub (every 4th byte), hash-gated: for ASCII payloads the
     // byte stride equals a character stride, so DuckDB rebuilds the
@@ -1245,6 +1270,14 @@ object SparkEntry {
         |        ORDER BY sim DESC, nid) AS rnk FROM p)
         |WHERE rnk <= 10""".stripMargin,
 
+    "ann_mean_pool" ->
+      """WITH x AS (SELECT vec_id % 4 AS grp, i AS pos,
+        |    CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i))
+        |SELECT grp, CAST(pos AS BIGINT) AS pos, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS mean
+        |FROM x GROUP BY grp, pos""".stripMargin,
+
     // Quantized twin: q_i = round(v_i / (max|v|/127)) — integer-valued
     // doubles, so the dot folds are exact and the ranking reproduces
     // bit-for-bit. DuckDB round() = half away from zero = the engine's.
@@ -1483,6 +1516,15 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_id,
         |       CAST(strlen(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_len,
         |       md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM f""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(range(0, CAST(ceil(strlen(text) / 16.0) AS BIGINT))) AS i
+        |  FROM documents WHERE strlen(text) = length(text))
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS win_id,
+        |       CAST(strlen(substr(text, CAST(i * 16 + 1 AS INT), 48)) AS BIGINT) AS win_len,
+        |       md5(substr(text, CAST(i * 16 + 1 AS INT), 48)) AS win_md5
         |FROM f""".stripMargin,
 
     "mm_resize" ->

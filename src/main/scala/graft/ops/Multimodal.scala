@@ -59,6 +59,24 @@ object Multimodal {
         octet_length(col("col")).cast("long").as("frame_len"))
   }
 
+  /** Overlapping-window sampling of the payload — the audio shape
+    * (window > hop ⇒ consecutive windows share bytes, e.g. STFT input
+    * framing), where [[frameSample]] is the non-overlapping video shape.
+    * One row per hop offset below n_bytes; the tail window may be short.
+    * Same codegen'd HOF + posexplode plumbing, zero shuffles. */
+  def windowSample(media: DataFrame, windowBytes: Int, hopBytes: Int): DataFrame = {
+    require(hopBytes >= 1 && windowBytes >= hopBytes,
+      "need windowBytes >= hopBytes >= 1")
+    val nWins = ceil(col("n_bytes").cast("double") / hopBytes).cast("int")
+    media
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), nWins - 1),
+          i => substring(col("media"), (i * hopBytes + 1).cast("int"), lit(windowBytes)))))
+      .select(col("media_id"), col("pos").as("win_id"),
+        col("col").as("win_bytes"),
+        octet_length(col("col")).cast("long").as("win_len"))
+  }
+
   /** One resized media payload. */
   case class ResizedMedia(media_id: Long, resized: Array[Byte], n_bytes_out: Long)
 
