@@ -67,7 +67,15 @@ object Training {
     *
     * A direct `Window.orderBy(id)` over the raw rows computes the same
     * numbers but forces ALL rows through one task — the classic
-    * global-sort scale killer this formulation exists to avoid. */
+    * global-sort scale killer this formulation exists to avoid.
+    *
+    * The bucket-totals branch re-scans the (pruned) id+text columns and
+    * re-tokenizes — two passes over the corpus. At 100 TB, materialize
+    * the tokenized `(id, bucket, n_tokens)` frame once (24 bytes/doc;
+    * persist or localCheckpoint — the [[Dedup.ReuseStrategy]] trade
+    * applies verbatim) and feed both branches from it. Left
+    * unmaterialized here so the operator has no storage side effects by
+    * default. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       capacity: Int = 512, bucketSize: Int = 64): DataFrame = {
     val base = df.select(
