@@ -502,6 +502,18 @@ object SparkEntry {
       Dedup.levenshteinVerifiedPairs(docs, "doc_id", "text", cands, maxDistance = 60)
     },
 
+    // Incremental dedup: the %7==0 docs play the day's new batch against
+    // the rest as the standing corpus; md5-base so the oracle replicates
+    // the full pipeline (bands → touching-new candidates → exact verify →
+    // smallest corpus-or-earlier-new partner).
+    "dedup_increment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.dedupIncrement(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", threshold = 0.5, md5Base = true)
+    },
+
     "dedup_embedding_lsh" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -896,6 +908,31 @@ object SparkEntry {
        |JOIN docs0 lt ON lt.doc_id = c.left_id
        |JOIN docs0 rt ON rt.doc_id = c.right_id
        |WHERE levenshtein(lt.text, rt.text) <= 60""".stripMargin
+
+  /** Incremental-dedup oracle: the shared md5 LSH candidate chain,
+    * restricted to pairs touching a new (%7==0) doc, exact-verified by
+    * string-set 3-gram Jaccard (counts equal the engine's sorted-hash
+    * merge — the dedup_ngram_jaccard precedent), then each new doc's
+    * smallest corpus-or-earlier-new partner. */
+  private val dedupIncrementOracleSql: String =
+    s"""WITH ${md5LshCandCtes("documents")},
+       |sets AS (SELECT doc_id, list_distinct(list_transform(
+       |           range(0, greatest(len(toks) - 2, 0)),
+       |           i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))) AS sh
+       |         FROM tk),
+       |ver AS (SELECT c.left_id, c.right_id FROM cand c
+       |        JOIN sets l ON l.doc_id = c.left_id
+       |        JOIN sets r ON r.doc_id = c.right_id
+       |        WHERE (c.left_id % 7 = 0 OR c.right_id % 7 = 0)
+       |          AND CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+       |              len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5),
+       |m AS (SELECT left_id AS doc_id, right_id AS other FROM ver
+       |      UNION ALL SELECT right_id AS doc_id, left_id AS other FROM ver),
+       |agg AS (SELECT doc_id, min(other) AS dup_of FROM m
+       |        WHERE other % 7 <> 0 OR other < doc_id GROUP BY doc_id)
+       |SELECT n.doc_id, a.dup_of IS NOT NULL AS is_duplicate, a.dup_of
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) n
+       |LEFT JOIN agg a ON a.doc_id = n.doc_id""".stripMargin
 
   private val sqlCorrelated: String =
     """SELECT o_orderkey, o_custkey, o_totalprice
@@ -1311,6 +1348,8 @@ object SparkEntry {
     "ann_ivf_planted" -> ivfPlantedOracleSql,
 
     "dedup_minhash_md5" -> minhashMd5OracleSql,
+
+    "dedup_increment" -> dedupIncrementOracleSql,
 
     "sample_consistent" ->
       """SELECT doc_id FROM documents

@@ -314,6 +314,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup dedup — the operation a production corpus runs
+    * daily: flag each NEW document as a duplicate of the EXISTING corpus
+    * or of an earlier (smaller-id) new document, without re-deduping the
+    * corpus against itself. Candidate generation is the same narrow band
+    * self-join as [[minhashLshCandidates]], restricted to pairs touching
+    * a new doc (the is_new bit rides the exchange; corpus↔corpus band
+    * collisions are filtered before the distinct). Cost at 100 TB:
+    * signatures for corpus + batch (cache the corpus side's across days),
+    * band shuffle of both, but candidate verification linear in pairs
+    * TOUCHING THE BATCH only — the corpus never self-joins.
+    * `md5Base` swaps in the engine-independent hash so a DuckDB oracle
+    * replicates the full pipeline (docs with < shingleSize tokens have no
+    * signature and can never pair — both engines agree).
+    * Output: one row per new doc — (doc_id, is_duplicate, dup_of), where
+    * dup_of is the smallest matching corpus-or-earlier-new id, null for
+    * unique docs. */
+  def dedupIncrement(corpus: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.5, shingleSize: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4, md5Base: Boolean = false): DataFrame = {
+    val all = corpus.select(col(idCol), col(textCol)).withColumn("__new", lit(false))
+      .unionAll(newDocs.select(col(idCol), col(textCol)).withColumn("__new", lit(true)))
+    val fam = hashFamily(bands * rowsPerBand)
+    val sigs = all
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= shingleSize)
+      .select(col(idCol).as("doc_id"), col("__new"),
+        graft.functions.textnative
+          .text_minhash(col(textCol), shingleSize, fam, mersennePrime, md5Base)
+          .as("sig"))
+    val bandKey: Column => Column =
+      if (md5Base) b => concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+      else murmurBandKey(rowsPerBand)
+    val banded = sigs.select(col("doc_id"), col("__new"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey)))
+      .select(col("doc_id"), col("__new"),
+        col("pos").as("band_id"), col("col").as("band_hash"))
+    val l = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("left_id"), col("__new").as("left_new"))
+    val r = banded.select(col("band_id"), col("band_hash"),
+      col("doc_id").as("right_id"), col("__new").as("right_new"))
+    val cands = l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("left_id") < col("right_id"))
+      .filter(col("left_new") || col("right_new"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+    val verified = jaccardVerifiedPairs(all, idCol, textCol, cands,
+      n = shingleSize, threshold = threshold)
+    val matches = verified.select(col("left_id").as("doc_id"), col("right_id").as("other"))
+      .unionAll(verified.select(col("right_id").as("doc_id"), col("left_id").as("other")))
+    val flags = all.select(col(idCol).as("other"), col("__new").as("__onew"))
+    val dupOf = matches.join(flags, Seq("other"))
+      .filter(!col("__onew") || col("other") < col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("other")).as("dup_of"))
+    newDocs.select(col(idCol).as("doc_id"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .withColumn("is_duplicate", col("dup_of").isNotNull)
+      .select(col("doc_id"), col("is_duplicate"), col("dup_of"))
+  }
+
   /** Transitive duplicate groups from a pair list: connected components
     * by iterative min-label propagation (label = smallest doc id in the
     * component). O(component diameter) rounds, each one shuffle on the

@@ -593,6 +593,30 @@ class OperatorSpec extends SparkSuite {
     assert(pos.toMap != other)
   }
 
+  test("incremental dedup: new docs dedupe against corpus and earlier new docs only") {
+    val a = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val b = "completely different content about spark shuffles and joins " * 5
+    val c = "a third unrelated corpus of words concerning window functions " * 5
+    val corpus = Seq((10L, a), (11L, b)).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (20L, a),                             // dup of corpus doc 10
+      (21L, c),                             // unique vs corpus, first of its kind
+      (22L, c),                             // dup of EARLIER new doc 21
+      (23L, "tiny"),                        // < 3 tokens: can never pair
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupIncrement(corpus, newDocs, "doc_id", "text",
+        threshold = 0.5)
+      .select($"doc_id", $"is_duplicate", $"dup_of")
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(20L, 21L, 22L, 23L), out.mkString(","))
+    assert(out(0) == ((20L, true, Some(10L))), out(0).toString)
+    assert(out(1) == ((21L, false, None)), out(1).toString)
+    assert(out(2) == ((22L, true, Some(21L))), out(2).toString)
+    assert(out(3) == ((23L, false, None)), out(3).toString)
+    // corpus docs never appear in the output
+    assert(!out.map(_._1).contains(10L))
+  }
+
   test("decontamination flags a planted leak and spares disjoint docs") {
     val benchText = Seq.tabulate(20)(i => s"bench$i").mkString(" ")
     val cleanText = Seq.tabulate(20)(i => s"clean$i").mkString(" ")
