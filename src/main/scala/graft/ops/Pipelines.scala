@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end compositions of the individually oracle-gated operators —
+  * the workflows a training-data user actually runs, wired in the order
+  * that keeps every stage in its scale shape. */
+object Pipelines {
+
+  /** One-call training-corpus preparation:
+    *
+    *   1. near-dup dedup ([[Dedup.dedupCorpus]]: LSH candidates → exact
+    *      verify → transitive groups → keep keepers),
+    *   2. quality filter ([[TextAnalysis.repetitionStats]]: minimum
+    *      length, maximum top-token fraction — the cheap Gopher-style
+    *      gate),
+    *   3. PII scrub ([[TextAnalysis.piiScrub]] — runs AFTER the filters
+    *      so redaction work isn't spent on rows about to be dropped),
+    *   4. greedy sequence packing over the scrubbed text
+    *      ([[Training.packSequences]]).
+    *
+    * Dedup runs FIRST (its signatures must see original text, and
+    * dropping duplicates shrinks every later stage); packing runs LAST
+    * (token counts must reflect the scrubbed text that actually trains).
+    * Output: one row per surviving document — (doc_id, text scrubbed,
+    * n_tokens, seq_id, seq_offset). Every stage is a shape that survives
+    * 100 TB: no all-pairs, no global single-task window, projections
+    * codegen'd. */
+  def prepareCorpus(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dedupThreshold: Double = 0.8,
+      minTokens: Long = 5, maxTopTokenFrac: Double = 0.5,
+      capacity: Int = 512): DataFrame = {
+    val keepers = Dedup.dedupCorpus(docs, idCol, textCol,
+        threshold = dedupThreshold)
+      .filter(!col("is_duplicate"))
+    val filtered = TextAnalysis.repetitionStats(keepers, textCol)
+      .filter(col("n_tokens") >= minTokens &&
+        col("top_token_frac") <= maxTopTokenFrac)
+    val scrubbed = TextAnalysis.piiScrub(filtered, textCol)
+      .select(col(idCol), col("scrubbed").as(textCol))
+    Training.packSequences(scrubbed, idCol, textCol, capacity)
+      .join(scrubbed.select(col(idCol).as("doc_id"), col(textCol)), Seq("doc_id"))
+      .select(col("doc_id"), col(textCol), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+  }
+}

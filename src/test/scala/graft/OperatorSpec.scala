@@ -593,6 +593,27 @@ class OperatorSpec extends SparkSuite {
     assert(pos.toMap != other)
   }
 
+  test("prepareCorpus composes dedup, quality filter, scrub, and packing") {
+    val good = Seq.tabulate(30)(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, good + " mail me at a.b@x.io please"),
+      (2L, good + " mail me at a.b@x.io please"), // exact dup of 1 → dropped
+      (3L, "spam " * 40 + "one"),                 // top-token frac ≈ 1 → dropped
+      (4L, "too short"),                          // < 5 tokens → dropped
+      (5L, Seq.tabulate(40)(i => s"tok$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val out = Pipelines.prepareCorpus(docs, capacity = 16)
+      .select($"doc_id", $"text", $"n_tokens", $"seq_id", $"seq_offset")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 5L), out.map(_._1).mkString(","))
+    // PII scrubbed, token count reflects the scrubbed text
+    assert(out(0)._2.contains("<EMAIL>") && !out(0)._2.contains("a.b@x.io"))
+    assert(out(0)._3 == out(0)._2.split("\\s+").length)
+    // packing is the running count over the surviving corpus in id order
+    assert(out(0)._4 == 0L && out(0)._5 == 0L)
+    assert(out(1)._4 == out(0)._3 / 16 && out(1)._5 == out(0)._3 % 16)
+  }
+
   test("incremental dedup: new docs dedupe against corpus and earlier new docs only") {
     val a = "the quick brown fox jumps over the lazy dog again and again " * 5
     val b = "completely different content about spark shuffles and joins " * 5
