@@ -386,6 +386,19 @@ object SparkEntry {
 
     // Correlated scalar subquery through the SQL surface: orders costing
     // more than 2x their customer's average order. Verbatim-shared ANSI.
+    // Round-5 registered functions through the SQL surface (struct field
+    // access on text_repetition, array result of shingle_md5_keys) — the
+    // same codepaths as the Column API, resolved by name via the registry.
+    "sql_text_funcs" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT doc_id,
+          |       text_repetition(text).n_distinct AS n_distinct,
+          |       CAST(size(shingle_md5_keys(text, 3)) AS BIGINT) AS n_shingles
+          |FROM documents""".stripMargin)
+    },
+
     "sql_correlated_subquery" -> { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(sqlCorrelated)
@@ -1350,6 +1363,17 @@ object SparkEntry {
     "dedup_minhash_md5" -> minhashMd5OracleSql,
 
     "dedup_increment" -> dedupIncrementOracleSql,
+
+    "sql_text_funcs" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |            FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |       CAST(len(list_distinct(list_transform(
+        |         range(0, greatest(len(toks) - 2, 0)),
+        |         i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))))
+        |         AS BIGINT) AS n_shingles
+        |FROM tk""".stripMargin,
 
     "sample_consistent" ->
       """SELECT doc_id FROM documents
