@@ -222,6 +222,28 @@ object SparkEntry {
           sum(col("o_totalprice")).over(w).as("sum_30d"))
     },
 
+    // Range (point-in-interval) join: lineitem ship days probed against
+    // order-derived promo windows [orderdate, orderdate + 1..14 days],
+    // NO equi-key — the shape Spark plans as a quadratic nested loop and
+    // RangeJoin rewrites into a bucket-expansion equi-join. Day numbers
+    // are the shared integer axis (no interval dialects); oracle is the
+    // plain BETWEEN theta-join.
+    "rel_range_join" -> { (s, dir) =>
+      val pts = t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("point_id"),
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("p_day"))
+      val iv = t(s, dir, "orders").filter(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey").as("range_id"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("lo_day"))
+        .withColumn("hi_day", col("lo_day") + expr("range_id div 37 % 14 + 1"))
+      RangeJoin.pointInInterval(pts, iv, "p_day", "lo_day", "hi_day",
+          bucketWidth = 16L)
+        .select(col("point_id"), col("range_id"), col("p_day"), col("lo_day"),
+          col("hi_day"))
+    },
+
     "rel_union" -> ((s, dir) =>
       bigSpenders(s, dir).union(buildingCustomers(s, dir)).distinct()),
     "rel_intersect" -> ((s, dir) =>
@@ -1177,6 +1199,23 @@ object SparkEntry {
         |         ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
         |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS sum_30d
         |FROM orders""".stripMargin,
+
+    // Oracle is the direct BETWEEN theta-join the bucket expansion must
+    // reproduce pair-for-pair; day numbers via date subtraction (DuckDB's
+    // DATE - DATE = integer days = Spark datediff).
+    "rel_range_join" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey AS point_id,
+        |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS p_day
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |iv AS (
+        |  SELECT o_orderkey AS range_id,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo_day,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |              + ((o_orderkey // 37) % 14) + 1 AS BIGINT) AS hi_day
+        |  FROM orders WHERE o_orderkey % 37 = 0)
+        |SELECT point_id, range_id, p_day, lo_day, hi_day
+        |FROM pts JOIN iv ON p_day BETWEEN lo_day AND hi_day""".stripMargin,
 
     "rel_union" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000

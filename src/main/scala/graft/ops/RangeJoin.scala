@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join: pair every point row with every interval
+  * row whose [lo, hi] (inclusive both ends) contains the point. The
+  * reference surface has no joins at all (SURVEY.md §2.5) — this is
+  * extension-surface headroom for the time-range shapes Spark itself has
+  * no native strategy for: a raw `p BETWEEN lo AND hi` theta-join plans
+  * as BroadcastNestedLoopJoin (all-pairs per partition), which is
+  * quadratic and dies long before 100 TB.
+  *
+  * The scale shape is bucket expansion (the same trick behind
+  * production range-join optimizers): quantize the position axis into
+  * fixed-width buckets,
+  *
+  *   points:    bucket = floorDiv(p, W)                  — 1 row each
+  *   intervals: explode buckets floorDiv(lo,W)..floorDiv(hi,W)
+  *              — ceil(len/W)+1 rows each, LINEAR in interval length
+  *   equi-join on bucket  (hash shuffle both sides, partition-parallel)
+  *   residual `p BETWEEN lo AND hi` kills same-bucket non-matches
+  *
+  * Each matching pair is emitted exactly once — the point lives in
+  * exactly one bucket, and that bucket appears exactly once in its
+  * interval's expansion. Cost: |P| + Σ ceil(len_i/W) exchanged rows and
+  * ordinary hash-join probes; no nested-loop anywhere (pinned by an
+  * OperatorSpec plan assertion). Pick W near the median interval length:
+  * W too small inflates the interval-side expansion, W too large turns
+  * the residual filter into the all-pairs scan this exists to avoid.
+  * Skew: a bucket only gets hot if many intervals overlap the same
+  * window AND many points land there — AQE skew-join splits it, since
+  * this is a plain shuffled equi-join.
+  */
+object RangeJoin {
+
+  /** Exact floor division as pure integer arithmetic (codegen'd; no
+    * double rounding at any magnitude, correct for negative positions:
+    * `%` truncates toward zero, the double-pmod folds it positive). */
+  private def bucketOf(posCol: String, w: Long): Column =
+    expr(s"(`$posCol` - ((`$posCol` % ${w}L) + ${w}L) % ${w}L) div ${w}L")
+
+  /** @param points    one row per point; `pointCol` is a LONG position
+    *                  (map timestamps via unix_micros/datediff upstream)
+    * @param intervals one row per interval; `loCol`/`hiCol` LONG
+    *                  positions, lo <= hi, both ends inclusive
+    * @param bucketWidth bucket width in position units (> 0)
+    * @return all point columns ++ all interval columns (names must be
+    *         disjoint) for each containing (point, interval) pair. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(clash.isEmpty, s"point/interval column name clash: $clash")
+
+    val p = points.withColumn("__p_bucket", bucketOf(pointCol, bucketWidth))
+    val iv = intervals.withColumn("__i_bucket",
+      explode(sequence(bucketOf(loCol, bucketWidth), bucketOf(hiCol, bucketWidth))))
+    p.join(iv,
+        col("__p_bucket") === col("__i_bucket") &&
+          col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__p_bucket", "__i_bucket")
+  }
+}

@@ -688,6 +688,39 @@ class OperatorSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L, 1L)), pairs.toString)
   }
 
+  test("range join: boundary-inclusive, once per pair, no nested loop") {
+    val pts = Seq((1L, 0L), (2L, 10L), (3L, 16L), (4L, 47L), (5L, 100L))
+      .toDF("pid", "p")
+    // interval B spans buckets 0..2 at width 16 — a multi-bucket expansion
+    // must still emit each contained point exactly ONCE
+    val iv = Seq(("A", 0L, 10L), ("B", 5L, 47L), ("C", 90L, 95L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", bucketWidth = 16L)
+      .select($"pid", $"iid").as[(Long, String)].collect()
+    assert(got.length == got.toSet.size, s"duplicate pairs: ${got.toList}")
+    assert(got.toSet == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B"), (4L, "B")),
+      got.toList.toString) // both ends inclusive: p=0=lo(A), p=47=hi(B); 100 ∉ C
+
+    // equivalence with the naive theta-join on random data, several widths
+    val rnd = new scala.util.Random(7)
+    val rp = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(1000).toLong)).toDF("pid", "p")
+    val lo = Seq.tabulate(80)(i => (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(60).toLong))
+    val ri = lo.map { case (id, l, len) => (id, l, l + len) }.toDF("iid", "lo", "hi")
+    val naive = rp.join(ri, $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 7L, 64L, 5000L)) {
+      val fast = RangeJoin.pointInInterval(rp, ri, "p", "lo", "hi", w)
+        .select($"pid", $"iid").as[(Long, Long)].collect()
+      assert(fast.length == naive.size && fast.toSet == naive, s"width $w diverged")
+    }
+
+    // scale shape: equi-join on the bucket, never a nested loop
+    val plan = RangeJoin.pointInInterval(rp, ri, "p", "lo", "hi", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join planned as all-pairs:\n$plan")
+  }
+
   test("multimodal decode stub emits one feature row per media object") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text"), "doc_id", "text")
