@@ -244,6 +244,41 @@ object SparkEntry {
           col("hi_day"))
     },
 
+    // Map-typed column round-trip: per-order linenumber→quantity map
+    // built from sorted entries, then interrogated with element_at /
+    // map_keys / map_values. The oracle never builds a map — it derives
+    // the same scalars relationally, so the gate is on map SEMANTICS
+    // (key order, lookup, fold), not engine representation. map_values
+    // fold is exact: quantities are whole-number doubles.
+    "rel_map_funcs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        // the fixture repeats linenumbers within an order: collapse to
+        // unique map keys first (map_from_entries throws on dup keys)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .groupBy(col("l_orderkey"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("l_linenumber"), col("qty"))))).as("m"))
+        .select(col("l_orderkey"),
+          size(col("m")).cast("long").as("n_lines"),
+          element_at(col("m"), 1).as("q1"),
+          array_join(transform(map_keys(col("m")), k => k.cast("string")), ",")
+            .as("keys_csv"),
+          aggregate(map_values(col("m")), lit(0.0d), (a, v) => a + v)
+            .as("total_qty"))),
+
+    // Wide→long unpivot (the inverse of rel_pivot): four per-line metrics
+    // melted to (metric, value) rows, values passed through untouched.
+    "rel_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "metric", valueColumnName = "value")),
+
     "rel_union" -> ((s, dir) =>
       bigSpenders(s, dir).union(buildingCustomers(s, dir)).distinct()),
     "rel_intersect" -> ((s, dir) =>
@@ -549,6 +584,23 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.5, md5Base = true)
     },
 
+    // Boilerplate-line removal: the fixture has no newlines, so both
+    // engines first segment each doc into deterministic 4-token lines
+    // (the width at which the fixture's 31-word vocabulary actually
+    // produces cross-doc repeats — ~11% of occurrences drop at sf0.01);
+    // then lines in >1 distinct doc are removed everywhere and the doc
+    // is reassembled. md5 pins content AND line order.
+    "dedup_lines" -> { (s, dir) =>
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        expr("""array_join(
+                  transform(sequence(0, (size(split(text, ' ')) - 1) div 4),
+                    i -> array_join(slice(split(text, ' '), i * 4 + 1, 4), ' ')),
+                  '\n')""").as("text"))
+      Dedup.dedupLines(lined, "doc_id", "text", delimiter = "\n", maxDocs = 1)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_lines"), col("n_dropped"))
+    },
+
     "dedup_embedding_lsh" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -650,6 +702,14 @@ object SparkEntry {
         Map("en" -> 0.5, "es" -> 1.0), defaultFraction = 0.1)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))),
 
+    // Data-dependent mixture: target 50/30/20 over three sources; the
+    // kept doc_id SET is the gate (membership, not just counts), so the
+    // in-plan cutoff arithmetic must match DuckDB double-for-double.
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"))),
+
     // ── text analysis ─────────────────────────────────────────────────
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"))
@@ -671,6 +731,14 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"))
         .select(col("doc_id"), col("fingerprint"))),
+
+    // Vocabulary build + id encoding at V=20 < the fixture's 31 distinct
+    // terms, so the OOV (-1) path is exercised; md5 of the id CSV pins
+    // every position of every encoded sequence.
+    "text_vocab_encode" -> ((s, dir) =>
+      TextAnalysis.vocabEncode(t(s, dir, "documents"), vocabSize = 20)
+        .select(col("doc_id"), md5(col("ids_csv")).as("ids_md5"),
+          col("n_tokens"), col("n_oov"))),
 
     // PII scrub over fixture text with deterministic synthetic PII mixed
     // in (the fixture corpus itself is a clean word salad — appending
@@ -1200,6 +1268,34 @@ object SparkEntry {
         |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS sum_30d
         |FROM orders""".stripMargin,
 
+    // Relational derivation of the same per-order scalars the map ops
+    // compute: q1 via a keyed CASE max, keys_csv via ordered string_agg,
+    // total via sum (exact — whole-number doubles).
+    "rel_map_funcs" ->
+      """WITH uniq AS (
+        |  SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       max(CASE WHEN l_linenumber = 1 THEN qty END) AS q1,
+        |       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+        |         AS keys_csv,
+        |       sum(qty) AS total_qty
+        |FROM uniq GROUP BY l_orderkey""".stripMargin,
+
+    "rel_unpivot" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey % 500 = 0)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM base
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM base
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM base
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM base""".stripMargin,
+
     // Oracle is the direct BETWEEN theta-join the bucket expansion must
     // reproduce pair-for-pair; day numbers via date subtraction (DuckDB's
     // DATE - DATE = integer days = Spark datediff).
@@ -1403,6 +1499,34 @@ object SparkEntry {
 
     "dedup_increment" -> dedupIncrementOracleSql,
 
+    // Line segmentation replicated (4-token lines, chr(10) joins), then
+    // the independent relational formulation of the same removal rule.
+    "dedup_lines" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         list_transform(
+        |           range(0, CAST(ceil(len(string_split(text, ' ')) / 4.0) AS BIGINT)),
+        |           i -> array_to_string(string_split(text, ' ')[i*4+1 : i*4+4], ' ')) AS lines
+        |  FROM documents),
+        |lns AS (
+        |  SELECT doc_id, generate_subscripts(lines, 1) - 1 AS pos, unnest(lines) AS line
+        |  FROM docs),
+        |heavy AS (
+        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lns)
+        |  GROUP BY line HAVING count(*) > 1),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM lns
+        |  WHERE line NOT IN (SELECT line FROM heavy)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+        |         count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       md5(coalesce(a.text_clean, '')) AS clean_md5,
+        |       CAST(len(b.lines) AS BIGINT) AS n_lines,
+        |       CAST(len(b.lines) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM docs b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "sql_text_funcs" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         |            FROM documents)
@@ -1425,6 +1549,23 @@ object SparkEntry {
         |      % 1000000 <
         |      CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 1000000 ELSE 100000 END
         |GROUP BY lang""".stripMargin,
+
+    // Same binding-ratio arithmetic, same operation order (w*r/n*1e6) so
+    // the double cutoffs agree bit-for-bit.
+    "sample_mixture" ->
+      """WITH w(dom, wt) AS (
+        |  SELECT dom, CAST(wt0 AS DOUBLE) FROM (VALUES
+        |    ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) AS v(dom, wt0)),
+        |counts AS (
+        |  SELECT source AS dom, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY source),
+        |j AS (SELECT dom, n, wt FROM counts JOIN w USING (dom)),
+        |r AS (SELECT min(n / wt) AS r FROM j),
+        |cut AS (SELECT dom, wt * r / n * 1000000 AS cut FROM j, r)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN cut ON d.source = cut.dom
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 < cut""".stripMargin,
 
     // SimHash md5 twin: per-token 64-bit hash = first 16 md5 hex digits
     // (UBIGINT, same bit pattern as the engine's signed long); bit j is
@@ -1495,6 +1636,27 @@ object SparkEntry {
         |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1000000007),
         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // Vocabulary ranked (tf desc, term asc) — a total order, so the top-V
+    // cut and id assignment are deterministic on both engines.
+    "text_vocab_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS pos,
+        |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+        |vocab AS (
+        |  SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok ASC) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT * FROM counts ORDER BY tf DESC, tok ASC LIMIT 20)),
+        |enc AS (
+        |  SELECT t.doc_id, t.pos, coalesce(v.token_id, -1) AS tid
+        |  FROM toks t LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id,
+        |       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM enc GROUP BY doc_id""".stripMargin,
 
     // Identical pattern text on both sides (common Java-regex/RE2
     // subset); DuckDB regexp_replace needs the explicit 'g' flag to match

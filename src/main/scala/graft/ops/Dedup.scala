@@ -469,6 +469,53 @@ object Dedup {
       .drop("__gid")
   }
 
+  /** Cross-document repeated-line removal — the boilerplate-line pass of a
+    * web-corpus pipeline (nav bars, cookie banners, footers recur verbatim
+    * across pages; removing them beats whole-doc dedup, which never fires
+    * because the surrounding text differs). A line occurring in more than
+    * `maxDocs` DISTINCT documents is dropped from EVERY document (all
+    * occurrences); repeats confined to one document are kept.
+    *
+    * Shape: posexplode lines (narrow) → per-doc-distinct line keys →
+    * count docs per key → anti-join occurrences against the heavy keys →
+    * re-assemble per doc. Three linear shuffles, all on md5(line) or the
+    * doc id — never the line text itself (a 32-hex key per row through
+    * the exchanges vs arbitrarily long boilerplate lines), and never a
+    * pairwise product. Per-doc reassembly state is bounded by the largest
+    * single document, the same bound as Training.buildSequences.
+    *
+    * Returns one row per input doc: (idCol, text_clean, n_lines,
+    * n_dropped). Docs whose every line is boilerplate come back with
+    * text_clean = "" — they're the filter's point, not an edge case.
+    *
+    * @param delimiter literal (regex-quoted) line separator
+    * @param maxDocs   drop lines seen in more than this many distinct docs */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      delimiter: String = "\n", maxDocs: Long = 1): DataFrame = {
+    val sep = java.util.regex.Pattern.quote(delimiter)
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+      .withColumn("line_h", md5(col("line")))
+    val heavy = lines.select(col(idCol), col("line_h")).distinct()
+      .groupBy(col("line_h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("line_h"))
+    val kept = lines.join(heavy, Seq("line_h"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")),
+        delimiter).as("text_clean"),
+      count(lit(1)).as("__n_kept"))
+    docs.select(col(idCol),
+        size(split(col(textCol), sep)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Embedding near-duplicate pairs: sign-bit LSH bucket join, then exact
     * cosine ≥ threshold verify. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

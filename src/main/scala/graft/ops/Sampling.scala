@@ -33,6 +33,40 @@ object Sampling {
   def consistentSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(drawOf(col(keyCol)) < math.round(fraction * buckets))
 
+  /** Domain-mixture resampling: downsample each domain so the OUTPUT
+    * follows the target weights (the "20% code / 80% web" training-mix
+    * step). Pure downsampling can't mint rows, so the largest faithful
+    * mixture is bounded by the scarcest domain: with observed counts n_d
+    * and weights w_d, the binding ratio r = min_d(n_d / w_d) sets each
+    * domain's kept count to w_d·r (keep fraction w_d·r/n_d — exactly 1.0
+    * for the binding domain). Domains without a weight are dropped.
+    *
+    * Unlike [[stratifiedSample]], the fractions are DATA-dependent, so
+    * they're computed in-plan: per-domain counts (one tiny aggregate),
+    * the binding ratio (one global min over |domains| rows), cutoffs
+    * broadcast back onto the corpus — no driver collect, and the corpus
+    * itself never shuffles. Membership still decides by the md5 key draw:
+    * deterministic under rerun/partitioning, and nested across weight
+    * rescalings of the whole map. */
+  def mixtureSample(df: DataFrame, keyCol: String, domainCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val ss = df.sparkSession
+    import ss.implicits._
+    val w = weights.toSeq.toDF("__dom", "__w")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .join(broadcast(w), "__dom")
+    val r = counts.agg(min(col("__n") / col("__w")).as("__r"))
+    val cutoffs = counts.crossJoin(broadcast(r))
+      .select(col("__dom"),
+        (col("__w") * col("__r") / col("__n") * buckets).as("__cut"))
+    df.join(broadcast(cutoffs), col(domainCol) === col("__dom"))
+      .filter(drawOf(col(keyCol)).cast("double") < col("__cut"))
+      .drop("__dom", "__cut")
+  }
+
   /** Per-stratum fractions (e.g. downsample dominant languages, keep all
     * of rare ones). Strata absent from `fractions` fall back to
     * `defaultFraction`. The thresholds compile to one codegen'd CASE —

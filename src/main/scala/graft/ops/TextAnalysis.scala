@@ -181,6 +181,46 @@ object TextAnalysis {
       .join(dfreq.withColumnRenamed("term", "top_term"), Seq("top_term"))
   }
 
+  /** Corpus vocabulary build + id encoding — the word-level tokenizer
+    * step: rank terms by (corpus tf desc, term asc), keep the top
+    * `vocabSize` as ids 0..V-1, and rewrite every document as its token-id
+    * sequence (out-of-vocabulary → -1).
+    *
+    * Scale shape: term counting is a map-side-combined aggregate over the
+    * token explode (one shuffle of (term, partial-count) rows); the top-V
+    * cut is orderBy+limit — V is a CONSTANT (32k-class), so the ordered
+    * single-partition id-assignment window runs over V rows, not the
+    * corpus. Encoding joins token occurrences against the BROADCAST vocab
+    * (V rows on every executor — the codebook argument) and reassembles
+    * per doc ordered by position: one corpus-linear shuffle of narrow
+    * (doc, pos, id) rows, per-doc state bounded by the largest document.
+    *
+    * Returns (idCol, ids_csv, n_tokens, n_oov): ids_csv is the
+    * comma-joined id sequence — order-pinning and engine-independent. */
+  def vocabEncode(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", vocabSize: Int = 32768): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val order = Seq(col("tf").desc, col("tok").asc)
+    val vocab = counts.orderBy(order: _*).limit(vocabSize)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(order: _*)) - 1).cast("long"))
+      .select(col("tok"), col("token_id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("token_id", coalesce(col("token_id"), lit(-1L)))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("token_id")))),
+            x => x("token_id").cast("string")),
+          ",").as("ids_csv"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id") === -1L, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Deterministic document fingerprint: polynomial rolling hash over the
     * token stream, h = (h*31 + tokenHash) mod p, with tokenHash derived
     * from the first 8 hex digits of md5(token) so the oracle can reproduce

@@ -721,6 +721,53 @@ class OperatorSpec extends SparkSuite {
       s"range join planned as all-pairs:\n$plan")
   }
 
+  test("line dedup drops cross-doc boilerplate, keeps within-doc repeats") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nreal content one\nFOOTER"),
+      (2L, "COOKIE BANNER\nreal content two\nFOOTER"),
+      (3L, "COOKIE BANNER\nFOOTER"), // all boilerplate -> empty
+      (4L, "unique page entirely"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text")
+      .select($"doc_id", $"text_clean", $"n_lines", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // within-doc repeat survives twice, in original order
+    assert(got(1L) == ((1L, "real content one\nreal content one", 4L, 2L)), got(1L).toString)
+    assert(got(2L) == ((2L, "real content two", 3L, 2L)), got(2L).toString)
+    assert(got(3L) == ((3L, "", 2L, 2L)), got(3L).toString)
+    assert(got(4L) == ((4L, "unique page entirely", 1L, 0L)), got(4L).toString)
+  }
+
+  test("mixture sample: binding domain kept whole, others downsampled, stable") {
+    val rows = Seq.tabulate(100)(i => (i.toLong, "a")) ++
+      Seq.tabulate(50)(i => (1000L + i, "b")) ++
+      Seq.tabulate(30)(i => (2000L + i, "c")) // unweighted -> dropped
+    val df = rows.toDF("id", "dom")
+    val got = Sampling.mixtureSample(df, "id", "dom",
+      Map("a" -> 0.5, "b" -> 0.5))
+      .select($"id", $"dom").as[(Long, String)].collect()
+    val byDom = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // r = min(100/0.5, 50/0.5) = 100: b is binding -> keep fraction exactly 1
+    assert(byDom.getOrElse("b", 0) == 50, byDom.toString)
+    // a targets 50 of 100; the md5 draw realizes it approximately
+    assert(byDom("a") > 25 && byDom("a") < 75, byDom.toString)
+    assert(!byDom.contains("c"), byDom.toString)
+    // partitioning-independent: same kept set under a different layout
+    val again = Sampling.mixtureSample(df.repartition(13, $"dom"), "id", "dom",
+      Map("a" -> 0.5, "b" -> 0.5)).select($"id").as[Long].collect()
+    assert(again.toSet == got.map(_._1).toSet)
+  }
+
+  test("vocab encode: frequency-ranked ids, asc tie-break, OOV as -1") {
+    // tf: a=3, b=2, c=1, d=1 -> V=3 keeps a(0), b(1), c(2): tie c/d -> asc
+    val docs = Seq((1L, "b a a c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabEncode(docs, vocabSize = 3)
+      .select($"doc_id", $"ids_csv", $"n_tokens", $"n_oov")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "1,0,0,2", 4L, 0L)), got(1L).toString)
+    assert(got(2L) == ((2L, "0,1,-1", 3L, 1L)), got(2L).toString)
+  }
+
   test("multimodal decode stub emits one feature row per media object") {
     val media = Multimodal.asMedia(
       Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text"), "doc_id", "text")
