@@ -279,6 +279,26 @@ object SparkEntry {
             col("l_discount"), col("l_tax")),
           variableColumnName = "metric", valueColumnName = "value")),
 
+    // Interval×interval overlap join, both sides bucket-expanded; the
+    // canonical-bucket residual (bucket of max(lo_a, lo_b)) makes each
+    // overlapping pair surface exactly once with NO distinct pass.
+    "rel_interval_overlap" -> { (s, dir) =>
+      def days(c: Column) =
+        datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
+      val promos = t(s, dir, "orders").filter(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey").as("promo_id"),
+          days(col("o_orderdate")).as("p_lo"))
+        .withColumn("p_hi", col("p_lo") + expr("promo_id div 37 % 14 + 1"))
+      val audits = t(s, dir, "orders").filter(col("o_orderkey") % 41 === 0)
+        .select(col("o_orderkey").as("audit_id"),
+          days(col("o_orderdate")).as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + expr("audit_id div 41 % 10 + 2"))
+      RangeJoin.intervalOverlap(promos, audits, "p_lo", "p_hi", "a_lo", "a_hi",
+          bucketWidth = 16L)
+        .select(col("promo_id"), col("audit_id"), col("p_lo"), col("p_hi"),
+          col("a_lo"), col("a_hi"))
+    },
+
     "rel_union" -> ((s, dir) =>
       bigSpenders(s, dir).union(buildingCustomers(s, dir)).distinct()),
     "rel_intersect" -> ((s, dir) =>
@@ -362,6 +382,15 @@ object SparkEntry {
         .agg(max(col("value")).as("view_value"))
       AsOfJoin.asOfBackward(purchases, views, keyCol = "user_id",
         timeCol = "ts", payloadCols = Seq("view_value"))
+    },
+
+    // Time-series densification: hourly grid per user-cohort with LOCF
+    // fill across the gaps; the filled VALUE at every grid cell is the
+    // gate, so bucketing, span bounds, and carry order all must agree.
+    "rel_gap_fill" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select((col("user_id") % 23).as("ukey"), col("ts"), col("value"))
+      GapFill.fillForward(ev, "ukey", "ts", "value", bucketSeconds = 3600L)
     },
 
     // HLL++ sketch. The estimate itself is engine-defined, so the gated
@@ -1268,6 +1297,24 @@ object SparkEntry {
         |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS sum_30d
         |FROM orders""".stripMargin,
 
+    // epoch_ms // is DuckDB floor division = Spark's unix_millis div for
+    // the positive fixture epochs; IGNORE NULLS last_value is the LOCF.
+    "rel_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id % 23 AS ukey, epoch_ms(ts) // 3600000 AS bucket,
+        |         max(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT ukey, min(bucket) AS b0, max(bucket) AS b1
+        |          FROM obs GROUP BY ukey),
+        |grid AS (SELECT ukey, unnest(range(b0, b1 + 1)) AS bucket FROM spans),
+        |j AS (SELECT g.ukey, g.bucket, o.v
+        |      FROM grid g LEFT JOIN obs o USING (ukey, bucket))
+        |SELECT ukey, bucket,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY ukey ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |       v IS NULL AS is_gap
+        |FROM j""".stripMargin,
+
     // Relational derivation of the same per-order scalars the map ops
     // compute: q1 via a keyed CASE max, keys_csv via ordered string_agg,
     // total via sum (exact — whole-number doubles).
@@ -1312,6 +1359,22 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 37 = 0)
         |SELECT point_id, range_id, p_day, lo_day, hi_day
         |FROM pts JOIN iv ON p_day BETWEEN lo_day AND hi_day""".stripMargin,
+
+    "rel_interval_overlap" ->
+      """WITH promos AS (
+        |  SELECT o_orderkey AS promo_id,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS p_lo,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |              + ((o_orderkey // 37) % 14) + 1 AS BIGINT) AS p_hi
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |audits AS (
+        |  SELECT o_orderkey AS audit_id,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS a_lo,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |              + ((o_orderkey // 41) % 10) + 2 AS BIGINT) AS a_hi
+        |  FROM orders WHERE o_orderkey % 41 = 0)
+        |SELECT promo_id, audit_id, p_lo, p_hi, a_lo, a_hi
+        |FROM promos JOIN audits ON p_lo <= a_hi AND a_lo <= p_hi""".stripMargin,
 
     "rel_union" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000

@@ -40,6 +40,38 @@ object RangeJoin {
   private def bucketOf(posCol: String, w: Long): Column =
     expr(s"(`$posCol` - ((`$posCol` % ${w}L) + ${w}L) % ${w}L) div ${w}L")
 
+  /** Interval-overlap join: pair every left interval with every right
+    * interval it overlaps (inclusive ends: a.lo <= b.hi AND b.lo <= a.hi).
+    * Same bucket expansion on BOTH sides; an overlapping pair shares
+    * every bucket their intersection covers, so to emit it exactly once
+    * the residual keeps only the CANONICAL bucket — the bucket containing
+    * max(a.lo, b.lo), the intersection's left edge. One arithmetic
+    * predicate instead of a distinct pass: no second shuffle.
+    *
+    * Left/right column names must be disjoint. Cost is as for
+    * [[pointInInterval]] with both sides expanded. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      leftLo: String, leftHi: String, rightLo: String, rightHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty, s"left/right column name clash: $clash")
+    val l = left.withColumn("__l_bucket",
+      explode(sequence(bucketOf(leftLo, bucketWidth), bucketOf(leftHi, bucketWidth))))
+    val r = right.withColumn("__r_bucket",
+      explode(sequence(bucketOf(rightLo, bucketWidth), bucketOf(rightHi, bucketWidth))))
+    val lo = greatest(col(leftLo), col(rightLo))
+    // exact: the numerator is an exact multiple of the width, and double
+    // division of exact multiples ≤ 2^53 (any realistic epoch position)
+    // yields the exact integer quotient before the cast
+    val canonical = (lo - ((lo % bucketWidth) + bucketWidth) % bucketWidth) / bucketWidth
+    l.join(r,
+        col("__l_bucket") === col("__r_bucket") &&
+          col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi) &&
+          col("__l_bucket") === canonical.cast("long"))
+      .drop("__l_bucket", "__r_bucket")
+  }
+
   /** @param points    one row per point; `pointCol` is a LONG position
     *                  (map timestamps via unix_micros/datediff upstream)
     * @param intervals one row per interval; `loCol`/`hiCol` LONG

@@ -479,6 +479,27 @@ class OperatorSpec extends SparkSuite {
       s"more than the final Qxk top-k merge shuffles:\n$plan")
   }
 
+  test("plan: vocab encode broadcasts the vocabulary onto the token stream") {
+    val df = SparkEntry.queries("text_vocab_encode")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab probe fell back to a shuffled join:\n$plan")
+  }
+
+  test("plan: range joins stay equi-joins; gap fill stays linear") {
+    for (name <- Seq("rel_range_join", "rel_interval_overlap")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+        s"$name planned as all-pairs:\n$plan")
+    }
+    // (key,bucket) pre-agg + span agg + grid join + per-key window — the
+    // linear budget; a regression to an as-of/theta formulation busts it
+    val gf = SparkEntry.queries("rel_gap_fill")(spark, sfDir)
+    assert(numShuffles(gf) <= 4,
+      s"gap fill shuffles beyond its linear budget:\n${gf.queryExecution.executedPlan}")
+  }
+
   test("bloom semi join equals the plain semi join, probe on the scan side") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
@@ -766,6 +787,49 @@ class OperatorSpec extends SparkSuite {
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(got(1L) == ((1L, "1,0,0,2", 4L, 0L)), got(1L).toString)
     assert(got(2L) == ((2L, "0,1,-1", 3L, 1L)), got(2L).toString)
+  }
+
+  test("interval overlap join: inclusive touch, once per pair, naive-equal") {
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 40L)).toDF("aid", "alo", "ahi")
+    // touching at a point (10 == blo) IS an overlap (inclusive ends);
+    // (2, 20-40) × (20, 18-45) spans several shared buckets at w=4
+    val b = Seq((10L, 10L, 12L), (20L, 18L, 45L), (30L, 50L, 60L))
+      .toDF("bid", "blo", "bhi")
+    val got = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", 4L)
+      .select($"aid", $"bid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, s"duplicate pairs: ${got.toList}")
+    assert(got.toSet == Set((1L, 10L), (2L, 20L)), got.toList.toString)
+
+    val rnd = new scala.util.Random(11)
+    val ra = Seq.tabulate(120) { i =>
+      val lo = rnd.nextInt(500).toLong; (i.toLong, lo, lo + rnd.nextInt(40))
+    }.toDF("aid", "alo", "ahi")
+    val rb = Seq.tabulate(120) { i =>
+      val lo = rnd.nextInt(500).toLong; (i.toLong, lo, lo + rnd.nextInt(40))
+    }.toDF("bid", "blo", "bhi")
+    val naive = ra.join(rb, $"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(3L, 16L, 1000L)) {
+      val fast = RangeJoin.intervalOverlap(ra, rb, "alo", "ahi", "blo", "bhi", w)
+        .select($"aid", $"bid").as[(Long, Long)].collect()
+      assert(fast.length == naive.size && fast.toSet == naive, s"width $w diverged")
+    }
+  }
+
+  test("gap fill: LOCF across missing buckets, span-bounded, in-bucket max") {
+    val df = Seq(
+      ("A", 5000L, 1.0),   // bucket 0
+      ("A", 35000L, 4.0),  // bucket 3 ...
+      ("A", 36000L, 9.0),  // ... two obs in one bucket -> max = 9.0
+      ("B", 1000000L, 7.0) // single-obs key: one row, no grid beyond span
+    ).toDF("k", "ms", "v")
+      .select($"k", timestamp_millis($"ms").as("ts"), $"v")
+    val got = GapFill.fillForward(df, "k", "ts", "v", bucketSeconds = 10L)
+      .select($"k", $"bucket", $"value_filled", $"is_gap")
+      .as[(String, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("A", 0L, 1.0, false), ("A", 1L, 1.0, true), ("A", 2L, 1.0, true),
+      ("A", 3L, 9.0, false), ("B", 100L, 7.0, false)), got.toSeq.toString)
   }
 
   test("multimodal decode stub emits one feature row per media object") {
