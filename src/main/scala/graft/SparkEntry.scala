@@ -393,6 +393,62 @@ object SparkEntry {
       GapFill.fillForward(ev, "ukey", "ts", "value", bucketSeconds = 3600L)
     },
 
+    // ── physical layout: pruning + bucketing (Layout scaladoc) ─────────
+    // Write hive-partitioned, read one partition back: the predicate
+    // must prune at directory level (OperatorSpec asserts the scan's
+    // PartitionFilters), so I/O scales with the selected partition.
+    // The oracle is the same filter+agg on the UNPARTITIONED table: any
+    // row lost or duplicated by the write/read round-trip turns it red.
+    "rel_partition_prune" -> { (s, dir) =>
+      val path = layoutPath("li_by_flag")
+      Layout.writePartitioned(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice")),
+        "l_returnflag", path)
+      Layout.readPartition(s, path, "l_returnflag", "R")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+    },
+
+    // Bucket both sides by the join key at write time, then join with
+    // ZERO runtime exchange (OperatorSpec asserts no ShuffleExchange in
+    // the executed plan) — the write-once/join-many amortization that
+    // makes repeated fact-to-fact joins affordable at 100 TB.
+    "rel_bucket_join" -> { (s, dir) =>
+      Layout.saveBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "graft_li_b", "l_orderkey", 8, layoutPath("li_b"))
+      Layout.saveBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_ord_b", "o_orderkey", 8, layoutPath("ord_b"))
+      Layout.bucketedJoin(s, "graft_li_b", "graft_ord_b",
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+    },
+
+    // Batch sessionization (gap > 30 min splits a user's events): the
+    // backfill twin of the streaming session window, hash-gated on every
+    // session's span and exact decimal value sum.
+    "rel_sessionize" -> ((s, dir) =>
+      Sessionize.sessionize(t(s, dir, "events"), "user_id", "ts", "value",
+        gapSec = 1800.0)),
+
+    // Distribution windows the rel_* suite hadn't covered: ntile buckets
+    // + the exact-rational percent_rank/cume_dist pair (ratios of ints —
+    // identical doubles on both engines).
+    "rel_window_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).as("tile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    },
+
     // HLL++ sketch. The estimate itself is engine-defined, so the gated
     // surface is quantitative: the engine computes BOTH the sketch and the
     // exact count and asserts the estimate lands within ±5%; the oracle's
@@ -513,6 +569,14 @@ object SparkEntry {
       Seq("customer", "orders", "lineitem", "nation", "region")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(sqlQ5)
+    },
+
+    // EXISTS / NOT EXISTS / scalar subqueries through the SQL surface —
+    // Catalyst rewrites them to semi/anti/scalar joins; the identical
+    // text runs on both engines.
+    "sql_exists_subquery" -> { (s, dir) =>
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlExists)
     },
 
     // ── dedup suite ───────────────────────────────────────────────────
@@ -739,6 +803,14 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"))),
 
+    // Deterministic per-group k-sample (the reservoir-sampling twin):
+    // exactly 40 docs per language, selected by seeded md5 rank — the
+    // oracle reproduces the identical 40, not just the count.
+    "sample_reservoir" -> ((s, dir) =>
+      Sampling.groupSample(t(s, dir, "documents"), "doc_id", "lang",
+        k = 40, seed = 42L)
+        .select(col("doc_id"), col("lang"), col("draw_rank"))),
+
     // ── text analysis ─────────────────────────────────────────────────
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"))
@@ -798,6 +870,12 @@ object SparkEntry {
     "text_term_stats" -> ((s, dir) =>
       TextAnalysis.termStats(t(s, dir, "documents"))
         .select(col("doc_id"), col("top_term"), col("tf"), col("df"))),
+
+    // BM25 ranking over the same tf/df/length statistics: each doc's best
+    // term with its score rounded to 6 decimals; the arithmetic is
+    // written operation-for-operation as the oracle evaluates it.
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(t(s, dir, "documents"))),
 
     // ── training-data preparation ─────────────────────────────────────
     "pack_chunks" -> ((s, dir) =>
@@ -865,6 +943,16 @@ object SparkEntry {
           "doc_id", "text"), windowBytes = 48, hopBytes = 16)
         .select(col("media_id"), col("win_id").cast("long").as("win_id"),
           col("win_len"), md5(col("win_bytes")).as("win_md5"))),
+
+    // ViT-style 2D patch grid (width 32, patch 4 ⇒ 8 tiles per 128-byte
+    // patch-row): every tile md5-pinned with its grid position.
+    "mm_patches" -> ((s, dir) =>
+      Multimodal.patchSample(
+        Multimodal.asMedia(
+          t(s, dir, "documents").filter(octet_length(col("text")) === length(col("text"))),
+          "doc_id", "text"), width = 32, patch = 4)
+        .select(col("media_id"), col("patch_row"), col("patch_col"),
+          md5(col("patch_bytes")).as("patch_md5"))),
 
     // Resize stub (every 4th byte), hash-gated: for ASCII payloads the
     // byte stride equals a character stride, so DuckDB rebuilds the
@@ -1092,11 +1180,118 @@ object SparkEntry {
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name""".stripMargin
 
+  // Identical text on both engines: customers with a >150k order but no
+  // urgent one, plus a scalar-subquery global benchmark value.
+  private val sqlExists: String =
+    """SELECT c_custkey, c_mktsegment,
+      |       (SELECT count(*) FROM orders WHERE o_totalprice > 150000) AS n_big_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** Scratch dir for the Layout write/read-back queries (deterministic,
+    * outside the repo; mode=overwrite keeps re-runs idempotent). */
+  private def layoutPath(name: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-layout/" + name
+
   // ────────────────────────────────────────────────────────────────────
   def oracleSql: Map[String, String] = Map(
     "sql_entrypoint" -> sqlQ5,
+    "sql_exists_subquery" -> sqlExists,
     "sql_correlated_subquery" -> sqlCorrelated,
     "rel_grouping_sets" -> sqlGroupingSets,
+
+    // Layout round-trips: the oracle reads the ORIGINAL unpartitioned /
+    // unbucketed table — any row the write/read cycle loses, duplicates,
+    // or mangles turns the hash red.
+    "rel_partition_prune" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // Same boundary rule (STRICT > 30 min on the exact micro-epoch
+    // doubles); ties in ts can't split a session, so no id tiebreak is
+    // needed (Sessionize scaladoc).
+    "rel_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, epoch(ts) AS es,
+        |         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN prev IS NULL OR es - prev > 1800.0 THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events, min(ts) AS session_start,
+        |       max(ts) AS session_end,
+        |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "rel_window_ntile" ->
+      """SELECT c_custkey, c_nationkey,
+        |       CAST(ntile(4) OVER w AS INT) AS tile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin,
+
+    "sample_reservoir" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('42-' || CAST(doc_id AS VARCHAR)), doc_id) AS draw_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(draw_rank AS BIGINT) AS draw_rank
+        |FROM r WHERE draw_rank <= 40""".stripMargin,
+
+    // Literal-for-literal the same double arithmetic as TextAnalysis.bm25
+    // (left-associative, identical constant folds), rounded to 6 decimals
+    // on both engines.
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df, l.dl,
+        |         round(ln(1.0 + (c.n_docs - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+        |           * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |           / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(l.dl AS DOUBLE) / c.avgdl)), 6) AS score
+        |  FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN corpus c),
+        |top AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |        FROM scored)
+        |SELECT doc_id, term AS top_term, tf, df, dl, score FROM top WHERE rn = 1""".stripMargin,
+
+    // width 32, patch 4: tile (pr, pc) = 4 substrings of 4 chars at
+    // pr*128 + r*32 + pc*4 (ASCII-scoped, as every mm_* oracle).
+    "mm_patches" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+        |           WHERE strlen(text) = length(text)),
+        |p AS (SELECT doc_id, text, unnest(range(0, (n // 128) * 8)) AS pi FROM d),
+        |q AS (SELECT doc_id, text, pi // 8 AS pr, pi % 8 AS pc FROM p)
+        |SELECT doc_id AS media_id, CAST(pr AS BIGINT) AS patch_row,
+        |       CAST(pc AS BIGINT) AS patch_col,
+        |       md5(substr(text, CAST(pr*128 + pc*4 + 1 AS INT), 4)
+        |        || substr(text, CAST(pr*128 + 32 + pc*4 + 1 AS INT), 4)
+        |        || substr(text, CAST(pr*128 + 64 + pc*4 + 1 AS INT), 4)
+        |        || substr(text, CAST(pr*128 + 96 + pc*4 + 1 AS INT), 4)) AS patch_md5
+        |FROM q""".stripMargin,
 
     "rel_agg_arrays" ->
       """SELECT l_returnflag,

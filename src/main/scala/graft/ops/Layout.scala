@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: hive-partitioned writes with partition-pruned
+  * reads, and bucketed tables whose joins need no exchange at all.
+  *
+  * These are the two storage-side levers that matter most at 100 TB:
+  *
+  *  - '''Partition pruning''' turns a predicate on the partition column
+  *    into directory listing, not I/O: a reader of one `l_returnflag`
+  *    value out of three touches one third of the files — before a single
+  *    byte of parquet is opened. At 100 TB with daily date partitions, a
+  *    one-week query reads 7/365ths of the corpus. The pruning is visible
+  *    in the scan node's `PartitionFilters` (asserted in OperatorSpec —
+  *    a plan whose partition predicate degraded to a post-scan `Filter`
+  *    is a silent full-corpus read).
+  *
+  *  - '''Bucketing''' pre-shuffles a table ONCE at write time: both sides
+  *    bucketed by the join key into the same bucket count hash-split
+  *    their rows identically, so the join is bucket-to-bucket with zero
+  *    runtime `Exchange` — the shuffle that dominates a fact-to-fact join
+  *    is paid once at ingest and amortized over every subsequent join.
+  *    `sortBy` additionally persists the sort, letting sort-merge-join
+  *    skip its sorts. OperatorSpec asserts the executed plan contains no
+  *    shuffle exchange.
+  *
+  * The reference keeps everything in a single Kafka topic and one
+  * Postgres table (no layout tier at all — SURVEY.md §4.1); this module
+  * is the scale path its city-partitioned data model implies
+  * (reference partitions by city key only logically, producer/run_producer.py:16-19).
+  */
+object Layout {
+
+  /** Write `df` hive-partitioned by `partCol` (one directory per value).
+    * At scale the caller picks a column whose cardinality matches the
+    * desired file count — dates, regions, shards — never a high-card key. */
+  def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =
+    graft.sources.Sources.writePartitioned(df, path, Seq(partCol))
+
+  /** Read back one partition by value. The equality predicate lands in
+    * `PartitionFilters`: non-matching directories are never listed into
+    * the scan, so I/O scales with the selected partition, not the table. */
+  def readPartition(spark: SparkSession, path: String, partCol: String,
+      value: String): DataFrame =
+    spark.read.parquet(path).filter(col(partCol) === value)
+
+  /** Persist `df` as a bucketed + sorted table (external, parquet).
+    * Dropping first keeps the call idempotent under re-runs; the data
+    * itself is replaced by mode=overwrite. */
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two same-bucketed tables. With both sides bucketed by
+    * their join key into the same `nBuckets`, Spark plans a sort-merge
+    * join with NO exchange on either side (the `merge` hint keeps the
+    * small side from being broadcast, which would hide the property this
+    * operator exists to demonstrate). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.hint("merge").join(r, l(leftKey) === r(rightKey))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One media object: opaque bytes + typed metadata. In a real pipeline the
@@ -122,5 +122,42 @@ object Multimodal {
           MediaFeatures(rec.media_id, w, h, frames, feat)
         }
       }
+  }
+
+  /** ViT-style 2D patch extraction: interpret the payload as a row-major
+    * `width`-byte-wide pixel grid and cut it into `patch`×`patch` tiles,
+    * one output row per complete tile with its (patch-row, patch-col)
+    * grid position — the tokenization step of a vision transformer,
+    * where [[frameSample]] is the 1-D video analog.
+    *
+    * Each tile's bytes are gathered by `patch` fixed substrings (one per
+    * pixel row) concatenated — a static codegen'd expression tree, no
+    * UDF. Incomplete trailing rows/tiles are dropped (the crop-to-grid
+    * convention). Per-row HOF + posexplode: zero shuffles at any corpus
+    * size, and the explode multiplies rows only after column pruning. */
+  def patchSample(media: DataFrame, width: Int, patch: Int): DataFrame = {
+    require(width >= patch && patch >= 1 && width % patch == 0,
+      "need width % patch == 0, patch >= 1")
+    val cols = width / patch
+    // complete patch-rows: each consumes `patch` full pixel rows of `width` bytes
+    val pRows = (col("n_bytes") / (width.toLong * patch)).cast("int")
+    val nPatches = pRows * cols
+    val tile = (pi: Column) => {
+      val pr = (pi / cols).cast("int")
+      val pc = (pi % cols).cast("int")
+      (0 until patch)
+        .map(r => substring(col("media"),
+          ((pr * patch + r) * width + pc * patch + 1).cast("int"), lit(patch)))
+        .reduce(concat(_, _))
+    }
+    media
+      .select(col("media_id"), col("n_bytes"),
+        posexplode(when(nPatches >= 1,
+            transform(sequence(lit(0), nPatches - 1), tile))
+          .otherwise(array().cast("array<binary>"))))
+      .select(col("media_id"),
+        (col("pos") / cols).cast("long").as("patch_row"),
+        (col("pos") % cols).cast("long").as("patch_col"),
+        col("col").as("patch_bytes"))
   }
 }

@@ -80,4 +80,25 @@ object Sampling {
     }
     df.filter(drawOf(col(keyCol)) < cutoff)
   }
+
+  /** Exactly `k` rows per group (fewer when the group is smaller) — the
+    * deterministic twin of per-group reservoir sampling. Rank rows inside
+    * each group by md5(seed‖key) (a seeded uniform draw any engine can
+    * reproduce) and keep ranks ≤ k; the key itself breaks md5 ties.
+    *
+    * Unlike a true reservoir the selection is a pure function of
+    * (seed, key set): rerun-stable, partitioning-independent, and
+    * re-auditable row-for-row. Changing the seed redraws; growing k keeps
+    * the smaller sample as a prefix (rank order is seed-fixed). One
+    * shuffle on the group key; per-group state is the window's single
+    * ordered pass. */
+  def groupSample(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val draw = md5(concat_ws("-", lit(seed), col(keyCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(draw, col(keyCol))
+    df.withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= k)
+  }
 }

@@ -181,6 +181,51 @@ object TextAnalysis {
       .join(dfreq.withColumnRenamed("term", "top_term"), Seq("top_term"))
   }
 
+  /** BM25 relevance scoring — the retrieval-quality step a training-data
+    * pipeline runs to rank documents against probe queries (data
+    * selection by relevance, eval-set mining). Builds on the same
+    * (doc, term) tf / df / length statistics as [[termStats]]:
+    *
+    *   idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))   (the standard
+    *                 Robertson–Sparck-Jones form, always ≥ 0)
+    *   score(d,t)  = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Output: each document's best-scoring term (tie-break term asc) with
+    * its score rounded to 6 decimals. The corpus constants N and avgdl
+    * ride a 1-row broadcast; df joins on term against the collapsed
+    * (doc, term) frame — all shuffles carry narrow integer rows. The
+    * arithmetic is written in the exact operation order the oracle SQL
+    * uses, so both engines evaluate identical double expressions. */
+  def bm25(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val score = idf * (tfd * (k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("score", round(score, 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        col("tf"), col("df"), col("dl"), col("score"))
+  }
+
   /** Corpus vocabulary build + id encoding — the word-level tokenizer
     * step: rank terms by (corpus tf desc, term asc), keep the top
     * `vocabSize` as ids 0..V-1, and rewrite every document as its token-id

@@ -842,4 +842,115 @@ class OperatorSpec extends SparkSuite {
     val again = Multimodal.decodeStub(spark, media).collect()
     assert(feats.map(_.feature.toSeq).toSet == again.map(_.feature.toSeq).toSet)
   }
+
+  test("plan: partition-pruned read touches only the selected directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_returnflag", $"l_orderkey", $"l_quantity")
+    Layout.writePartitioned(li, "l_returnflag", s"$dir/li")
+    val pruned = Layout.readPartition(spark, s"$dir/li", "l_returnflag", "R")
+    // the real pruning evidence: the physical scan's partition list after
+    // PartitionFilters are applied — one directory of the three written
+    // (DataFrame.inputFiles would lie here: it lists the pre-pruning index)
+    withoutAqe {
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+      val parts = scans.head.selectedPartitions
+      assert(parts.partitionCount == 1 &&
+        parts.toPartitionArray.forall(_.urlEncodedPath.contains("l_returnflag=R")),
+        s"scan selected ${parts.partitionCount} partitions:\n${pruned.queryExecution.executedPlan}")
+    }
+    assert(pruned.count() == li.filter($"l_returnflag" === "R").count())
+  }
+
+  test("plan: bucketed join runs with zero exchanges and matches plain join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority")
+    Layout.saveBucketed(li, "t_li_b", "l_orderkey", 4, s"$dir/li_b")
+    Layout.saveBucketed(ord, "t_ord_b", "o_orderkey", 4, s"$dir/ord_b")
+    withoutAqe {
+      val joined = Layout.bucketedJoin(spark, "t_li_b", "t_ord_b",
+        "l_orderkey", "o_orderkey")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+      val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      assert(joined.count() == plain.count())
+    }
+  }
+
+  test("sessionize splits at strict gaps and keeps tied timestamps together") {
+    val ev = Seq(
+      (1L, 0L, 1.0), (1L, 10L, 2.0),           // session 1
+      (1L, 2000L, 3.0), (1L, 2000L, 4.0),      // session 2 (tied ts)
+      (1L, 4000L, 5.0),                        // session 3 (gap 2000 > 1800)
+      (2L, 1810L, 6.0), (2L, 3610L, 7.0)       // user 2: gap == 1800 NOT > -> one session
+    ).toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val out = Sessionize.sessionize(ev, "user_id", "ts", "value", gapSec = 1800.0)
+      .select($"user_id", $"session_id", $"n_events")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 2L), (1L, 3L, 1L), (2L, 1L, 2L)),
+      out.mkString(","))
+  }
+
+  test("patch grid: positions and bytes match the row-major crop") {
+    // payload "abcdefgh" as a 4-wide grid: rows "abcd"/"efgh"; 2x2 patches
+    // -> (0,0)="ab"+"ef", (0,1)="cd"+"gh"; a 9th byte is cropped away
+    val media = Multimodal.asMedia(
+      Seq((1L, "abcdefghX")).toDF("doc_id", "text"), "doc_id", "text")
+    val got = Multimodal.patchSample(media, width = 4, patch = 2)
+      .select($"patch_row", $"patch_col", $"patch_bytes".cast("string"))
+      .as[(Long, Long, String)].collect().sorted
+    assert(got.toSeq == Seq((0L, 0L, "abef"), (0L, 1L, "cdgh")), got.mkString(","))
+    // payloads shorter than one tile emit nothing (no bogus sequence(0,-1))
+    val short = Multimodal.asMedia(
+      Seq((2L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(Multimodal.patchSample(short, width = 4, patch = 2).count() == 0)
+  }
+
+  test("group sample: k per group, partition-independent, seed-sensitive, nests") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sizes = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val k40 = Sampling.groupSample(docs, "doc_id", "lang", k = 40, seed = 42L)
+    val perGroup = k40.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(perGroup == sizes.map { case (g, n) => g -> math.min(40L, n) })
+    val again = Sampling.groupSample(docs.repartition(7), "doc_id", "lang", 40, 42L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == k40.select("doc_id").as[Long].collect().toSet,
+      "selection must not depend on partitioning")
+    val otherSeed = Sampling.groupSample(docs, "doc_id", "lang", 40, 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(otherSeed != again, "different seed should redraw")
+    val k10 = Sampling.groupSample(docs, "doc_id", "lang", 10, 42L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k10.subsetOf(again), "smaller k must be a prefix of the seed-fixed rank order")
+  }
+
+  test("bm25 matches the formula on a hand corpus; rare term outranks common") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs)
+      .select($"doc_id", $"top_term", $"score")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    // N=3, avgdl=8/3; df: a->2, b->1, c->2
+    def idf(df: Int) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def score(tf: Int, df: Int, dl: Int) = {
+      val raw = idf(df) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (8.0 / 3.0)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // doc 1: b (tf 1, df 1) must beat a (tf 2, df 2) — rarity wins here
+    assert(got(0)._2 == "b" && got(0)._3 == score(1, 1, 3), got(0).toString)
+    // doc 2: a and c tie exactly (same tf, df, dl) -> term asc picks a
+    assert(got(1)._2 == "a" && got(1)._3 == score(1, 2, 2), got(1).toString)
+    assert(got(2)._2 == "c" && got(2)._3 == score(3, 2, 3), got(2).toString)
+  }
 }
