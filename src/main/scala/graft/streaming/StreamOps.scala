@@ -8,6 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * public: the state encoder's generated code instantiates it reflectively. */
 case class SessionState(n: Long, fare: Double, startMs: Long, lastMs: Long)
 
+/** Per-user funnel state for StreamOps.conversionFunnel: the most recent
+  * view's event-time in MICROseconds (ms would silently truncate the
+  * fixture's micro timestamps and break batch/stream parity). */
+case class FunnelState(lastViewUs: Long)
+
 /** Streaming operators beyond the reference's surface (SURVEY.md §2.4
   * lists these as absent there): sliding & session event-time windows,
   * watermark-bounded streaming dedup, stream-static enrichment joins, and
@@ -146,6 +151,93 @@ object StreamOps {
           }
           closed.reverseIterator
         }
+    }
+  }
+
+  /** One view→purchase conversion. */
+  case class Conversion(user_id: Long, purchase_id: Long,
+      view_ts: java.sql.Timestamp, purchase_ts: java.sql.Timestamp,
+      latency_s: Double)
+
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  /** Cross-event-type state machine: each purchase is attributed to the
+    * user's most recent PRECEDING view within `maxDelaySec` — the
+    * conversion-funnel operator (where [[sessionize]] demonstrates
+    * same-type burst state, this keeps state ACROSS event types).
+    *
+    * Batch form: one window pass per user — running max of view
+    * timestamps over (ts, event_id) order, strictly-preceding frame.
+    * Streaming form: flatMapGroupsWithState holds one timestamp per user
+    * (the last view), emits a conversion per qualifying purchase, and
+    * drops state via event-time timeout `maxDelaySec` past the last view
+    * — after that no purchase can use it, so state is watermark-bounded:
+    * |users active within the horizon| entries, independent of stream
+    * length. Both paths order ties by (ts, event_id), so they agree
+    * row-for-row on an in-order feed (StreamingSpec pins the parity).
+    *
+    * A view is NOT consumed by a conversion: two purchases after one
+    * view both attribute to it (the window form has the same semantics
+    * by construction). */
+  def conversionFunnel(events: DataFrame, timeCol: String, userCol: String,
+      idCol: String, typeCol: String, maxDelaySec: Long, lateness: String,
+      streaming: Boolean): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    if (!streaming) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(userCol))
+        .orderBy(col(timeCol), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lastView = max(when(col(typeCol) === "view", col(timeCol))).over(w)
+      events
+        .withColumn("__view_ts", lastView)
+        .filter(col(typeCol) === "purchase" && col("__view_ts").isNotNull &&
+          col(timeCol).cast("double") - col("__view_ts").cast("double") <= maxDelaySec)
+        .select(col(userCol).as("user_id"), col(idCol).as("purchase_id"),
+          col("__view_ts").as("view_ts"), col(timeCol).as("purchase_ts"),
+          (col(timeCol).cast("double") - col("__view_ts").cast("double")).as("latency_s"))
+    } else {
+      val typed = events
+        .select(col(userCol).cast("long").as("user_id"),
+          col(idCol).cast("long").as("event_id"),
+          col(timeCol).cast("timestamp").as("ts"),
+          col(typeCol).cast("string").as("event_type"))
+        .withWatermark("ts", lateness)
+        .as[(Long, Long, java.sql.Timestamp, String)]
+      typed.groupByKey(_._1).flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+         state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (tsMicros(r._3), r._2))
+            var out = List.empty[Conversion]
+            var lastView = state.getOption.map(_.lastViewUs)
+            sorted.foreach { case (_, id, ts, typ) =>
+              val us = tsMicros(ts)
+              if (typ == "view") lastView = Some(us)
+              else if (typ == "purchase") lastView.foreach { v =>
+                // identical arithmetic to the batch twin: micro-exact
+                // epoch doubles subtracted
+                val latency = us / 1e6 - v / 1e6
+                if (latency <= maxDelaySec)
+                  out ::= Conversion(user, id,
+                    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                      v / 1000000L, v % 1000000L * 1000)),
+                    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                      us / 1000000L, us % 1000000L * 1000)),
+                    latency)
+              }
+            }
+            lastView.foreach { v =>
+              state.update(FunnelState(v))
+              state.setTimeoutTimestamp(v / 1000 + maxDelaySec * 1000)
+            }
+            out.reverseIterator
+          }
+      }.toDF()
     }
   }
 }

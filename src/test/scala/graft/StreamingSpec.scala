@@ -404,4 +404,41 @@ class StreamingSpec extends SparkSuite {
     assert(sink.cityMetrics.keySet == Set("nyc"))
     assert(sink.cityMetrics("nyc").total_trips == 1)
   }
+
+  test("funnel state machine matches the batch window twin across batches") {
+    import graft.streaming.StreamOps
+    // (user, event_id, epoch_s, type): user 10 converts twice off one view
+    // (views aren't consumed), crossing a batch boundary; user 20's
+    // purchase is outside the 1 h horizon; user 30 has no view at all
+    val rows1 = Seq((10L, 1L, 100L, "view"), (10L, 2L, 200L, "purchase"),
+      (20L, 3L, 100L, "view"), (30L, 4L, 150L, "purchase"))
+    val rows2 = Seq((10L, 5L, 300L, "purchase"), (20L, 6L, 4000L, "purchase"))
+    def toDfCols(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("user_id", "event_id", "epoch", "event_type")
+      .select($"user_id", $"event_id", timestamp_seconds($"epoch").as("ts"),
+        $"event_type")
+    val source = MemoryStream[(Long, Long, Long, String)]
+    val out = StreamOps.conversionFunnel(toDfCols(source.toDF()),
+      "ts", "user_id", "event_id", "event_type",
+      maxDelaySec = 3600L, lateness = "10 minutes", streaming = true)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      source.addData(rows1); q.processAllAvailable()
+      source.addData(rows2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("funnel_out")
+      .select($"user_id", $"purchase_id", $"latency_s")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = StreamOps.conversionFunnel(
+      toDfCols((rows1 ++ rows2).toDF()),
+      "ts", "user_id", "event_id", "event_type",
+      maxDelaySec = 3600L, lateness = "10 minutes", streaming = false)
+      .select($"user_id", $"purchase_id", $"latency_s")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // the state machine attributed both purchases to the single view,
+    // kept the stale-view user out, and ignored the view-less user
+    assert(streamed == Set((10L, 2L, 100.0), (10L, 5L, 200.0)))
+  }
 }
