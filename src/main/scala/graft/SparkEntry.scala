@@ -2,6 +2,7 @@ package graft
 
 import graft.model.Schemas
 import graft.ops._
+import graft.sources.Sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -101,6 +102,16 @@ object SparkEntry {
       graft.streaming.StreamOps.dedupStream(
         t(s, dir, "events").unionAll(t(s, dir, "events")),
         timeCol = "ts", idCol = "event_id", lateness = "10 minutes",
+        streaming = false)),
+
+    // Conversion funnel (cross-event-type state machine): each purchase
+    // attributed to the user's latest preceding view within 1 h. Batch
+    // twin = one window pass; the flatMapGroupsWithState streaming form
+    // is parity-pinned in StreamingSpec.
+    "stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamOps.conversionFunnel(t(s, dir, "events"),
+        timeCol = "ts", userCol = "user_id", idCol = "event_id",
+        typeCol = "event_type", maxDelaySec = 3600L, lateness = "10 minutes",
         streaming = false)),
 
     // Stream-stream interval join, batch twin: every view within the 10
@@ -436,6 +447,116 @@ object SparkEntry {
       Sessionize.sessionize(t(s, dir, "events"), "user_id", "ts", "value",
         gapSec = 1800.0)),
 
+    // Exact interpolated percentiles (percentile_cont semantics — the
+    // non-sketch twin of rel_approx_quantile's gated t-digest).
+    "rel_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+          count(lit(1)).as("n"))),
+
+    // Navigation window functions with explicit frames: first/last/nth
+    // over a deterministic order — o_orderkey is UNIQUE, so the frame
+    // contents are a total order ((l_orderkey, l_linenumber) is not
+    // unique in this fixture and would make first/nth ambiguous).
+    "rel_window_nav" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+    },
+
+    // Count-min sketch, gated like the HLL/t-digest rows: the sketch is
+    // the driver-mergeable summary (that boundedness IS the operator);
+    // the gate asserts its two guarantees against exact counts computed
+    // distributively — never under, within eps·N over (seed-fixed, so
+    // deterministic; the estimates themselves are engine-defined).
+    "rel_count_min" -> { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val eps = 0.001
+      val sketch = li.stat.countMinSketch(col("l_partkey"), eps, 0.99, 42)
+      val slack = math.ceil(eps * sketch.totalCount()).toLong
+      val probes = (1L to 5L).toSeq
+      val est = probes.map(k => (k, sketch.estimateCount(k))).toDF("probe_key", "est")
+      li.filter(col("l_partkey").isin(probes: _*))
+        .groupBy(col("l_partkey").as("probe_key"))
+        .agg(count(lit(1)).as("exact_n"))
+        .join(broadcast(est), Seq("probe_key"))
+        .select(col("probe_key"), col("exact_n"),
+          (col("est") >= col("exact_n")).as("never_under"),
+          (col("est") <= col("exact_n") + slack).as("within_eps"))
+    },
+
+    // S-format round-trips through the oracle gate: write CSV/JSONL to
+    // scratch, read back with the declared schema, aggregate — the
+    // oracle aggregates the ORIGINAL table, so any value mangled by
+    // serialization (double shortest-round-trip, nulls, quoting) flips
+    // the hash.
+    "src_csv_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = layoutPath("orders_csv")
+      Sources.writeCsv(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")), path)
+      val schema = new StructType().add("o_orderkey", LongType)
+        .add("o_orderstatus", StringType).add("o_totalprice", DoubleType)
+      Sources.readCsv(s, path, schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    },
+
+    "src_json_roundtrip" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = layoutPath("orders_json")
+      Sources.writeJsonLines(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")), path)
+      val schema = new StructType().add("o_orderkey", LongType)
+        .add("o_orderpriority", StringType).add("o_totalprice", DoubleType)
+      Sources.readJsonLines(s, path, schema)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+    },
+
+    "src_orc_roundtrip" -> { (s, dir) =>
+      val path = layoutPath("orders_orc")
+      Sources.writeOrc(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")), path)
+      Sources.readOrc(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    },
+
+    // SCD2 interval build: each (user, event) change row becomes a
+    // [valid_from, valid_to) validity interval, NULL-open for current.
+    "rel_scd2" -> ((s, dir) =>
+      Profile.scd2(t(s, dir, "events"), "user_id", Seq("ts", "event_id"),
+        Seq("event_type", "value"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
+    // Fixed-grid histogram of order totals: 16 buckets over [0, 400k).
+    "rel_histogram" -> ((s, dir) =>
+      Profile.histogram(t(s, dir, "orders"), "o_totalprice",
+        lo = 0.0, hi = 400000.0, nBuckets = 16)),
+
+    // One-pass per-column profile (nulls + exact distincts for every
+    // column of orders).
+    "rel_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
+
     // Distribution windows the rel_* suite hadn't covered: ntile buckets
     // + the exact-rational percent_rank/cume_dist pair (ratios of ints —
     // identical doubles on both engines).
@@ -577,6 +698,16 @@ object SparkEntry {
     "sql_exists_subquery" -> { (s, dir) =>
       Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(sqlExists)
+    },
+
+    // LATERAL VIEW explode through the SQL surface (HiveQL spelling on
+    // Spark, unnest on the oracle — same token relation).
+    "sql_lateral_explode" -> { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""SELECT lang, tok, count(*) AS n
+              |FROM documents
+              |LATERAL VIEW explode(split(trim(text), '\\s+')) x AS tok
+              |GROUP BY lang, tok HAVING count(*) > 100""".stripMargin)
     },
 
     // ── dedup suite ───────────────────────────────────────────────────
@@ -810,6 +941,13 @@ object SparkEntry {
       Sampling.groupSample(t(s, dir, "documents"), "doc_id", "lang",
         k = 40, seed = 42L)
         .select(col("doc_id"), col("lang"), col("draw_rank"))),
+
+    // 90/5/5 train/val/test assignment: one label per doc, stable under
+    // rerun and weight rebalancing (cutoff partition of the same draw).
+    "sample_split" -> ((s, dir) =>
+      Sampling.splitAssign(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))),
 
     // ── text analysis ─────────────────────────────────────────────────
     "text_token_stats" -> ((s, dir) =>
@@ -1203,6 +1341,119 @@ object SparkEntry {
     "sql_exists_subquery" -> sqlExists,
     "sql_correlated_subquery" -> sqlCorrelated,
     "rel_grouping_sets" -> sqlGroupingSets,
+
+    // Same strictly-preceding window and micro-epoch arithmetic as the
+    // batch twin of the funnel state machine.
+    "stream_funnel" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         max(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_ts
+        |  FROM events)
+        |SELECT user_id, event_id AS purchase_id, view_ts, ts AS purchase_ts,
+        |       epoch(ts) - epoch(view_ts) AS latency_s
+        |FROM x WHERE event_type = 'purchase' AND view_ts IS NOT NULL
+        |  AND epoch(ts) - epoch(view_ts) <= 3600""".stripMargin,
+
+    "rel_percentiles" ->
+      """SELECT o_orderpriority,
+        |       quantile_cont(o_totalprice, 0.25) AS p25,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.75) AS p75,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "rel_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       last_value(o_totalprice) OVER wf AS last_price,
+        |       nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    // The sketch's guarantees hold by construction (seed-fixed): the
+    // oracle pins the exact counts and expects both booleans true.
+    "rel_count_min" ->
+      """SELECT l_partkey AS probe_key, count(*) AS exact_n,
+        |       true AS never_under, true AS within_eps
+        |FROM lineitem WHERE l_partkey BETWEEN 1 AND 5
+        |GROUP BY l_partkey""".stripMargin,
+
+    "src_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "src_json_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "src_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "rel_scd2" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER w AS valid_to,
+        |       lead(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // width = (400000 - 0) / 16 = 25000 exactly; same floor arithmetic
+    "rel_histogram" ->
+      """SELECT CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT) AS bucket,
+        |       count(*) AS n_rows, min(o_totalprice) AS min_val,
+        |       max(o_totalprice) AS max_val
+        |FROM orders WHERE o_totalprice >= 0.0 AND o_totalprice < 400000.0
+        |GROUP BY 1""".stripMargin,
+
+    "rel_profile" ->
+      """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT o_custkey) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*),
+        |       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT o_totalprice) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*),
+        |       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT o_orderdate) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT o_orderpriority) FROM orders""".stripMargin,
+
+    "sample_split" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 AS draw FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN draw < 900000 THEN 'train'
+        |            WHEN draw < 950000 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM d""".stripMargin,
+
+    "sql_lateral_explode" ->
+      """WITH tok AS (SELECT lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        |SELECT lang, tok, count(*) AS n FROM tok
+        |GROUP BY lang, tok HAVING count(*) > 100""".stripMargin,
 
     // Layout round-trips: the oracle reads the ORIGINAL unpartitioned /
     // unbucketed table — any row the write/read cycle loses, duplicates,

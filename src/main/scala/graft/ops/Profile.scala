@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse/profiling operators: SCD2 interval building, fixed-grid
+  * histograms, and per-column data profiles — the "know your data" pass a
+  * pipeline runs before and after every big transform.
+  *
+  * All three are single-scan shapes: SCD2 is one window pass per key
+  * (state bounds follow the fattest key, like Sessionize), the histogram
+  * is one map-side-combined aggregate over a codegen'd bucket projection,
+  * and the profile is ONE aggregate emitting every column's statistics
+  * (multi-column distinct counts expand the row — Spark's Expand — but
+  * still one pass over the data, which at 100 TB beats a per-column loop
+  * by the column count).
+  */
+object Profile {
+
+  /** Slowly-changing-dimension type-2 intervals: each change row becomes
+    * [valid_from, valid_to) with valid_to = the key's next change (NULL
+    * for the current row). `orderCols` must be a total order within a
+    * key — a non-unique order makes lead() ambiguous (the rel_window_nav
+    * lesson). */
+  def scd2(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val from = col(orderCols.head)
+    df.select((keyCol +: orderCols ++: attrCols).map(col): _*)
+      .withColumn("valid_from", from)
+      .withColumn("valid_to", lead(from, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Fixed-grid histogram: values in [lo, hi) land in
+    * floor((x − lo) / width) of `nBuckets` equal buckets; out-of-range
+    * rows are dropped (the caller counts them separately if needed).
+    * One narrow aggregate — the profiling scan at any scale. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(hi > lo && nBuckets >= 1, "need hi > lo, nBuckets >= 1")
+    val width = (hi - lo) / nBuckets
+    val x = col(valueCol).cast("double")
+    df.filter(x >= lo && x < hi)
+      .withColumn("bucket", floor((x - lo) / width).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(x).as("min_val"), max(x).as("max_val"))
+  }
+
+  /** Per-column profile in one pass: row count, null count, exact
+    * distinct count for every named column. Output long-form
+    * (column_name, n_rows, n_nulls, n_distinct). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val pairs = cols.flatMap(c => Seq(
+      lit(c), struct(col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"))))
+    one.select(explode(map(pairs: _*)).as(Seq("column_name", "s")))
+      .select(col("column_name"), col("s.n_rows"), col("s.n_nulls"),
+        col("s.n_distinct"))
+  }
+}

@@ -101,4 +101,22 @@ object Sampling {
     df.withColumn("draw_rank", row_number().over(w).cast("long"))
       .filter(col("draw_rank") <= k)
   }
+
+  /** Train/val/test split assignment: the draw partitions [0, 1e6) by the
+    * cumulative weight cutoffs, so every row gets exactly one label, the
+    * same label on every rerun/engine, and growing one split's weight
+    * only MOVES the boundary (rows never hop between non-adjacent
+    * splits). Pure codegen'd CASE — no shuffle, no state. */
+  def splitAssign(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val cutoffs = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.round(f * buckets)).zip(splits.map(_._1))
+    val d = drawOf(col(keyCol))
+    val label = cutoffs.init.reverse.foldLeft(lit(cutoffs.last._2)) {
+      case (acc, (cut, name)) => when(d < cut, name).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
 }

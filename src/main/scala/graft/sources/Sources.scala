@@ -34,6 +34,15 @@ object Sources {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC: the columnar alternative when the lake standardizes on it —
+    * same pushdown/pruning machinery as parquet (Spark bundles the ORC
+    * reader natively). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** JDBC sink parity with the reference (streaming_job.py:26-34) —
     * exercised against embedded Derby in StreamingSpec; the streaming
     * upsert path is graft.streaming.JdbcUpsertSink. */

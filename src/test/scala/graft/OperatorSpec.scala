@@ -935,6 +935,47 @@ class OperatorSpec extends SparkSuite {
     assert(k10.subsetOf(again), "smaller k must be a prefix of the seed-fixed rank order")
   }
 
+  test("scd2: intervals chain per key, current row open; histogram edges half-open") {
+    val ev = Seq((1L, 10L, 100L, "a"), (1L, 11L, 200L, "b"), (2L, 12L, 50L, "c"))
+      .toDF("k", "id", "sec", "attr")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val iv = Profile.scd2(ev, "k", Seq("ts", "id"), Seq("attr"))
+      .select($"k", $"attr", $"valid_to".isNull.as("open"))
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(iv == Set((1L, "a", false), (1L, "b", true), (2L, "c", true)))
+
+    val vals = Seq(0.0, 24999.9, 25000.0, 399999.9, 400000.0, -1.0).toDF("x")
+    val h = Profile.histogram(vals, "x", 0.0, 400000.0, 16)
+      .select($"bucket", $"n_rows").as[(Long, Long)].collect().toMap
+    // 400000.0 and -1.0 fall outside [lo, hi); 25000.0 opens bucket 1
+    assert(h == Map(0L -> 2L, 1L -> 1L, 15L -> 1L), h.toString)
+  }
+
+  test("profile counts nulls and exact distincts in one pass") {
+    val df = Seq((Some(1L), "x"), (None, "x"), (Some(1L), "y"))
+      .toDF("a", "b")
+    val p = Profile.profile(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(p("a") == ((3L, 1L, 1L)) && p("b") == ((3L, 0L, 2L)), p.toString)
+  }
+
+  test("split assignment covers every row, respects weights, moves boundaries only") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val s1 = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    assert(s1.length == docs.count())
+    val frac = s1.groupBy(_._2).view.mapValues(_.length.toDouble / s1.length).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.1, frac.toString)
+    // growing train's share only converts val/test rows INTO train —
+    // no train row ever leaves (boundary moves, rows don't hop)
+    val s2 = Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.95, "val" -> 0.025, "test" -> 0.025))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val train1 = s1.filter(_._2 == "train").map(_._1).toSet
+    assert(train1.forall(id => s2(id) == "train"))
+  }
+
   test("bm25 matches the formula on a hand corpus; rare term outranks common") {
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
     val got = TextAnalysis.bm25(docs)
