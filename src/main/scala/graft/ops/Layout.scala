@@ -48,12 +48,19 @@ object Layout {
 
   /** Persist `df` as a bucketed + sorted table (external, parquet).
     * Dropping first keeps the call idempotent under re-runs; the data
-    * itself is replaced by mode=overwrite. */
+    * itself is replaced by mode=overwrite.
+    *
+    * The pre-write `repartition(nBuckets, key)` aligns the shuffle with
+    * the bucket hash (both are Murmur3 pmod nBuckets), so each write
+    * task holds exactly one bucket ⇒ ONE file per bucket. Without it,
+    * every write task emits a file per bucket it happens to hold —
+    * tasks×buckets small files at fleet scale. */
   def saveBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int, path: String): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode("overwrite")
+    df.repartition(nBuckets, col(bucketCol))
+      .write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .option("path", path)
