@@ -1127,6 +1127,106 @@ object SparkEntry {
           array_join(transform(col("feature"),
             (f, i) => (round(f.cast("double") * 255) - i).cast("long").cast("string")), ",")
             .as("feature_bytes"))),
+
+    // ── wave 7: time series, layout, semi-structured, LM statistics ────
+
+    // Left-outer interval join: purchases with no view in the preceding
+    // 10 min survive with a null view_id. The streaming form (null
+    // emitted only once the right watermark clears the candidate
+    // interval) is pinned in StreamingSpec.
+    "stream_outer_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      graft.streaming.StreamOps.intervalJoin(p, v, "user_id", "p_ts", "v_ts",
+        maxDelaySec = 600, lateness = "10 minutes", streaming = false,
+        joinType = "left_outer")
+        .select(col("purchase_id"), col("view_id"))
+    },
+
+    // Finite-horizon EWMA (α=0.75, k=8) per user: one ordered window,
+    // k codegen'd multiply-adds per row, the identical IEEE operation
+    // sequence as the oracle (weights are exact dyadic doubles).
+    "ts_ewma" -> ((s, dir) =>
+      TimeSeries.ewma(t(s, dir, "events"), keyCol = "user_id", timeCol = "ts",
+        idCol = "event_id", valueCol = "value", alpha = 0.75, k = 8)),
+
+    // Per-type z-score outliers (|z| ≥ 2 after 6-decimal rounding —
+    // membership decided on the rounded value both engines emit).
+    "ts_zscore" -> ((s, dir) =>
+      TimeSeries.zscoreOutliers(t(s, dir, "events"), keyCol = "event_type",
+        idCol = "event_id", valueCol = "value", threshold = 2.0)),
+
+    // Null-safe equality join (`<=>`): the null group joins itself
+    // instead of falling out — Catalyst still plans it as an equi-join
+    // (EqualNullSafe is a join key, not a filter), so it shuffles on the
+    // key like any other join rather than degrading to nested-loop.
+    "rel_nullsafe_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val nk = when(col("event_type") === "error", lit(null))
+        .otherwise(col("event_type"))
+      val a = ev.groupBy(nk.as("etype")).agg(sum(col("value")).as("sum_value"))
+      val b = ev.groupBy(nk.as("etype")).agg(count(lit(1)).as("n_events"))
+      a.join(b, a("etype") <=> b("etype"))
+        .select(a("etype"), col("sum_value"), col("n_events"))
+    },
+
+    // Semi-structured VARIANT through the SQL surface: parse_json once
+    // into Spark's binary variant encoding, then typed path extraction
+    // (variant_get) — no schema inference pass over the corpus, missing
+    // paths are NULL via try_variant_get, and the parse + both gets stay
+    // one codegen'd projection. At 100 TB this is the schema-on-read
+    // path for ragged event payloads.
+    "sql_variant" -> { (s, dir) =>
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_type,
+          |       sum(variant_get(parse_json(props), '$.k', 'bigint')) AS sum_k,
+          |       count(try_variant_get(parse_json(props), '$.missing', 'string')) AS n_miss,
+          |       count(1) AS n_events
+          |FROM events GROUP BY event_type""".stripMargin)
+    },
+
+    // Z-order (Morton) clustered write + 2-D box read-back: the oracle is
+    // the same box filter + agg on the ORIGINAL table, so any row the
+    // clustered round-trip loses or mangles turns the gate red. The
+    // file-level skipping the layout exists for is asserted in
+    // OperatorSpec (box touches a strict subset of files; a 1-D sort
+    // cannot do that for both dimensions at once).
+    "rel_zorder" -> { (s, dir) =>
+      val path = layoutPath("orders_zorder")
+      Layout.zorderWrite(t(s, dir, "orders"),
+        col("o_custkey"),
+        floor(col("o_totalprice") / 1000.0).cast("long"),
+        bits = 15, nFiles = 16, path)
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(100, 199) &&
+          col("o_totalprice") >= 50000.0 && col("o_totalprice") < 150000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+    },
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // inclusion odds ∝ n_chars, selection a pure function of the key set,
+    // executed as TakeOrdered (k-bounded, no global sort).
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), keyCol = "doc_id",
+        weightCol = "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"), col("es_key"))),
+
+    // Unigram entropy per document (H = ln N − Σ n·ln n / N): the
+    // distribution-shape quality signal, over the same collapsed
+    // (doc, term) tf rows as term_stats.
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"))),
+
+    // Corpus bigram LM statistics: top continuation per head token with
+    // exact integer pair/head counts.
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramModel(t(s, dir, "documents"))),
   )
 
   private def bigSpenders(s: SparkSession, dir: String): DataFrame =
@@ -1335,6 +1435,33 @@ object SparkEntry {
   private def layoutPath(name: String): String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-layout/" + name
 
+  /** EWMA oracle, generated from the SAME weight doubles TimeSeries.ewma
+    * multiplies with (α dyadic ⇒ each weight is exact, and
+    * BigDecimal(double) prints its exact decimal expansion — the literal
+    * DuckDB parses back to the identical double). Term order mirrors the
+    * Scala reduceLeft, so both engines run the same IEEE sequence. */
+  private val ewmaOracleSql: String = {
+    val weights = graft.ops.TimeSeries.ewmaWeights(0.75, 8)
+      .map(w => new java.math.BigDecimal(w).toPlainString)
+    val lags = (1 until 8)
+      .map(j => s"lag(value, $j) OVER win AS l$j").mkString(",\n         ")
+    val num = (s"value * ${weights(0)}" +:
+      (1 until 8).map(j => s"coalesce(l$j * ${weights(j)}, 0.0)"))
+      .mkString(" + ")
+    val den = (s"${weights(0)}" +:
+      (1 until 8).map(j =>
+        s"CASE WHEN l$j IS NOT NULL THEN ${weights(j)} ELSE 0.0 END"))
+      .mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         $lags
+       |  FROM events
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, ts, event_id, value,
+       |       round(($num) / ($den), 6) AS ewma
+       |FROM w""".stripMargin
+  }
+
   // ────────────────────────────────────────────────────────────────────
   def oracleSql: Map[String, String] = Map(
     "sql_entrypoint" -> sqlQ5,
@@ -1355,6 +1482,88 @@ object SparkEntry {
         |       epoch(ts) - epoch(view_ts) AS latency_s
         |FROM x WHERE event_type = 'purchase' AND view_ts IS NOT NULL
         |  AND epoch(ts) - epoch(view_ts) <= 3600""".stripMargin,
+
+    // Wave 7 ─────────────────────────────────────────────────────────
+
+    "stream_outer_join" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM events p LEFT JOIN events v
+        |  ON p.user_id = v.user_id AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL 600 SECOND AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'""".stripMargin,
+
+    "ts_ewma" -> ewmaOracleSql,
+
+    // Same rounded-z membership rule as the operator: the filter reads
+    // the 6-decimal value the row carries, so kept-set and display agree.
+    "ts_zscore" ->
+      """WITH s AS (SELECT event_type, avg(value) AS m,
+        |                  stddev_samp(value) AS sd
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.event_id, e.value,
+        |       round((e.value - s.m) / s.sd, 6) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs(round((e.value - s.m) / s.sd, 6)) >= 2.0""".stripMargin,
+
+    "rel_nullsafe_join" ->
+      """WITH a AS (SELECT nullif(event_type, 'error') AS etype,
+        |                  sum(value) AS sum_value
+        |           FROM events GROUP BY 1),
+        |     b AS (SELECT nullif(event_type, 'error') AS etype,
+        |                  count(*) AS n_events
+        |           FROM events GROUP BY 1)
+        |SELECT a.etype, a.sum_value, b.n_events
+        |FROM a JOIN b ON a.etype IS NOT DISTINCT FROM b.etype""".stripMargin,
+
+    "sql_variant" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(json_extract_string(props, '$.missing')) AS n_miss,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // The oracle reads the ORIGINAL table — the clustered write/read
+    // round-trip must preserve every row inside the box.
+    "rel_zorder" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 199
+        |  AND o_totalprice >= 50000.0 AND o_totalprice < 150000.0
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // Identical draw (md5 prefix), identical u^(1/w) formula; ORDER on
+    // the raw double, 6-decimal round on the emitted score.
+    "sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |         pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |              % 1000000 + 1) / 1000000.0, 1.0 / n_chars) AS raw
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(raw, 6) AS es_key
+        |FROM d ORDER BY raw DESC, doc_id LIMIT 50""".stripMargin,
+
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS n
+        |       FROM tok GROUP BY doc_id, term)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_distinct,
+        |       round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+        |FROM tf GROUP BY doc_id""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH tk AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |ix AS (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+        |       FROM tk WHERE len(toks) >= 2),
+        |p AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2 FROM ix),
+        |c AS (SELECT w1, w2, count(*) AS pair_n FROM p GROUP BY w1, w2),
+        |r AS (SELECT w1, w2, pair_n,
+        |             CAST(sum(pair_n) OVER (PARTITION BY w1) AS BIGINT) AS head_n,
+        |             row_number() OVER (PARTITION BY w1 ORDER BY pair_n DESC, w2) AS rn
+        |      FROM c)
+        |SELECT w1, w2 AS top_next, pair_n, head_n FROM r WHERE rn = 1""".stripMargin,
 
     "rel_percentiles" ->
       """SELECT o_orderpriority,

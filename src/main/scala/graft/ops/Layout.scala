@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators: hive-partitioned writes with partition-pruned
@@ -67,6 +67,43 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative integer columns — a's bit i lands at position 2i, b's
+    * at 2i+1 — so rows close in BOTH dimensions get close keys. Pure
+    * shift/and/or arithmetic: one codegen'd projection, no UDF, and any
+    * engine can reproduce the key from the same formula.
+    *
+    * Inputs must already be quantized to [0, 2^bits); the caller maps
+    * raw values onto that grid (e.g. `floor(price / width)`). */
+  def zOrderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits in [1,31]")
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i)
+      val bbit = shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduceLeft(_ bitwiseOR _)
+  }
+
+  /** Write `df` Z-ordered on two quantized dimensions: range-partition by
+    * the Morton key into `nFiles` files and sort each file by it, so each
+    * file's footer min/max covers a small RECTANGLE of (a, b) space
+    * instead of a stripe. A 2-D box predicate then skips every file whose
+    * rectangle misses the box — single-column sorting gives that skipping
+    * for one dimension only; Z-order gives it for both at once. At 100 TB
+    * this is the multi-dimensional clustering pass run once at ingest so
+    * every later scan with selective 2-D predicates reads a sliver.
+    *
+    * The key column is dropped before the write: it is derivable, and
+    * keeping the files schema-identical to the source keeps readers
+    * oblivious to the layout. */
+  def zorderWrite(df: DataFrame, aCol: Column, bCol: Column, bits: Int,
+      nFiles: Int, path: String): Unit =
+    df.withColumn("__z", zOrderKey(aCol, bCol, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 
   /** Equi-join two same-bucketed tables. With both sides bucketed by
     * their join key into the same `nBuckets`, Spark plans a sort-merge

@@ -102,6 +102,32 @@ object Sampling {
       .filter(col("draw_rank") <= k)
   }
 
+  /** Weighted sampling without replacement, deterministic: the
+    * Efraimidis–Spirakis A-ES scheme ranks every row by u^(1/w) (u a
+    * uniform draw, w the row's weight) and keeps the top k — each row's
+    * inclusion probability is proportional to its weight, yet the
+    * selected set is a pure function of the key set (u comes from the
+    * same md5 draw as the rest of the family, shifted to (0, 1]).
+    *
+    * This is the "sample training docs proportional to quality score /
+    * length" primitive. The ranking key is computed as a narrow
+    * codegen'd projection; the top-k is `orderBy(...).limit(k)`, which
+    * Spark executes as TakeOrdered — each partition keeps k rows, the
+    * driver merges P·k, nothing resembling a global sort ever runs. The
+    * emitted score is rounded to 6 decimals; ORDER uses the raw double
+    * (a cross-engine last-ulp flip would need two keys within one ulp —
+    * with 32-bit draws and varying weights, not a realistic tie). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val u = (drawOf(col(keyCol)) + 1L).cast("double") / lit(buckets.toDouble)
+    val esKey = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.withColumn("es_key", esKey)
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(k)
+      .withColumn("es_key", round(col("es_key"), 6))
+  }
+
   /** Train/val/test split assignment: the draw partitions [0, 1e6) by the
     * cumulative weight cutoffs, so every row gets exactly one label, the
     * same label on every rerun/engine, and growing one split's weight

@@ -266,6 +266,63 @@ object TextAnalysis {
         sum(when(col("token_id") === -1L, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Per-document unigram entropy — the distribution-shape quality signal
+    * (near-zero entropy = degenerate repetition; high = diverse
+    * vocabulary) the length/ratio heuristics in [[qualityScore]] miss.
+    *
+    * Computed from per-(doc, term) counts in the algebraic form
+    * H = ln(N) − Σ n·ln(n) / N, which needs only ONE grouped aggregate
+    * over the collapsed tf rows — no per-term probability column, no
+    * second pass for the doc total. The token explode is the same
+    * map-side-combined shuffle as [[termStats]]; everything after it
+    * runs over one row per distinct (doc, term). ln over integer counts
+    * is deterministic per value; the sum's fold order is the only
+    * engine-variant step, absorbed by the 6-decimal round. */
+  def tokenEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(log(sum(col("n"))) - sum(col("n") * log(col("n"))) / sum(col("n")),
+          6).as("entropy"))
+
+  /** Corpus bigram language model: for every head token, its most likely
+    * continuation by raw count (tie-break continuation asc), with the
+    * pair and head totals as exact integers — the n-gram statistics
+    * table of a count-based LM (and the data for pointwise mutual
+    * information, completion heuristics, boilerplate detection).
+    *
+    * Bigrams are formed PER ROW with an index-sequence transform (zero
+    * shuffle, linear in tokens), then counted with map-side partials on
+    * (w1, w2); the head totals aggregate the already-collapsed pair rows.
+    * Integer-only output → hash-gate exact. At 100 TB the pair-count
+    * frame is bounded by the distinct-bigram vocabulary, not the corpus. */
+  def bigramModel(df: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    val pairs = transform(sequence(lit(0), size(toks) - 2),
+      i => struct(element_at(toks, i + 1).as("w1"),
+        element_at(toks, i + 2).as("w2")))
+    val counts = df
+      .filter(size(toks) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_n"))
+    val w = Window.partitionBy(col("w1"))
+    val rank = Window.partitionBy(col("w1"))
+      .orderBy(col("pair_n").desc, col("w2"))
+    counts
+      .withColumn("head_n", sum(col("pair_n")).over(w))
+      .withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") === 1)
+      .select(col("w1"), col("w2").as("top_next"), col("pair_n"), col("head_n"))
+  }
+
   /** Deterministic document fingerprint: polynomial rolling hash over the
     * token stream, h = (h*31 + tokenHash) mod p, with tokenHash derived
     * from the first 8 hex digits of md5(token) so the oracle can reproduce

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series smoothing and anomaly scoring over keyed event streams —
+  * the monitoring layer a metrics pipeline grows once the windowed
+  * aggregates exist (the reference stops at raw per-minute aggregates,
+  * spark_jobs/streaming_job.py:114-125; smoothing/outliers are the
+  * obvious next consumer of that table).
+  *
+  * Both operators are ONE window pass over a (key, time) shuffle — the
+  * same exchange the metrics aggregation already pays — and both are
+  * pure codegen'd arithmetic inside the pass: no UDFs, no state beyond
+  * the window frame, nothing driver-side. At 100 TB the cost is the one
+  * hash exchange on the key; the per-key work is linear and
+  * frame-bounded (EWMA's frame is K rows regardless of history length).
+  */
+object TimeSeries {
+
+  /** The exact weight sequence ewma() uses (1, α, α², …): shared with
+    * oracle builders so both sides embed the identical doubles. */
+  def ewmaWeights(alpha: Double, k: Int): Seq[Double] =
+    Iterator.iterate(1.0)(_ * alpha).take(k).toSeq
+
+  /** Finite-horizon exponentially weighted moving average: over the last
+    * `k` observations per key (order: time, then id for total order),
+    * ewma = Σ_j α^j·x_{t-j} / Σ_j α^j with j = 0..k-1 restricted to rows
+    * that exist (the leading edge re-normalizes instead of padding with
+    * zeros — the standard "adjust=True" convention).
+    *
+    * The infinite-horizon recursive EWMA needs a sequential scan Spark's
+    * window algebra can't express without a per-key serial pass; the
+    * k-term truncation keeps the whole thing a FIXED set of `lag`
+    * columns — one ordered window, k codegen'd multiply-adds per row,
+    * identical arithmetic on any engine with `lag` (the tail weight
+    * α^k of what it discards is <2% for k=16, α=0.75). Weights are
+    * summed in the SAME left-to-right j order on both engines so the
+    * double fold order can't drift. */
+  def ewma(df: DataFrame, keyCol: String, timeCol: String, idCol: String,
+      valueCol: String, alpha: Double, k: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(k >= 1 && k <= 64, "k in [1,64]")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(idCol))
+    // Weights by iterated multiplication, not math.pow: for a dyadic
+    // alpha (0.75 = 3/4) every product is exactly representable, so the
+    // weight doubles are bit-identical to the decimal literals the
+    // oracle SQL embeds — the whole EWMA is then the same IEEE operation
+    // sequence on both engines, not merely close.
+    val weights = ewmaWeights(alpha, k)
+    // j=0 is the current row; lag(j) is null inside the first j rows of
+    // the key, where that term (and its weight) drops out of both sums.
+    val terms = (0 until k).map { j =>
+      val x = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)
+      (x * lit(weights(j)), when(x.isNotNull, lit(weights(j))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduceLeft((a, b) => a + coalesce(b, lit(0.0)))
+    val den = terms.map(_._2).reduceLeft(_ + _)
+    df.select(col(keyCol), col(timeCol), col(idCol), col(valueCol),
+      round(num / den, 6).as("ewma"))
+  }
+
+  /** Per-key z-score outliers: z = (x - avg_key)/stddev_samp_key over the
+    * WHOLE key (an unordered full-frame window — Spark and any SQL engine
+    * compute it as one grouped aggregate joined back by the window
+    * machinery, no sort needed). Emits only |z| ≥ `threshold` rows; at
+    * scale output size follows the anomaly rate, not the corpus.
+    *
+    * Membership is decided on the ROUNDED score: avg/stddev fold doubles
+    * in partition order, so raw z differs across engines in the last few
+    * ulps — a raw-z threshold could flip a row exactly at the boundary
+    * while the displayed (rounded) values still agree. Filtering on the
+    * same 6-decimal value the row carries keeps the kept-set a pure
+    * function of the emitted data. */
+  def zscoreOutliers(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val z = (col(valueCol) - avg(col(valueCol)).over(w)) /
+      stddev_samp(col(valueCol)).over(w)
+    df.select(col(keyCol), col(idCol), col(valueCol),
+        round(z, 6).as("z"))
+      .filter(abs(col("z")) >= threshold)
+  }
+}

@@ -86,10 +86,18 @@ object StreamOps {
     * evicted once the other side's watermark passes `maxDelay + lateness`
     * — state stays bounded at unbounded input; the executed join is a
     * key-equality shuffle with a range predicate, never a cross product.
-    * Column names must be disjoint apart from the key (pre-alias). */
+    * Column names must be disjoint apart from the key (pre-alias).
+    *
+    * `joinType` extends the same plan to `left_outer`: a left row with no
+    * in-range partner is emitted with nulls — in streaming, only once the
+    * right watermark has passed the row's whole candidate interval (the
+    * point at which "no partner yet" becomes "no partner ever"), which is
+    * exactly why the outer side REQUIRES the event-time range condition:
+    * it bounds when the null verdict is safe to emit. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTimeCol: String, rightTimeCol: String, maxDelaySec: Long,
-      lateness: String, streaming: Boolean): DataFrame = {
+      lateness: String, streaming: Boolean,
+      joinType: String = "inner"): DataFrame = {
     val (l, r) =
       if (streaming)
         (left.withWatermark(leftTimeCol, lateness),
@@ -98,7 +106,8 @@ object StreamOps {
     l.join(r,
       l(keyCol) === r(keyCol) &&
         r(rightTimeCol) >= l(leftTimeCol) - expr(s"INTERVAL $maxDelaySec SECONDS") &&
-        r(rightTimeCol) <= l(leftTimeCol))
+        r(rightTimeCol) <= l(leftTimeCol),
+      joinType)
       .drop(r(keyCol))
   }
 

@@ -994,4 +994,114 @@ class OperatorSpec extends SparkSuite {
     assert(got(1)._2 == "a" && got(1)._3 == score(1, 2, 2), got(1).toString)
     assert(got(2)._2 == "c" && got(2)._3 == score(3, 2, 3), got(2).toString)
   }
+
+  test("ewma matches the hand formula and renormalizes at the leading edge") {
+    val df = Seq((1L, 1L, 1L, 4.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 1.0))
+      .toDF("k", "t", "id", "v")
+    val got = TimeSeries.ewma(df, "k", "t", "id", "v", alpha = 0.5, k = 3)
+      .select($"id", $"ewma").as[(Long, Double)].collect().toMap
+    // row 1: only itself (weights renormalize: 4/1); row 2: (2 + 4*.5)/1.5;
+    // row 3: (1 + 2*.5 + 4*.25)/1.75
+    assert(got(1L) == 4.0, got.toString)
+    assert(got(2L) == BigDecimal(4.0 / 1.5).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, got.toString)
+    assert(got(3L) == BigDecimal(3.0 / 1.75).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, got.toString)
+  }
+
+  test("zscore outliers flag exactly the rounded-|z|>=threshold rows per key") {
+    // key "a": nine 0s and one 10 -> the 10 is a strong outlier, the 0s are not
+    val rows = (1L to 9L).map(i => ("a", i, 0.0)) :+ (("a", 10L, 10.0))
+    val df = rows.toDF("k", "id", "v")
+    val got = TimeSeries.zscoreOutliers(df, "k", "id", "v", threshold = 2.0)
+      .select($"id", $"z").as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(10L), got.toString)
+    // z = (10 - 1) / stddev_samp = 9 / sqrt((9*1 + 81*... )) hand value:
+    // mean 1, var_samp = (9*1 + 81)/9 = 10 -> z = 9/sqrt(10)
+    val want = BigDecimal(9.0 / math.sqrt(10.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == want, got.toString)
+  }
+
+  test("token entropy: degenerate repetition scores 0, uniform scores ln(n)") {
+    val docs = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs)
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"entropy")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 0.0)), got.toString)
+    val ln4 = BigDecimal(math.log(4.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L) == ((2L, 4L, 4L, ln4)), got.toString)
+  }
+
+  test("bigram model: top continuation by count, tie broken by token asc") {
+    val docs = Seq((1L, "a b a b a c"), (2L, "z")).toDF("doc_id", "text")
+    // pairs: (a,b)x2 (b,a)x2 (a,c)x1; single-token doc contributes nothing
+    val got = TextAnalysis.bigramModel(docs)
+      .as[(String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", "b", 2L, 3L)), got.toString)
+    assert(got("b") == (("b", "a", 2L, 2L)), got.toString)
+    assert(!got.contains("z"))
+    // exact tie: (q,a) and (q,b) once each -> asc picks a
+    val tie = TextAnalysis.bigramModel(Seq((1L, "q a q b")).toDF("doc_id", "text"))
+      .as[(String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(tie("q") == (("q", "a", 1L, 2L)), tie.toString)
+  }
+
+  test("weighted sample: planted heavy row always selected; prefix-nests; stable") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"n_chars".cast("double").as("w"))
+    // a weight orders of magnitude above the rest -> u^(1/w) ~ 1, rank 1
+    val heavy = docs.withColumn("w",
+      when($"doc_id" === 7L, lit(1e12)).otherwise($"w"))
+    val top10 = Sampling.weightedSample(heavy, "doc_id", "w", 10)
+      .select($"doc_id").as[Long].collect()
+    assert(top10.contains(7L), top10.mkString(","))
+    // growing k keeps the smaller sample as a prefix (same fixed order)
+    val top20 = Sampling.weightedSample(heavy, "doc_id", "w", 20)
+      .select($"doc_id").as[Long].collect()
+    assert(top20.take(10).sameElements(top10))
+    // partitioning-independent: same set after a reshuffle
+    val re = Sampling.weightedSample(heavy.repartition(7), "doc_id", "w", 10)
+      .select($"doc_id").as[Long].collect()
+    assert(re.toSet == top10.toSet)
+  }
+
+  test("null-safe join keeps the null-key group; plans as an equi-join") {
+    val a = Seq((Some("x"), 1L), (None, 2L)).toDF("k", "va")
+    val b = Seq((Some("x"), 10L), (None, 20L)).toDF("k", "vb")
+    val j = a.join(b, a("k") <=> b("k")).select(a("k"), $"va", $"vb")
+    val got = j.as[(Option[String], Long, Long)].collect().toSet
+    assert(got == Set((Some("x"), 1L, 10L), (None, 2L, 20L)), got.toString)
+    // EqualNullSafe must be a JOIN KEY (hash/merge join), not a
+    // post-nested-loop filter
+    val exec = j.queryExecution.executedPlan.toString
+    assert(!exec.contains("NestedLoop"), exec)
+  }
+
+  test("z-order layout: a 2-D box touches a strict subset of files") {
+    val path = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    Layout.zorderWrite(orders, col("o_custkey"),
+      floor(col("o_totalprice") / 1000.0).cast("long"), bits = 15,
+      nFiles = 16, path)
+    val back = spark.read.parquet(path)
+    // round-trip completeness
+    assert(back.count() == orders.count())
+    val boxed = back.filter(col("o_custkey").between(100, 199) &&
+      col("o_totalprice") >= 50000.0 && col("o_totalprice") < 150000.0)
+    val totalFiles = back.select(input_file_name()).distinct().count()
+    val boxFiles = boxed.select(input_file_name()).distinct().count()
+    // the selling point: a box selective in BOTH dimensions lands in a
+    // strict subset of z-ordered files (a 1-D sort can't cluster both)
+    assert(totalFiles >= 8, s"expected multiple files, got $totalFiles")
+    assert(boxFiles < totalFiles / 2,
+      s"box touched $boxFiles of $totalFiles files — no 2-D clustering")
+    // interleave correctness on a hand pair: a=0b101 (bits 0,2), b=0b011
+    // (bits 0,1) -> z = a-bits at even positions | b-bits at odd
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zOrderKey(col("a"), col("b"), 3).as("z"))
+      .as[Long].head()
+    assert(z == ((1L << 0) | (1L << 4) | (1L << 1) | (1L << 3)), z.toString)
+  }
 }

@@ -352,6 +352,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("outer interval join emits the null row only after the watermark clears it") {
+    import graft.streaming.StreamOps
+    def parsed(src: MemoryStream[String]) =
+      graft.ops.Ingest.consume(graft.model.Schemas.rideEventSchema)(src.toDF())
+    val lSrc = MemoryStream[String]
+    val rSrc = MemoryStream[String]
+    val left = parsed(lSrc).select($"trip_id".as("l_id"), $"city",
+      $"event_timestamp".as("l_ts"))
+    val right = parsed(rSrc).select($"trip_id".as("r_id"), $"city",
+      $"event_timestamp".as("r_ts"))
+    val joined = StreamOps.intervalJoin(left, right, "city", "l_ts", "r_ts",
+      maxDelaySec = 60, lateness = "1 minutes", streaming = true,
+      joinType = "left_outer")
+      .select($"l_id", $"r_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("oj_out").start()
+    try {
+      // l_match has an in-range partner; l_alone has none.
+      rSrc.addData(Seq(rideJson("nyc", t0 + 10, 1.0, "r_in")))
+      lSrc.addData(Seq(
+        rideJson("nyc", t0 + 60, 1.0, "l_match"),
+        rideJson("sf", t0 + 60, 1.0, "l_alone")))
+      q.processAllAvailable()
+      val early = spark.table("oj_out").as[(String, String)].collect().toSet
+      // the matched pair may emit immediately; the null verdict MUST NOT:
+      // the right watermark hasn't cleared l_alone's candidate interval.
+      assert(!early.exists(_._1 == "l_alone"), early.toString)
+      // advance both watermarks far past the interval + lateness
+      rSrc.addData(Seq(rideJson("nyc", t0 + 3600, 1.0, "r_late")))
+      lSrc.addData(Seq(rideJson("nyc", t0 + 3600, 1.0, "l_flush")))
+      q.processAllAvailable()
+      val all = spark.table("oj_out").as[(String, String)].collect().toSet
+      assert(all.contains(("l_match", "r_in")), all.toString)
+      assert(all.contains(("l_alone", null)), all.toString)
+    } finally q.stop()
+  }
+
   test("event generator is deterministic and partitioning-independent") {
     import graft.sources.EventGen
     val a = EventGen.rideEvents(spark, 1000).collect().map(_.toSeq)
