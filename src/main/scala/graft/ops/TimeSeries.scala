@@ -61,11 +61,14 @@ object TimeSeries {
       round(num / den, 6).as("ewma"))
   }
 
-  /** Per-key z-score outliers: z = (x - avg_key)/stddev_samp_key over the
-    * WHOLE key (an unordered full-frame window — Spark and any SQL engine
-    * compute it as one grouped aggregate joined back by the window
-    * machinery, no sort needed). Emits only |z| ≥ `threshold` rows; at
-    * scale output size follows the anomaly rate, not the corpus.
+  /** Per-key z-score outliers: z = (x - avg_key)/stddev_samp_key. The
+    * per-key moments come from a map-side-combined grouped aggregate
+    * (|keys| rows) broadcast back onto the corpus — NOT a full-frame
+    * window, which would materialize every row of a key inside one task
+    * (fatal for low-cardinality keys: one event_type at 100 TB is
+    * billions of rows). This shape keeps the scan fully parallel and the
+    * only exchange is the tiny aggregate. Emits only |z| ≥ `threshold`
+    * rows; output size follows the anomaly rate, not the corpus.
     *
     * Membership is decided on the ROUNDED score: avg/stddev fold doubles
     * in partition order, so raw z differs across engines in the last few
@@ -75,11 +78,12 @@ object TimeSeries {
     * function of the emitted data. */
   def zscoreOutliers(df: DataFrame, keyCol: String, idCol: String,
       valueCol: String, threshold: Double): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-    val z = (col(valueCol) - avg(col(valueCol)).over(w)) /
-      stddev_samp(col(valueCol)).over(w)
-    df.select(col(keyCol), col(idCol), col(valueCol),
-        round(z, 6).as("z"))
+    val moments = df.groupBy(col(keyCol))
+      .agg(avg(col(valueCol)).as("__m"),
+        stddev_samp(col(valueCol)).as("__sd"))
+    df.join(broadcast(moments), Seq(keyCol))
+      .select(col(keyCol), col(idCol), col(valueCol),
+        round((col(valueCol) - col("__m")) / col("__sd"), 6).as("z"))
       .filter(abs(col("z")) >= threshold)
   }
 }
