@@ -1227,7 +1227,84 @@ object SparkEntry {
     // exact integer pair/head counts.
     "text_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramModel(t(s, dir, "documents"))),
+
+    // ── wave 8: graph analytics + warehouse CDC ───────────────────────
+
+    // Degree distribution of the part co-purchase graph (parts sharing
+    // an order). The self-join fan-out is bounded per order (≤ C(7,2)
+    // pairs for TPC-H line counts), so the edge build is linear.
+    "graph_degree_dist" -> ((s, dir) =>
+      Graph.degreeDistribution(coPurchaseEdges(s, dir))),
+
+    // Exactly-once triangle count over canonically oriented edges: two
+    // equi-joins close wedges, no pair materialized twice.
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangleStats(coPurchaseEdges(s, dir))),
+
+    // 3-iteration PageRank over the bidirectional customer↔supplier
+    // trade graph (suppliers namespaced by +10^7). Unrolled declarative
+    // plan; N and out-degrees in-plan; every node emitted (no top-k
+    // ordering on a near-tied double).
+    "graph_pagerank" -> { (s, dir) =>
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+        .distinct()
+      val fwd = e.select(col("c").as("src"), (col("su") + lit(10000000L)).as("dst"))
+      val rev = e.select((col("su") + lit(10000000L)).as("src"), col("c").as("dst"))
+      Graph.pagerank(fwd.unionAll(rev), "src", "dst", iters = 3, damping = 0.85)
+    },
+
+    // Snapshot diff between two synthetic versions of orders (drop key
+    // multiples of 10 from v1, of 7 from v2; bump price on multiples of
+    // 3): every non-unchanged key with its classification. The oracle
+    // classifies RELATIONALLY (IS DISTINCT FROM on the columns), so the
+    // md5 row-hash shortcut inside the operator is itself under test.
+    "rel_table_diff" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val v1 = o.filter(col("o_orderkey") % 10 =!= 0)
+      val v2 = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Profile.snapshotDiff(v1, v2, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .filter(col("change_type") =!= "unchanged")
+    },
+
+    // CDC changelog apply: events as an I/U/D log keyed by user; latest
+    // op by (ts, event_id) wins, terminal deletes drop the key.
+    "rel_cdc_apply" -> { (s, dir) =>
+      val log = t(s, dir, "events").select(
+        col("user_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        col("ts"), col("event_id"), col("value"))
+      Profile.cdcApply(log, "user_id", "op", Seq("ts", "event_id"), Seq("value"))
+    },
   )
+
+  /** Part pairs co-occurring in ≥ 2 orders, canonically oriented (a < b)
+    * — the edge list for the graph_* queries. The support threshold is
+    * the standard market-basket sparsifier, and it is what keeps the
+    * graph workable at ANY scale: the raw co-occurrence graph densifies
+    * with the data (sf0.1 already has 1.2M distinct pairs, avg degree
+    * ~90, ~50M wedges — the triangle join on it stalls DuckDB and Spark
+    * alike), while the support-2 graph stays at a few thousand edges
+    * because random pairs rarely repeat. Real co-purchase analytics
+    * always mine ABOVE a support floor for exactly this reason. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("a"), col("b"))
+  }
 
   private def bigSpenders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -1462,6 +1539,45 @@ object SparkEntry {
        |FROM w""".stripMargin
   }
 
+  /** Shared CTE prefix: the canonical co-purchase edge set (distinct part
+    * pairs sharing an order, a < b). */
+  private val coPurchaseCte: String =
+    """li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ed AS (SELECT x.pk AS a, y.pk AS b
+      |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |       GROUP BY x.pk, y.pk HAVING count(*) >= 2)""".stripMargin
+
+  /** PageRank oracle: the same fixed-iteration recurrence unrolled into
+    * chained CTEs. All constants are CAST to DOUBLE so DuckDB's
+    * decimal-literal arithmetic can't diverge from Spark's double ops
+    * ((1 − 0.85) in DECIMAL is exactly 0.15; in DOUBLE it is
+    * 0.15000000000000002 — the value Spark computes). */
+  private val pagerankOracleSql: String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val base = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    val iters = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT ed.dst AS node_id, sum($prev.pr / od.odeg) AS c
+         |  FROM ed JOIN $prev ON ed.src = $prev.node_id
+         |          JOIN od ON ed.src = od.src
+         |  GROUP BY ed.dst),
+         |r$i AS (SELECT nodes.node_id,
+         |    $base / n.nn + $d * coalesce(c$i.c, 0.0) AS pr
+         |  FROM nodes LEFT JOIN c$i USING (node_id) CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |ed AS (SELECT c AS src, su + 10000000 AS dst FROM e
+       |       UNION ALL SELECT su + 10000000 AS src, c AS dst FROM e),
+       |nodes AS (SELECT src AS node_id FROM ed UNION SELECT dst FROM ed),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+       |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM ed GROUP BY src),
+       |r0 AS (SELECT node_id, CAST(1 AS DOUBLE) / n.nn AS pr
+       |       FROM nodes CROSS JOIN n),
+       |$iters
+       |SELECT node_id, round(pr, 6) AS pr FROM r3""".stripMargin
+  }
+
   // ────────────────────────────────────────────────────────────────────
   def oracleSql: Map[String, String] = Map(
     "sql_entrypoint" -> sqlQ5,
@@ -1564,6 +1680,58 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY w1 ORDER BY pair_n DESC, w2) AS rn
         |      FROM c)
         |SELECT w1, w2 AS top_next, pair_n, head_n FROM r WHERE rn = 1""".stripMargin,
+
+    // Wave 8 ─────────────────────────────────────────────────────────
+
+    "graph_degree_dist" ->
+      s"""WITH $coPurchaseCte,
+         |deg AS (SELECT node, count(*) AS degree
+         |        FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)
+         |        GROUP BY node)
+         |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH $coPurchaseCte,
+         |tri AS (SELECT count(*) AS n_triangles
+         |        FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+         |                   JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nn AS (SELECT count(DISTINCT node) AS n_nodes
+         |       FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)),
+         |ne AS (SELECT count(*) AS n_edges FROM ed)
+         |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""".stripMargin,
+
+    "graph_pagerank" -> pagerankOracleSql,
+
+    // Relational classification (IS DISTINCT FROM per column) — the
+    // operator's md5 row-hash must reach the same verdicts.
+    "rel_table_diff" ->
+      """WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        |v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |       FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |       CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+        |            WHEN v2.o_orderkey IS NULL THEN 'deleted'
+        |            ELSE 'changed' END AS change_type
+        |FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+        |   OR v1.o_custkey IS DISTINCT FROM v2.o_custkey
+        |   OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+        |   OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice""".stripMargin,
+
+    "rel_cdc_apply" ->
+      """WITH log AS (SELECT user_id,
+        |         CASE event_type WHEN 'signup' THEN 'I'
+        |              WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+        |         ts, event_id, value FROM events),
+        |r AS (SELECT user_id, op, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_ops
+        |      FROM log)
+        |SELECT user_id, op AS last_op, value, CAST(n_ops AS BIGINT) AS n_ops
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     "rel_percentiles" ->
       """SELECT o_orderpriority,

@@ -49,6 +49,51 @@ object Profile {
         min(x).as("min_val"), max(x).as("max_val"))
   }
 
+  /** Snapshot diff: classify every key across two versions of a table as
+    * added / deleted / changed / unchanged — the audit step between
+    * pipeline runs ("what did yesterday's load actually do?"). One full
+    * outer join on the key; row CONTENT is compared via md5 of the
+    * null-tagged concatenation of `attrCols` (computed before the join,
+    * so the exchange carries key+hash, never the row payload — at 100 TB
+    * the shuffle is two narrow columns regardless of row width).
+    * Delimiter/null-tagging keep ("a","bc") ≠ ("ab","c") and NULL ≠ "". */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, tag: String) = df.select(col(keyCol),
+      md5(concat_ws("\u0001",
+        attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+        .as(tag))
+    hashed(oldDf, "__old").join(hashed(newDf, "__new"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "deleted")
+          .when(col("__old") =!= col("__new"), "changed")
+          .otherwise("unchanged").as("change_type"))
+  }
+
+  /** Apply a CDC changelog to produce the final table state: for each
+    * key, the latest operation by `orderCols` (a required total order)
+    * wins; a terminal delete removes the key. One window pass per key —
+    * the standard "compact the log" materialization, identical in shape
+    * to SCD2 but keeping only the head row. */
+  def cdcApply(log: DataFrame, keyCol: String, opCol: String,
+      orderCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col(_).desc): _*)
+    // n_ops over the SAME ordered window with an explicit full frame:
+    // an unordered count window would demand its own sort-free pass —
+    // two WindowExec nodes over one exchange; this way both functions
+    // ride a single sorted pass.
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    log.select((keyCol +: opCol +: orderCols ++: attrCols).distinct.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n_ops", count(lit(1)).over(full))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .select((Seq(keyCol, opCol) ++ attrCols :+ "__n_ops").map(col): _*)
+      .withColumnRenamed(opCol, "last_op")
+      .withColumnRenamed("__n_ops", "n_ops")
+  }
+
   /** Per-column profile in one pass: row count, null count, exact
     * distinct count for every named column. Output long-form
     * (column_name, n_rows, n_nulls, n_distinct). */

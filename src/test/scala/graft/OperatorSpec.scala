@@ -1079,6 +1079,65 @@ class OperatorSpec extends SparkSuite {
     assert(!exec.contains("NestedLoop"), exec)
   }
 
+  test("graph: canonical edges dedup both orientations; triangles count once") {
+    // raw pairs: both orientations of (1,2), a self-loop, and the
+    // triangle {1,2,3} plus a tail 3-4
+    val raw = Seq((2L, 1L), (1L, 2L), (5L, 5L), (1L, 3L), (3L, 2L), (3L, 4L))
+      .toDF("pa", "pb")
+    val edges = Graph.canonicalEdges(raw, "pa", "pb")
+    val es = edges.as[(Long, Long)].collect().toSet
+    assert(es == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), es.toString)
+    val stats = Graph.triangleStats(edges)
+      .as[(Long, Long, Long)].head()
+    assert(stats == ((4L, 4L, 1L)), stats.toString) // 4 nodes, 4 edges, 1 triangle
+    val deg = Graph.degreeDistribution(edges)
+      .as[(Long, Long)].collect().toMap
+    // degrees: 1->2, 2->2, 3->3, 4->1  =>  one node of degree 1 and 3, two of 2
+    assert(deg == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), deg.toString)
+  }
+
+  test("pagerank: symmetric pair stays uniform; star centre dominates; mass sums to 1") {
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr1 = Graph.pagerank(pair, "src", "dst", iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(pr1 == Map(1L -> 0.5, 2L -> 0.5), pr1.toString)
+    // star: centre 0, leaves 1 and 2, bidirectional
+    val star = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L)).toDF("src", "dst")
+    val pr2 = Graph.pagerank(star, "src", "dst", iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(pr2(1L) == pr2(2L), pr2.toString)
+    assert(pr2(0L) > pr2(1L), pr2.toString)
+    assert(math.abs(pr2.values.sum - 1.0) < 1e-5, pr2.toString)
+  }
+
+  test("snapshot diff distinguishes NULL from empty string and classifies all") {
+    val old = Seq((1L, Some("a")), (2L, None), (3L, Some("x")))
+      .toDF("k", "v")
+    val neu = Seq((1L, Some("a")), (2L, Some("")), (4L, Some("y")))
+      .toDF("k", "v")
+    val got = Profile.snapshotDiff(old, neu, "k", Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "deleted", 4L -> "added"), got.toString)
+  }
+
+  test("cdc apply keeps the latest op per key and drops terminal deletes") {
+    val log = Seq(
+      (1L, "I", 10L, 1L, 1.0), (1L, "U", 20L, 2L, 2.0),
+      (2L, "I", 10L, 3L, 3.0), (2L, "D", 20L, 4L, 0.0),
+      (3L, "I", 10L, 5L, 5.0),
+      // same ts for user 4 -> event_id breaks the tie (6 < 7, so 7 wins)
+      (4L, "U", 10L, 6L, 6.0), (4L, "U", 10L, 7L, 7.0)
+    ).toDF("user_id", "op", "ts", "event_id", "value")
+    val got = Profile.cdcApply(log, "user_id", "op", Seq("ts", "event_id"), Seq("value"))
+      .select($"user_id", $"last_op", $"value", $"n_ops")
+      .as[(Long, String, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 3L, 4L), got.toString)
+    assert(got(1L) == ((1L, "U", 2.0, 2L)), got.toString)
+    assert(got(3L) == ((3L, "I", 5.0, 1L)), got.toString)
+    assert(got(4L) == ((4L, "U", 7.0, 2L)), got.toString)
+  }
+
   test("z-order layout: a 2-D box touches a strict subset of files") {
     val path = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
