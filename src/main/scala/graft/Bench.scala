@@ -39,6 +39,13 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // Iterative operators persist intermediate frames (graph edges,
+      // dedup signatures); the ContextCleaner frees them only after GC.
+      // Across 124 queries × runs the accumulated blocks squeeze the
+      // shared local-mode heap and late queries pay in GC, not in their
+      // own work — drop everything eagerly so each query is measured
+      // against a clean store.
+      spark.catalog.clearCache()
       name -> samples.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
