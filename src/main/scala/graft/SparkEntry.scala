@@ -1273,6 +1273,12 @@ object SparkEntry {
         .filter(col("change_type") =!= "unchanged")
     },
 
+    // Deterministic random walks (node2vec corpus generator) over the
+    // support-2 co-purchase graph: 4 md5-driven steps from every node,
+    // the full path CSV gated position by position.
+    "graph_random_walk" -> ((s, dir) =>
+      Graph.randomWalks(coPurchaseEdges(s, dir), len = 4, seed = 42L)),
+
     // CDC changelog apply: events as an I/U/D log keyed by user; latest
     // op by (ts, event_id) wins, terminal deletes drop the key.
     "rel_cdc_apply" -> { (s, dir) =>
@@ -1578,6 +1584,27 @@ object SparkEntry {
        |SELECT node_id, round(pr, 6) AS pr FROM r3""".stripMargin
   }
 
+  /** Random-walk oracle: the identical md5-driven step recurrence over
+    * the identical sorted adjacency, unrolled per step. */
+  private val randomWalkOracleSql: String = {
+    val steps = (1 to 4).map { i =>
+      val prev = s"w${i - 1}"
+      s"""s$i AS (SELECT start, path,
+         |  nbrs[CAST(CAST(('0x' || substr(md5(concat(42, '-', start, '-', $i, '-', cur)), 1, 8)) AS BIGINT)
+         |       % len(nbrs) AS INT) + 1] AS nxt
+         |  FROM $prev JOIN nb ON $prev.cur = nb.node),
+         |w$i AS (SELECT start, nxt AS cur,
+         |        path || ',' || CAST(nxt AS VARCHAR) AS path FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coPurchaseCte,
+       |nb AS (SELECT node, list_sort(list(nbr)) AS nbrs FROM
+       |       (SELECT a AS node, b AS nbr FROM ed
+       |        UNION ALL SELECT b AS node, a AS nbr FROM ed) GROUP BY node),
+       |w0 AS (SELECT node AS start, node AS cur, CAST(node AS VARCHAR) AS path FROM nb),
+       |$steps
+       |SELECT start, path AS walk FROM w4""".stripMargin
+  }
+
   // ────────────────────────────────────────────────────────────────────
   def oracleSql: Map[String, String] = Map(
     "sql_entrypoint" -> sqlQ5,
@@ -1701,6 +1728,8 @@ object SparkEntry {
          |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""".stripMargin,
 
     "graph_pagerank" -> pagerankOracleSql,
+
+    "graph_random_walk" -> randomWalkOracleSql,
 
     // Relational classification (IS DISTINCT FROM per column) — the
     // operator's md5 row-hash must reach the same verdicts.

@@ -70,6 +70,46 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(triangles)
   }
 
+  /** Deterministic random walks — the corpus generator for node2vec /
+    * DeepWalk-style graph-embedding training. One walk of `len` steps
+    * starts at every node; step i from node `cur` moves to
+    * `nbrs[md5(seed‖start‖i‖cur) mod degree]` over the SORTED neighbor
+    * list, so the "random" choice is a pure function of
+    * (seed, start, step, position) — rerun-stable, partition-independent,
+    * and reproducible by any engine with md5 (the same family as
+    * [[Sampling.drawOf]]).
+    *
+    * Shape: the adjacency (node → sorted neighbor array) is built once
+    * and persisted (each step references it); each step is ONE equi-join
+    * on the current node plus a codegen'd index projection. State per
+    * walk is (start, cur, path) — walks never materialize the graph.
+    * Neighbor arrays are bounded by the max degree; a support-thresholded
+    * or degree-capped edge set (see the co-purchase note) keeps them
+    * small at any corpus size. */
+  def randomWalks(edges: DataFrame, len: Int, seed: Long): DataFrame = {
+    require(len >= 1 && len <= 16, "len in [1,16] (plan grows per step)")
+    val adj = edges.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(edges.select(col("b").as("node"), col("a").as("nbr")))
+      .groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var walks = adj.select(col("node").as("start"), col("node").as("cur"),
+      col("node").cast("string").as("path"))
+    for (step <- 1 to len) {
+      val joined = walks.join(adj, walks("cur") === adj("node"))
+      val draw = conv(substring(md5(concat_ws("-",
+        lit(seed.toString), col("start").cast("string"),
+        lit(step.toString), col("cur").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+      val next = element_at(col("nbrs"),
+        (draw % size(col("nbrs"))).cast("int") + 1)
+      walks = joined.select(col("start"), next.as("__next"),
+          concat(col("path"), lit(","), next.cast("string")).as("path"))
+        .withColumnRenamed("__next", "cur")
+    }
+    walks.select(col("start"), col("path").as("walk"))
+  }
+
   /** PageRank with a fixed iteration count over a DIRECTED edge list:
     * pr'(v) = (1−d)/N + d · Σ_{u→v} pr(u)/outdeg(u). Every node that
     * appears as src or dst participates; callers wanting undirected

@@ -1138,6 +1138,72 @@ class OperatorSpec extends SparkSuite {
     assert(got(4L) == ((4L, "U", 7.0, 2L)), got.toString)
   }
 
+  test("plan guards: wave 7/8 scale claims hold in the executed plans") {
+    withoutAqe {
+      // EWMA: all k lag terms ride ONE ordered window pass — one key
+      // exchange, one Window node
+      val ewma = SparkEntry.queries("ts_ewma")(spark, sfDir)
+      assert(numShuffles(ewma) == 1, ewma.queryExecution.executedPlan.toString)
+      assert("(?m)^\\s*(\\+-|:-)? ?Window ".r
+        .findAllIn(ewma.queryExecution.executedPlan.toString).size <= 1,
+        "ewma should need a single Window pass")
+      // z-score: grouped moments BROADCAST back, never a full-frame window
+      val zs = SparkEntry.queries("ts_zscore")(spark, sfDir)
+      val zsPlan = zs.queryExecution.executedPlan.toString
+      assert(zsPlan.contains("BroadcastHashJoin"), zsPlan)
+      assert(!zsPlan.contains("Window"), "z-score must not plan a window")
+      // CDC apply: row_number and count share one sorted pass
+      val cdc = SparkEntry.queries("rel_cdc_apply")(spark, sfDir)
+      assert(numShuffles(cdc) == 1, cdc.queryExecution.executedPlan.toString)
+      assert("(?m)^\\s*(\\+-|:-)? ?Window ".r
+        .findAllIn(cdc.queryExecution.executedPlan.toString).size <= 1,
+        "cdc apply should need a single Window pass")
+      // PageRank: the shared edge/node/outdeg frames are materialized —
+      // the unrolled iterations read the cache, not the upstream join
+      val pr = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+      assert(pr.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        "pagerank must read its persisted frames")
+      // snapshot diff: the join exchanges carry (key, md5) — never the
+      // attribute payload
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val td = SparkEntry.queries("rel_table_diff")(spark, sfDir)
+      val exCols = td.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.output.map(_.name)
+      }
+      assert(exCols.nonEmpty)
+      exCols.foreach { cols =>
+        assert(!cols.exists(c => c.contains("custkey") || c.contains("status")
+          || c.contains("totalprice")),
+          s"diff exchange carries payload columns: $cols")
+      }
+    }
+  }
+
+  test("random walks: edge-respecting, rerun-stable, seed-sensitive") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("a", "b")
+    val nbrs = Map(1L -> Set(2L, 3L), 2L -> Set(1L, 3L),
+      3L -> Set(1L, 2L, 4L), 4L -> Set(3L))
+    val w1 = Graph.randomWalks(edges, len = 4, seed = 7L)
+      .as[(Long, String)].collect().toMap
+    assert(w1.keySet == nbrs.keySet) // one walk per node
+    w1.foreach { case (start, path) =>
+      val ids = path.split(",").map(_.toLong)
+      assert(ids.length == 5 && ids.head == start, path)
+      ids.sliding(2).foreach { case Array(u, v) =>
+        assert(nbrs(u).contains(v), s"walk $path uses non-edge $u->$v")
+      }
+    }
+    // deterministic under rerun and partitioning; redrawn under a new seed
+    val w1b = Graph.randomWalks(edges.repartition(5), len = 4, seed = 7L)
+      .as[(Long, String)].collect().toMap
+    assert(w1b == w1)
+    val w2 = Graph.randomWalks(edges, len = 4, seed = 8L)
+      .as[(Long, String)].collect().toMap
+    assert(w2 != w1)
+    // degree-1 corridor is forced: node 4's first hop must be 3
+    assert(w1(4L).startsWith("4,3"), w1(4L))
+  }
+
   test("z-order layout: a 2-D box touches a strict subset of files") {
     val path = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
