@@ -31,23 +31,29 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // Dev-only narrowing (comma-separated query names); driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val samples = (0 until runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // Iterative operators persist intermediate frames (graph edges,
-      // dedup signatures); the ContextCleaner frees them only after GC.
-      // Across 124 queries × runs the accumulated blocks squeeze the
-      // shared local-mode heap and late queries pay in GC, not in their
-      // own work — drop everything eagerly so each query is measured
-      // against a clean store.
+    // Samples are INTERLEAVED (A,B,C,…,A,B,C,… — not A,A,A,B,B,B): the
+    // r5 driver run showed two alphabetically-adjacent trivial queries at
+    // 16 s / 13 s, i.e. one host stall window swallowing ALL consecutive
+    // samples of neighboring queries despite min-of-3. Round-robin spaces
+    // a query's samples a full suite apart, so a single stall can inflate
+    // at most one sample of each — which the min then discards.
+    val times = Array.fill(queries.size)(Array.fill(runs)(Double.MaxValue))
+    for (r <- 0 until runs; i <- queries.indices) {
+      // Clear BEFORE every sample, not just between queries: iterative
+      // operators (pagerank, triangles, walks) persist frames, and
+      // Spark's CacheManager reuses them across re-runs via canonicalized
+      // plans — without this, runs 2..n of a persisting query measure a
+      // warm cache and min() reports the warm number as per-query cost.
+      // It also bounds local-mode heap pressure from accumulated blocks.
       spark.catalog.clearCache()
-      name -> samples.min
+      val (name, fn) = queries(i)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      times(i)(r) = (System.nanoTime() - t0) / 1e9
     }
+    val results = queries.indices.map(i => queries(i)._1 -> times(i).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

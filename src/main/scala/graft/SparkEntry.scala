@@ -429,11 +429,11 @@ object SparkEntry {
     "rel_bucket_join" -> { (s, dir) =>
       Layout.saveBucketed(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-        "graft_li_b", "l_orderkey", 8, layoutPath("li_b"))
+        "graft_li_b" + tableSuffix, "l_orderkey", 8, layoutPath("li_b"))
       Layout.saveBucketed(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-        "graft_ord_b", "o_orderkey", 8, layoutPath("ord_b"))
-      Layout.bucketedJoin(s, "graft_li_b", "graft_ord_b",
+        "graft_ord_b" + tableSuffix, "o_orderkey", 8, layoutPath("ord_b"))
+      Layout.bucketedJoin(s, "graft_li_b" + tableSuffix, "graft_ord_b" + tableSuffix,
           "l_orderkey", "o_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
@@ -1242,19 +1242,37 @@ object SparkEntry {
       Graph.triangleStats(coPurchaseEdges(s, dir))),
 
     // 3-iteration PageRank over the bidirectional customer↔supplier
-    // trade graph (suppliers namespaced by +10^7). Unrolled declarative
-    // plan; N and out-degrees in-plan; every node emitted (no top-k
-    // ordering on a near-tied double).
+    // trade graph. Suppliers are namespaced by NEGATION (supplier k is
+    // node −(k+1), strictly negative even for key 0): customer keys are
+    // ≥ 0 at every scale factor, so the two id spaces stay disjoint no
+    // matter how large the keys grow — unlike an additive constant,
+    // which o_custkey silently overruns around sf ≥ 67. Unrolled
+    // declarative plan; N and out-degrees in-plan; every node emitted
+    // (no top-k ordering on a near-tied double).
     "graph_pagerank" -> { (s, dir) =>
-      val e = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
-        .distinct()
-      val fwd = e.select(col("c").as("src"), (col("su") + lit(10000000L)).as("dst"))
-      val rev = e.select((col("su") + lit(10000000L)).as("src"), col("c").as("dst"))
+      val e = tradePairs(s, dir)
+      val fwd = e.select(col("c").as("src"), (-col("su") - 1).as("dst"))
+      val rev = e.select((-col("su") - 1).as("src"), col("c").as("dst"))
       Graph.pagerank(fwd.unionAll(rev), "src", "dst", iters = 3, damping = 0.85)
     },
+
+    // PageRank over the DIRECTED customer→supplier graph: suppliers have
+    // no outgoing edges, so every one of them is a dangling sink — the
+    // query exercises the Σ pr(dangling)/N redistribution (without it,
+    // ~half the mass would leak per iteration). Oracle: the same
+    // unrolled-CTE recurrence with the dangling term.
+    "graph_pagerank_directed" -> { (s, dir) =>
+      val e = tradePairs(s, dir)
+      Graph.pagerank(e.select(col("c").as("src"), (-col("su") - 1).as("dst")),
+        "src", "dst", iters = 3, damping = 0.85, redistributeDangling = true)
+    },
+
+    // Triangle count under the degree-ordered orientation — hash-gated
+    // equal to graph_triangles' id-ordered count (both are total-order
+    // orientations of the same graph), while bounding wedge fan-out by
+    // √|E| per node — the form that survives a hot hub at 100× scale.
+    "graph_triangles_deg" -> ((s, dir) =>
+      Graph.triangleCountByDegree(coPurchaseEdges(s, dir))),
 
     // Snapshot diff between two synthetic versions of orders (drop key
     // multiples of 10 from v1, of 7 from v2; bump price on multiples of
@@ -1301,6 +1319,14 @@ object SparkEntry {
     * alike), while the support-2 graph stays at a few thousand edges
     * because random pairs rarely repeat. Real co-purchase analytics
     * always mine ABOVE a support floor for exactly this reason. */
+  /** Distinct customer↔supplier trade pairs — the node pair stream the
+    * graph_pagerank* queries orient. */
+  private def tradePairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+      .distinct()
+
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -1513,10 +1539,30 @@ object SparkEntry {
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin
 
-  /** Scratch dir for the Layout write/read-back queries (deterministic,
-    * outside the repo; mode=overwrite keeps re-runs idempotent). */
-  private def layoutPath(name: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-layout/" + name
+  /** Per-process scratch root for the Layout write/read-back queries.
+    *
+    * MUST be unique per JVM: these queries write a path and read it back
+    * within one plan, so a FIXED shared path (the pre-r6
+    * `/tmp/graft-layout/<name>`) lets any concurrent process — driver
+    * verify, driver bench, sbt test — overwrite the input mid-flight.
+    * That race was the adjudicated root cause of four red r5 rows
+    * (same group count, wrong aggregates: rows_match ∧ ¬hash_match).
+    * `createTempDirectory` gives an OS-unique root; deleteOnExit keeps
+    * /tmp bounded across repeated runs. */
+  private lazy val layoutRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-")
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
+  private def layoutPath(name: String): String = layoutRoot + "/" + name
+
+  /** Per-process suffix for metastore table names (bucketed tables): two
+    * concurrent JVMs each registering `graft_li_b` would collide if a
+    * shared catalog were ever configured, and DROP TABLE IF EXISTS from
+    * one would yank the other's table. The pid makes names disjoint. */
+  private lazy val tableSuffix: String =
+    "_p" + java.lang.ProcessHandle.current().pid()
 
   /** EWMA oracle, generated from the SAME weight doubles TimeSeries.ewma
     * multiplies with (α dyadic ⇒ each weight is exact, and
@@ -1558,23 +1604,34 @@ object SparkEntry {
     * decimal-literal arithmetic can't diverge from Spark's double ops
     * ((1 − 0.85) in DECIMAL is exactly 0.15; in DOUBLE it is
     * 0.15000000000000002 — the value Spark computes). */
-  private val pagerankOracleSql: String = {
+  /** Unrolled-CTE PageRank recurrence over the `ed(src, dst)` CTE built
+    * by `edgesCte` — the identical arithmetic, operation order, and
+    * (when `dangling`) Σ pr(dangling)/N redistribution as Graph.pagerank,
+    * so the gate verifies the recurrence itself, not just row counts. */
+  private def pagerankOracle(edgesCte: String, dangling: Boolean): String = {
     val d = "CAST(0.85 AS DOUBLE)"
     val base = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
     val iters = (1 to 3).map { i =>
       val prev = s"r${i - 1}"
-      s"""c$i AS (SELECT ed.dst AS node_id, sum($prev.pr / od.odeg) AS c
-         |  FROM ed JOIN $prev ON ed.src = $prev.node_id
-         |          JOIN od ON ed.src = od.src
-         |  GROUP BY ed.dst),
-         |r$i AS (SELECT nodes.node_id,
-         |    $base / n.nn + $d * coalesce(c$i.c, 0.0) AS pr
-         |  FROM nodes LEFT JOIN c$i USING (node_id) CROSS JOIN n)""".stripMargin
+      val contrib =
+        s"""c$i AS (SELECT ed.dst AS node_id, sum($prev.pr / od.odeg) AS c
+           |  FROM ed JOIN $prev ON ed.src = $prev.node_id
+           |          JOIN od ON ed.src = od.src
+           |  GROUP BY ed.dst)""".stripMargin
+      if (dangling)
+        s"""dg$i AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM $prev
+           |  LEFT JOIN od ON $prev.node_id = od.src WHERE od.src IS NULL),
+           |$contrib,
+           |r$i AS (SELECT nodes.node_id,
+           |    $base / n.nn + $d * (coalesce(c$i.c, 0.0) + dg$i.dm / n.nn) AS pr
+           |  FROM nodes LEFT JOIN c$i USING (node_id) CROSS JOIN n CROSS JOIN dg$i)""".stripMargin
+      else
+        s"""$contrib,
+           |r$i AS (SELECT nodes.node_id,
+           |    $base / n.nn + $d * coalesce(c$i.c, 0.0) AS pr
+           |  FROM nodes LEFT JOIN c$i USING (node_id) CROSS JOIN n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
-       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |ed AS (SELECT c AS src, su + 10000000 AS dst FROM e
-       |       UNION ALL SELECT su + 10000000 AS src, c AS dst FROM e),
+    s"""WITH $edgesCte,
        |nodes AS (SELECT src AS node_id FROM ed UNION SELECT dst FROM ed),
        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM ed GROUP BY src),
@@ -1583,6 +1640,24 @@ object SparkEntry {
        |$iters
        |SELECT node_id, round(pr, 6) AS pr FROM r3""".stripMargin
   }
+
+  /** Supplier k is node −(k+1) (negation namespace, strictly negative
+    * even for key 0 — disjoint from the ≥ 0 customer keys at every
+    * scale factor, unlike an additive constant). */
+  private val tradePairsCte: String =
+    """e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+      |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin
+
+  private val pagerankOracleSql: String = pagerankOracle(
+    s"""$tradePairsCte,
+       |ed AS (SELECT c AS src, -su - 1 AS dst FROM e
+       |       UNION ALL SELECT -su - 1 AS src, c AS dst FROM e)""".stripMargin,
+    dangling = false)
+
+  private val pagerankDirectedOracleSql: String = pagerankOracle(
+    s"""$tradePairsCte,
+       |ed AS (SELECT c AS src, -su - 1 AS dst FROM e)""".stripMargin,
+    dangling = true)
 
   /** Random-walk oracle: the identical md5-driven step recurrence over
     * the identical sorted adjacency, unrolled per step. */
@@ -1728,6 +1803,28 @@ object SparkEntry {
          |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""".stripMargin,
 
     "graph_pagerank" -> pagerankOracleSql,
+
+    "graph_pagerank_directed" -> pagerankDirectedOracleSql,
+
+    // The SAME degree-ordered orientation (tie-break by id), replicated
+    // relationally: any orientation disagreement shows up as a different
+    // wedge set and a different count.
+    "graph_triangles_deg" ->
+      s"""WITH $coPurchaseCte,
+         |deg AS (SELECT n, count(*) AS d FROM
+         |        (SELECT a AS n FROM ed UNION ALL SELECT b AS n FROM ed)
+         |        GROUP BY n),
+         |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND ed.a < ed.b)
+         |                  THEN ed.a ELSE ed.b END AS x,
+         |             CASE WHEN da.d < db.d OR (da.d = db.d AND ed.a < ed.b)
+         |                  THEN ed.b ELSE ed.a END AS y
+         |      FROM ed JOIN deg da ON da.n = ed.a JOIN deg db ON db.n = ed.b),
+         |o2 AS (SELECT o.x, o.y, deg.d AS dy FROM o JOIN deg ON deg.n = o.y),
+         |w AS (SELECT e1.x, e1.y AS u, e2.y AS v
+         |      FROM o2 e1 JOIN o2 e2 ON e1.x = e2.x
+         |      WHERE e1.dy < e2.dy OR (e1.dy = e2.dy AND e1.y < e2.y))
+         |SELECT count(*) AS n_triangles
+         |FROM w JOIN o ON o.x = w.u AND o.y = w.v""".stripMargin,
 
     "graph_random_walk" -> randomWalkOracleSql,
 
@@ -1894,7 +1991,7 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       count(*) AS n_events, min(ts) AS session_start,
         |       max(ts) AS session_end,
-        |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "rel_window_ntile" ->

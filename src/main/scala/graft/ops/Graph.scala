@@ -70,6 +70,52 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(triangles)
   }
 
+  /** Orient each canonical undirected edge from its LOWER-degree endpoint
+    * to its higher-degree one (tie-break by id, so the orientation is a
+    * total order and engine-independent). This is the hub-scale triangle
+    * refinement: with id-ordering a single hot hub of degree h fans out
+    * O(h²) wedges from whichever neighbors sort above it; degree-ordering
+    * bounds every node's OUT-degree in the oriented graph by O(√|E|)
+    * (a node of degree d > √|E| cannot have d neighbors of degree ≥ d —
+    * that would need d²/2 > |E| edge endpoints), so total wedge fan-out
+    * is Σ outdeg² ≤ |E|·√|E| regardless of hub shape.
+    *
+    * Output: (x, y, dy) — oriented edge plus the head's degree, carried
+    * so the wedge join can order its two legs by the same (degree, id)
+    * total order without re-joining degrees. */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    edges
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("x"),
+        when(aFirst, col("b")).otherwise(col("a")).as("y"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dy"))
+  }
+
+  /** Triangle count over the degree-ordered orientation — same count as
+    * [[triangleStats]]'s id-ordered form (both orientations are total
+    * orders over the same undirected graph, so each triangle closes from
+    * exactly one wedge), but with the hub-safe wedge bound above. Wedges
+    * (x→u, x→v) take u before v in (degree, id) order; the closing edge
+    * u→v is then guaranteed to be oriented u→v, one equi-join away. */
+  def triangleCountByDegree(edges: DataFrame): DataFrame = {
+    val o = orientByDegree(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e1 = o.select(col("x"), col("y").as("u"), col("dy").as("du"))
+    val e2 = o.select(col("x"), col("y").as("v"), col("dy").as("dv"))
+    val wedges = e1.join(e2, "x")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+    wedges.join(o.select(col("x").as("u"), col("y").as("v")), Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Deterministic random walks — the corpus generator for node2vec /
     * DeepWalk-style graph-embedding training. One walk of `len` steps
     * starts at every node; step i from node `cur` moves to
@@ -111,17 +157,28 @@ object Graph {
   }
 
   /** PageRank with a fixed iteration count over a DIRECTED edge list:
-    * pr'(v) = (1−d)/N + d · Σ_{u→v} pr(u)/outdeg(u). Every node that
-    * appears as src or dst participates; callers wanting undirected
-    * semantics pass both directions. No dangling-mass redistribution —
-    * feed edges where every node has outdegree ≥ 1 (true for
-    * bidirectional edge sets) or accept the standard leaked-mass form.
+    * pr'(v) = (1−d)/N + d · (Σ_{u→v} pr(u)/outdeg(u) + D/N), where D is
+    * the dangling mass Σ pr(u) over nodes with outdegree 0 (redistributed
+    * uniformly — the standard teleport treatment for sink nodes). Every
+    * node that appears as src or dst participates; callers wanting
+    * undirected semantics pass both directions.
+    *
+    * `redistributeDangling = false` skips the D term entirely — the fast
+    * path for bidirectional edge sets, where every node has outdegree ≥ 1
+    * and D is identically 0, saving one anti-join aggregate per
+    * iteration. With dangling nodes and the flag off, mass leaks each
+    * iteration (the ranks still order correctly but no longer sum to 1).
+    * When on, D rides a 1-row broadcast per iteration: the aggregate is
+    * over the (node, pr) frame — N rows, never the edges — and the join
+    * it feeds is a broadcast of a single double, so the redistribution
+    * adds no shuffle at any graph size.
     *
     * The returned frame carries round(pr, 6): ranks are sums whose fold
     * order is engine-dependent in the last ulps; six decimals is far
     * coarser than the drift and far finer than any real rank gap. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double): DataFrame = {
+      iters: Int, damping: Double,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 10, "iters in [1,10] (plan size grows per iter)")
     // The unrolled plan references the edge list once per iteration and
     // the node list in every rank rebuild: WITHOUT materialization the
@@ -148,10 +205,26 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("__od")).as("__c"))
         .withColumnRenamed("dst", "node_id")
-      pr = nodes.join(contribs, Seq("node_id"), "left").crossJoin(n1)
-        .select(col("node_id"),
-          (lit(base) / col("__n") +
-            lit(damping) * coalesce(col("__c"), lit(0.0))).as("pr"))
+      if (redistributeDangling) {
+        // dangling mass: Σ pr over nodes absent from outdeg — an
+        // anti-join over the N-row rank frame reduced to ONE double,
+        // broadcast into the rank rebuild (no extra shuffle).
+        val dang = broadcast(
+          pr.join(outdeg.withColumnRenamed("src", "node_id"),
+              Seq("node_id"), "left_anti")
+            .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm")))
+        pr = nodes.join(contribs, Seq("node_id"), "left").crossJoin(n1)
+          .crossJoin(dang)
+          .select(col("node_id"),
+            (lit(base) / col("__n") +
+              lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+                col("__dm") / col("__n"))).as("pr"))
+      } else {
+        pr = nodes.join(contribs, Seq("node_id"), "left").crossJoin(n1)
+          .select(col("node_id"),
+            (lit(base) / col("__n") +
+              lit(damping) * coalesce(col("__c"), lit(0.0))).as("pr"))
+      }
     }
     pr.select(col("node_id"), round(col("pr"), 6).as("pr"))
   }

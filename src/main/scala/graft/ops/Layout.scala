@@ -75,12 +75,22 @@ object Layout {
     * engine can reproduce the key from the same formula.
     *
     * Inputs must already be quantized to [0, 2^bits); the caller maps
-    * raw values onto that grid (e.g. `floor(price / width)`). */
+    * raw values onto that grid (e.g. `floor(price / width)`). Values
+    * outside the grid are CLAMPED to its edges rather than silently
+    * aliased: bit-interleaving an out-of-range value would wrap it onto
+    * the low end of the curve, scattering far-apart rows into the same
+    * files and quietly destroying the 2-D clustering this operator
+    * exists for — clamping instead piles the overflow into the last
+    * cell, which degrades locally but never corrupts the curve. */
   def zOrderKey(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits in [1,31]")
+    val top = (1L << bits) - 1L
+    def grid(c: Column): Column =
+      least(greatest(c.cast("long"), lit(0L)), lit(top))
+    val (ga, gb) = (grid(a), grid(b))
     (0 until bits).map { i =>
-      val abit = shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i)
-      val bbit = shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
+      val abit = shiftleft(shiftright(ga, i).bitwiseAND(1L), 2 * i)
+      val bbit = shiftleft(shiftright(gb, i).bitwiseAND(1L), 2 * i + 1)
       abit.bitwiseOR(bbit)
     }.reduceLeft(_ bitwiseOR _)
   }

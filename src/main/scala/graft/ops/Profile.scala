@@ -53,16 +53,19 @@ object Profile {
     * added / deleted / changed / unchanged — the audit step between
     * pipeline runs ("what did yesterday's load actually do?"). One full
     * outer join on the key; row CONTENT is compared via md5 of the
-    * null-tagged concatenation of `attrCols` (computed before the join,
-    * so the exchange carries key+hash, never the row payload — at 100 TB
-    * the shuffle is two narrow columns regardless of row width).
-    * Delimiter/null-tagging keep ("a","bc") ≠ ("ab","c") and NULL ≠ "". */
+    * JSON encoding of the attr struct (computed before the join, so the
+    * exchange carries key+hash, never the row payload — at 100 TB the
+    * shuffle is two narrow columns regardless of row width).
+    * to_json makes the digest injective on tuples: field names are part
+    * of the encoding and values are escaped, so no value can forge a
+    * delimiter or a NULL marker — unlike raw sentinel concatenation,
+    * where a value EQUAL to the sentinel collides with NULL and values
+    * containing the delimiter shift content across column boundaries,
+    * both yielding false "unchanged" verdicts. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
       attrCols: Seq[String]): DataFrame = {
     def hashed(df: DataFrame, tag: String) = df.select(col(keyCol),
-      md5(concat_ws("\u0001",
-        attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
-        .as(tag))
+      md5(to_json(struct(attrCols.map(col): _*))).as(tag))
     hashed(oldDf, "__old").join(hashed(newDf, "__new"), Seq(keyCol), "full_outer")
       .select(col(keyCol),
         when(col("__old").isNull, "added")

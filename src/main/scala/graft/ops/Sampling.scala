@@ -122,7 +122,12 @@ object Sampling {
     require(k >= 1, "k >= 1")
     val u = (drawOf(col(keyCol)) + 1L).cast("double") / lit(buckets.toDouble)
     val esKey = pow(u, lit(1.0) / col(weightCol).cast("double"))
-    df.withColumn("es_key", esKey)
+    // A-ES precondition is strictly positive weights: w <= 0 makes 1/w
+    // negative or ±Inf, and pow(u, ·) then yields degenerate keys that
+    // can RANK FIRST instead of excluding the row. Zero/negative weight
+    // means "never sample" — enforce it by filtering, not by accident.
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("es_key", esKey)
       .orderBy(col("es_key").desc, col(keyCol))
       .limit(k)
       .withColumn("es_key", round(col("es_key"), 6))

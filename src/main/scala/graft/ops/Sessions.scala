@@ -48,7 +48,12 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
-        // decimal accumulation: fold-order-independent, hash-gate exact
-        sum(col(valueCol).cast("decimal(18,6)")).as("sum_value"))
+        // decimal accumulation: fold-order-independent, hash-gate exact.
+        // The outer cast pins the DECLARED type to (38,6): Spark's sum
+        // over decimal(18,6) yields decimal(28,6) while DuckDB declares
+        // (38,6) — same values, but a stricter future hash that mixes in
+        // declared precision would diverge. Pinning removes the skew.
+        sum(col(valueCol).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("sum_value"))
   }
 }

@@ -167,10 +167,14 @@ object TextAnalysis {
   def termStats(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tf feeds both the df aggregate and the top-term window: persist so
+    // the corpus-wide token explode runs once, not per plan branch (the
+    // same reuse bm25 below depends on).
     val tf = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("term"))
@@ -199,10 +203,18 @@ object TextAnalysis {
   def bm25(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The (doc, term) tf frame is referenced THREE times below (dl, df,
+    // and the scored join) — without materialization the tokenize →
+    // explode → groupBy over the whole corpus re-runs per reference,
+    // tripling the operator's dominant cost (the same hazard
+    // Graph.pagerank persists against; driver r5 measured text_bm25 at
+    // 4.6× text_term_stats over the same statistics). MEMORY_AND_DISK
+    // keeps lineage; blocks are freed by the ContextCleaner.
     val tf = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),

@@ -1110,6 +1110,45 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(pr2.values.sum - 1.0) < 1e-5, pr2.toString)
   }
 
+  test("pagerank: dangling redistribution conserves mass; no-op on bidirectional sets") {
+    // 1 -> 2 and nothing out of 2: node 2 is a dangling sink
+    val chain = Seq((1L, 2L)).toDF("src", "dst")
+    val leaky = Graph.pagerank(chain, "src", "dst", iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(leaky.values.sum < 0.9, s"mass should leak without the flag: $leaky")
+    val pr = Graph.pagerank(chain, "src", "dst", iters = 3, damping = 0.85,
+      redistributeDangling = true).as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-5, pr.toString)
+    assert(pr(2L) > pr(1L), pr.toString) // the sink still accumulates rank
+    // bidirectional edge set: no dangling nodes, flag must change nothing
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val off = Graph.pagerank(pair, "src", "dst", iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    val on = Graph.pagerank(pair, "src", "dst", iters = 3, damping = 0.85,
+      redistributeDangling = true).as[(Long, Double)].collect().toMap
+    assert(off == on, s"$off vs $on")
+  }
+
+  test("degree-ordered triangle count equals the id-ordered count") {
+    // hot hub with the LARGEST id (100): canonical a<b orients every
+    // spoke INTO the hub, the degree order orients them into the hub
+    // too but numbers the wedges differently — the counts must agree.
+    // Triangles: {1,2,100}, {3,4,100}, {1,2,7}.
+    val raw = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L), (100L, 5L), (100L, 6L),
+      (1L, 2L), (3L, 4L), (1L, 7L), (2L, 7L)).toDF("pa", "pb")
+    val edges = Graph.canonicalEdges(raw, "pa", "pb")
+    val idCount = Graph.triangleStats(edges)
+      .select($"n_triangles").as[Long].head()
+    val degCount = Graph.triangleCountByDegree(edges).as[Long].head()
+    assert(idCount == 3L && degCount == 3L, s"id=$idCount deg=$degCount")
+    // degree-oriented out-degree of the hub is 0 (everything points AT
+    // the highest-degree node) — the wedge-bound property in one line
+    val hubOut = Graph.orientByDegree(edges)
+      .filter($"x" === 100L).count()
+    assert(hubOut == 0L, s"hub should have no out-edges, got $hubOut")
+  }
+
   test("snapshot diff distinguishes NULL from empty string and classifies all") {
     val old = Seq((1L, Some("a")), (2L, None), (3L, Some("x")))
       .toDF("k", "v")

@@ -478,4 +478,67 @@ class StreamingSpec extends SparkSuite {
     // kept the stale-view user out, and ignored the view-less user
     assert(streamed == Set((10L, 2L, 100.0), (10L, 5L, 200.0)))
   }
+
+  test("RocksDB session-window soak: state evicts and results match the HDFS provider") {
+    // Drives the session window through enough keys × batches that the
+    // watermark must EVICT state as it goes (each batch opens a fresh
+    // session per key and closes the previous batch's), then asserts the
+    // RocksDB provider and the default HDFS-backed provider emit the
+    // identical session set — the provider swap changes durability
+    // mechanics, never results — and that end-of-run state holds only
+    // the live tail, not the full emitted history.
+    import graft.streaming.StreamOps
+    val nKeys = 500L
+    val nBatches = 6
+    val t0s = t0.toLong
+    def run(rocks: Boolean, qname: String)
+        : (Set[(Long, Long, Double, java.sql.Timestamp)], Long) = {
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(confKey)
+      if (rocks) spark.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else spark.conf.unset(confKey)
+      try {
+        val src = MemoryStream[(Long, Long, Double)]
+        val df = src.toDF().toDF("es", "key", "value")
+          .select(col("es").cast("timestamp").as("ts"), col("key"), col("value"))
+        val sess = StreamOps.sessionMetrics(df, "ts", "key", "value",
+          gap = "10 seconds", lateness = "5 seconds", streaming = true)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-soak").toString
+        val q = sess.writeStream.format("memory").queryName(qname)
+          .outputMode("append").option("checkpointLocation", ckpt).start()
+        try {
+          for (b <- 0 until nBatches) {
+            val base = t0s + b * 30L // 30 s stride > 10 s gap: new session
+            src.addData((0L until nKeys).flatMap(k =>
+              Seq((base, k, 1.0), (base + 5L, k, 2.0))))
+            q.processAllAvailable()
+          }
+          src.addData(Seq((t0s + 1000000L, -1L, 0.0))) // watermark flush
+          q.processAllAvailable()
+          val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+          val rows = spark.table(qname)
+            .select($"key", $"n_events", $"session_fare", $"session_start")
+            .as[(Long, Long, Double, java.sql.Timestamp)].collect().toSet
+          (rows, stateRows)
+        } finally q.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+    val (viaHdfs, _) = run(rocks = false, "soak_hdfs")
+    val (viaRocks, stateRows) = run(rocks = true, "soak_rocks")
+    // every (key, batch) session closed and emitted exactly once; the
+    // flush row's own session stays open and unemitted
+    assert(viaHdfs.count(_._1 >= 0L) == nKeys * nBatches,
+      s"expected ${nKeys * nBatches} closed sessions, got ${viaHdfs.size}")
+    assert(viaHdfs.forall(r => r._1 < 0L || (r._2 == 2L && r._3 == 3.0)),
+      viaHdfs.take(5).toString)
+    assert(viaRocks == viaHdfs,
+      s"provider drift: ${(viaRocks diff viaHdfs).take(3)} / ${(viaHdfs diff viaRocks).take(3)}")
+    // 3000 sessions were emitted over the run, but the store ends holding
+    // only the single still-open flush session — eviction really ran
+    assert(stateRows <= nKeys + 1L, s"state not evicted: $stateRows rows")
+  }
 }
