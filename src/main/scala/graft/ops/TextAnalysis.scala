@@ -215,24 +215,33 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    // N and avgdl straight off the collapsed tf frame: sum(tf) and
+    // countDistinct(doc) are exact integers, so the constants are
+    // bit-identical to the per-doc-then-total formulation
+    val corpus = tf.agg(
+      countDistinct(col("doc_id")).cast("double").as("n_docs"),
+      (sum(col("tf")).cast("double") /
+        countDistinct(col("doc_id")).cast("double")).as("avgdl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
     val tfd = col("tf").cast("double")
     val score = idf * (tfd * (k1 + 1.0)) /
       (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    val scored = tf
-      .join(dfreq, Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(corpus))
-      .withColumn("score", round(score, 6))
+    // dl as a window sum over the SAME doc_id partitioning the final
+    // row_number pass needs: one exchange feeds both Window nodes,
+    // replacing the old groupBy(doc)+re-join (an exchange and a join
+    // fewer; the inner dfreq join preserves every tf row, so the
+    // per-doc sums are unchanged). Integer sums — hash-gate exact.
+    val wDoc = Window.partitionBy(col("doc_id"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    scored.withColumn("__rn", row_number().over(w))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("dl", sum(col("tf")).over(wDoc))
+      .withColumn("score", round(score, 6))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("term").as("top_term"),
         col("tf"), col("df"), col("dl"), col("score"))

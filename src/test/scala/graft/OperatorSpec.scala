@@ -1202,6 +1202,20 @@ class OperatorSpec extends SparkSuite {
       val pr = SparkEntry.queries("graph_pagerank")(spark, sfDir)
       assert(pr.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
         "pagerank must read its persisted frames")
+      // bm25: the corpus token explode is materialized ONCE — all three
+      // downstream branches (df build, corpus constants, scoring) read
+      // the cached tf frame. The plan STRING prints the cached plan
+      // expanded under each InMemoryTableScan, so every Generate
+      // (explode) occurrence must be accounted for by a printed
+      // InMemoryRelation — an uncached branch would add a Generate
+      // without one.
+      val bm = SparkEntry.queries("text_bm25")(spark, sfDir)
+      val bmPlan = bm.queryExecution.executedPlan.toString
+      def n(p: String, token: String) = token.r.findAllIn(p).size
+      assert(n(bmPlan, "InMemoryTableScan") == 3,
+        "bm25's three tf consumers must all read the persisted frame")
+      assert(n(bmPlan, "Generate") <= n(bmPlan, "InMemoryRelation"),
+        "bm25 re-runs the corpus explode outside the cache")
       // snapshot diff: the join exchanges carry (key, md5) — never the
       // attribute payload
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
