@@ -865,6 +865,21 @@ object SparkEntry {
             .as("mean"))
         .select(col("grp"), col("pos").cast("long").as("pos"), col("n"), col("mean"))),
 
+    // kNN label propagation: every 7th vector plays the unlabeled query
+    // set, majority-vote over its 5 nearest labeled neighbors. Integer-
+    // only output (votes + labels) — the float similarity never reaches
+    // the result, so the gate is exact.
+    "ann_knn_label" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.knnLabel(
+          e.filter(col("vec_id") % 7 =!= 0),
+          e.filter(col("vec_id") % 7 === 0), k = 5)
+        .join(e.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .select(col("query_id"), col("true_label"),
+          col("predicted_label"), col("votes"))
+    },
+
     // Int8 scalar quantization: scales cancel in cosine, integer dots are
     // exact in double, and round-half-away-from-zero matches DuckDB's
     // round() — so the oracle replicates the quantized ranking bit-exactly.
@@ -1228,6 +1243,11 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramModel(t(s, dir, "documents"))),
 
+    // Bigram-LM perplexity per document (the CCNet-style quality filter):
+    // add-k smoothed corpus LM, each doc scored by its own transitions.
+    "text_perplexity" -> ((s, dir) =>
+      TextAnalysis.perplexity(t(s, dir, "documents"))),
+
     // ── wave 8: graph analytics + warehouse CDC ───────────────────────
 
     // Degree distribution of the part co-purchase graph (parts sharing
@@ -1330,10 +1350,28 @@ object SparkEntry {
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-      .agg(count(lit(1)).as("__n"))
+    // Pair formation is PER ORDER over the sorted (part, multiplicity)
+    // list — one scan and two narrow keyed shuffles, where the previous
+    // formulation self-joined lineitem with itself (two scans + a join
+    // whose shuffle carries the full 600k×2 rows twice). Multiset
+    // semantics are identical: the self-join counted every row pair
+    // with x.pk < y.pk, i.e. cnt(a)·cnt(b) per order, which is exactly
+    // the weight attached here. Pair fan-out stays bounded by
+    // C(lines, 2) ≤ 21 per order (the same bound as before); the
+    // transform lambda runs once per PAIR, the shape the bigram-LM fix
+    // proved sub-second at corpus scale.
+    val ps = col("ps")
+    val pairs = flatten(transform(sequence(lit(1), size(ps) - 1), i =>
+      transform(slice(ps, lit(1), i), x =>
+        struct(x("pk").as("a"), element_at(ps, i + 1)("pk").as("b"),
+          (x("c") * element_at(ps, i + 1)("c")).as("w")))))
+    li.groupBy(col("ok"), col("pk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_list(struct(col("pk"), col("c")))).as("ps"))
+      .filter(size(ps) >= 2)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("p.w")).as("__n"))
       .filter(col("__n") >= 2)
       .select(col("a"), col("b"))
   }
@@ -1782,6 +1820,45 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY w1 ORDER BY pair_n DESC, w2) AS rn
         |      FROM c)
         |SELECT w1, w2 AS top_next, pair_n, head_n FROM r WHERE rn = 1""".stripMargin,
+
+    // Same corpus LM as text_bigram_lm, scored per document with the
+    // identical add-k formula; ln-sum fold order absorbed by round(,6).
+    "text_perplexity" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |ix AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+        |       FROM tk WHERE len(toks) >= 2),
+        |dbc AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2, count(*) AS n
+        |        FROM ix GROUP BY 1, 2, 3),
+        |m AS (SELECT w1, w2, sum(n) AS pair_n FROM dbc GROUP BY w1, w2),
+        |h AS (SELECT w1, w2, pair_n,
+        |             sum(pair_n) OVER (PARTITION BY w1) AS head_n FROM m),
+        |v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS vsz FROM m),
+        |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |         sum(n * ln((pair_n + 0.5) / (head_n + 0.5 * vsz))) AS lp
+        |       FROM dbc JOIN h USING (w1, w2), v GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(lp, 6) AS logprob,
+        |       round(exp(-lp / n_bigrams), 6) AS ppl FROM sc""".stripMargin,
+
+    // Brute-force kNN + majority vote, replicated relationally with the
+    // same (sim DESC, nid) neighbor order and (votes DESC, label) vote
+    // tie-break.
+    "ann_knn_label" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS tl FROM e WHERE vec_id % 7 = 0),
+        |c AS (SELECT vec_id, v, label FROM e WHERE vec_id % 7 <> 0),
+        |p AS (SELECT qid, c.vec_id AS nid, c.label AS nl,
+        |        list_reduce(list_transform(range(0, len(qv)), i -> c.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> c.v[i+1] * c.v[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM q, c),
+        |r AS (SELECT qid, nl, row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid) AS rnk FROM p),
+        |vt AS (SELECT qid, nl, count(*) AS votes FROM r WHERE rnk <= 5 GROUP BY qid, nl),
+        |w AS (SELECT qid, nl, votes, row_number() OVER (PARTITION BY qid
+        |        ORDER BY votes DESC, nl) AS rn FROM vt)
+        |SELECT w.qid AS query_id, q.tl AS true_label,
+        |       w.nl AS predicted_label, votes
+        |FROM w JOIN q ON w.qid = q.qid WHERE rn = 1""".stripMargin,
 
     // Wave 8 ─────────────────────────────────────────────────────────
 

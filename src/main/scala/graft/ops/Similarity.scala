@@ -79,6 +79,35 @@ object Similarity {
         col("col.score").as("sim"))
   }
 
+  /** kNN label propagation (weak supervision): each unlabeled query vector
+    * takes the majority label of its k nearest labeled neighbors by cosine
+    * — the standard way a training pipeline extends a small labeled seed
+    * set over a large corpus. Tie-break: more votes wins, then the
+    * smaller label id, so the vote is engine-independent and the output
+    * is integer-only (exact hash gate; no float enters the ranking).
+    *
+    * Scale shape: neighbor search is [[bruteForceTopK]] (broadcast
+    * queries, k-bounded aggregation — swap in [[ivfTopK]]/[[lshTopK]]
+    * for corpus-scale candidate pruning, the vote below is unchanged);
+    * the label attach joins |Q|·k neighbor rows against the candidate
+    * labels on vec_id, then the vote is a two-level keyed aggregation
+    * over |Q|·k rows — nothing corpus-sized past the search. */
+  def knnLabel(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = bruteForceTopK(candidates, queries, k)
+    val labels = candidates.select(
+      col("vec_id").as("neighbor_id"), col("label").as("nbr_label"))
+    val vote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nbr_label"))
+    nn.join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(vote))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("nbr_label").as("predicted_label"),
+        col("votes"))
+  }
+
   /** Deterministic random hyperplanes for sign-bit (SimHash-style) vector
     * LSH, seeded so both sides of a join bucket identically. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

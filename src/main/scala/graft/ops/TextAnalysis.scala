@@ -350,6 +350,61 @@ object TextAnalysis {
       .select(col("w1"), col("w2").as("top_next"), col("pair_n"), col("head_n"))
   }
 
+  /** Per-document bigram-LM perplexity (the CCNet-style quality filter: a
+    * count LM is trained over the corpus, then every document is scored by
+    * how "ordinary" its token transitions are — high perplexity flags
+    * boilerplate-free but also garbled text for downstream filtering).
+    *
+    * Model: add-k smoothed bigram probabilities over the SAME corpus,
+    * p(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V), with V = distinct head
+    * tokens. Score: logprob = Σ n·ln p over the document's collapsed
+    * bigram counts; ppl = exp(−logprob / n_bigrams).
+    *
+    * Plan shape for 100 TB: the token explode runs ONCE — per-doc bigram
+    * counts (`dbc`) are persisted and both the corpus model and the
+    * per-doc scores derive from them. The model frame is bounded by the
+    * distinct-bigram vocabulary (not the corpus), head totals fold over
+    * the already-collapsed pair rows, V is a 1-row broadcast. The only
+    * corpus-sized exchanges are the (doc,w1,w2) map-side-combined count
+    * and the (w1,w2) score join. Double-sum fold order is the single
+    * engine-variant step, absorbed by the 6-decimal round (the
+    * [[tokenEntropy]] precedent). */
+  def perplexity(df: DataFrame, textCol: String = "text",
+      alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val toks = col("__toks")
+    val pairs = transform(sequence(lit(0), size(toks) - 2),
+      i => struct(element_at(toks, i + 1).as("w1"),
+        element_at(toks, i + 2).as("w2")))
+    val dbc = df
+      .select(col("doc_id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val model = dbc
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("pair_n"))
+      .withColumn("head_n",
+        sum(col("pair_n")).over(Window.partitionBy(col("w1"))))
+    val vocab = model.select(
+      countDistinct(col("w1")).cast("double").as("vsz"))
+    val p = (col("pair_n") + lit(alpha)) /
+      (col("head_n") + lit(alpha) * col("vsz"))
+    dbc
+      .join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        sum(col("n") * log(p)).as("__lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__lp"), 6).as("logprob"),
+        round(exp(-col("__lp") / col("n_bigrams")), 6).as("ppl"))
+  }
+
   /** Deterministic document fingerprint: polynomial rolling hash over the
     * token stream, h = (h*31 + tokenHash) mod p, with tokenHash derived
     * from the first 8 hex digits of md5(token) so the oracle can reproduce

@@ -995,6 +995,45 @@ class OperatorSpec extends SparkSuite {
     assert(got(2)._2 == "c" && got(2)._3 == score(3, 2, 3), got(2).toString)
   }
 
+  test("perplexity matches the hand add-k formula; short docs excluded") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b a"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.perplexity(docs)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // model: (a,b) n=3, (b,a) n=2; heads a→3 b→2; V = 2 distinct heads
+    val pAB = (3 + 0.5) / (3 + 0.5 * 2)
+    val pBA = (2 + 0.5) / (2 + 0.5 * 2)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp1 = 2 * math.log(pAB) + math.log(pBA)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), "doc 4 has no bigrams")
+    assert(got(0) == ((1L, 3L, r6(lp1), r6(math.exp(-lp1 / 3)))), got(0).toString)
+    assert(got(1) == ((2L, 1L, r6(math.log(pAB)), r6(1 / pAB))), got(1).toString)
+    assert(got(2) == ((3L, 1L, r6(math.log(pBA)), r6(1 / pBA))), got(2).toString)
+  }
+
+  test("knn label: majority vote, vote tie prefers smaller label") {
+    val emb = Seq(
+      (10L, Seq(1.0, 0.0), 0), (11L, Seq(0.9, 0.1), 0),
+      (14L, Seq(0.8, 0.2), 0),
+      (12L, Seq(0.0, 1.0), 1), (13L, Seq(0.1, 0.9), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = (id: Long, v: Seq[Double]) =>
+      Seq((id, v, -1)).toDF("vec_id", "embedding", "label")
+    def pred(cand: org.apache.spark.sql.DataFrame,
+        qdf: org.apache.spark.sql.DataFrame, k: Int) =
+      Similarity.knnLabel(cand, qdf, k)
+        .as[(Long, Int, Long)].collect().toSeq
+    // deep in cluster 0: all 3 neighbors vote 0
+    assert(pred(emb, q(1L, Seq(1.0, 0.05)), 3) == Seq((1L, 0, 3L)))
+    // deep in cluster 1: 2 of 3 vote 1 (third-nearest is (0.8,0.2))
+    assert(pred(emb, q(2L, Seq(0.0, 1.0)), 3) == Seq((2L, 1, 2L)))
+    // [1,1] is bit-exactly equidistant from (1,0) and (0,1): the vote
+    // splits 1–1 and the smaller label must win
+    assert(pred(emb.filter($"vec_id".isin(10L, 12L)),
+      q(3L, Seq(1.0, 1.0)), 2) == Seq((3L, 0, 1L)))
+  }
+
   test("ewma matches the hand formula and renormalizes at the leading edge") {
     val df = Seq((1L, 1L, 1L, 4.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 1.0))
       .toDF("k", "t", "id", "v")
@@ -1178,6 +1217,13 @@ class OperatorSpec extends SparkSuite {
   }
 
   test("plan guards: wave 7/8 scale claims hold in the executed plans") {
+    // Plan-shape assertions are only well-defined against a clean cache:
+    // CacheManager substitutes any canonically-equal cached subtree left
+    // behind by earlier tests, which changes where InMemoryTableScan
+    // nodes land and how many Generate occurrences the plan STRING
+    // prints — a print artifact of cross-test cache state, not a
+    // property of the operator under test.
+    spark.catalog.clearCache()
     withoutAqe {
       // EWMA: all k lag terms ride ONE ordered window pass — one key
       // exchange, one Window node
