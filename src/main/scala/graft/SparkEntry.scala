@@ -949,6 +949,15 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select(col("doc_id"), col("source"))),
 
+    // Temperature-flattened mix (T=2) over the skewed language column
+    // (en dominates ~2.2:1 over the rarest): weights derived IN-PLAN
+    // from the observed counts as (n/N)^(1/T); same membership gate as
+    // sample_mixture. The rarest language survives whole, en is thinned.
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
+        temperature = 2.0)
+        .select(col("doc_id"), col("lang"))),
+
     // Deterministic per-group k-sample (the reservoir-sampling twin):
     // exactly 40 docs per language, selected by seeded md5 rank — the
     // oracle reproduces the identical 40, not just the count.
@@ -2653,6 +2662,21 @@ object SparkEntry {
         |cut AS (SELECT dom, wt * r / n * 1000000 AS cut FROM j, r)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN cut ON d.source = cut.dom
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 < cut""".stripMargin,
+
+    // Same binding-ratio cutoff math as sample_mixture, with the weights
+    // computed from the observed counts: w = (n/N)^(1/2).
+    "sample_temperature" ->
+      """WITH counts AS (
+        |  SELECT lang AS dom, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n) AS tot FROM counts),
+        |w AS (SELECT dom, n, pow(n / tot, 1.0 / 2.0) AS wt FROM counts, tot),
+        |r AS (SELECT min(n / wt) AS r FROM w),
+        |cut AS (SELECT dom, wt * r / n * 1000000 AS cut FROM w, r)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN cut ON d.lang = cut.dom
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      % 1000000 < cut""".stripMargin,
 

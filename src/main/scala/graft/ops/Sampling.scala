@@ -67,6 +67,37 @@ object Sampling {
       .drop("__dom", "__cut")
   }
 
+  /** Temperature-scaled resampling (the multilingual data-balancing step:
+    * sample languages/domains ∝ p^(1/T) instead of their natural share,
+    * flattening the mix toward uniform for T > 1 so rare domains keep
+    * representation). The target weights are DERIVED from the observed
+    * counts in-plan — w_d = (n_d/N)^(1/T) — and fed through the same
+    * binding-ratio cutoff math as [[mixtureSample]]: r = min_d(n_d/w_d)
+    * makes the output the largest pure-downsampling realization of the
+    * tempered mix. For T > 1 the binding domain is provably the rarest
+    * (n_d/w_d ∝ n_d^(1-1/T) is increasing in n_d), i.e. the scarce
+    * domain is kept whole and the dominant ones are thinned — exactly
+    * the intended flattening. Everything is one tiny per-domain
+    * aggregate + two broadcast scalars; the corpus never shuffles, and
+    * membership stays the deterministic md5 key draw. */
+  def temperatureSample(df: DataFrame, keyCol: String, domainCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__tot"))
+    val wts = counts.crossJoin(broadcast(tot))
+      .select(col("__dom"), col("__n"),
+        pow(col("__n") / col("__tot"), lit(1.0 / temperature)).as("__w"))
+    val r = wts.agg(min(col("__n") / col("__w")).as("__r"))
+    val cutoffs = wts.crossJoin(broadcast(r))
+      .select(col("__dom"),
+        (col("__w") * col("__r") / col("__n") * buckets).as("__cut"))
+    df.join(broadcast(cutoffs), col(domainCol) === col("__dom"))
+      .filter(drawOf(col(keyCol)).cast("double") < col("__cut"))
+      .drop("__dom", "__cut")
+  }
+
   /** Per-stratum fractions (e.g. downsample dominant languages, keep all
     * of rare ones). Strata absent from `fractions` fall back to
     * `defaultFraction`. The thresholds compile to one codegen'd CASE —

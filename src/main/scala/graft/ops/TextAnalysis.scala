@@ -371,7 +371,6 @@ object TextAnalysis {
     * [[tokenEntropy]] precedent). */
   def perplexity(df: DataFrame, textCol: String = "text",
       alpha: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val toks = col("__toks")
     val pairs = transform(sequence(lit(0), size(toks) - 2),
@@ -384,11 +383,15 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val model = dbc
+    // Head totals via hash-agg + a vocab-sized equi-join on w1 — both
+    // frames here are bounded by the bigram vocabulary, and hash
+    // aggregation beats the sort a window over w1 would force.
+    val pairCounts = dbc
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("n")).as("pair_n"))
-      .withColumn("head_n",
-        sum(col("pair_n")).over(Window.partitionBy(col("w1"))))
+    val model = pairCounts.join(
+      pairCounts.groupBy(col("w1")).agg(sum(col("pair_n")).as("head_n")),
+      Seq("w1"))
     val vocab = model.select(
       countDistinct(col("w1")).cast("double").as("vsz"))
     val p = (col("pair_n") + lit(alpha)) /

@@ -779,6 +779,27 @@ class OperatorSpec extends SparkSuite {
     assert(again.toSet == got.map(_._1).toSet)
   }
 
+  test("temperature sample: rarest domain kept whole, dominant thinned toward uniform") {
+    val rows = Seq.tabulate(400)(i => (i.toLong, "big")) ++
+      Seq.tabulate(25)(i => (1000L + i, "small"))
+    val df = rows.toDF("id", "dom")
+    val got = Sampling.temperatureSample(df, "id", "dom", temperature = 2.0)
+      .select($"id", $"dom").as[(Long, String)].collect()
+    val byDom = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // T=2: w ∝ sqrt(p) → w_big/w_small = 4, so the tempered mix targets
+    // big:small = 4:1 instead of the natural 16:1. The rarest domain
+    // binds (n/w ∝ sqrt(n)): all 25 of "small" survive, and "big"
+    // targets 4×25 = 100 of its 400.
+    assert(byDom("small") == 25, byDom.toString)
+    assert(byDom("big") > 60 && byDom("big") < 140, byDom.toString)
+    // partitioning-independent membership
+    val again = Sampling.temperatureSample(df.repartition(13, $"dom"),
+      "id", "dom", temperature = 2.0).select($"id").as[Long].collect()
+    assert(again.toSet == got.map(_._1).toSet)
+    // T=1 is the identity mix: every row survives
+    assert(Sampling.temperatureSample(df, "id", "dom", 1.0).count() == 425)
+  }
+
   test("vocab encode: frequency-ranked ids, asc tie-break, OOV as -1") {
     // tf: a=3, b=2, c=1, d=1 -> V=3 keeps a(0), b(1), c(2): tie c/d -> asc
     val docs = Seq((1L, "b a a c"), (2L, "a b d")).toDF("doc_id", "text")
