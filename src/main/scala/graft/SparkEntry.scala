@@ -764,6 +764,18 @@ object SparkEntry {
           n = 3, threshold = 0.5))
     },
 
+    // Representative selection over the same groups: keep the longest
+    // member per duplicate group (tie → smaller id), singletons pass
+    // through — the deduplicated corpus itself, hash-gated end to end.
+    "dedup_keep_best" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.keepBest(docs,
+        Dedup.duplicateGroups(
+          Dedup.jaccardVerifiedPairs(docs, "doc_id", "text",
+            Dedup.minhashLshCandidates(docs, "doc_id", "text"),
+            n = 3, threshold = 0.5)))
+    },
+
     // Scale shape: LSH candidate generation → exact Jaccard verify, linear
     // in candidates (a block self-join on a data column would be quadratic
     // within the block — kept only as the pre-blocked-data primitive).
@@ -2525,6 +2537,43 @@ object SparkEntry {
         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS group_id
         |FROM reach GROUP BY a""".stripMargin,
+
+    // Same recursive-CTE groups as dedup_groups, then the argmax
+    // representative per group plus the anti-joined singleton pass-through.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(0, len(w) - 2),
+        |           i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |p AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b
+        |  FROM s l JOIN s r ON l.doc_id < r.doc_id
+        |  WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p
+        |      UNION SELECT a, a FROM p UNION SELECT b, b FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |g AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS group_id
+        |      FROM reach GROUP BY a),
+        |j AS (SELECT d.doc_id, g.group_id, d.n_chars
+        |      FROM documents d JOIN g USING (doc_id)),
+        |reps AS (SELECT doc_id, group_id, n_chars,
+        |           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+        |           row_number() OVER (PARTITION BY group_id
+        |             ORDER BY n_chars DESC, doc_id) AS rn
+        |         FROM j)
+        |SELECT doc_id, group_id, group_size, n_chars
+        |FROM reps WHERE rn = 1
+        |UNION ALL
+        |SELECT d.doc_id, d.doc_id AS group_id, CAST(1 AS BIGINT) AS group_size,
+        |       d.n_chars
+        |FROM documents d ANTI JOIN g USING (doc_id)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH s AS (

@@ -450,6 +450,34 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 
+  /** Representative selection — the step after grouping that actually
+    * deduplicates the corpus: per duplicate group keep the best document
+    * (highest `scoreCol`, tie-break smaller id — "keep the longest
+    * version" with the default n_chars score), and pass every ungrouped
+    * document through untouched.
+    *
+    * Scale shape: the window runs ONLY over the grouped docs (the join
+    * with `groups` prunes to duplicate members first — at web scale a
+    * few percent of the corpus); the singleton path is a left-anti join
+    * with no window and no sort, so the bulk of the corpus crosses one
+    * equi-join exchange and nothing else. group_size rides the same
+    * partition as the rank, so both windows share one exchange. */
+  def keepBest(docs: DataFrame, groups: DataFrame, idCol: String = "doc_id",
+      scoreCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col("group_id"))
+    val rank = byGroup.orderBy(col(scoreCol).desc, col(idCol))
+    val reps = docs.join(groups, Seq(idCol))
+      .withColumn("group_size", count(lit(1)).over(byGroup))
+      .withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("group_id"), col("group_size"), col(scoreCol))
+    val singles = docs.join(groups, Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("group_id"),
+        lit(1L).as("group_size"), col(scoreCol))
+    reps.unionByName(singles)
+  }
+
   /** One-call corpus dedup — the full pipeline a training-data user runs:
     * MinHash-LSH candidates → exact n-gram-Jaccard verify (≥ threshold) →
     * transitive duplicate groups → every doc labeled with its group id
@@ -514,6 +542,85 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         col("n_lines"),
         (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Token-window rows for span-level dedup: one row per n-token window
+    * of each document, windows overlapping (stride 1). Docs shorter than
+    * n tokens contribute nothing (the pre-filter also keeps
+    * sequence(0, size-n) from ever seeing a negative stop, which Spark
+    * would otherwise walk DOWNWARD). The explode is narrow — no shuffle
+    * until whatever aggregation consumes the rows. */
+  private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= n)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__w")) - n),
+          i => concat_ws(" ", slice(col("__w"), i + lit(1), lit(n)))))
+          .as("span"))
+
+  /** Engine-independent 60-bit span key: integer value of the first 15
+    * hex digits of md5 — wide enough that a 100-TB corpus' span
+    * population stays collision-sparse (vs the 32-bit prefix the LSH
+    * band keys use, where collisions only cost a verify), and under the
+    * 62-bit ceiling ANSI-mode arithmetic needs. */
+  private def spanKey(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Cross-document repeated-span discovery — the exact-substring pass of
+    * training-data dedup (find every n-token window that recurs across
+    * documents; the published form uses suffix arrays over the whole
+    * corpus, this is the window-hash formulation that distributes): every
+    * overlapping n-token window occurring in at least `minDocs` DISTINCT
+    * documents, with total occurrence and document counts.
+    *
+    * Shape: narrow window explode → one hash aggregation keyed on the
+    * span (count + distinct-doc count share the exchange). Output is the
+    * repeated-span dictionary — at web scale a small fraction of the
+    * window population (boilerplate, licenses, quoted passages), which
+    * downstream passes broadcast or bucket-join against. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2): DataFrame =
+    spanWindows(docs, idCol, textCol, n)
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document duplicated-span ratio — the per-doc verdict built on
+    * [[repeatedSpans]]: what fraction of a doc's n-token windows also
+    * appear in other documents. The corpus-level filter drops docs whose
+    * ratio exceeds a threshold (near-total overlap = a copy) and feeds
+    * middling ratios to span REMOVAL instead.
+    *
+    * Shape: windows are reduced to 60-bit md5 keys BEFORE any exchange
+    * (a long per row, never span text); the heavy-key set (≥ minDocs
+    * docs) comes from one distinct+count aggregation; per-doc totals are
+    * a map-side-combinable count; and the dup count is a semi-join of
+    * keyed windows against the heavy set — all equi-joins on the hash,
+    * no pairwise product. dup_ratio is a single IEEE division of two
+    * exact integers, so both engines produce the identical double.
+    *
+    * Output: (idCol, n_windows, n_dup, dup_ratio) for every doc with at
+    * least one window (docs under n tokens have no windows — no ratio). */
+  def spanDupRatio(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2): DataFrame = {
+    val keyed = spanWindows(docs, idCol, textCol, n)
+      .select(col(idCol), spanKey(col("span")).as("__h"))
+    val heavy = keyed.distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val totals = keyed.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"))
+    val dups = keyed.join(heavy, Seq("__h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    totals.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
+          .as("dup_ratio"))
   }
 
   /** Embedding near-duplicate pairs: sign-bit LSH bucket join, then exact

@@ -779,6 +779,17 @@ class OperatorSpec extends SparkSuite {
     assert(again.toSet == got.map(_._1).toSet)
   }
 
+  test("keep-best: longest group member survives, tie prefers smaller id, singletons pass") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // group 1: 3 wins on len, tie → 2
+      (7L, 5L)) // singleton
+      .toDF("doc_id", "n_chars")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "group_id")
+    val got = Dedup.keepBest(docs, groups)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 1L, 3L, 30L), (7L, 7L, 1L, 5L)), got.mkString)
+  }
+
   test("temperature sample: rarest domain kept whole, dominant thinned toward uniform") {
     val rows = Seq.tabulate(400)(i => (i.toLong, "big")) ++
       Seq.tabulate(25)(i => (1000L + i, "small"))
