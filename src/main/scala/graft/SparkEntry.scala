@@ -776,6 +776,19 @@ object SparkEntry {
             n = 3, threshold = 0.5)))
     },
 
+    // Exact-substring (span-level) dedup, window-hash formulation: the
+    // repeated-span dictionary (8-token windows in ≥2 distinct docs)...
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)),
+
+    // ...and the per-doc duplicated-window ratio built on it — exchanges
+    // carry 60-bit md5 keys, never span text; dup_ratio is one IEEE
+    // division of exact integers so it hash-gates.
+    "dedup_span_ratio" -> ((s, dir) =>
+      Dedup.spanDupRatio(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)),
+
     // Scale shape: LSH candidate generation → exact Jaccard verify, linear
     // in candidates (a block self-join on a data column would be quadratic
     // within the block — kept only as the pre-blocked-data primitive).
@@ -1006,6 +1019,20 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"))
         .select(col("doc_id"), col("fingerprint"))),
+
+    // Feature-hashing linear classifier: integer weights until one IEEE
+    // division, so the score hash-gates exactly; the derived weight table
+    // is the documented stand-in for trained parameters.
+    "text_quality_clf" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("raw_score"),
+          col("quality"), col("keep"))),
+
+    // Ordered admission rules with first-fail reason codes; the fixture
+    // exercises too_short, no_stopword, and pass.
+    "text_filter_chain" -> ((s, dir) =>
+      TextAnalysis.filterChain(t(s, dir, "documents"))
+        .select(col("doc_id"), col("reason"), col("keep"))),
 
     // Vocabulary build + id encoding at V=20 < the fixture's 31 distinct
     // terms, so the OOV (-1) path is exercised; md5 of the id CSV pins
@@ -2575,6 +2602,33 @@ object SparkEntry {
         |       d.n_chars
         |FROM documents d ANTI JOIN g USING (doc_id)""".stripMargin,
 
+    "dedup_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |         string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 7),
+        |         i -> array_to_string(w[i+1:i+8], ' '))) AS span FROM w)
+        |SELECT span, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "dedup_span_ratio" ->
+      """WITH w AS (SELECT doc_id,
+        |         string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 7),
+        |         i -> array_to_string(w[i+1:i+8], ' '))) AS span FROM w),
+        |k AS (SELECT doc_id,
+        |        CAST('0x' || substr(md5(span), 1, 15) AS BIGINT) AS h FROM sp),
+        |heavy AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM k)
+        |          GROUP BY h HAVING count(*) >= 2),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+        |        FROM k GROUP BY doc_id),
+        |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |        FROM k SEMI JOIN heavy USING (h) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_windows,
+        |       COALESCE(d.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+        |       CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_windows AS dup_ratio
+        |FROM tot t LEFT JOIN dup d USING (doc_id)""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -2798,6 +2852,44 @@ object SparkEntry {
         |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1000000007),
         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // Same 60-bit slot hash / Knuth-multiplicative weight arithmetic as
+    // hashedLinearScore; integer until the final single division.
+    "text_quality_clf" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(w,
+        |    t -> ((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024)
+        |            * 2654435761) % 2003 - 1001)) AS BIGINT) AS raw_score,
+        |  CAST(CAST(list_sum(list_transform(w,
+        |    t -> ((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024)
+        |            * 2654435761) % 2003 - 1001)) AS BIGINT) AS DOUBLE)
+        |    / (len(w) * 1000.0) AS quality,
+        |  CAST(CAST(list_sum(list_transform(w,
+        |    t -> ((CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024)
+        |            * 2654435761) % 2003 - 1001)) AS BIGINT) AS DOUBLE)
+        |    / (len(w) * 1000.0) > 0.0 AS keep
+        |FROM t""".stripMargin,
+
+    "text_filter_chain" ->
+      """SELECT doc_id, reason, reason = 'pass' AS keep FROM (
+        |  SELECT doc_id, CASE
+        |    WHEN len(text) < 100 THEN 'too_short'
+        |    WHEN len(text) > 20000 THEN 'too_long'
+        |    WHEN CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |           / len(text) < 0.6 THEN 'low_alpha'
+        |    WHEN CAST(list_sum(list_transform(
+        |             string_split_regex(trim(text), '\s+'), t -> len(t))) AS DOUBLE)
+        |           / len(string_split_regex(trim(text), '\s+')) < 3.0
+        |      OR CAST(list_sum(list_transform(
+        |             string_split_regex(trim(text), '\s+'), t -> len(t))) AS DOUBLE)
+        |           / len(string_split_regex(trim(text), '\s+')) > 12.0 THEN 'word_len'
+        |    WHEN NOT list_has_any(string_split_regex(trim(lower(text)), '\s+'),
+        |           ['the','a','of','and','to','in','is','it','that','for'])
+        |      THEN 'no_stopword'
+        |    ELSE 'pass' END AS reason
+        |  FROM documents)""".stripMargin,
 
     // Vocabulary ranked (tf desc, term asc) — a total order, so the top-V
     // cut and id assignment are deterministic on both engines.

@@ -421,4 +421,69 @@ object TextAnalysis {
       "fingerprint",
       aggregate(toks, lit(0L), (acc, t) => (acc * 31L + tokHash(t)) % p))
   }
+
+  /** Hashed-feature linear quality classifier — the feature-hashing trick
+    * (hash each token into one of `buckets` feature slots, score = mean
+    * slot weight) that backs fastText-style corpus filters. The weight
+    * table is DERIVED (a Knuth-multiplicative mix of the slot index),
+    * standing in for trained parameters the same way the codec stubs
+    * stand in for external decoders: the plumbing — hashing, bucketing,
+    * per-doc accumulation, thresholding — is the real distributed shape a
+    * trained model would ride, and a real model swaps in by replacing
+    * `slotWeight` with a broadcast lookup.
+    *
+    * Everything stays integer until one final IEEE division, so both
+    * engines agree bit-for-bit: token → 60-bit md5 key → slot = key %
+    * buckets → integer weight in [-1001, 1001] (milli-units) → exact
+    * 64-bit sum via the aggregate HOF (no explode, NO SHUFFLE — the whole
+    * classifier is one codegen'd projection over the scan) → score =
+    * sum / (1000 · n_tokens). Intermediate bound: |sum| ≤ 1001·n_tokens,
+    * overflow-free for any document under ~9·10^15 tokens. */
+  def hashedLinearScore(df: DataFrame, textCol: String = "text",
+      buckets: Int = 1024, threshold: Double = 0.0): DataFrame = {
+    val toks = tokens(col(textCol))
+    val slot = (t: Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % buckets
+    val slotWeight = (t: Column) => (slot(t) * 2654435761L) % 2003L - 1001L
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("raw_score",
+        aggregate(toks, lit(0L), (acc, t) => acc + slotWeight(t)))
+      .withColumn("quality",
+        col("raw_score").cast("double") / (col("n_tokens") * 1000.0))
+      .withColumn("keep", col("quality") > threshold)
+  }
+
+  /** Ordered filter-chain gate — the composed document-admission rule a
+    * pretraining pipeline actually ships: each rule fires in a fixed
+    * order and a failing doc is tagged with the FIRST reason (so pipeline
+    * dashboards see a stable reason distribution, not an arbitrary one).
+    * Rules are pure integer/single-division arithmetic over one token
+    * array: too_short / too_long (char bounds), low_alpha (alphabetic
+    * char ratio), word_len (mean token length outside [3,12]), and
+    * no_stopword (none of the top English function words present).
+    * Zero shuffles — one codegen'd projection; at 100 TB this runs as a
+    * narrow map over the scan and the corpus-level reason histogram is
+    * the only aggregation anyone adds on top. */
+  def filterChain(df: DataFrame, textCol: String = "text",
+      minChars: Long = 100L, maxChars: Long = 20000L,
+      minAlphaRatio: Double = 0.6): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nChars = length(col(textCol)).cast("long")
+    val alphaRatio =
+      length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("double") /
+        length(col(textCol))
+    val meanWordLen =
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks)
+    val hasStopword =
+      countIn(tokens(lower(col(textCol))), stopwords("en")) > 0
+    df.withColumn("reason",
+        when(nChars < minChars, "too_short")
+          .when(nChars > maxChars, "too_long")
+          .when(alphaRatio < minAlphaRatio, "low_alpha")
+          .when(meanWordLen < 3.0 || meanWordLen > 12.0, "word_len")
+          .when(!hasStopword, "no_stopword")
+          .otherwise("pass"))
+      .withColumn("keep", col("reason") === "pass")
+  }
 }

@@ -790,6 +790,72 @@ class OperatorSpec extends SparkSuite {
     assert(got.toSeq == Seq((2L, 1L, 3L, 30L), (7L, 7L, 1L, 5L)), got.mkString)
   }
 
+  test("repeated spans: cross-doc window found with counts, single-doc repeat excluded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta tail1"),   // shares "alpha beta gamma" with 2
+      (2L, "alpha beta gamma other words"),
+      (3L, "solo solo solo solo solo"),        // repeats only within itself
+      (4L, "xy")                               // under n tokens: no windows
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(("alpha beta gamma", 2L, 2L)), got.mkString)
+    // single-doc repeats count when minDocs = 1
+    val all = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3, minDocs = 1)
+      .as[(String, Long, Long)].collect()
+      .map { case (s, o, d) => s -> ((o, d)) }.toMap
+    assert(all("solo solo solo") == (3L, 1L), all.toString)
+  }
+
+  test("span dup ratio: copied doc scores 1.0, unique doc 0.0, short doc excluded") {
+    val docs = Seq(
+      (1L, "one two three four five"),  // exact copy of 2 → every window dup
+      (2L, "one two three four five"),
+      (3L, "fully unique words here now"),
+      (4L, "ab")                        // < n tokens
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupRatio(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), got.mkString)
+    assert(got(0) == ((1L, 3L, 3L, 1.0)), got(0).toString)
+    assert(got(2) == ((3L, 3L, 0L, 0.0)), got(2).toString)
+  }
+
+  test("hashed linear score: deterministic, bounded, keep consistent with threshold") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "entirely different content words")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(docs)
+      .select($"doc_id", $"n_tokens", $"raw_score", $"quality", $"keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    // identical text → identical score (pure function of content)
+    assert(got(0)._3 == got(1)._3 && got(0)._4 == got(1)._4)
+    got.foreach { case (_, n, raw, q, keep) =>
+      assert(n == 4 || n == 3)
+      assert(math.abs(raw) <= 1001L * n, s"raw $raw out of bound")
+      assert(q == raw.toDouble / (1000.0 * n))
+      assert(keep == (q > 0.0))
+    }
+  }
+
+  test("filter chain: first failing rule wins, reasons fire as planted") {
+    val long = "word " * 5000 // 25000 chars
+    val docs = Seq(
+      (1L, "tiny"),                                     // too_short
+      (2L, long),                                       // too_long
+      (3L, "1234567890 " * 12),                         // low_alpha
+      (4L, "ab " * 40),                                 // word_len (mean 2)
+      (5L, ("zebra quantum voyage " * 7)),              // no_stopword
+      (6L, "the quick brown fox jumps over lazy dogs " * 3) // pass
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.filterChain(docs)
+      .select($"doc_id", $"reason", $"keep")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq ==
+      Seq("too_short", "too_long", "low_alpha", "word_len", "no_stopword", "pass"),
+      got.mkString)
+    assert(got.map(_._3).toSeq == Seq(false, false, false, false, false, true))
+  }
+
   test("temperature sample: rarest domain kept whole, dominant thinned toward uniform") {
     val rows = Seq.tabulate(400)(i => (i.toLong, "big")) ++
       Seq.tabulate(25)(i => (1000L + i, "small"))
