@@ -789,6 +789,15 @@ object SparkEntry {
       Dedup.spanDupRatio(t(s, dir, "documents"), "doc_id", "text",
         n = 8, minDocs = 2)),
 
+    // The cleaning step over the same dictionary: drop every token under
+    // a repeated window, reassemble; md5 of the rebuilt text pins every
+    // surviving token position.
+    "dedup_span_scrub" -> ((s, dir) =>
+      Dedup.scrubSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 8, minDocs = 2)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_tokens"), col("n_removed"))),
+
     // Scale shape: LSH candidate generation → exact Jaccard verify, linear
     // in candidates (a block self-join on a data column would be quadratic
     // within the block — kept only as the pre-blocked-data primitive).
@@ -2628,6 +2637,32 @@ object SparkEntry {
         |       COALESCE(d.n_dup, CAST(0 AS BIGINT)) AS n_dup,
         |       CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_windows AS dup_ratio
         |FROM tot t LEFT JOIN dup d USING (doc_id)""".stripMargin,
+
+    "dedup_span_scrub" ->
+      """WITH w AS (SELECT doc_id,
+        |         string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |wins0 AS (SELECT doc_id, w,
+        |            unnest(range(0, len(w) - 7)) AS wpos FROM w),
+        |wins AS (SELECT doc_id, wpos,
+        |           CAST('0x' || substr(md5(array_to_string(
+        |             w[wpos+1:wpos+8], ' ')), 1, 15) AS BIGINT) AS h
+        |         FROM wins0),
+        |heavy AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM wins)
+        |          GROUP BY h HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, wpos + d AS pos
+        |        FROM (SELECT doc_id, wpos FROM wins SEMI JOIN heavy USING (h)),
+        |             range(0, 8) t(d)),
+        |toks AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+        |           unnest(w) AS tok FROM w),
+        |kept AS (SELECT k.doc_id, k.pos, k.tok FROM toks k
+        |         ANTI JOIN cov USING (doc_id, pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, md5(coalesce(a.text_clean, '')) AS clean_md5,
+        |       CAST(len(b.w) AS BIGINT) AS n_tokens,
+        |       CAST(len(b.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM w b LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH s AS (

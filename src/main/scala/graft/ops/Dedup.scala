@@ -550,15 +550,19 @@ object Dedup {
     * sequence(0, size-n) from ever seeing a negative stop, which Spark
     * would otherwise walk DOWNWARD). The explode is narrow — no shuffle
     * until whatever aggregation consumes the rows. */
-  private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+  private def posSpanWindows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs
       .filter(size(split(trim(col(textCol)), "\\s+")) >= n)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol),
-        explode(transform(sequence(lit(0), size(col("__w")) - n),
+        posexplode(transform(sequence(lit(0), size(col("__w")) - n),
           i => concat_ws(" ", slice(col("__w"), i + lit(1), lit(n)))))
-          .as("span"))
+          .as(Seq("wpos", "span")))
+
+  private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    posSpanWindows(docs, idCol, textCol, n).select(col(idCol), col("span"))
 
   /** Engine-independent 60-bit span key: integer value of the first 15
     * hex digits of md5 — wide enough that a 100-TB corpus' span
@@ -621,6 +625,54 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_windows"))
           .as("dup_ratio"))
+  }
+
+  /** Span REMOVAL — the cleaning step [[spanDupRatio]] feeds: delete
+    * every token covered by at least one globally-repeated n-token window
+    * (≥ `minDocs` distinct docs) and re-assemble the survivors in order.
+    * Overlapping duplicated windows merge naturally: coverage is a
+    * DISTINCT (doc, token-position) set, so a token under three
+    * overlapping repeated windows is removed once. This is the span-level
+    * analogue of [[dedupLines]] — it fires on boilerplate that is not
+    * line-aligned (inline licenses, quoted passages, templated sentences).
+    *
+    * Shape: window keys are 60-bit md5 longs before any exchange; the
+    * heavy set comes from one distinct+count aggregation; coverage is a
+    * semi-join then a bounded explode (n rows per duplicated window);
+    * survivors are an anti-join of token rows against coverage on
+    * (doc, pos); re-assembly state is bounded by the largest single
+    * document, as in [[dedupLines]]. No pairwise product anywhere.
+    *
+    * Output: one row per input doc — (idCol, text_clean, n_tokens,
+    * n_removed); docs shorter than n tokens pass through untouched. */
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2): DataFrame = {
+    val wins = posSpanWindows(docs, idCol, textCol, n)
+      .select(col(idCol), col("wpos"), spanKey(col("span")).as("__h"))
+    val heavy = wins.select(col(idCol), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val covered = wins.join(heavy, Seq("__h"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("wpos"), col("wpos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")),
+        " ").as("text_clean"),
+      count(lit(1)).as("__n_kept"))
+    docs.select(col(idCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** Embedding near-duplicate pairs: sign-bit LSH bucket join, then exact

@@ -821,6 +821,22 @@ class OperatorSpec extends SparkSuite {
     assert(got(2) == ((3L, 3L, 0L, 0.0)), got(2).toString)
   }
 
+  test("span scrub: overlapping repeated windows merge, unique and short docs untouched") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // shares windows "a b c","b c d" with doc 2
+      (2L, "a b c d x y"),
+      (3L, "p q r s"),      // unique: untouched
+      (4L, "zz")            // under n tokens: passes through whole
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // positions 0..3 covered by the two overlapping windows — removed ONCE
+    assert(got(0) == ((1L, "e f", 6L, 4L)), got(0).toString)
+    assert(got(1) == ((2L, "x y", 6L, 4L)), got(1).toString)
+    assert(got(2) == ((3L, "p q r s", 4L, 0L)), got(2).toString)
+    assert(got(3) == ((4L, "zz", 1L, 0L)), got(3).toString)
+  }
+
   test("hashed linear score: deterministic, bounded, keep consistent with threshold") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "entirely different content words")).toDF("doc_id", "text")
