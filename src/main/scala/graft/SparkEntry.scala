@@ -128,6 +128,14 @@ object SparkEntry {
         .select(col("purchase_id"), col("view_id"))
     },
 
+    // Per-window heavy hitters, batch twin (exact). The streaming form is
+    // a bounded Misra–Gries counter set per open window (state ≤ m keys
+    // at ANY key cardinality) — both regimes pinned in StreamingSpec.
+    "stream_topk" -> ((s, dir) =>
+      graft.streaming.StreamOps.topKPerWindow(t(s, dir, "events"),
+        timeCol = "ts", keyCol = "event_type", duration = "1 minute",
+        k = 3, m = 64, lateness = "10 minutes", streaming = false)),
+
     // ── flagship pricing aggregate (partial+final hash agg, 1 shuffle) ──
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -2254,6 +2262,18 @@ object SparkEntry {
     "ref_sort_bi" ->
       """SELECT user_id, count(*) AS total_trips, avg(value) AS average_fare
         |FROM events GROUP BY user_id ORDER BY total_trips DESC, user_id""".stripMargin,
+
+    "stream_topk" ->
+      """WITH c AS (
+        |  SELECT date_trunc('minute', ts) AS window_start,
+        |         event_type AS key, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT window_start, key, cnt,
+        |         CAST(row_number() OVER (PARTITION BY window_start
+        |           ORDER BY cnt DESC, key) AS BIGINT) AS rnk
+        |  FROM c)
+        |SELECT window_start, key, cnt, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
     "stream_sliding_window" ->
       """WITH w AS (

@@ -13,6 +13,11 @@ case class SessionState(n: Long, fare: Double, startMs: Long, lastMs: Long)
   * fixture's micro timestamps and break batch/stream parity). */
 case class FunnelState(lastViewUs: Long)
 
+/** Per-window Misra–Gries counter state for StreamOps.topKPerWindow:
+  * parallel key/count arrays (a Map column would need a custom encoder),
+  * never longer than the counter budget m. */
+case class TopKState(keys: Seq[String], counts: Seq[Long])
+
 /** Streaming operators beyond the reference's surface (SURVEY.md §2.4
   * lists these as absent there): sliding & session event-time windows,
   * watermark-bounded streaming dedup, stream-static enrichment joins, and
@@ -170,6 +175,93 @@ object StreamOps {
 
   private def tsMicros(ts: java.sql.Timestamp): Long =
     ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  /** One ranked heavy-hitter row for [[topKPerWindow]]. */
+  case class TopKRow(window_start: java.sql.Timestamp, key: String,
+      cnt: Long, rnk: Long)
+
+  /** Per-window top-k heavy hitters. Batch form: exact — tumbling-window
+    * counts ranked (count desc, key asc), rank ≤ k. Streaming form: one
+    * Misra–Gries counter set of budget `m` per OPEN window held in
+    * flatMapGroupsWithState keyed by the window, emitted as a final
+    * ranked top-k when the watermark closes the window (append-mode —
+    * dashboards get one immutable row set per window).
+    *
+    * The MG sketch is why this holds at 100 TB/unbounded key domains:
+    * per-window state is ≤ m counters REGARDLESS of key cardinality
+    * (a windowed groupBy count holds every distinct key in state), at
+    * the standard price — surviving counts are undercounts by at most
+    * N/m and any key with true frequency > N/m is guaranteed present.
+    * With m ≥ the window's distinct-key count the sketch never sheds
+    * and the streaming output equals the batch twin exactly
+    * (StreamingSpec pins both regimes). */
+  def topKPerWindow(df: DataFrame, timeCol: String, keyCol: String,
+      duration: String, k: Int, m: Int, lateness: String,
+      streaming: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (!streaming) {
+      import org.apache.spark.sql.expressions.Window
+      val rk = Window.partitionBy(col("w"))
+        .orderBy(col("cnt").desc, col("key"))
+      df.groupBy(window(col(timeCol), duration).as("w"),
+          col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(rk).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("w.start").as("window_start"), col("key"), col("cnt"),
+          col("rnk"))
+    } else {
+      // the watermark tag rides the raw time column, not the extracted
+      // window fields — keep it in the Dataset so EventTimeTimeout
+      // resolves (the lambda never reads it)
+      val typed = df
+        .withWatermark(timeCol, lateness)
+        .select(window(col(timeCol), duration).as("w"),
+          col(keyCol).cast("string").as("key"), col(timeCol))
+        .select(col("w.start").as("ws"), col("w.end").as("we"), col("key"),
+          col(timeCol))
+        .as[(java.sql.Timestamp, java.sql.Timestamp, String, java.sql.Timestamp)]
+      typed.groupByKey(r => (tsMicros(r._1), tsMicros(r._2)))
+        .flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (win: (Long, Long),
+           rows: Iterator[(java.sql.Timestamp, java.sql.Timestamp, String,
+             java.sql.Timestamp)],
+           state: GroupState[TopKState]) =>
+            if (state.hasTimedOut) {
+              val st = state.getOption.getOrElse(TopKState(Nil, Nil))
+              state.remove()
+              val ws = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                win._1 / 1000000L, win._1 % 1000000L * 1000))
+              st.keys.zip(st.counts)
+                .sortBy { case (key, c) => (-c, key) }.take(k)
+                .zipWithIndex.iterator
+                .map { case ((key, c), i) => TopKRow(ws, key, c, i + 1L) }
+            } else {
+              val cnt = scala.collection.mutable.LinkedHashMap[String, Long]()
+              state.getOption.foreach(st =>
+                st.keys.zip(st.counts).foreach { case (key, c) => cnt(key) = c })
+              rows.foreach { r =>
+                val key = r._3
+                if (cnt.contains(key)) cnt(key) += 1
+                else if (cnt.size < m) cnt(key) = 1
+                else {
+                  // Misra–Gries shed: decrement every counter, drop zeros
+                  cnt.keys.toSeq.foreach { k2 =>
+                    val c = cnt(k2) - 1
+                    if (c == 0) cnt.remove(k2) else cnt(k2) = c
+                  }
+                }
+              }
+              state.update(TopKState(cnt.keys.toSeq, cnt.values.toSeq))
+              // fire once the watermark passes the window end
+              state.setTimeoutTimestamp(win._2 / 1000)
+              Iterator.empty
+            }
+        }.toDF()
+    }
+  }
 
   /** Cross-event-type state machine: each purchase is attributed to the
     * user's most recent PRECEDING view within `maxDelaySec` — the

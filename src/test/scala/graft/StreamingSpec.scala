@@ -479,6 +479,62 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == Set((10L, 2L, 100.0), (10L, 5L, 200.0)))
   }
 
+  test("per-window top-k: MG sketch matches exact batch twin when counters cover keys") {
+    import graft.streaming.StreamOps
+    // minute-0 window: a×5, b×3, c×1, d×1 (4 distinct ≤ m=8 → exact MG)
+    val w0 = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d")
+    val rows1 = w0.zipWithIndex.map { case (key, i) => (10L + i, key) }
+    def toDf(df: org.apache.spark.sql.DataFrame) = df.toDF("epoch", "key")
+      .select(timestamp_seconds($"epoch").as("ts"), $"key")
+    val source = MemoryStream[(Long, String)]
+    val out = StreamOps.topKPerWindow(toDf(source.toDF()), "ts", "key",
+      duration = "1 minute", k = 3, m = 8, lateness = "10 minutes",
+      streaming = true)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("topk_out").start()
+    try {
+      source.addData(rows1); q.processAllAvailable()
+      // push the watermark past window-end (60 s) + 10-min lateness, then
+      // once more so the timed-out emission becomes visible
+      source.addData(Seq((800L, "later"))); q.processAllAvailable()
+      source.addData(Seq((900L, "later"))); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("topk_out")
+      .select($"window_start", $"key", $"cnt", $"rnk")
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    val batch = StreamOps.topKPerWindow(
+      toDf(rows1.toDF()), "ts", "key", duration = "1 minute", k = 3,
+      m = 8, lateness = "10 minutes", streaming = false)
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.map(r => (r._2, r._3, r._4)) ==
+      Set(("a", 5L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)))
+  }
+
+  test("per-window top-k: a guaranteed heavy hitter survives MG shedding at m=2") {
+    import graft.streaming.StreamOps
+    // hot×50 interleaved with 20 distinct rares: freq 50 > N/m = 70/2
+    val keys = (0 until 20).flatMap(i =>
+      Seq.fill(2)("hot") ++ Seq(s"rare$i")) ++ Seq.fill(10)("hot")
+    val rows1 = keys.zipWithIndex.map { case (key, i) => (1L + i % 50, key) }
+    def toDf(df: org.apache.spark.sql.DataFrame) = df.toDF("epoch", "key")
+      .select(timestamp_seconds($"epoch").as("ts"), $"key")
+    val source = MemoryStream[(Long, String)]
+    val out = StreamOps.topKPerWindow(toDf(source.toDF()), "ts", "key",
+      duration = "1 minute", k = 1, m = 2, lateness = "10 minutes",
+      streaming = true)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("topk_mg_out").start()
+    try {
+      source.addData(rows1); q.processAllAvailable()
+      source.addData(Seq((800L, "later"))); q.processAllAvailable()
+      source.addData(Seq((900L, "later"))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("topk_mg_out")
+      .select($"key", $"rnk").as[(String, Long)].collect().toSet
+    assert(got == Set(("hot", 1L)), got.toString)
+  }
+
   test("RocksDB session-window soak: state evicts and results match the HDFS provider") {
     // Drives the session window through enough keys × batches that the
     // watermark must EVICT state as it goes (each batch opens a fresh
