@@ -610,16 +610,27 @@ object Dedup {
     * least one window (docs under n tokens have no windows — no ratio). */
   def spanDupRatio(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Long = 2): DataFrame = {
-    val keyed = spanWindows(docs, idCol, textCol, n)
+    // Aggregate the token-scale window stream ONCE into the compact
+    // (doc, key, multiplicity) frame, and persist THAT: the three
+    // consumers below (doc-frequency, per-doc totals, per-doc dup
+    // counts) would otherwise each re-run the explode+md5 pass — the
+    // dominant cost at corpus scale (the bm25 lesson). The persisted
+    // frame is distinct (doc, span) pairs, far smaller than the raw
+    // window stream, and the explode's output reaches the exchange
+    // map-side-combined (a doc's windows are co-located in its input
+    // partition).
+    val dk = spanWindows(docs, idCol, textCol, n)
       .select(col(idCol), spanKey(col("span")).as("__h"))
-    val heavy = keyed.distinct()
+      .groupBy(col(idCol), col("__h")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heavy = dk
       .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__h"))
-    val totals = keyed.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"))
-    val dups = keyed.join(heavy, Seq("__h"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    val totals = dk.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_windows"))
+    val dups = dk.join(heavy, Seq("__h"), "left_semi")
+      .groupBy(col(idCol)).agg(sum(col("__c")).as("n_dup"))
     totals.join(dups, Seq(idCol), "left")
       .select(col(idCol), col("n_windows"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
@@ -647,8 +658,13 @@ object Dedup {
     * n_removed); docs shorter than n tokens pass through untouched. */
   def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Long = 2): DataFrame = {
+    // wins feeds both the doc-frequency count and the coverage semi-join;
+    // persist the fixed-width (id, wpos, key) rows so the explode+md5
+    // pass runs once, not per consumer (columnar-cached longs — a
+    // fraction of the source text it would otherwise re-scan).
     val wins = posSpanWindows(docs, idCol, textCol, n)
       .select(col(idCol), col("wpos"), spanKey(col("span")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val heavy = wins.select(col(idCol), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
