@@ -1051,6 +1051,13 @@ object SparkEntry {
       TextAnalysis.filterChain(t(s, dir, "documents"))
         .select(col("doc_id"), col("reason"), col("keep"))),
 
+    // Char-level BPE merge learning over the word-frequency table: 5
+    // unrolled count→argmax→merge iterations; the oracle replicates the
+    // recurrence CTE-for-CTE, so every learned merge and weighted count
+    // is hash-gated.
+    "text_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), iterations = 5)),
+
     // Vocabulary build + id encoding at V=20 < the fixture's 31 distinct
     // terms, so the OOV (-1) path is exercised; md5 of the id CSV pins
     // every position of every encoded sequence.
@@ -1539,6 +1546,45 @@ object SparkEntry {
     * explicit. Used by both the minhash md5 twin and the
     * levenshtein-verify oracle so the candidate generation can't drift
     * between them. */
+  /** BPE-merge oracle: k unrolled count→argmax→merge iterations as a CTE
+    * chain, replicating TextAnalysis.bpeMerges recurrence CTE-for-CTE
+    * (windows flattened two-deep because DuckDB rejects nested window
+    * calls). */
+  private def bpeOracleSql(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      val j = i - 1
+      s"""p$i AS (SELECT tok AS a, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS b, freq FROM t$j),
+         |c$i AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i
+         |       WHERE b IS NOT NULL AND a <> b GROUP BY a, b),
+         |m$i AS (SELECT a, b, cnt FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$i AS (SELECT word, freq, pos, tok,
+         |         tok = (SELECT a FROM m$i) AND
+         |         lead(tok) OVER (PARTITION BY word ORDER BY pos) = (SELECT b FROM m$i) AS sel
+         |       FROM t$j),
+         |s${i}b AS (SELECT word, freq, pos, tok, sel,
+         |          lag(sel) OVER (PARTITION BY word ORDER BY pos) AS prev_sel
+         |        FROM s$i),
+         |t$i AS (SELECT word, freq,
+         |         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |         CASE WHEN coalesce(sel, false) THEN tok || (SELECT b FROM m$i) ELSE tok END AS tok
+         |       FROM s${i}b WHERE NOT coalesce(prev_sel, false))""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to iterations).map { i =>
+      if (i == 1) s"SELECT CAST(1 AS BIGINT) AS iter, a || ' ' || b AS pair, cnt FROM m1"
+      else s"SELECT $i, a || ' ' || b, cnt FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH vocab AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |t0 AS (
+       |  SELECT word, freq, i AS pos, word[i] AS tok
+       |  FROM vocab, unnest(range(1, len(word) + 1)) AS u(i)),
+       |$iterCtes
+       |SELECT * FROM (
+       |$unions)""".stripMargin
+  }
+
   private def md5LshCandCtes(docsSrc: String): String = {
     val famRows = graft.ops.Dedup.hashFamily(64).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
@@ -2907,6 +2953,8 @@ object SparkEntry {
         |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1000000007),
         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "text_bpe_merges" -> bpeOracleSql(5),
 
     // Same 60-bit slot hash / Knuth-multiplicative weight arithmetic as
     // hashedLinearScore; integer until the final single division.

@@ -422,6 +422,65 @@ object TextAnalysis {
       aggregate(toks, lit(0L), (acc, t) => (acc * 31L + tokHash(t)) % p))
   }
 
+  /** BPE merge learning — the tokenizer-training primitive: k iterations
+    * of count-adjacent-symbol-pairs → take the most frequent → merge it
+    * everywhere, run CHAR-LEVEL over the WORD-FREQUENCY table (the actual
+    * published algorithm — subword units from Sennrich et al., 2016,
+    * public knowledge). Returns the learned merge list (iter, pair, cnt).
+    *
+    * The word-frequency formulation is what makes this a 100-TB
+    * operator: the corpus is touched ONCE (one token explode → one
+    * grouped count); every merge iteration then runs over the vocabulary
+    * frame — distinct words × their characters — whose size is a
+    * property of the LANGUAGE, not the corpus. Each iteration is one
+    * pair-count aggregation and two windows partitioned by word, all on
+    * the persisted symbol frame; the 1-row argmax result is persisted
+    * and broadcast so neither of its two consumers re-runs the count.
+    *
+    * Self-pairs (a == b, e.g. "o o") are excluded from merge candidates:
+    * greedy leftmost application inside a run of repeated symbols needs
+    * a run-parity tiebreak that both engines would have to replicate
+    * bit-for-bit; for a ≠ b two matches can never overlap (the right
+    * symbol of one differs from the left symbol of the next), so greedy
+    * = all matches and the windowed formulation below is exact. */
+  def bpeMerges(docs: DataFrame, textCol: String = "text",
+      iterations: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val vocab = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var toks = vocab.select(col("word"), col("freq"),
+        posexplode(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))).as(Seq("pos", "tok")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outs = Seq.newBuilder[DataFrame]
+    for (it <- 1 to iterations) {
+      val m = toks
+        .withColumn("b", lead(col("tok"), 1).over(byWord))
+        .filter(col("b").isNotNull && col("tok") =!= col("b"))
+        .groupBy(col("tok").as("a"), col("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .select(col("a").as("ma"), col("b").as("mb"), col("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      outs += m.select(lit(it.toLong).as("iter"),
+        concat(col("ma"), lit(" "), col("mb")).as("pair"), col("cnt"))
+      val sel = toks.crossJoin(broadcast(m))
+        .withColumn("sel", col("tok") === col("ma") &&
+          lead(col("tok"), 1).over(byWord) === col("mb"))
+        .withColumn("prev_sel", lag(col("sel"), 1).over(byWord))
+      toks = sel.filter(!coalesce(col("prev_sel"), lit(false)))
+        .withColumn("tok", when(coalesce(col("sel"), lit(false)),
+          concat(col("tok"), col("mb"))).otherwise(col("tok")))
+        .withColumn("pos", row_number().over(byWord).cast("long"))
+        .select(col("word"), col("freq"), col("pos"), col("tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    outs.result().reduce(_ unionByName _)
+  }
+
   /** Hashed-feature linear quality classifier — the feature-hashing trick
     * (hash each token into one of `buckets` feature slots, score = mean
     * slot weight) that backs fastText-style corpus filters. The weight

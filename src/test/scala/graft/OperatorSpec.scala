@@ -853,6 +853,17 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("bpe merges: frequency-weighted argmax chain on a hand-computed vocabulary") {
+    // vocab: abc×3, abd×2, xy×1 → pairs (a,b):5 (b,c):3 (b,d):2 (x,y):1
+    // m1 = "a b"(5); then abc→[ab,c], abd→[ab,d] → m2 = "ab c"(3);
+    // then abc is a single symbol → m3 = "ab d"(2)
+    val docs = Seq((1L, "abc abd abc"), (2L, "abc abd xy")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, iterations = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a b", 5L), (2L, "ab c", 3L), (3L, "ab d", 2L)),
+      got.mkString)
+  }
+
   test("filter chain: first failing rule wins, reasons fire as planted") {
     val long = "word " * 5000 // 25000 chars
     val docs = Seq(
