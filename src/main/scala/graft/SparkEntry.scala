@@ -718,6 +718,13 @@ object SparkEntry {
               |GROUP BY lang, tok HAVING count(*) > 100""".stripMargin)
     },
 
+    // Spark 4 native WITH RECURSIVE (transitive reachability over the
+    // per-region rank chain) — the identical text runs on the oracle.
+    "sql_recursive_cte" -> { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(sqlRecursive)
+    },
+
     // ── dedup suite ───────────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -1665,6 +1672,28 @@ object SparkEntry {
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
 
   /** ANSI SQL shared verbatim by the engine (spark.sql) and the oracle. */
+  /** Recursive CTE shared VERBATIM between Spark 4's native WITH
+    * RECURSIVE and DuckDB: per-region rank chains (each node has at most
+    * one successor and one predecessor, so UNION ALL terminates and
+    * produces no duplicate paths), then downstream reachability per
+    * start node. */
+  private val sqlRecursive: String =
+    """WITH RECURSIVE ranked AS (
+      |  SELECT n_nationkey, n_regionkey,
+      |         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rk
+      |  FROM nation),
+      |edges AS (
+      |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+      |  FROM ranked a JOIN ranked b
+      |    ON a.n_regionkey = b.n_regionkey AND b.rk = a.rk + 1),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION ALL
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src, CAST(count(*) AS BIGINT) AS n_reachable,
+      |       CAST(max(dst) AS BIGINT) AS farthest
+      |FROM reach GROUP BY src""".stripMargin
+
   private val sqlQ5: String =
     """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
       |       count(*) AS n_lineitems
@@ -1833,6 +1862,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "sql_entrypoint" -> sqlQ5,
     "sql_exists_subquery" -> sqlExists,
+    "sql_recursive_cte" -> sqlRecursive,
     "sql_correlated_subquery" -> sqlCorrelated,
     "rel_grouping_sets" -> sqlGroupingSets,
 
