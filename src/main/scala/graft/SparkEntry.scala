@@ -976,6 +976,15 @@ object SparkEntry {
         nCells = 4, nProbe = 2, sampleN = 40)
     },
 
+    // Distributed Lloyd's k-means over the int8-quantized corpus (K=8,
+    // 2 update rounds, init = the first K vectors): the coarse topic-
+    // clustering pass run before mixture sampling / per-cluster dedup.
+    // Quantization makes every distance and centroid update exact
+    // integer math, so the full clustering trace (assignments AND
+    // centroids) hash-gates against the oracle's unrolled recurrence.
+    "ann_kmeans" -> ((s, dir) =>
+      Similarity.kmeansQuantized(t(s, dir, "embeddings"), k = 8, iters = 2)),
+
     // ── deterministic sampling (training-split stability at 100 TB) ───
     // Membership from md5(key), not rand(): same subset every run, every
     // partitioning, every engine — the oracle recomputes it row-for-row.
@@ -1538,6 +1547,43 @@ object SparkEntry {
        |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
        |        ORDER BY sim DESC, nid) AS rnk FROM p2)
        |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** DuckDB replica of Similarity.kmeansQuantized (K=8, `iters` update
+    * rounds): the same int8 quantization as the ann_quantized oracle, then
+    * the Lloyd's recurrence unrolled CTE-for-CTE — assignment by exact
+    * integer squared distance (ties → low cid), centroid update by
+    * round(avg) back onto the int8 grid (`+ 0.0` canonicalizes −0.0),
+    * and a final assignment aggregated per cluster. */
+  private def kmeansOracleSql(iters: Int): String = {
+    def assign(src: String, cents: String, out: Int): String =
+      s"""a$out AS (SELECT vec_id, qv, $cents.cid AS cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+         |  list_reduce(list_transform(range(0, len(qv)), i -> (qv[i+1]-cv[i+1])*(qv[i+1]-cv[i+1])), (x,y) -> x+y), $cents.cid) AS rk
+         |  FROM $src, $cents),
+         |s$out AS (SELECT vec_id, qv, cid FROM a$out WHERE rk = 1)""".stripMargin
+    def update(n: Int): String =
+      s"""x$n AS (SELECT cid, i AS pos, qv[CAST(i+1 AS INT)] AS val
+         |  FROM s$n, unnest(range(0, len(qv))) AS u(i)),
+         |m$n AS (SELECT cid, pos, round(avg(val)) + 0.0 AS cval FROM x$n GROUP BY cid, pos),
+         |c$n AS (SELECT cid, list(cval ORDER BY pos) AS cv FROM m$n GROUP BY cid)""".stripMargin
+    val rounds = (1 to iters).map(i =>
+      assign(if (i == 1) "s" else s"s${i - 1}", s"c${i - 1}", i) + ",\n" + update(i))
+      .mkString(",\n")
+    val fin = iters + 1
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id,
+       |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+       |         THEN list_transform(v, x -> 0.0)
+       |         ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127))) END AS qv
+       |  FROM e),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM s WHERE vec_id < 8),
+       |$rounds,
+       |${assign(s"s$iters", s"c$iters", fin)}
+       |SELECT s$fin.cid AS cid, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       |       CAST(min(vec_id) AS BIGINT) AS min_id, c$iters.cv AS centroid
+       |FROM s$fin JOIN c$iters ON s$fin.cid = c$iters.cid
+       |GROUP BY s$fin.cid, c$iters.cv""".stripMargin
   }
 
   /** DuckDB replica of the ENTIRE md5-twin MinHash+LSH pipeline
@@ -2826,6 +2872,8 @@ object SparkEntry {
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8",
 
     "ann_ivf_planted" -> ivfPlantedOracleSql,
+
+    "ann_kmeans" -> kmeansOracleSql(2),
 
     "dedup_minhash_md5" -> minhashMd5OracleSql,
 

@@ -287,6 +287,76 @@ object Similarity {
     * key (hash-partitioned equi-join), then the same k-bounded top-k merge.
     * Recall < 1.0 by construction; nPlanes trades recall vs. candidate
     * count. */
+  /** Distributed Lloyd's k-means over int8-quantized embeddings — the
+    * coarse corpus-clustering pass a training pipeline runs to group
+    * documents by topic before mixture sampling / per-cluster dedup.
+    *
+    * Everything after quantization is EXACT integer arithmetic carried in
+    * doubles (values ≤ 127, squared-distance sums ≪ 2^53), so assignments,
+    * centroid updates, and therefore the whole clustering trace are
+    * fold-order-independent and bit-reproducible — the DuckDB oracle
+    * replays the identical unrolled recurrence. Ties in the argmin break
+    * on ascending centroid id on both engines.
+    *
+    * Plan shape (the 100 TB-safe one): centroids are K rows, always
+    * broadcast — assignment is a shuffle-free BroadcastNestedLoopJoin fan
+    * over the (persisted) quantized corpus. The centroid update shuffles
+    * only after map-side partial aggregation: (cid, pos) partial sums per
+    * partition, i.e. K·d·partitions rows on the wire, never N·d. The
+    * corpus frame is persisted once and reused by every iteration, so the
+    * parquet scan + quantization run once no matter how many iterations.
+    *
+    * Returns one row per surviving cluster:
+    * (cid, n_members, id_sum, min_id, centroid). */
+  def kmeansQuantized(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val base = vecs.select(col("vec_id"),
+        graft.functions.vectornative
+          .quantize_int8(col("embedding").cast("array<double>")).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val initCentroids = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+
+    // Squared L2 distance: integer-valued doubles, exact in any order.
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+
+    // One Lloyd's assignment: nearest centroid per vector, ties → low cid.
+    def assign(centroids: DataFrame): DataFrame =
+      base.join(broadcast(centroids))
+        .select(col("vec_id"), col("qv"), col("cid"),
+          d2(col("qv"), col("cv")).as("dist"))
+        .groupBy(col("vec_id"), col("qv"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
+
+    // Centroid update: per-(cid, pos) mean (exact integer sum / count),
+    // rounded half-away-from-zero back onto the int8 grid, reassembled in
+    // pos order. Partial aggregation keeps the exchange at K·d rows per
+    // input partition.
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("qv")))
+        .groupBy(col("cid"), col("pos"))
+        // `+ 0.0` canonicalizes IEEE −0.0 (round of a small negative
+        // mean) to +0.0 so the centroid grids agree across engines.
+        .agg((round(avg(col("col"))) + lit(0.0)).as("cval"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cval")))),
+          x => x("cval")).as("cv"))
+
+    val finalCentroids =
+      (1 to iters).foldLeft(initCentroids)((c, _) => update(assign(c)))
+    assign(finalCentroids)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).as("id_sum"),
+        min(col("vec_id")).as("min_id"))
+      .join(broadcast(finalCentroids), Seq("cid"))
+      .select(col("cid"), col("n_members"), col("id_sum"), col("min_id"),
+        col("cv").as("centroid"))
+  }
+
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)

@@ -1428,6 +1428,25 @@ class OperatorSpec extends SparkSuite {
     assert(w1(4L).startsWith("4,3"), w1(4L))
   }
 
+  test("quantized k-means recovers planted clusters and is rerun-stable") {
+    val dim = 64
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian()))
+    // id = j*4 + c interleaves the classes so init vectors 0..3 (vec_id<k)
+    // each come from a different planted cluster
+    val pts = for (c <- 0 until 4; j <- 0 until 40)
+      yield ((j * 4 + c).toLong, centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    val vecs = pts.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansQuantized(vecs, k = 4, iters = 2)
+      .select("n_members", "id_sum").as[(Long, Long)].collect().toSet
+    // cluster c holds exactly {4j+c : j<40}: sum = 4*(0+..+39) + 40c
+    val expected = (0 until 4).map(c => (40L, 3120L + 40L * c)).toSet
+    assert(out == expected, s"clusters not recovered: $out")
+    val again = Similarity.kmeansQuantized(vecs, k = 4, iters = 2)
+      .select("n_members", "id_sum").as[(Long, Long)].collect().toSet
+    assert(again == expected, "k-means not rerun-stable")
+  }
+
   test("z-order layout: a 2-D box touches a strict subset of files") {
     val path = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
