@@ -558,6 +558,24 @@ object SparkEntry {
       Profile.histogram(t(s, dir, "orders"), "o_totalprice",
         lo = 0.0, hi = 400000.0, nBuckets = 16)),
 
+    // PSI drift monitor between the pre-/post-1998 order cohorts: per-bin
+    // smoothed-rate contributions plus the decimal-summed total — the
+    // distribution-shift gate run between ingest batches.
+    "rel_drift_psi" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      Profile.psiDrift(
+        o.filter(col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        o.filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01"))),
+        "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 16)
+    },
+
+    // Winsorization of the fat-tailed price column into its per-flag
+    // [p05, p95] band; the clipped sum accumulates in DECIMAL(18,2) so
+    // the gate is fold-order-exact.
+    "rel_winsorize" -> ((s, dir) =>
+      Profile.winsorize(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", pLo = 0.05, pHi = 0.95)),
+
     // One-pass per-column profile (nulls + exact distincts for every
     // column of orders).
     "rel_profile" -> ((s, dir) =>
@@ -1111,6 +1129,12 @@ object SparkEntry {
     "text_term_stats" -> ((s, dir) =>
       TextAnalysis.termStats(t(s, dir, "documents"))
         .select(col("doc_id"), col("top_term"), col("tf"), col("df"))),
+
+    // Inverted-index build (token → df + bounded ascending postings):
+    // the posting lists come out of the k-bounded TopKAggregator, never a
+    // collect_list — O(k) state per token even for stopwords.
+    "text_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"))),
 
     // BM25 ranking over the same tf/df/length statistics: each doc's best
     // term with its score rounded to 6 decimals; the arithmetic is
@@ -2181,6 +2205,38 @@ object SparkEntry {
         |FROM orders WHERE o_totalprice >= 0.0 AND o_totalprice < 400000.0
         |GROUP BY 1""".stripMargin,
 
+    "rel_drift_psi" ->
+      """WITH rb AS (SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 31250.0), 0.0), 15.0) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_ref
+        |       FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |cb AS (SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 31250.0), 0.0), 15.0) AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_cur
+        |       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+        |sp AS (SELECT i AS bucket FROM unnest(range(0, 16)) AS u(i)),
+        |j AS (SELECT sp.bucket AS bucket, coalesce(n_ref, 0) AS n_ref,
+        |        coalesce(n_cur, 0) AS n_cur
+        |      FROM sp LEFT JOIN rb ON sp.bucket = rb.bucket
+        |            LEFT JOIN cb ON sp.bucket = cb.bucket),
+        |k AS (SELECT bucket, n_ref, n_cur,
+        |        (n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * 16) AS p,
+        |        (n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * 16) AS q
+        |      FROM j)
+        |SELECT bucket, n_ref, n_cur, (p - q) * ln(p / q) AS psi_contrib,
+        |       CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(28,18))) OVER () AS DOUBLE) AS psi_total
+        |FROM k""".stripMargin,
+
+    "rel_winsorize" ->
+      """WITH cuts AS (SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.05) AS cut_lo,
+        |         quantile_cont(l_extendedprice, 0.95) AS cut_hi
+        |       FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag AS l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN l_extendedprice < cut_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |       CAST(sum(CASE WHEN l_extendedprice > cut_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |       sum(CAST(least(greatest(l_extendedprice, cut_lo), cut_hi) AS DECIMAL(18,2))) AS sum_winsorized
+        |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+        |GROUP BY l.l_returnflag""".stripMargin,
+
     "rel_profile" ->
       """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
         |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
@@ -3131,6 +3187,13 @@ object SparkEntry {
         |       CASE WHEN b.n_2grams > 0
         |            THEN 1.0 - CAST(b.d2 AS DOUBLE) / b.n_2grams END AS dup_2gram_frac
         |FROM base b JOIN mx m ON b.doc_id = m.doc_id""".stripMargin,
+
+    "text_inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |       (list(doc_id ORDER BY doc_id))[1:15] AS postings
+        |FROM tok GROUP BY tok HAVING count(*) >= 60""".stripMargin,
 
     "text_term_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

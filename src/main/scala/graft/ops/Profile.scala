@@ -100,6 +100,68 @@ object Profile {
   /** Per-column profile in one pass: row count, null count, exact
     * distinct count for every named column. Output long-form
     * (column_name, n_rows, n_nulls, n_distinct). */
+  /** Population-stability-index drift between a reference cohort and a
+    * current cohort of the same numeric column: fixed-grid bins (values
+    * clamped into the edge bins so all mass is scored), Laplace-smoothed
+    * rates so an empty bin can't produce ln(0), per-bin contribution
+    * (p−q)·ln(p/q), and the decimal-accumulated total repeated on every
+    * row — the drift-monitoring gate a pipeline runs between ingest
+    * batches before letting a new snapshot into training.
+    *
+    * Scale shape: each cohort collapses to `nBuckets` rows via one
+    * map-side-combined aggregate, so the joins and the total-sum window
+    * run over nBuckets rows regardless of input size. The total is summed
+    * in DECIMAL so it is fold-order-independent. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    val w = (hi - lo) / nBuckets
+    def binned(df: DataFrame, outCol: String): DataFrame =
+      df.select(least(greatest(floor((col(valueCol) - lo) / w), lit(0.0)),
+          lit(nBuckets - 1.0)).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(outCol))
+    val spine = ref.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    def rate(n: Column, total: Column): Column =
+      (n + lit(0.5)) / (total + lit(0.5) * nBuckets)
+    val joined = spine
+      .join(broadcast(binned(ref, "n_ref")), Seq("bucket"), "left")
+      .join(broadcast(binned(cur, "n_cur")), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("p", rate(col("n_ref"), sum(col("n_ref")).over(all)))
+      .withColumn("q", rate(col("n_cur"), sum(col("n_cur")).over(all)))
+      .withColumn("psi_contrib", (col("p") - col("q")) * log(col("p") / col("q")))
+      .withColumn("psi_total",
+        sum(col("psi_contrib").cast("decimal(28,18)")).over(all).cast("double"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        col("psi_contrib"), col("psi_total"))
+  }
+
+  /** Winsorization: clip a numeric column into its per-group
+    * [pLo, pHi] interpolated-percentile band — the robust-stats cleaning
+    * pass that tames fat-tailed features before normalization. The
+    * percentile frame is one aggregate per group (broadcast back over the
+    * scan), and the clipped sum is accumulated in DECIMAL(18,2) so the
+    * gate is fold-order-exact. Returns per-group clip counts + the
+    * winsorized sum/mean. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    val cuts = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(pLo)).as("cut_lo"),
+      percentile(col(valueCol), lit(pHi)).as("cut_hi"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .select(col(groupCol), col(valueCol).as("v"), col("cut_lo"), col("cut_hi"),
+        least(greatest(col(valueCol), col("cut_lo")), col("cut_hi")).as("clipped"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v") < col("cut_lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("v") > col("cut_hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        sum(col("clipped").cast("decimal(18,2)")).as("sum_winsorized"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),

@@ -498,6 +498,30 @@ object TextAnalysis {
     * classifier is one codegen'd projection over the scan) → score =
     * sum / (1000 · n_tokens). Intermediate bound: |sum| ≤ 1001·n_tokens,
     * overflow-free for any document under ~9·10^15 tokens. */
+  /** Inverted index build: token → document frequency + the first
+    * `maxPostings` doc ids (ascending) — the retrieval-side artifact a
+    * corpus search / decontamination pipeline materializes.
+    *
+    * Scale shape: the only unbounded state risk in an inverted index is a
+    * stopword's posting list, so postings are accumulated by the k-bounded
+    * [[TopKAggregator]] (score = −doc_id ⇒ keeps the k SMALLEST ids) —
+    * O(k) memory per token with map-side partial aggregation, never a
+    * `collect_list` of a billion-document posting list. One shuffle for
+    * the (token, doc) distinct, one k-bounded shuffle for the index. */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dfMin: Long = 60,
+      maxPostings: Int = 15): DataFrame = {
+    val topk = udaf(new TopKAggregator(maxPostings))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        topk(col(idCol), -col(idCol).cast("double")).as("top"))
+      .filter(col("df") >= dfMin)
+      .select(col("tok"), col("df"),
+        transform(col("top"), x => x("id")).as("postings"))
+  }
+
   def hashedLinearScore(df: DataFrame, textCol: String = "text",
       buckets: Int = 1024, threshold: Double = 0.0): DataFrame = {
     val toks = tokens(col(textCol))
