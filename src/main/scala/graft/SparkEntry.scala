@@ -1286,6 +1286,13 @@ object SparkEntry {
       TimeSeries.zscoreOutliers(t(s, dir, "events"), keyCol = "event_type",
         idCol = "event_id", valueCol = "value", threshold = 2.0)),
 
+    // 5-minute OHLC resampling bars over the event stream: one map-side-
+    // combined aggregate (open/close via min_by/max_by on (ts, event_id),
+    // volume in DECIMAL) — no per-bucket window sort.
+    "ts_ohlc_bars" -> ((s, dir) =>
+      TimeSeries.ohlcBars(t(s, dir, "events"), tsCol = "ts",
+        idCol = "event_id", valueCol = "value", widthSec = 300L)),
+
     // Null-safe equality join (`<=>`): the null group joins itself
     // instead of falling out — Catalyst still plans it as an equi-join
     // (EqualNullSafe is a join key, not a filter), so it shuffles on the
@@ -1428,6 +1435,13 @@ object SparkEntry {
     // the full path CSV gated position by position.
     "graph_random_walk" -> ((s, dir) =>
       Graph.randomWalks(coPurchaseEdges(s, dir), len = 4, seed = 42L)),
+
+    // 3-round synchronous min-label propagation over the co-purchase
+    // graph: each node ends holding the min node id within 3 hops — the
+    // fixed-round, oracle-replayable community/component pass (the
+    // converging doubling variant lives in dedup_groups).
+    "graph_components_lp" -> ((s, dir) =>
+      Graph.labelPropagation(coPurchaseEdges(s, dir), rounds = 3)),
 
     // CDC changelog apply: events as an I/U/D log keyed by user; latest
     // op by (ts, event_id) wins, terminal deletes drop the key.
@@ -1972,6 +1986,24 @@ object SparkEntry {
         |FROM events e JOIN s USING (event_type)
         |WHERE abs(round((e.value - s.m) / s.sd, 6)) >= 2.0""".stripMargin,
 
+    // Same micro-epoch floor-division buckets; open/close replicated via
+    // twin row_numbers over the unique (ts, event_id) order.
+    "ts_ohlc_bars" ->
+      """WITH e AS (SELECT epoch_us(ts) // 300000000 AS bucket, ts, event_id, value
+        |           FROM events),
+        |r AS (SELECT bucket, value,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS ra,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rd
+        |      FROM e),
+        |agg AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+        |          max(value) AS high, min(value) AS low,
+        |          sum(CAST(value AS DECIMAL(28,6))) AS volume
+        |        FROM e GROUP BY bucket)
+        |SELECT a.bucket AS bucket, o.value AS open, a.high, a.low,
+        |       c.value AS close, a.n_events, a.volume
+        |FROM agg a JOIN r o ON o.bucket = a.bucket AND o.ra = 1
+        |           JOIN r c ON c.bucket = a.bucket AND c.rd = 1""".stripMargin,
+
     "rel_nullsafe_join" ->
       """WITH a AS (SELECT nullif(event_type, 'error') AS etype,
         |                  sum(value) AS sum_value
@@ -2089,6 +2121,29 @@ object SparkEntry {
          |       FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)),
          |ne AS (SELECT count(*) AS n_edges FROM ed)
          |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""".stripMargin,
+
+    // The identical 3-round min-label recurrence, unrolled: closed
+    // neighborhood = self ∪ in-neighbors over the symmetrized edges.
+    "graph_components_lp" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b AS src, a AS dst FROM ed),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         |l1 AS (SELECT node, min(lbl) AS lbl FROM (
+         |        SELECT node, lbl FROM l0 UNION ALL
+         |        SELECT s.dst AS node, l.lbl AS lbl FROM l0 l JOIN sym s ON l.node = s.src)
+         |       GROUP BY node),
+         |l2 AS (SELECT node, min(lbl) AS lbl FROM (
+         |        SELECT node, lbl FROM l1 UNION ALL
+         |        SELECT s.dst AS node, l.lbl AS lbl FROM l1 l JOIN sym s ON l.node = s.src)
+         |       GROUP BY node),
+         |l3 AS (SELECT node, min(lbl) AS lbl FROM (
+         |        SELECT node, lbl FROM l2 UNION ALL
+         |        SELECT s.dst AS node, l.lbl AS lbl FROM l2 l JOIN sym s ON l.node = s.src)
+         |       GROUP BY node)
+         |SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(max(node) AS BIGINT) AS max_node
+         |FROM l3 GROUP BY lbl""".stripMargin,
 
     "graph_pagerank" -> pagerankOracleSql,
 

@@ -176,6 +176,38 @@ object Graph {
     * The returned frame carries round(pr, 6): ranks are sums whose fold
     * order is engine-dependent in the last ulps; six decimals is far
     * coarser than the drift and far finer than any real rank gap. */
+  /** Synchronous min-label propagation, `rounds` fixed rounds: every node
+    * starts labeled with its own id and each round adopts the minimum
+    * label in its closed neighborhood. After k rounds each node holds the
+    * minimum node id within k hops — community/component structure for
+    * bounded-diameter graphs, and the fixed-round, oracle-replayable twin
+    * of [[graft.ops.Dedup]]'s converging transitive-closure (that one
+    * doubles the reach per round and loops until a fixpoint; this one is
+    * a deterministic k-step recurrence).
+    *
+    * Plan shape: the symmetrized edge list is persisted once; each round
+    * is one equi-join on the label frame + one keyed min — the same
+    * per-iteration cost envelope as [[pagerank]], with k chosen small.
+    * Returns one row per surviving label: (component, n_nodes, max_node). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10] (plan grows per round)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(lvl)
+    val init = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val fin = (1 to rounds).foldLeft(init) { (lbls, _) =>
+      lbls.unionAll(
+          lbls.join(sym, col("node") === col("src"))
+            .select(col("dst").as("node"), col("lbl")))
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    }
+    fin.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+      .select(col("lbl").as("component"), col("n_nodes"), col("max_node"))
+  }
+
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double,
       redistributeDangling: Boolean = false): DataFrame = {

@@ -86,4 +86,28 @@ object TimeSeries {
         round((col(valueCol) - col("__m")) / col("__sd"), 6).as("z"))
       .filter(abs(col("z")) >= threshold)
   }
+
+  /** Fixed-width OHLC resampling bars (open/high/low/close + count and a
+    * decimal-exact volume) — the downsampling pass that turns a raw event
+    * stream into per-window bars. ONE map-side-combined aggregate over a
+    * codegen'd bucket projection: open/close come from min_by/max_by on
+    * the (ts, tie-break id) struct, so no per-bucket window sort ever
+    * materializes, and the whole operator is a single keyed shuffle of
+    * already-reduced partials. Bucket = integer floor-division of the
+    * micro-epoch, identical arithmetic on both engines. */
+  def ohlcBars(df: DataFrame, tsCol: String, idCol: String,
+      valueCol: String, widthSec: Long): DataFrame = {
+    val order = struct(col(tsCol), col(idCol))
+    df.select(floor(unix_micros(col(tsCol)) / (widthSec * 1000000L))
+          .cast("long").as("bucket"),
+        col(tsCol), col(idCol), col(valueCol))
+      .groupBy(col("bucket"))
+      .agg(
+        min_by(col(valueCol), order).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), order).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(28,6)")).as("volume"))
+  }
 }

@@ -1428,6 +1428,23 @@ class OperatorSpec extends SparkSuite {
     assert(w1(4L).startsWith("4,3"), w1(4L))
   }
 
+  test("label propagation: k rounds reach exactly k hops; components label by min id") {
+    // path graph 1-2-3-4-5-6-7 plus isolated edge 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L)).toDF("a", "b")
+    val r3 = Graph.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // after 3 rounds a node holds the min id within exactly 3 hops:
+    // nodes 1..4 see 1; node 5 sees 2; node 6 sees 3; node 7 sees 4
+    assert(r3.contains((1L, 4L, 4L)), s"3-hop reach of label 1: $r3")
+    assert(r3.contains((4L, 1L, 7L)), s"chain tail: $r3")
+    assert(r3.contains((10L, 2L, 11L)), s"pair: $r3")
+    // enough rounds → one label per component
+    val r6 = Graph.labelPropagation(edges, rounds = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r6 == Set((1L, 7L, 7L), (10L, 2L, 11L)), s"converged: $r6")
+  }
+
   test("quantized k-means recovers planted clusters and is rerun-stable") {
     val dim = 64
     val rnd = new scala.util.Random(17)
