@@ -1092,6 +1092,12 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), iterations = 5)),
 
+    // The apply half of the tokenizer: every distinct word's segmentation
+    // after the 5 learned merges (encode once per unique word; the corpus
+    // then joins on word) — the final token state of the same loop.
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeWords(t(s, dir, "documents"), iterations = 5)),
+
     // Vocabulary build + id encoding at V=20 < the fixture's 31 distinct
     // terms, so the OOV (-1) path is exercised; md5 of the id CSV pins
     // every position of every encoded sequence.
@@ -1641,7 +1647,11 @@ object SparkEntry {
     * chain, replicating TextAnalysis.bpeMerges recurrence CTE-for-CTE
     * (windows flattened two-deep because DuckDB rejects nested window
     * calls). */
-  private def bpeOracleSql(iterations: Int): String = {
+  /** Shared CTE chain of the BPE recurrence (vocab → char state t0 →
+    * k count/argmax/merge rounds ending in token state t{k}) — composed
+    * by both the learn oracle (reads m1..mk) and the encode oracle
+    * (reads t{k}), mirroring TextAnalysis.bpeLoop. */
+  private def bpeCtes(iterations: Int): String = {
     val iterCtes = (1 to iterations).map { i =>
       val j = i - 1
       s"""p$i AS (SELECT tok AS a, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS b, freq FROM t$j),
@@ -1660,21 +1670,31 @@ object SparkEntry {
          |         CASE WHEN coalesce(sel, false) THEN tok || (SELECT b FROM m$i) ELSE tok END AS tok
          |       FROM s${i}b WHERE NOT coalesce(prev_sel, false))""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to iterations).map { i =>
-      if (i == 1) s"SELECT CAST(1 AS BIGINT) AS iter, a || ' ' || b AS pair, cnt FROM m1"
-      else s"SELECT $i, a || ' ' || b, cnt FROM m$i"
-    }.mkString("\nUNION ALL ")
-    s"""WITH vocab AS (
+    s"""vocab AS (
        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
        |  GROUP BY tok),
        |t0 AS (
        |  SELECT word, freq, i AS pos, word[i] AS tok
        |  FROM vocab, unnest(range(1, len(word) + 1)) AS u(i)),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private def bpeOracleSql(iterations: Int): String = {
+    val unions = (1 to iterations).map { i =>
+      if (i == 1) s"SELECT CAST(1 AS BIGINT) AS iter, a || ' ' || b AS pair, cnt FROM m1"
+      else s"SELECT $i, a || ' ' || b, cnt FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(iterations)}
        |SELECT * FROM (
        |$unions)""".stripMargin
   }
+
+  private def bpeEncodeOracleSql(iterations: Int): String =
+    s"""WITH ${bpeCtes(iterations)}
+       |SELECT word, freq, list(tok ORDER BY pos) AS tokens,
+       |       CAST(count(*) AS BIGINT) AS n_tokens
+       |FROM t$iterations GROUP BY word, freq""".stripMargin
 
   private def md5LshCandCtes(docsSrc: String): String = {
     val famRows = graft.ops.Dedup.hashFamily(64).zipWithIndex
@@ -3144,6 +3164,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "text_bpe_merges" -> bpeOracleSql(5),
+    "text_bpe_encode" -> bpeEncodeOracleSql(5),
 
     // Same 60-bit slot hash / Knuth-multiplicative weight arithmetic as
     // hashedLinearScore; integer until the final single division.

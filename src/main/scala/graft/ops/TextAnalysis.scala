@@ -444,7 +444,31 @@ object TextAnalysis {
     * symbol of one differs from the left symbol of the next), so greedy
     * = all matches and the windowed formulation below is exact. */
   def bpeMerges(docs: DataFrame, textCol: String = "text",
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5): DataFrame =
+    bpeLoop(docs, textCol, iterations)._1.reduce(_ unionByName _)
+
+  /** The apply half of the tokenizer: each distinct word's segmentation
+    * after the k learned merges — encode once per unique word (the
+    * standard BPE-encoder shape: the corpus then joins on `word`, so the
+    * expensive per-character merge walk runs |vocab| times, not |corpus|
+    * times). Returns (word, freq, tokens, n_tokens) — the final token
+    * state of the identical learn loop, which the oracle replays
+    * CTE-for-CTE. */
+  def bpeEncodeWords(docs: DataFrame, textCol: String = "text",
+      iterations: Int = 5): DataFrame =
+    bpeLoop(docs, textCol, iterations)._2
+      .groupBy(col("word"), col("freq"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")).as("tokens"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Shared BPE recurrence: k rounds of count→argmax→non-overlapping
+    * merge over the per-word character/token state. Returns the per-round
+    * merge-table frames AND the final token state so learn (bpeMerges)
+    * and encode (bpeEncodeWords) stay one implementation. */
+  private def bpeLoop(docs: DataFrame, textCol: String,
+      iterations: Int): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
@@ -478,7 +502,7 @@ object TextAnalysis {
         .select(col("word"), col("freq"), col("pos"), col("tok"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    outs.result().reduce(_ unionByName _)
+    (outs.result(), toks)
   }
 
   /** Hashed-feature linear quality classifier — the feature-hashing trick
