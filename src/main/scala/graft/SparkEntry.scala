@@ -1193,6 +1193,14 @@ object SparkEntry {
       Multimodal.mediaMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
         .select(col("media_id"), col("mime"), col("n_bytes"), col("content_md5"))),
 
+    // WebDataset-style shard layout (4 KiB shards over the fake media
+    // payloads): every object's (shard, offset) via the two-level
+    // distributed prefix sum — no corpus-wide single-task window.
+    "mm_shards" -> ((s, dir) =>
+      Multimodal.shardManifest(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"),
+        shardBytes = 4096L)),
+
     // Scoped to ASCII payloads on BOTH sides: the engine slices the binary
     // payload by bytes while DuckDB's substr() is character-based — they
     // agree exactly when bytes == chars, so the query and the oracle each
@@ -3346,6 +3354,19 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    // The same layout replayed with ONE global ordered window (the oracle
+    // can afford the single-task shape the engine avoids).
+    "mm_shards" ->
+      """WITH m AS (SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |           FROM documents),
+        |p AS (SELECT media_id, n_bytes,
+        |        coalesce(sum(n_bytes) OVER (ORDER BY media_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |      FROM m)
+        |SELECT media_id, n_bytes, CAST(bef // 4096 AS BIGINT) AS shard_id,
+        |       CAST(bef % 4096 AS BIGINT) AS shard_offset
+        |FROM p""".stripMargin,
 
     "mm_frames" ->
       """WITH f AS (SELECT doc_id, text,
