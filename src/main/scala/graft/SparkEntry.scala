@@ -136,6 +136,15 @@ object SparkEntry {
         timeCol = "ts", keyCol = "event_type", duration = "1 minute",
         k = 3, m = 64, lateness = "10 minutes", streaming = false)),
 
+    // Online anomaly flags, batch twin: z-score against the key's
+    // STRICTLY PRECEDING running profile (no future data vouches for the
+    // past). The streaming form folds the same (n, Σv, Σv²) per key in
+    // GroupState — bit-identical output, pinned in StreamingSpec.
+    "stream_anomaly" -> ((s, dir) =>
+      graft.streaming.StreamOps.anomalyFlags(t(s, dir, "events"),
+        timeCol = "ts", keyCol = "event_type", idCol = "event_id",
+        valueCol = "value", threshold = 3.0, minN = 30L, streaming = false)),
+
     // ── flagship pricing aggregate (partial+final hash agg, 1 shuffle) ──
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -2535,6 +2544,25 @@ object SparkEntry {
         |           ORDER BY cnt DESC, key) AS BIGINT) AS rnk
         |  FROM c)
         |SELECT window_start, key, cnt, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    "stream_anomaly" ->
+      """WITH w AS (
+        |  SELECT event_type, event_id, value,
+        |         count(value) OVER win AS n_before,
+        |         sum(value) OVER win AS s,
+        |         sum(value * value) OVER win AS ss
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |k AS (
+        |  SELECT event_type, event_id, value, n_before, s / n_before AS mean,
+        |         (ss - s * s / n_before) / (n_before - 1) AS var
+        |  FROM w WHERE n_before >= 30),
+        |f AS (
+        |  SELECT event_type, event_id, value, n_before,
+        |         round((value - mean) / sqrt(var), 6) AS z
+        |  FROM k WHERE var > 0)
+        |SELECT * FROM f WHERE abs(z) > 3.0""".stripMargin,
 
     "stream_sliding_window" ->
       """WITH w AS (

@@ -13,6 +13,15 @@ case class SessionState(n: Long, fare: Double, startMs: Long, lastMs: Long)
   * fixture's micro timestamps and break batch/stream parity). */
 case class FunnelState(lastViewUs: Long)
 
+/** Per-key running-moment state for StreamOps.anomalyFlags: count, sum,
+  * and sum of squares — O(1) per key, accumulated in arrival order so the
+  * batch twin's running-window fold reproduces it bit-for-bit. */
+case class AnomalyState(n: Long, sum: Double, sumsq: Double)
+
+/** One flagged event from StreamOps.anomalyFlags. */
+case class AnomalyFlag(event_type: String, event_id: Long, value: Double,
+    n_before: Long, z: Double)
+
 /** Per-window Misra–Gries counter state for StreamOps.topKPerWindow:
   * parallel key/count arrays (a Map column would need a custom encoder),
   * never longer than the counter budget m. */
@@ -195,6 +204,78 @@ object StreamOps {
     * With m ≥ the window's distinct-key count the sketch never sheds
     * and the streaming output equals the batch twin exactly
     * (StreamingSpec pins both regimes). */
+  /** Running-profile anomaly detection: flag an event whose value sits
+    * more than `threshold` sample standard deviations from its key's
+    * running mean — computed over STRICTLY PRECEDING events only, so a
+    * flag never depends on data after the event (the online-scoring
+    * semantics; a global z-score like ts_zscore would let the future
+    * vouch for the past).
+    *
+    * Batch and streaming twins share the identical arithmetic: the batch
+    * side folds (n, Σv, Σv²) with a running window in (time, id) order;
+    * the streaming side accumulates the SAME three numbers per key in
+    * GroupState in the same order, so when batches arrive time-ordered
+    * the outputs agree bit-for-bit (StreamingSpec pins it). State is
+    * O(1) per key and deliberately un-expiring: a key's value profile is
+    * lifetime state like the accumulated-metrics upsert, not
+    * window state — bounded by key cardinality, not stream length. */
+  def anomalyFlags(events: DataFrame, timeCol: String, keyCol: String,
+      idCol: String, valueCol: String, threshold: Double, minN: Long,
+      streaming: Boolean): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    if (!streaming) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col(timeCol), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events
+        .withColumn("n_before", count(col(valueCol)).over(w))
+        .withColumn("__s", sum(col(valueCol)).over(w))
+        .withColumn("__ss", sum(col(valueCol) * col(valueCol)).over(w))
+        .filter(col("n_before") >= minN)
+        .withColumn("__mean", col("__s") / col("n_before"))
+        .withColumn("__var", (col("__ss") - col("__s") * col("__s") / col("n_before"))
+          / (col("n_before") - 1))
+        .filter(col("__var") > 0)
+        .withColumn("z", round((col(valueCol) - col("__mean")) / sqrt(col("__var")), 6))
+        .filter(abs(col("z")) > threshold)
+        .select(col(keyCol).as("event_type"), col(idCol).as("event_id"),
+          col(valueCol).as("value"), col("n_before"), col("z"))
+    } else {
+      val typed = events.select(col(keyCol).cast("string").as("k"),
+          col(idCol).cast("long").as("id"),
+          col(timeCol).cast("timestamp").as("ts"),
+          col(valueCol).cast("double").as("v"))
+        .as[(String, Long, java.sql.Timestamp, Double)]
+      typed.groupByKey(_._1).flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, java.sql.Timestamp, Double)],
+         state: GroupState[AnomalyState]) =>
+          val sorted = rows.toSeq.sortBy(r => (tsMicros(r._3), r._2))
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[AnomalyFlag]
+          sorted.foreach { case (_, id, _, v) =>
+            if (st.n >= minN) {
+              val mean = st.sum / st.n
+              val vr = (st.sumsq - st.sum * st.sum / st.n) / (st.n - 1)
+              if (vr > 0) {
+                // same rounding as the batch twin's round(x, 6)
+                val z = BigDecimal(java.lang.Double.toString(
+                    (v - mean) / math.sqrt(vr)))
+                  .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble
+                if (math.abs(z) > threshold) out += AnomalyFlag(key, id, v, st.n, z)
+              }
+            }
+            st = AnomalyState(st.n + 1, st.sum + v, st.sumsq + v * v)
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+    }
+  }
+
   def topKPerWindow(df: DataFrame, timeCol: String, keyCol: String,
       duration: String, k: Int, m: Int, lateness: String,
       streaming: Boolean): DataFrame = {

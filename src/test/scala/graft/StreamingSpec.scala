@@ -511,6 +511,42 @@ class StreamingSpec extends SparkSuite {
       Set(("a", 5L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)))
   }
 
+  test("running anomaly flags: streaming equals the batch twin bit-for-bit") {
+    import graft.streaming.StreamOps
+    // one calm key (values 10±1) with two planted spikes after warm-up,
+    // one noisy key that never crosses the threshold
+    val calm = (0 until 20).map(i => (100L + i, i.toLong, "calm",
+      10.0 + (i % 3) * 0.5)) ++
+      Seq((130L, 30L, "calm", 60.0), (140L, 31L, "calm", -40.0),
+        (150L, 32L, "calm", 10.5))
+    val noisy = (0 until 20).map(i => (100L + i, 100L + i, "noisy",
+      (i % 7) * 25.0))
+    val all = (calm ++ noisy).sortBy(_._1)
+    def toDf(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("epoch", "event_id", "event_type", "value")
+      .select(timestamp_seconds($"epoch").as("ts"), $"event_id",
+        $"event_type", $"value")
+    val source = MemoryStream[(Long, Long, String, Double)]
+    val out = StreamOps.anomalyFlags(toDf(source.toDF()), "ts", "event_type",
+      "event_id", "value", threshold = 3.0, minN = 10L, streaming = true)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("anom_out").start()
+    try {
+      // two time-ordered batches: state must carry the profile across
+      val (b1, b2) = all.partition(_._1 < 125L)
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anom_out")
+      .select($"event_type", $"event_id", $"value", $"n_before", $"z")
+      .as[(String, Long, Double, Long, Double)].collect().toSet
+    val batch = StreamOps.anomalyFlags(toDf(all.toDF()), "ts", "event_type",
+      "event_id", "value", threshold = 3.0, minN = 10L, streaming = false)
+      .as[(String, Long, Double, Long, Double)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.map(_._2) == Set(30L, 31L), streamed.toString)
+  }
+
   test("per-window top-k: a guaranteed heavy hitter survives MG shedding at m=2") {
     import graft.streaming.StreamOps
     // hot×50 interleaved with 20 distinct rares: freq 50 > N/m = 70/2
