@@ -1459,6 +1459,13 @@ object SparkEntry {
     "graph_random_walk" -> ((s, dir) =>
       Graph.randomWalks(coPurchaseEdges(s, dir), len = 4, seed = 42L)),
 
+    // Link prediction by neighbor-set Jaccard: candidates only through
+    // shared neighbors (the wedge envelope), score a ratio of exact
+    // integers via inclusion-exclusion.
+    "graph_jaccard_neighbors" -> ((s, dir) =>
+      Graph.neighborJaccard(coPurchaseEdges(s, dir),
+        minCommon = 2, minJaccard = 0.25)),
+
     // 3-round synchronous min-label propagation over the co-purchase
     // graph: each node ends holding the min node id within 3 hops — the
     // fixed-round, oracle-replayable community/component pass (the
@@ -2158,6 +2165,20 @@ object SparkEntry {
          |       FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)),
          |ne AS (SELECT count(*) AS n_edges FROM ed)
          |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""".stripMargin,
+
+    "graph_jaccard_neighbors" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT a AS n, b AS m FROM ed
+         |        UNION ALL SELECT b AS n, a AS m FROM ed),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY n),
+         |c AS (SELECT s1.m AS x, s2.m AS y, CAST(count(*) AS BIGINT) AS common
+         |      FROM (SELECT n, m FROM sym) s1
+         |      JOIN (SELECT n, m FROM sym) s2 ON s1.n = s2.n AND s1.m < s2.m
+         |      GROUP BY s1.m, s2.m HAVING count(*) >= 2)
+         |SELECT c.x AS a, c.y AS b, c.common,
+         |       c.common / (da.d + db.d - c.common) AS jaccard
+         |FROM c JOIN deg da ON da.n = c.x JOIN deg db ON db.n = c.y
+         |WHERE c.common / (da.d + db.d - c.common) >= 0.25""".stripMargin,
 
     // The identical 3-round min-label recurrence, unrolled: closed
     // neighborhood = self ∪ in-neighbors over the symmetrized edges.

@@ -176,6 +176,38 @@ object Graph {
     * The returned frame carries round(pr, 6): ranks are sums whose fold
     * order is engine-dependent in the last ulps; six decimals is far
     * coarser than the drift and far finer than any real rank gap. */
+  /** Neighbor-set Jaccard similarity for link prediction: for every node
+    * pair sharing at least one neighbor, J = |N(a)∩N(b)| / |N(a)∪N(b)|
+    * with the union by inclusion–exclusion (da + db − common), so the
+    * whole score is a ratio of exact integers — identical doubles on any
+    * engine.
+    *
+    * Scale shape: candidate pairs are generated ONLY through shared
+    * neighbors (a self-join of the symmetrized edge list on the common
+    * endpoint, a < b once) — the wedge-count envelope that triangle
+    * counting already lives in, not an all-pairs product. Degrees join in
+    * by broadcast-sized keyed frames. `minJaccard` prunes the long tail
+    * before anything leaves the aggregate. */
+  def neighborJaccard(edges: DataFrame, minCommon: Long = 2,
+      minJaccard: Double = 0.25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(edges.select(col("b").as("n"), col("a").as("m")))
+      .persist(lvl)
+    val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("d")).persist(lvl)
+    val common = sym.select(col("n"), col("m").as("x"))
+      .join(sym.select(col("n").as("n2"), col("m").as("y")), col("n") === col("n2"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    common
+      .join(deg.select(col("n").as("x"), col("d").as("da")), Seq("x"))
+      .join(deg.select(col("n").as("y"), col("d").as("db")), Seq("y"))
+      .select(col("x").as("a"), col("y").as("b"), col("common"),
+        (col("common") / (col("da") + col("db") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Synchronous min-label propagation, `rounds` fixed rounds: every node
     * starts labeled with its own id and each round adopts the minimum
     * label in its closed neighborhood. After k rounds each node holds the
