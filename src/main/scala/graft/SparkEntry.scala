@@ -752,6 +752,12 @@ object SparkEntry {
       s.sql(sqlRecursive)
     },
 
+    // Asymmetric shingle containment (doc-in-doc / quotation detection —
+    // the relation Jaccard misses). df-capped candidates bound the join.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.shingleContainment(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxDf = 50, minShared = 3, minContainment = 0.8)),
+
     // ── dedup suite ───────────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -3064,6 +3070,26 @@ object SparkEntry {
     "ann_kmeans" -> kmeansOracleSql(2),
 
     "dedup_minhash_md5" -> minhashMd5OracleSql,
+
+    // Same distinct-3-gram md5 keys as the decon oracle (n=3: len−2
+    // windows), df-capped, then ordered-pair containment.
+    "dedup_containment" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |ngl AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 2, 0)),
+        |      i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')))) AS g
+        |  FROM tk),
+        |ng AS (SELECT doc_id, md5(g) AS k FROM ngl),
+        |keep AS (SELECT k FROM ng GROUP BY k HAVING count(*) <= 50),
+        |inf AS (SELECT ng.doc_id, ng.k FROM ng JOIN keep USING (k)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a FROM inf GROUP BY doc_id),
+        |sh AS (SELECT i1.doc_id AS a, i2.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+        |       FROM inf i1 JOIN inf i2 ON i1.k = i2.k AND i1.doc_id <> i2.doc_id
+        |       GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT sh.a AS doc_a, sh.b AS doc_b, n_shared, sz.n_a,
+        |       n_shared / sz.n_a AS containment
+        |FROM sh JOIN sz ON sz.doc_id = sh.a
+        |WHERE n_shared / sz.n_a >= 0.8""".stripMargin,
 
     "dedup_increment" -> dedupIncrementOracleSql,
 

@@ -693,6 +693,45 @@ object Dedup {
 
   /** Embedding near-duplicate pairs: sign-bit LSH bucket join, then exact
     * cosine ≥ threshold verify. */
+  /** Doc-in-doc detection by asymmetric shingle CONTAINMENT
+    * c(a→b) = |S(a)∩S(b)| / |S(a)| — the quote/subset relation Jaccard
+    * misses (a short doc fully quoted inside a long one has high
+    * containment but low Jaccard, because the union is dominated by the
+    * long doc).
+    *
+    * Candidates come only from docs sharing ≥ `minShared` INFORMATIVE
+    * shingles: shingles with document frequency > `maxDf` are dropped
+    * before the self-join, because a boilerplate shingle in half the
+    * corpus creates quadratic candidate fan-out while carrying no
+    * containment signal — the df cap is what bounds the join at 100 TB
+    * (the same reason the co-purchase graph mines above a support
+    * floor). Both the intersection and the denominator count informative
+    * shingles only, so the ratio is internally consistent. Ordered pairs:
+    * (doc_a contained-in doc_b) and the reverse are distinct rows. */
+  def shingleContainment(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Long = 50, minShared: Long = 3,
+      minContainment: Double = 0.8): DataFrame = {
+    val keys = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.textnative
+          .shingle_md5_keys(col(textCol), n)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val informative = keys.join(
+        keys.groupBy(col("k")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select(col("k")),
+        Seq("k"))
+    val sizes = informative.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    informative.select(col("k"), col("doc_id").as("a"))
+      .join(informative.select(col("k").as("k2"), col("doc_id").as("b")),
+        col("k") === col("k2") && col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("a"), col("n_a")), Seq("a"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n_shared"), col("n_a"),
+        (col("n_shared") / col("n_a")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
     val planes = Similarity.hyperplanes(nPlanes, dim)
