@@ -1049,6 +1049,13 @@ object SparkEntry {
         temperature = 2.0)
         .select(col("doc_id"), col("lang"))),
 
+    // Deterministic sharded negative sampling (contrastive-training
+    // partners from a hash ring, not an RNG): rerun/partition/engine-
+    // independent pairings, per-shard windows only.
+    "sample_negatives" -> ((s, dir) =>
+      Sampling.negativeSample(t(s, dir, "documents"), "doc_id",
+        k = 2, nShards = 16)),
+
     // Deterministic per-group k-sample (the reservoir-sampling twin):
     // exactly 40 docs per language, selected by seeded md5 rank — the
     // oracle reproduces the identical 40, not just the count.
@@ -3136,6 +3143,25 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      % 1000000 < 250000""".stripMargin,
+
+    // Same md5 draw → shard, md5-hex ring order, (r+j) mod n partners.
+    "sample_negatives" ->
+      """WITH r AS (SELECT doc_id AS key,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          % 1000000 % 16 AS shard,
+        |        md5(CAST(doc_id AS VARCHAR)) AS h
+        |      FROM documents),
+        |rg AS (SELECT key, shard,
+        |         row_number() OVER (PARTITION BY shard ORDER BY h, key) AS rn,
+        |         count(*) OVER (PARTITION BY shard) AS n
+        |       FROM r),
+        |rf AS (SELECT * FROM rg WHERE n >= 3),
+        |j AS (SELECT key, shard, 1 AS neg_rank, ((rn - 1 + 1) % n) + 1 AS tgt FROM rf
+        |      UNION ALL
+        |      SELECT key, shard, 2 AS neg_rank, ((rn - 1 + 2) % n) + 1 AS tgt FROM rf)
+        |SELECT j.key AS key, j.shard AS shard, CAST(j.neg_rank AS BIGINT) AS neg_rank,
+        |       p.key AS neg_key
+        |FROM j JOIN rf p ON p.shard = j.shard AND p.rn = j.tgt""".stripMargin,
 
     "sample_stratified" ->
       """SELECT lang, count(*) AS n_docs FROM documents

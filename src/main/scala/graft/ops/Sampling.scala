@@ -169,6 +169,42 @@ object Sampling {
     * same label on every rerun/engine, and growing one split's weight
     * only MOVES the boundary (rows never hop between non-adjacent
     * splits). Pure codegen'd CASE — no shuffle, no state. */
+  /** Deterministic sharded negative sampling for contrastive training:
+    * each row gets `k` "negative" partner ids — other rows, chosen by
+    * position in a hash ring rather than an RNG, so the pairing is
+    * partition-independent, rerun-stable, and engine-reproducible (the
+    * properties a resumable 100 TB training job needs from its negatives).
+    *
+    * Rows hash into `nShards` shards (in-batch-negative practice: pair
+    * within a shard, never across); within a shard they are ring-ordered
+    * by (md5(key), key) — an order uncorrelated with any data column —
+    * and row r takes rows (r+1) mod n, …, (r+k) mod n as negatives, via
+    * equi-joins on (shard, ring position). Shuffles touch only (key,
+    * shard, position) triples; the window is per-shard, never global.
+    * Shards smaller than k+1 rows are dropped (not enough partners).
+    * Output: (key, shard, neg_rank ∈ 1..k, neg_key). */
+  def negativeSample(df: DataFrame, keyCol: String, k: Int = 2,
+      nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ring = df.select(col(keyCol).as("key"),
+        (drawOf(col(keyCol)) % nShards).as("shard"),
+        md5(col(keyCol).cast("string")).as("__h"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("__h"), col("key"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("shard"))))
+      .filter(col("n") >= k + 1)
+    val partners = ring.select(col("shard").as("p_shard"),
+      col("rn").as("p_rn"), col("key").as("neg_key"))
+    (1 to k).map { j =>
+      ring.select(col("key"), col("shard"),
+          lit(j.toLong).as("neg_rank"),
+          (((col("rn") - 1 + j) % col("n")) + 1).as("__target"))
+        .join(partners,
+          col("shard") === col("p_shard") && col("__target") === col("p_rn"))
+        .select(col("key"), col("shard"), col("neg_rank"), col("neg_key"))
+    }.reduce(_ unionAll _)
+  }
+
   def splitAssign(df: DataFrame, keyCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
