@@ -421,6 +421,14 @@ object SparkEntry {
       GapFill.fillForward(ev, "ukey", "ts", "value", bucketSeconds = 3600L)
     },
 
+    // Linear interpolation over the same hourly grid (one per-key ordered
+    // exchange, two window frames — forward prev, backward next).
+    "ts_interpolate" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select((col("user_id") % 23).as("ukey"), col("ts"), col("value"))
+      GapFill.interpolateLinear(ev, "ukey", "ts", "value", bucketSeconds = 3600L)
+    },
+
     // ── physical layout: pruning + bucketing (Layout scaladoc) ─────────
     // Write hive-partitioned, read one partition back: the predicate
     // must prune at directory level (OperatorSpec asserts the scan's
@@ -2725,6 +2733,34 @@ object SparkEntry {
 
     // epoch_ms // is DuckDB floor division = Spark's unix_millis div for
     // the positive fixture epochs; IGNORE NULLS last_value is the LOCF.
+    "ts_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id % 23 AS ukey, epoch_ms(ts) // 3600000 AS bucket,
+        |         max(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT ukey, min(bucket) AS b0, max(bucket) AS b1
+        |          FROM obs GROUP BY ukey),
+        |grid AS (SELECT ukey, unnest(range(b0, b1 + 1)) AS bucket FROM spans),
+        |j AS (SELECT g.ukey, g.bucket, o.v
+        |      FROM grid g LEFT JOIN obs o USING (ukey, bucket)),
+        |n AS (SELECT ukey, bucket, v,
+        |        last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |          OVER back AS pb,
+        |        last_value(v IGNORE NULLS) OVER back AS pv,
+        |        first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+        |          OVER fwd AS nb,
+        |        first_value(v IGNORE NULLS) OVER fwd AS nv
+        |      FROM j
+        |      WINDOW back AS (PARTITION BY ukey ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             fwd AS (PARTITION BY ukey ORDER BY bucket
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT ukey, bucket,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb) END AS value_interp,
+        |       v IS NULL AS is_gap
+        |FROM n""".stripMargin,
+
     "rel_gap_fill" ->
       """WITH obs AS (
         |  SELECT user_id % 23 AS ukey, epoch_ms(ts) // 3600000 AS bucket,

@@ -54,4 +54,43 @@ object GapFill {
         last(col("__v"), ignoreNulls = true).over(win).as("value_filled"),
         col("__v").isNull.as("is_gap"))
   }
+
+  /** Linear interpolation over the same grid: a gap bucket gets
+    * prev + (next − prev) · (b − b_prev)/(b_next − b_prev) between its
+    * nearest observations. Same plan shape as [[fillForward]] plus one
+    * extra window direction: the forward pass carries (b_prev, v_prev),
+    * the backward frame of the SAME per-key ordered exchange carries
+    * (b_next, v_next) — one shuffle total, two frames. The grid starts
+    * and ends on observations by construction, so both neighbors always
+    * exist and the interpolant is total. The weight is a ratio of exact
+    * small integers; the interpolation is four IEEE ops — deterministic
+    * on any engine and any partitioning. */
+  def interpolateLinear(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0, got $bucketSeconds")
+    val w = bucketSeconds * 1000L
+    val obs = df.select(col(keyCol).as("__k"),
+        expr(s"unix_millis(`$timeCol`) div ${w}L").as("bucket"),
+        col(valueCol).as("__v"))
+      .groupBy(col("__k"), col("bucket")).agg(max(col("__v")).as("__v"))
+    val grid = obs.groupBy(col("__k"))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col("__k"), explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
+    val ord = Window.partitionBy(col("__k")).orderBy(col("bucket"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq("__k", "bucket"), "left")
+      .withColumn("__pb", last(when(col("__v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(back))
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__nb", first(when(col("__v").isNotNull, col("bucket")),
+        ignoreNulls = true).over(fwd))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
+      .select(col("__k").as(keyCol), col("bucket"),
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            (col("bucket") - col("__pb")) / (col("__nb") - col("__pb")))
+          .as("value_interp"),
+        col("__v").isNull.as("is_gap"))
+  }
 }
