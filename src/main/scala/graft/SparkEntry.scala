@@ -1017,6 +1017,16 @@ object SparkEntry {
         nCells = 4, nProbe = 2, sampleN = 40)
     },
 
+    // Product-quantization ANN (4 subspaces × 16 codes, 1 Lloyd round,
+    // ADC scoring): vectors stored as 4 code ids, queries scored through
+    // a broadcast distance table — all exact integer math, so the entire
+    // index-build + query trace hash-gates.
+    "ann_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 8),
+        k = 10)),
+
     // Distributed Lloyd's k-means over the int8-quantized corpus (K=8,
     // 2 update rounds, init = the first K vectors): the coarse topic-
     // clustering pass run before mixture sampling / per-cluster dedup.
@@ -3111,6 +3121,43 @@ object SparkEntry {
     "ann_ivf_planted" -> ivfPlantedOracleSql,
 
     "ann_kmeans" -> kmeansOracleSql(2),
+
+    // PQ replayed exactly: same quantization, per-subspace 1-round
+    // Lloyd (keys carry `sub`), codes from the updated codebooks, ADC
+    // sum of table distances, (adist, id) rank.
+    "ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s0 AS (SELECT vec_id,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+        |             THEN list_transform(v, x -> 0.0)
+        |             ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127))) END AS qv
+        |      FROM e),
+        |subs AS (SELECT vec_id, i AS sub, qv[CAST(i*16+1 AS INT):CAST((i+1)*16 AS INT)] AS sqv
+        |         FROM s0, unnest(range(0, 4)) AS u(i)),
+        |c0 AS (SELECT sub, vec_id AS cid, sqv AS cv FROM subs WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, subs.sub AS sub, sqv, cid, row_number() OVER (PARTITION BY vec_id, subs.sub ORDER BY
+        |         list_reduce(list_transform(range(0, len(sqv)), i -> (sqv[i+1]-cv[i+1])*(sqv[i+1]-cv[i+1])), (x,y) -> x+y), cid) AS rk
+        |       FROM subs JOIN c0 ON subs.sub = c0.sub),
+        |s1 AS (SELECT vec_id, sub, sqv, cid FROM a1 WHERE rk = 1),
+        |x1 AS (SELECT sub, cid, i AS pos, sqv[CAST(i+1 AS INT)] AS val FROM s1, unnest(range(0, len(sqv))) AS u(i)),
+        |m1 AS (SELECT sub, cid, pos, round(avg(val)) + 0.0 AS cval FROM x1 GROUP BY sub, cid, pos),
+        |c1 AS (SELECT sub, cid, list(cval ORDER BY pos) AS cv FROM m1 GROUP BY sub, cid),
+        |a2 AS (SELECT vec_id, subs.sub AS sub, sqv, cid, row_number() OVER (PARTITION BY vec_id, subs.sub ORDER BY
+        |         list_reduce(list_transform(range(0, len(sqv)), i -> (sqv[i+1]-cv[i+1])*(sqv[i+1]-cv[i+1])), (x,y) -> x+y), cid) AS rk
+        |       FROM subs JOIN c1 ON subs.sub = c1.sub),
+        |codes AS (SELECT vec_id, sub, cid FROM a2 WHERE rk = 1),
+        |qs AS (SELECT vec_id AS query_id, sub, sqv FROM subs WHERE vec_id < 8),
+        |dt AS (SELECT query_id, c1.sub AS sub, cid,
+        |         list_reduce(list_transform(range(0, len(sqv)), i -> (sqv[i+1]-cv[i+1])*(sqv[i+1]-cv[i+1])), (x,y) -> x+y) AS d
+        |       FROM qs JOIN c1 ON qs.sub = c1.sub),
+        |adc AS (SELECT query_id, codes.vec_id AS neighbor_id, CAST(sum(d) AS BIGINT) AS adist
+        |        FROM codes JOIN dt ON codes.sub = dt.sub AND codes.cid = dt.cid
+        |        WHERE codes.vec_id <> query_id
+        |        GROUP BY query_id, codes.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, adist
+        |FROM (SELECT query_id, neighbor_id, adist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk FROM adc)
+        |WHERE rnk <= 10""".stripMargin,
 
     "dedup_minhash_md5" -> minhashMd5OracleSql,
 

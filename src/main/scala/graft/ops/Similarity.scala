@@ -281,6 +281,80 @@ object Similarity {
     }
   }
 
+  /** Product-quantization ANN: the memory-side scale trick IVF/LSH don't
+    * give — each vector is stored as `nSub` small codebook ids (here 4
+    * codes ≈ 4 bytes) instead of d floats, and queries score candidates
+    * through a precomputed distance table (ADC) without ever touching the
+    * original vectors.
+    *
+    * Codebooks are per-subspace Lloyd's over the int8-quantized
+    * subvectors — the [[kmeansQuantized]] exact-integer-arithmetic trick,
+    * with (sub) added to every key so all `nSub` codebooks train in ONE
+    * distributed pipeline (no per-subspace driver loop). Every distance,
+    * centroid, code, and ADC score is exact integer math: the full
+    * index-build + query trace hash-gates against the oracle's unrolled
+    * recurrence.
+    *
+    * Plan shape at 100 TB: codebooks are nSub·codebook rows (always
+    * broadcast); encoding is a broadcast fan + keyed argmin over the
+    * persisted subvector frame; the query distance table is
+    * Q·nSub·codebook rows (broadcast); ADC joins codes→table on
+    * (sub, cid) — the candidate exchange carries (query, neighbor,
+    * partial distance) and collapses through a map-side-combined sum and
+    * the k-bounded top-k merge. Nothing exchanges vectors after encode. */
+  def pqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      nSub: Int = 4, subDim: Int = 16, codebook: Int = 16,
+      iters: Int = 1): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def quant(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        graft.functions.vectornative
+          .quantize_int8(col("embedding").cast("array<double>")).as("qv"))
+    def subSplit(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), posexplode(array(
+          (0 until nSub).map(s => slice(col("qv"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "sqv")))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+    val subs = subSplit(quant(candidates)).persist(lvl)
+    val init = subs.filter(col("vec_id") < codebook)
+      .select(col("sub"), col("vec_id").as("cid"), col("sqv").as("cv"))
+    def assign(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sqv"), col("cid"),
+          d2(col("sqv"), col("cv")).as("dist"))
+        .groupBy(col("vec_id"), col("sub"), col("sqv"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("sqv"), col("m.cid").as("cid"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("sub"), col("cid"), posexplode(col("sqv")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg((round(avg(col("col"))) + lit(0.0)).as("cval"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cval")))),
+          x => x("cval")).as("cv"))
+    val cb = (1 to iters).foldLeft(init)((c, _) => update(assign(c)))
+    val codes = assign(cb).select(col("vec_id"), col("sub"), col("cid"))
+    val qsubs = subSplit(quant(queries))
+      .select(col("vec_id").as("query_id"), col("sub"), col("sqv"))
+    val dtable = qsubs.join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        d2(col("sqv"), col("cv")).as("d"))
+    val topk = udaf(new TopKAggregator(k))
+    codes.join(broadcast(dtable), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("adist"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), -col("adist").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        (-col("col.score")).cast("long").as("adist"))
+  }
+
   /** Approximate top-k: candidates and queries are bucketed by sign-bit
     * LSH and only same-bucket pairs are scored — the scale path when the
     * Q×N cross product is too big even broadcast. Shuffle is on the bucket

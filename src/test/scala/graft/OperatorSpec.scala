@@ -1445,6 +1445,20 @@ class OperatorSpec extends SparkSuite {
     assert(r6 == Set((1L, 7L, 7L), (10L, 2L, 11L)), s"converged: $r6")
   }
 
+  test("PQ: an exact duplicate shares the query's codes and ranks first") {
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val vecs = (base :+ ((200L, base.head._2.clone()))).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs, vecs.filter($"vec_id" === 0), k = 5)
+      .orderBy("rank").select("neighbor_id", "adist").as[(Long, Long)].collect()
+    // ADC distance is query→centroid (asymmetric), so it is nonzero even
+    // for an exact copy — but the copy's codes are the argmin cells of
+    // the query's own subvectors, so no vector can score lower
+    assert(out.head._1 == 200L, s"expected copy first, got ${out.mkString(",")}")
+    assert(out(1)._2 > out.head._2, s"copy should strictly lead: ${out.mkString(",")}")
+  }
+
   test("quantized k-means recovers planted clusters and is rerun-stable") {
     val dim = 64
     val rnd = new scala.util.Random(17)
