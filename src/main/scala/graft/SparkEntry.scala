@@ -1340,6 +1340,13 @@ object SparkEntry {
       TimeSeries.zscoreOutliers(t(s, dir, "events"), keyCol = "event_type",
         idCol = "event_id", valueCol = "value", threshold = 2.0)),
 
+    // Robust median/MAD outliers (50% breakdown point — the heavy-tail-
+    // safe twin of ts_zscore): two exact-percentile broadcasts, no
+    // corpus window.
+    "ts_mad_outliers" -> ((s, dir) =>
+      TimeSeries.madOutliers(t(s, dir, "events"), keyCol = "event_type",
+        idCol = "event_id", valueCol = "value", threshold = 3.0)),
+
     // 5-minute OHLC resampling bars over the event stream: one map-side-
     // combined aggregate (open/close via min_by/max_by on (ts, event_id),
     // volume in DECIMAL) — no per-bucket window sort.
@@ -1489,6 +1496,12 @@ object SparkEntry {
     // the full path CSV gated position by position.
     "graph_random_walk" -> ((s, dir) =>
       Graph.randomWalks(coPurchaseEdges(s, dir), len = 4, seed = 42L)),
+
+    // 2 rounds of 2-core peeling over the co-purchase graph (drop
+    // degree<2 nodes, recount on the induced subgraph) — the densest-
+    // region filter, fixed-round for oracle replay.
+    "graph_kcore" -> ((s, dir) =>
+      Graph.kCorePeel(coPurchaseEdges(s, dir), k = 2, rounds = 2)),
 
     // Link prediction by neighbor-set Jaccard: candidates only through
     // shared neighbors (the wedge envelope), score a ratio of exact
@@ -2061,6 +2074,18 @@ object SparkEntry {
         |FROM events e JOIN s USING (event_type)
         |WHERE abs(round((e.value - s.m) / s.sd, 6)) >= 2.0""".stripMargin,
 
+    "ts_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type, med,
+        |          quantile_cont(abs(value - med), 0.5) AS mad
+        |        FROM events e JOIN med USING (event_type)
+        |        GROUP BY e.event_type, med),
+        |f AS (SELECT e.event_type, e.event_id, e.value,
+        |        round((e.value - m.med) / (1.4826 * m.mad), 6) AS robust_z
+        |      FROM events e JOIN mad m USING (event_type))
+        |SELECT * FROM f WHERE abs(robust_z) > 3.0""".stripMargin,
+
     // Same micro-epoch floor-division buckets; open/close replicated via
     // twin row_numbers over the unique (ts, event_id) order.
     "ts_ohlc_bars" ->
@@ -2196,6 +2221,21 @@ object SparkEntry {
          |       FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)),
          |ne AS (SELECT count(*) AS n_edges FROM ed)
          |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""".stripMargin,
+
+    "graph_kcore" ->
+      s"""WITH $coPurchaseCte,
+         |sym0 AS (SELECT a AS n, b AS m FROM ed
+         |         UNION ALL SELECT b AS n, a AS m FROM ed),
+         |d1 AS (SELECT n, count(*) AS d FROM sym0 GROUP BY n),
+         |k1 AS (SELECT n FROM d1 WHERE d >= 2),
+         |s1 AS (SELECT s.n, s.m FROM sym0 s
+         |       JOIN k1 x ON s.n = x.n JOIN k1 y ON s.m = y.n),
+         |d2 AS (SELECT n, count(*) AS d FROM s1 GROUP BY n),
+         |k2 AS (SELECT n FROM d2 WHERE d >= 2),
+         |s2 AS (SELECT s.n, s.m FROM s1 s
+         |       JOIN k2 x ON s.n = x.n JOIN k2 y ON s.m = y.n)
+         |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+         |FROM s2 GROUP BY n""".stripMargin,
 
     "graph_jaccard_neighbors" ->
       s"""WITH $coPurchaseCte,

@@ -176,6 +176,32 @@ object Graph {
     * The returned frame carries round(pr, 6): ranks are sums whose fold
     * order is engine-dependent in the last ulps; six decimals is far
     * coarser than the drift and far finer than any real rank gap. */
+  /** Bounded k-core peeling: `rounds` rounds of "drop every node with
+    * degree < k, recount over the induced subgraph". After enough rounds
+    * this converges to the k-core (the standard densest-region filter
+    * before expensive per-node graph work); a FIXED round count keeps the
+    * trace deterministic and oracle-replayable, like [[labelPropagation]]
+    * vs. the converging closure. Each round is one keyed count + two
+    * semi-join-shaped equi-joins on the persisted edge frame — no
+    * materialized neighborhoods. Returns the surviving nodes with their
+    * induced degrees. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var sym = edges.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(edges.select(col("b").as("n"), col("a").as("m")))
+      .persist(lvl)
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+      sym = sym.join(keep, Seq("n"))
+        .join(keep.select(col("n").as("m")), Seq("m"))
+        .select(col("n"), col("m")).persist(lvl)
+    }
+    sym.groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      .select(col("n").as("node"), col("degree"))
+  }
+
   /** Neighbor-set Jaccard similarity for link prediction: for every node
     * pair sharing at least one neighbor, J = |N(a)∩N(b)| / |N(a)∪N(b)|
     * with the union by inclusion–exclusion (da + db − common), so the

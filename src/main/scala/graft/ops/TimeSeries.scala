@@ -87,6 +87,29 @@ object TimeSeries {
       .filter(abs(col("z")) >= threshold)
   }
 
+  /** Robust (median/MAD) outlier detection — the heavy-tail-safe twin of
+    * [[zscoreOutliers]]: mean/stddev are themselves dragged by the
+    * outliers they're meant to find, while the median and the median
+    * absolute deviation have a 50% breakdown point. robust_z =
+    * (v − median) / (1.4826·MAD), the standard normal-consistency
+    * scaling. Two exact-percentile aggregates per key (each a tiny
+    * per-key frame broadcast back over the scan) — the same
+    * broadcast-moments shape the z-score plan guard pins, never a
+    * whole-corpus window. */
+  def madOutliers(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, threshold: Double): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val mad = df.join(broadcast(med), Seq(keyCol))
+      .groupBy(col(keyCol), col("__med"))
+      .agg(percentile(abs(col(valueCol) - col("__med")), lit(0.5)).as("__mad"))
+    df.join(broadcast(mad), Seq(keyCol))
+      .select(col(keyCol), col(idCol), col(valueCol),
+        round((col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad")), 6)
+          .as("robust_z"))
+      .filter(abs(col("robust_z")) > threshold)
+  }
+
   /** Fixed-width OHLC resampling bars (open/high/low/close + count and a
     * decimal-exact volume) — the downsampling pass that turns a raw event
     * stream into per-window bars. ONE map-side-combined aggregate over a
