@@ -760,6 +760,17 @@ object SparkEntry {
       s.sql(sqlRecursive)
     },
 
+    // Canonicalization pass (lowercase + whitespace collapse + trim) —
+    // the normalize-before-exact-dedup stage; the md5 of the normalized
+    // form pins every character of the transform. Zero shuffles.
+    "text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("norm_md5"),
+        length(col("text")).cast("long").as("len_before"),
+        length(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .cast("long").as("len_after"))),
+
     // Asymmetric shingle containment (doc-in-doc / quotation detection —
     // the relation Jaccard misses). df-capped candidates bound the join.
     "dedup_containment" -> ((s, dir) =>
@@ -3200,6 +3211,13 @@ object SparkEntry {
         |WHERE rnk <= 10""".stripMargin,
 
     "dedup_minhash_md5" -> minhashMd5OracleSql,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+        |       CAST(length(text) AS BIGINT) AS len_before,
+        |       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS len_after
+        |FROM documents""".stripMargin,
 
     // Same distinct-3-gram md5 keys as the decon oracle (n=3: len−2
     // windows), df-capped, then ordered-pair containment.
