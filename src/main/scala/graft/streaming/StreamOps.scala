@@ -22,6 +22,14 @@ case class AnomalyState(n: Long, sum: Double, sumsq: Double)
 case class AnomalyFlag(event_type: String, event_id: Long, value: Double,
     n_before: Long, z: Double)
 
+/** Per-key CDC state for StreamOps.cdcApplyStream: the winning (ts, id)
+  * order key with its op/value, plus the lifetime op count. */
+case class CdcKeyState(tsUs: Long, eid: Long, op: String, value: Double,
+    nOps: Long)
+
+/** One current-state emission from StreamOps.cdcApplyStream. */
+case class CdcRow(user_id: Long, last_op: String, value: Double, n_ops: Long)
+
 /** Per-window Misra–Gries counter state for StreamOps.topKPerWindow:
   * parallel key/count arrays (a Map column would need a custom encoder),
   * never longer than the counter budget m. */
@@ -204,6 +212,46 @@ object StreamOps {
     * With m ≥ the window's distinct-key count the sketch never sheds
     * and the streaming output equals the batch twin exactly
     * (StreamingSpec pins both regimes). */
+  /** Streaming CDC apply — the continuously-maintained current table the
+    * batch [[graft.ops.Profile.cdcApply]] computes at rest: per-key state
+    * holds only the winning (ts, id) order key, its op/value, and the
+    * lifetime op count (O(1) per key; bounded by key cardinality like
+    * the accumulated-metrics upsert). Each batch emits every touched
+    * key's NEW current row in update mode — delete ops emit a
+    * `last_op = "D"` tombstone so a downstream upsert sink can drop the
+    * key; filtering tombstones from the latest emissions reproduces the
+    * batch operator's output exactly (StreamingSpec pins it). The
+    * max-by-(ts,id) merge is order-insensitive, so late-arriving rows
+    * WITHIN the retained state never corrupt the winner — unlike a
+    * last-writer-wins sink. */
+  def cdcApplyStream(log: DataFrame, keyCol: String, opCol: String,
+      tsCol: String, idCol: String, valueCol: String): DataFrame = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    val typed = log.select(col(keyCol).cast("long").as("k"),
+        col(opCol).cast("string").as("op"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, String, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (key: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long, Double)],
+       state: GroupState[CdcKeyState]) =>
+        var st = state.getOption
+          .getOrElse(CdcKeyState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+        rows.foreach { case (_, op, ts, id, v) =>
+          val us = tsMicros(ts)
+          val wins = us > st.tsUs || (us == st.tsUs && id > st.eid)
+          st =
+            if (wins) CdcKeyState(us, id, op, v, st.nOps + 1)
+            else st.copy(nOps = st.nOps + 1)
+        }
+        state.update(st)
+        Iterator.single(CdcRow(key, st.op, st.value, st.nOps))
+    }.toDF()
+  }
+
   /** Running-profile anomaly detection: flag an event whose value sits
     * more than `threshold` sample standard deviations from its key's
     * running mean — computed over STRICTLY PRECEDING events only, so a

@@ -511,6 +511,46 @@ class StreamingSpec extends SparkSuite {
       Set(("a", 5L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)))
   }
 
+  test("streaming CDC apply: latest emissions minus tombstones equal batch cdcApply") {
+    import graft.streaming.StreamOps
+    // key 1: I then U (survives with U's value); key 2: I then D (dropped);
+    // key 3: two same-ts ops — higher event_id wins; key 4: only in batch 2
+    val log = Seq(
+      (100L, 1L, "I", 10L, 1.0), (110L, 1L, "U", 11L, 2.0),
+      (100L, 2L, "I", 12L, 3.0), (120L, 2L, "D", 13L, 0.0),
+      (100L, 3L, "I", 14L, 5.0), (100L, 3L, "U", 15L, 6.0),
+      (130L, 4L, "I", 16L, 7.0))
+    def toDf(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("epoch", "user_id", "op", "event_id", "value")
+      .select(timestamp_seconds($"epoch").as("ts"), $"user_id", $"op",
+        $"event_id", $"value")
+    val source = MemoryStream[(Long, Long, String, Long, Double)]
+    val out = StreamOps.cdcApplyStream(toDf(source.toDF()), "user_id", "op",
+      "ts", "event_id", "value")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("cdc_out").start()
+    try {
+      val (b1, b2) = log.partition(_._1 < 115L)
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per key = the one with the highest n_ops
+    val latest = spark.table("cdc_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy($"n_ops".desc)))
+      .filter($"rn" === 1 && $"last_op" =!= "D")
+      .select($"user_id", $"last_op", $"value", $"n_ops")
+      .as[(Long, String, Double, Long)].collect().toSet
+    val batch = graft.ops.Profile.cdcApply(toDf(log.toDF()), "user_id", "op",
+      Seq("ts", "event_id"), Seq("value"))
+      .select($"user_id", $"last_op", $"value", $"n_ops")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(latest == batch, s"stream $latest vs batch $batch")
+    assert(latest.map(_._1) == Set(1L, 3L, 4L), latest.toString)
+    assert(latest.find(_._1 == 3L).get._3 == 6.0, "same-ts tie must pick higher event_id")
+  }
+
   test("running anomaly flags: streaming equals the batch twin bit-for-bit") {
     import graft.streaming.StreamOps
     // one calm key (values 10±1) with two planted spikes after warm-up,
