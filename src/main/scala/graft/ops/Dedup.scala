@@ -715,10 +715,13 @@ object Dedup {
         explode(graft.functions.textnative
           .shingle_md5_keys(col(textCol), n)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three consumers (sizes + both self-join legs): persist so the
+    // df-cap join runs once
     val informative = keys.join(
         keys.groupBy(col("k")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).select(col("k")),
         Seq("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = informative.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     informative.select(col("k"), col("doc_id").as("a"))
       .join(informative.select(col("k").as("k2"), col("doc_id").as("b")),

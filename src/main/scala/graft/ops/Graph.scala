@@ -255,9 +255,13 @@ object Graph {
       .persist(lvl)
     val init = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+    // each round reads the PREVIOUS label frame twice (self ∪ neighbor
+    // push): without a persist per round the lineage recomputes 2^r
+    // copies of the base — the pagerank persist lesson, doubled
     val fin = (1 to rounds).foldLeft(init) { (lbls, _) =>
-      lbls.unionAll(
-          lbls.join(sym, col("node") === col("src"))
+      val l = lbls.persist(lvl)
+      l.unionAll(
+          l.join(sym, col("node") === col("src"))
             .select(col("dst").as("node"), col("lbl")))
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
     }

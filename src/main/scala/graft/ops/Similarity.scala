@@ -335,7 +335,9 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("cval")))),
           x => x("cval")).as("cv"))
-    val cb = (1 to iters).foldLeft(init)((c, _) => update(assign(c)))
+    // codebooks feed both the corpus encode and the query distance
+    // table — persist the nSub·codebook-row frame
+    val cb = (1 to iters).foldLeft(init)((c, _) => update(assign(c))).persist(lvl)
     val codes = assign(cb).select(col("vec_id"), col("sub"), col("cid"))
     val qsubs = subSplit(quant(queries))
       .select(col("vec_id").as("query_id"), col("sub"), col("sqv"))
@@ -419,8 +421,11 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("cval")))),
           x => x("cval")).as("cv"))
 
+    // referenced by the final assignment AND the output join — persist
+    // the K-row frame so the iteration chain executes once
     val finalCentroids =
       (1 to iters).foldLeft(initCentroids)((c, _) => update(assign(c)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assign(finalCentroids)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"),
