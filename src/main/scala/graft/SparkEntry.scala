@@ -538,6 +538,27 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
     },
 
+    // Schema evolution: generation 1 writes (key, price); generation 2
+    // appends (key, price, priority); a mergeSchema read unions the
+    // schemas, backfilling generation-1 rows with NULL priority — the
+    // lakehouse column-add path. The oracle reproduces the union from
+    // the source table (priority visible only for the gen-2 half), so a
+    // read that dropped either generation's column set turns the hash.
+    "src_schema_evolution" -> { (s, dir) =>
+      val path = layoutPath("orders_evo")
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(path)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+    },
+
     "src_json_roundtrip" -> { (s, dir) =>
       import org.apache.spark.sql.types._
       val path = layoutPath("orders_json")
@@ -1508,6 +1529,16 @@ object SparkEntry {
     "graph_random_walk" -> ((s, dir) =>
       Graph.randomWalks(coPurchaseEdges(s, dir), len = 4, seed = 42L)),
 
+    // 3-round multi-source BFS from the %97 seed set: hop distances for
+    // every node within 3 hops (min-plus relaxation, per-round persist).
+    "graph_bfs" -> { (s, dir) =>
+      val ed = coPurchaseEdges(s, dir)
+      val seeds = ed.select(col("a").as("node"))
+        .unionAll(ed.select(col("b").as("node"))).distinct()
+        .filter(col("node") % 97 === 0)
+      Graph.bfsDistances(ed, seeds, rounds = 3)
+    },
+
     // 2 rounds of 2-core peeling over the co-purchase graph (drop
     // degree<2 nodes, recount on the induced subgraph) — the densest-
     // region filter, fixed-round for oracle replay.
@@ -2233,6 +2264,26 @@ object SparkEntry {
          |ne AS (SELECT count(*) AS n_edges FROM ed)
          |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""".stripMargin,
 
+    "graph_bfs" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b AS src, a AS dst FROM ed),
+         |seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 97 = 0),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         |d1 AS (SELECT node, min(dist) AS dist FROM (
+         |        SELECT node, dist FROM d0 UNION ALL
+         |        SELECT s.dst AS node, d.dist + 1 AS dist
+         |        FROM d0 d JOIN sym s ON d.node = s.src) GROUP BY node),
+         |d2 AS (SELECT node, min(dist) AS dist FROM (
+         |        SELECT node, dist FROM d1 UNION ALL
+         |        SELECT s.dst AS node, d.dist + 1 AS dist
+         |        FROM d1 d JOIN sym s ON d.node = s.src) GROUP BY node),
+         |d3 AS (SELECT node, min(dist) AS dist FROM (
+         |        SELECT node, dist FROM d2 UNION ALL
+         |        SELECT s.dst AS node, d.dist + 1 AS dist
+         |        FROM d2 d JOIN sym s ON d.node = s.src) GROUP BY node)
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+
     "graph_kcore" ->
       s"""WITH $coPurchaseCte,
          |sym0 AS (SELECT a AS n, b AS m FROM ed
@@ -2373,6 +2424,12 @@ object SparkEntry {
         |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "src_json_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

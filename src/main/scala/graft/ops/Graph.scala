@@ -176,6 +176,30 @@ object Graph {
     * The returned frame carries round(pr, 6): ranks are sums whose fold
     * order is engine-dependent in the last ulps; six decimals is far
     * coarser than the drift and far finer than any real rank gap. */
+  /** Multi-source BFS distances, `rounds` unrolled min-plus relaxations:
+    * dist(v) = min(dist(v), min over in-neighbors dist(u) + 1), seeds at
+    * 0. After k rounds every node within k hops of a seed holds its true
+    * hop distance (unreached nodes are absent) — the bounded-frontier
+    * form of shortest paths, oracle-replayable like [[labelPropagation]]
+    * (same per-round join+min cost envelope, same per-round persist to
+    * keep lineage linear). */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(lvl)
+    val init = seeds.select(col("node"), lit(0L).as("dist"))
+    (1 to rounds).foldLeft(init) { (dist, _) =>
+      val d = dist.persist(lvl)
+      d.unionAll(
+          d.join(sym, col("node") === col("src"))
+            .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+  }
+
   /** Bounded k-core peeling: `rounds` rounds of "drop every node with
     * degree < k, recount over the induced subgraph". After enough rounds
     * this converges to the k-core (the standard densest-region filter
