@@ -1049,6 +1049,15 @@ object SparkEntry {
         nCells = 4, nProbe = 2, sampleN = 40)
     },
 
+    // Radius search (all neighbors with cosine ≥ 0.2 — the "everything
+    // closer than τ" mode top-k can't answer); threshold filtered inside
+    // the codegen'd projection, no aggregate at all.
+    "ann_range_search" -> ((s, dir) =>
+      Similarity.rangeSearch(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 8),
+        minSim = 0.2)),
+
     // Product-quantization ANN (4 subspaces × 16 codes, 1 Lloyd round,
     // ADC scoring): vectors stored as 4 code ids, queries scored through
     // a broadcast distance table — all exact integer math, so the entire
@@ -1371,6 +1380,23 @@ object SparkEntry {
     "ts_zscore" -> ((s, dir) =>
       TimeSeries.zscoreOutliers(t(s, dir, "events"), keyCol = "event_type",
         idCol = "event_id", valueCol = "value", threshold = 2.0)),
+
+    // Seasonal-naive forecast evaluation: each hourly event count is
+    // "forecast" by the count 24 hours earlier (self-join on the shifted
+    // bucket — robust to grid gaps where a row-lag would misalign);
+    // integer counts make the errors exact. The baseline every real
+    // forecaster must beat, and the drift signal when abs_err jumps.
+    "ts_seasonal_naive" -> { (s, dir) =>
+      val c = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("bucket"))
+        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("n"))
+      val f = c.select(col("event_type"), (col("bucket") + 24).as("bucket"),
+        col("n").as("forecast"))
+      c.join(f, Seq("event_type", "bucket"))
+        .select(col("event_type"), col("bucket"), col("n"), col("forecast"),
+          abs(col("n") - col("forecast")).as("abs_err"))
+    },
 
     // Robust median/MAD outliers (50% breakdown point — the heavy-tail-
     // safe twin of ts_zscore): two exact-percentile broadcasts, no
@@ -2115,6 +2141,15 @@ object SparkEntry {
         |       round((e.value - s.m) / s.sd, 6) AS z
         |FROM events e JOIN s USING (event_type)
         |WHERE abs(round((e.value - s.m) / s.sd, 6)) >= 2.0""".stripMargin,
+
+    "ts_seasonal_naive" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS event_type, a.bucket AS bucket, a.n AS n,
+        |       f.n AS forecast, abs(a.n - f.n) AS abs_err
+        |FROM c AS a JOIN c AS f
+        |  ON f.event_type = a.event_type AND f.bucket = a.bucket - 24""".stripMargin,
 
     "ts_mad_outliers" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -3229,6 +3264,18 @@ object SparkEntry {
     "ann_ivf_planted" -> ivfPlantedOracleSql,
 
     "ann_kmeans" -> kmeansOracleSql(2),
+
+    // Raw-vector cosine (the knn-label formula), thresholded not ranked.
+    "ann_range_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |p AS (SELECT qid, e.vec_id AS nid,
+        |        list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * e.v[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM q, e WHERE e.vec_id <> qid)
+        |SELECT qid AS query_id, nid AS neighbor_id, sim
+        |FROM p WHERE sim >= 0.2""".stripMargin,
 
     // PQ replayed exactly: same quantization, per-subspace 1-round
     // Lloyd (keys carry `sub`), codes from the updated codebooks, ADC

@@ -281,6 +281,24 @@ object Similarity {
     }
   }
 
+  /** Radius (range) search: ALL neighbors with cosine ≥ minSim, not a
+    * top-k — the retrieval mode dedup thresholds and recall audits need
+    * (a top-k can't answer "everything closer than τ"). Same
+    * broadcast-fan shape as [[bruteForceTopK]] but the aggregate
+    * disappears entirely: the threshold filter runs inside the codegen'd
+    * projection, so the only output rows crossing the plan are actual
+    * matches. */
+  def rangeSearch(candidates: DataFrame, queries: DataFrame,
+      minSim: Double): DataFrame =
+    candidates.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cand_emb"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("query_emb"))),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("cand_emb"), col("query_emb")).as("sim"))
+      .filter(col("sim").isNotNull && col("sim") >= minSim)
+
   /** Product-quantization ANN: the memory-side scale trick IVF/LSH don't
     * give — each vector is stored as `nSub` small codebook ids (here 4
     * codes ≈ 4 bytes) instead of d floats, and queries score candidates
