@@ -511,6 +511,43 @@ class StreamingSpec extends SparkSuite {
       Set(("a", 5L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)))
   }
 
+  test("OHLC bars: the same operator runs on a stream; final bars equal batch") {
+    import graft.ops.TimeSeries
+    // two 5-min buckets; open/close depend on (ts, id) order within each
+    val rows = Seq(
+      (0L, 1L, 10.0), (30L, 2L, 50.0), (60L, 3L, 5.0), (290L, 4L, 20.0),
+      (300L, 5L, 7.0), (310L, 6L, 70.0), (500L, 7L, 1.0))
+    def toDf(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("epoch", "event_id", "value")
+      .select(timestamp_seconds($"epoch").as("ts"), $"event_id", $"value")
+    val source = MemoryStream[(Long, Long, Double)]
+    val out = TimeSeries.ohlcBars(toDf(source.toDF()), "ts", "event_id",
+      "value", widthSec = 300L)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("ohlc_out").start()
+    try {
+      val (b1, b2) = rows.partition(_._1 < 295L)
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits a bucket on change: keep the final emission
+    // (max n_events per bucket)
+    val streamed = spark.table("ohlc_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
+          .orderBy($"n_events".desc)))
+      .filter($"rn" === 1).drop("rn")
+      .select($"bucket", $"open", $"high", $"low", $"close", $"n_events")
+      .as[(Long, Double, Double, Double, Double, Long)].collect().toSet
+    val batch = TimeSeries.ohlcBars(toDf(rows.toDF()), "ts", "event_id",
+      "value", widthSec = 300L)
+      .select($"bucket", $"open", $"high", $"low", $"close", $"n_events")
+      .as[(Long, Double, Double, Double, Double, Long)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    val b0 = batch.find(_._6 == 4L).get
+    assert((b0._2, b0._5) == ((10.0, 20.0)), s"open/close by (ts,id): $b0")
+  }
+
   test("streaming CDC apply: latest emissions minus tombstones equal batch cdcApply") {
     import graft.streaming.StreamOps
     // key 1: I then U (survives with U's value); key 2: I then D (dropped);
