@@ -614,6 +614,23 @@ object SparkEntry {
       Profile.winsorize(t(s, dir, "lineitem"), "l_returnflag",
         "l_extendedprice", pLo = 0.05, pHi = 0.95)),
 
+    // Bucket-level sync checksums (the incremental-replication audit:
+    // find WHICH key range changed without a full diff): per-bucket
+    // order-independent sum of md5-derived row hashes. Digest columns
+    // are ints + enum strings only — float formatting never enters the
+    // hash, so both engines digest identical bytes. One map-side-
+    // combined aggregate; at 100 TB each side computes its table's
+    // checksum locally and only nBuckets rows cross the wire.
+    "rel_bucket_checksums" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(expr("o_orderkey div 1000").as("bucket"),
+          conv(substring(md5(concat_ws("|",
+              col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus"), col("o_orderpriority"))), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))),
+
     // One-pass per-column profile (nulls + exact distincts for every
     // column of orders).
     "rel_profile" -> ((s, dir) =>
@@ -1178,6 +1195,21 @@ object SparkEntry {
     // then joins on word) — the final token state of the same loop.
     "text_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncodeWords(t(s, dir, "documents"), iterations = 5)),
+
+    // Corpus token counting THROUGH the learned tokenizer: per-word
+    // segment lengths broadcast-join onto the exploded corpus (the
+    // |vocab|-scale merge walk never touches corpus-scale rows).
+    "text_bpe_tokens" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val enc = TextAnalysis.bpeEncodeWords(docs, iterations = 5)
+        .select(col("word"), col("n_tokens"))
+      docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("word"))
+        .join(broadcast(enc), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_tokens")).as("n_bpe_tokens"))
+    },
 
     // Vocabulary build + id encoding at V=20 < the fixture's 31 distinct
     // terms, so the OOV (-1) path is exercised; md5 of the id CSV pins
@@ -2399,6 +2431,14 @@ object SparkEntry {
 
     // Relational classification (IS DISTINCT FROM per column) — the
     // operator's md5 row-hash must reach the same verdicts.
+    "rel_bucket_checksums" ->
+      """SELECT o_orderkey // 1000 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(('0x' || substr(md5(
+        |         CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |         || '|' || o_orderstatus || '|' || o_orderpriority), 1, 8)) AS BIGINT))
+        |         AS BIGINT) AS checksum
+        |FROM orders GROUP BY 1""".stripMargin,
+
     "rel_table_diff" ->
       """WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
         |v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -3519,6 +3559,14 @@ object SparkEntry {
 
     "text_bpe_merges" -> bpeOracleSql(5),
     "text_bpe_encode" -> bpeEncodeOracleSql(5),
+    "text_bpe_tokens" ->
+      s"""WITH ${bpeCtes(5)},
+         |wt AS (SELECT word, CAST(count(*) AS BIGINT) AS n_tokens FROM t5 GROUP BY word),
+         |dw AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |       FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin,
 
     // Same 60-bit slot hash / Knuth-multiplicative weight arithmetic as
     // hashedLinearScore; integer until the final single division.
