@@ -614,6 +614,25 @@ object SparkEntry {
       Profile.winsorize(t(s, dir, "lineitem"), "l_returnflag",
         "l_extendedprice", pLo = 0.05, pHi = 0.95)),
 
+    // Incremental aggregate maintenance: the materialized view's state
+    // (n, decimal sum) computed on the OLD partition is merged with the
+    // DELTA batch's partials by pure algebra (sum of sums, sum of
+    // counts) — never touching old rows again. The oracle recomputes
+    // from the full table, so the gate proves the merge is lossless:
+    // the property that lets a 100 TB rollup absorb a daily batch at
+    // delta cost.
+    "rel_delta_merge" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def part(df: DataFrame) = df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      val old = part(o.filter(col("o_orderkey") % 5 =!= 0))
+      val delta = part(o.filter(col("o_orderkey") % 5 === 0))
+      old.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("sum_price"))
+    },
+
     // Bucket-level sync checksums (the incremental-replication audit:
     // find WHICH key range changed without a full diff): per-bucket
     // order-independent sum of md5-derived row hashes. Digest columns
@@ -1124,6 +1143,15 @@ object SparkEntry {
       Sampling.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
         temperature = 2.0)
         .select(col("doc_id"), col("lang"))),
+
+    // Exact-size deterministic sample: the k smallest md5 draws (a
+    // consistent sample is binomial-sized; eval sets often need EXACTLY
+    // k). TakeOrdered is k-bounded per partition — no global sort.
+    "sample_exact_k" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(100)
+        .select(col("doc_id"))),
 
     // Deterministic sharded negative sampling (contrastive-training
     // partners from a hash ring, not an RNG): rerun/partition/engine-
@@ -2431,6 +2459,15 @@ object SparkEntry {
 
     // Relational classification (IS DISTINCT FROM per column) — the
     // operator's md5 row-hash must reach the same verdicts.
+    "rel_delta_merge" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "sample_exact_k" ->
+      """SELECT doc_id FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""".stripMargin,
+
     "rel_bucket_checksums" ->
       """SELECT o_orderkey // 1000 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CAST(('0x' || substr(md5(
