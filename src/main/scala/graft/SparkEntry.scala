@@ -1104,6 +1104,15 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 8),
         k = 10)),
 
+    // IVF-PQ (4 coarse cells route nProbe=2, PQ 4×16 scores the routed
+    // candidates): the production ANN composition, fully deterministic
+    // and hash-gated — cells, codebooks, codes, routing, and ADC ranks.
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 8),
+        k = 10)),
+
     // Distributed Lloyd's k-means over the int8-quantized corpus (K=8,
     // 2 update rounds, init = the first K vectors): the coarse topic-
     // clustering pass run before mixture sampling / per-cluster dedup.
@@ -3353,6 +3362,60 @@ object SparkEntry {
         |      FROM q, e WHERE e.vec_id <> qid)
         |SELECT qid AS query_id, nid AS neighbor_id, sim
         |FROM p WHERE sim >= 0.2""".stripMargin,
+
+    // The full IVF-PQ replay: coarse 1-round Lloyd cells + top-2 routing
+    // + the PQ chain + cell-restricted ADC.
+    "ann_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s0 AS (SELECT vec_id,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+        |             THEN list_transform(v, x -> 0.0)
+        |             ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127))) END AS qv
+        |      FROM e),
+        |-- coarse: 1-round Lloyd over full qv, K=4 cells
+        |cc0 AS (SELECT vec_id AS cid, qv AS cv FROM s0 WHERE vec_id < 4),
+        |ca1 AS (SELECT vec_id, qv, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+        |         list_reduce(list_transform(range(0, len(qv)), i -> (qv[i+1]-cv[i+1])*(qv[i+1]-cv[i+1])), (x,y) -> x+y), cid) AS rk
+        |       FROM s0, cc0),
+        |cs1 AS (SELECT vec_id, qv, cid FROM ca1 WHERE rk = 1),
+        |cx1 AS (SELECT cid, i AS pos, qv[CAST(i+1 AS INT)] AS val FROM cs1, unnest(range(0, len(qv))) AS u(i)),
+        |cm1 AS (SELECT cid, pos, round(avg(val)) + 0.0 AS cval FROM cx1 GROUP BY cid, pos),
+        |cc1 AS (SELECT cid, list(cval ORDER BY pos) AS cv FROM cm1 GROUP BY cid),
+        |ca2 AS (SELECT vec_id, qv, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+        |         list_reduce(list_transform(range(0, len(qv)), i -> (qv[i+1]-cv[i+1])*(qv[i+1]-cv[i+1])), (x,y) -> x+y), cid) AS rk
+        |       FROM s0, cc1),
+        |cellof AS (SELECT vec_id, cid AS cell FROM ca2 WHERE rk = 1),
+        |-- query routing: top-2 cells
+        |route AS (SELECT vec_id AS query_id, cid AS cell FROM ca2 WHERE rk <= 2 AND vec_id < 8),
+        |-- PQ: 4x16 subspaces, 1 round
+        |subs AS (SELECT vec_id, i AS sub, qv[CAST(i*16+1 AS INT):CAST((i+1)*16 AS INT)] AS sqv
+        |         FROM s0, unnest(range(0, 4)) AS u(i)),
+        |c0 AS (SELECT sub, vec_id AS cid, sqv AS cv FROM subs WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, subs.sub AS sub, sqv, cid, row_number() OVER (PARTITION BY vec_id, subs.sub ORDER BY
+        |         list_reduce(list_transform(range(0, len(sqv)), i -> (sqv[i+1]-cv[i+1])*(sqv[i+1]-cv[i+1])), (x,y) -> x+y), cid) AS rk
+        |       FROM subs JOIN c0 ON subs.sub = c0.sub),
+        |s1 AS (SELECT vec_id, sub, sqv, cid FROM a1 WHERE rk = 1),
+        |x1 AS (SELECT sub, cid, i AS pos, sqv[CAST(i+1 AS INT)] AS val FROM s1, unnest(range(0, len(sqv))) AS u(i)),
+        |m1 AS (SELECT sub, cid, pos, round(avg(val)) + 0.0 AS cval FROM x1 GROUP BY sub, cid, pos),
+        |c1 AS (SELECT sub, cid, list(cval ORDER BY pos) AS cv FROM m1 GROUP BY sub, cid),
+        |a2 AS (SELECT vec_id, subs.sub AS sub, sqv, cid, row_number() OVER (PARTITION BY vec_id, subs.sub ORDER BY
+        |         list_reduce(list_transform(range(0, len(sqv)), i -> (sqv[i+1]-cv[i+1])*(sqv[i+1]-cv[i+1])), (x,y) -> x+y), cid) AS rk
+        |       FROM subs JOIN c1 ON subs.sub = c1.sub),
+        |codes AS (SELECT vec_id, sub, cid FROM a2 WHERE rk = 1),
+        |qs AS (SELECT vec_id AS query_id, sub, sqv FROM subs WHERE vec_id < 8),
+        |dt AS (SELECT query_id, c1.sub AS sub, cid,
+        |         list_reduce(list_transform(range(0, len(sqv)), i -> (sqv[i+1]-cv[i+1])*(sqv[i+1]-cv[i+1])), (x,y) -> x+y) AS d
+        |       FROM qs JOIN c1 ON qs.sub = c1.sub),
+        |adc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id, CAST(sum(d) AS BIGINT) AS adist
+        |        FROM codes JOIN dt ON codes.sub = dt.sub AND codes.cid = dt.cid
+        |        JOIN cellof ON cellof.vec_id = codes.vec_id
+        |        JOIN route ON route.query_id = dt.query_id AND route.cell = cellof.cell
+        |        WHERE codes.vec_id <> dt.query_id
+        |        GROUP BY dt.query_id, codes.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, adist
+        |FROM (SELECT query_id, neighbor_id, adist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk FROM adc)
+        |WHERE rnk <= 10""".stripMargin,
 
     // PQ replayed exactly: same quantization, per-subspace 1-round
     // Lloyd (keys carry `sub`), codes from the updated codebooks, ADC

@@ -375,6 +375,105 @@ object Similarity {
         (-col("col.score")).cast("long").as("adist"))
   }
 
+  /** IVF-PQ: the production ANN composition — coarse cells route each
+    * query to `nProbe` partitions of the corpus, and PQ codes score only
+    * the routed candidates through the broadcast distance table. Both
+    * stages run on the same exact-integer Lloyd machinery ([[
+    * kmeansQuantized]]'s trick), so unlike a FAISS index the ENTIRE
+    * structure — cells, codebooks, codes, routing, ADC ranking — is
+    * deterministic and hash-gated against the oracle's unrolled replay.
+    * (Non-residual variant: PQ encodes raw vectors, not cell residuals —
+    * the simpler composition; the residual refinement changes only which
+    * vector feeds [[pqTopK]]'s encode.)
+    *
+    * Scale: routing turns the ADC join from corpus-wide into
+    * nProbe/nCells of the corpus per query; cells and codebooks are
+    * constant-size broadcast frames; everything after encode exchanges
+    * ids and partial distances only. */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 4, nProbe: Int = 2, nSub: Int = 4, subDim: Int = 16,
+      codebook: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def quant(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        graft.functions.vectornative
+          .quantize_int8(col("embedding").cast("array<double>")).as("qv"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+    val base = quant(candidates).persist(lvl)
+    // coarse cells: 1-round Lloyd over the full quantized vector
+    val cellInit = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("ccid"), col("qv").as("ccv"))
+    def cellDists(df: DataFrame, cents: DataFrame): DataFrame =
+      df.join(broadcast(cents))
+        .select(col("vec_id"), col("qv"), col("ccid"),
+          d2(col("qv"), col("ccv")).as("cdist"))
+    def cellAssign(cents: DataFrame): DataFrame =
+      cellDists(base, cents)
+        .groupBy(col("vec_id"), col("qv"))
+        .agg(min(struct(col("cdist"), col("ccid"))).as("m"))
+        .select(col("vec_id"), col("qv"), col("m.ccid").as("cell"))
+    val cellCb = cellAssign(cellInit)
+      .select(col("cell"), posexplode(col("qv")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((round(avg(col("col"))) + lit(0.0)).as("cval"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        x => x("cval")).as("ccv"))
+      .select(col("cell").as("ccid"), col("ccv"))
+      .persist(lvl)
+    val cellOf = cellAssign(cellCb).select(col("vec_id"), col("cell"))
+    val route = cellDists(quant(queries), cellCb)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist"), col("ccid"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("ccid").as("cell"))
+    // PQ codebooks + codes (same recurrence as pqTopK)
+    def subSplit(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), posexplode(array(
+          (0 until nSub).map(s => slice(col("qv"), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "sqv")))
+    val subs = subSplit(base).persist(lvl)
+    val pqInit = subs.filter(col("vec_id") < codebook)
+      .select(col("sub"), col("vec_id").as("cid"), col("sqv").as("cv"))
+    def pqAssign(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sqv"), col("cid"),
+          d2(col("sqv"), col("cv")).as("dist"))
+        .groupBy(col("vec_id"), col("sub"), col("sqv"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("sqv"), col("m.cid").as("cid"))
+    val pqCb = pqAssign(pqInit)
+      .select(col("sub"), col("cid"), posexplode(col("sqv")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg((round(avg(col("col"))) + lit(0.0)).as("cval"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cval")))),
+        x => x("cval")).as("cv"))
+      .persist(lvl)
+    val codes = pqAssign(pqCb).select(col("vec_id"), col("sub"), col("cid"))
+    val dtable = subSplit(quant(queries))
+      .select(col("vec_id").as("query_id"), col("sub"), col("sqv"))
+      .join(broadcast(pqCb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        d2(col("sqv"), col("cv")).as("d"))
+    val topk = udaf(new TopKAggregator(k))
+    codes.join(cellOf, Seq("vec_id"))
+      .join(broadcast(dtable), Seq("sub", "cid"))
+      .join(broadcast(route), Seq("query_id", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("adist"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), -col("adist").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        (-col("col.score")).cast("long").as("adist"))
+  }
+
   /** Approximate top-k: candidates and queries are bucketed by sign-bit
     * LSH and only same-bucket pairs are scored — the scale path when the
     * Q×N cross product is too big even broadcast. Shuffle is on the bucket
