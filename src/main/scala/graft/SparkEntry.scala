@@ -810,6 +810,15 @@ object SparkEntry {
               |GROUP BY lang, tok HAVING count(*) > 100""".stripMargin)
     },
 
+    // Correlated LATERAL subquery join (Spark 4 + DuckDB share the
+    // syntax verbatim): per-order aggregate computed in a lateral
+    // derived table; Catalyst decorrelates it to a join + aggregate.
+    "sql_lateral_join" -> { (s, dir) =>
+      Seq("orders", "lineitem").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sqlLateralJoin)
+    },
+
     // Spark 4 native WITH RECURSIVE (transitive reachability over the
     // per-region rank chain) — the identical text runs on the oracle.
     "sql_recursive_cte" -> { (s, dir) =>
@@ -1247,6 +1256,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_tokens")).as("n_bpe_tokens"))
     },
+
+    // Packing-efficiency report over the pack_sequences layout: per
+    // sequence, how many docs START in it and how many of their tokens
+    // it anchors — the utilization metric every packing pipeline
+    // publishes (and the waste signal that motivates best-fit variants).
+    "pack_efficiency" -> ((s, dir) =>
+      Training.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          capacity = 512)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("assigned_tokens"),
+          (sum(col("n_tokens")) / lit(512.0)).as("utilization"))),
 
     // Vocabulary build + id encoding at V=20 < the fixture's 31 distinct
     // terms, so the OOV (-1) path is exercised; md5 of the id CSV pins
@@ -2003,6 +2024,13 @@ object SparkEntry {
       |       CAST(max(dst) AS BIGINT) AS farthest
       |FROM reach GROUP BY src""".stripMargin
 
+  private val sqlLateralJoin: String =
+    """SELECT o_orderkey, t.n_items, t.max_price
+      |FROM orders o, LATERAL (SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |                               max(l_extendedprice) AS max_price
+      |                        FROM lineitem WHERE l_orderkey = o_orderkey) t
+      |WHERE o_orderkey % 37 = 0""".stripMargin
+
   private val sqlQ5: String =
     """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
       |       count(*) AS n_lineitems
@@ -2172,6 +2200,7 @@ object SparkEntry {
     "sql_entrypoint" -> sqlQ5,
     "sql_exists_subquery" -> sqlExists,
     "sql_recursive_cte" -> sqlRecursive,
+    "sql_lateral_join" -> sqlLateralJoin,
     "sql_correlated_subquery" -> sqlCorrelated,
     "rel_grouping_sets" -> sqlGroupingSets,
 
@@ -3806,6 +3835,19 @@ object SparkEntry {
         |  FROM n)
         |SELECT doc_id, n_tokens, tok_before // 512 AS seq_id, tok_before % 512 AS seq_offset
         |FROM c""".stripMargin,
+
+    "pack_efficiency" ->
+      """WITH n AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM n)
+        |SELECT tok_before // 512 AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS assigned_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) / 512.0 AS utilization
+        |FROM c GROUP BY 1""".stripMargin,
 
     "pack_shuffle" ->
       """SELECT doc_id,
