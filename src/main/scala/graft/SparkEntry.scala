@@ -412,6 +412,19 @@ object SparkEntry {
         timeCol = "ts", payloadCols = Seq("view_value"))
     },
 
+    // Forward as-of: each error's NEXT signup (inclusive, same single-
+    // exchange plan mirrored) — DuckDB replays it as ASOF with <=.
+    "rel_asof_forward" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("signup_value"))
+      AsOfJoin.asOfForward(errors, signups, keyCol = "user_id",
+        timeCol = "ts", payloadCols = Seq("signup_value"))
+    },
+
     // Time-series densification: hourly grid per user-cohort with LOCF
     // fill across the gaps; the filled VALUE at every grid cell is the
     // gate, so bucketing, span bounds, and carry order all must agree.
@@ -3157,6 +3170,18 @@ object SparkEntry {
         |       v.ts AS asof_time, v.view_value AS asof_view_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    "rel_asof_forward" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(value) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       v.ts AS asof_time, v.signup_value AS asof_signup_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts <= v.ts""".stripMargin,
 
     "rel_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,

@@ -66,4 +66,40 @@ object AsOfJoin {
         (col("__m.__rt").as("asof_time") +:
           payloadCols.map(p => col(s"__m.$p").as(s"asof_$p"))): _*)
   }
+
+  /** Forward as-of join: the EARLIEST right row with time >= the left
+    * row's time (inclusive) — "next maintenance after the failure",
+    * "next quote after the order". The mirror of [[asOfBackward]] on the
+    * SAME single-exchange plan: left rows sort before right rows at
+    * equal times (side 0 < 1, keeping the inclusive match in frame) and
+    * the carrier is `first(right_payload, ignoreNulls)` over the
+    * forward frame instead of `last` over the backward one. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String],
+      toleranceSec: Option[Double] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val leftTagged = left.select(
+      col(keyCol).as("__k"), col(timeCol).as("__t"), lit(0).as("__side"),
+      struct(leftCols.map(col): _*).as("__lrow"))
+    val rightTagged = right.select(
+      col(keyCol).as("__k"), col(timeCol).as("__t"), lit(1).as("__side"),
+      struct((col(timeCol).as("__rt") +: payloadCols.map(col)): _*).as("__rv"))
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("__m", first(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val bounded = toleranceSec match {
+      case Some(tol) => matched.withColumn("__m",
+        when(unix_micros(col("__m.__rt")) - unix_micros(col("__t")) <= (tol * 1e6).toLong,
+          col("__m")))
+      case None => matched
+    }
+    bounded.select(
+      leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+        (col("__m.__rt").as("asof_time") +:
+          payloadCols.map(p => col(s"__m.$p").as(s"asof_$p"))): _*)
+  }
 }
