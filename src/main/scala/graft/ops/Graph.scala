@@ -30,6 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Eagerly truncate a frame's lineage (localCheckpoint) and return the
+    * RDD ids the checkpoint registered, so a superseded round's blocks
+    * can be freed. Fixed-round recurrences that reference the previous
+    * frame MORE THAN ONCE per round need this, not persist: persist
+    * bounds recomputation but the LOGICAL plan still grows
+    * refs^rounds — the k-core peel (3 refs/round) OOM'd explain at
+    * rounds=8 before this (same checkpoint pattern as
+    * [[graft.ops.Dedup.duplicateGroups]]). */
+  private def checkpointRound(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  private def freeRound(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   /** Distinct undirected edges in canonical (a < b) orientation from a
     * possibly-duplicated, possibly-bidirectional raw pair stream. */
   def canonicalEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
@@ -191,13 +211,16 @@ object Graph {
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(lvl)
     val init = seeds.select(col("node"), lit(0L).as("dist"))
-    (1 to rounds).foldLeft(init) { (dist, _) =>
-      val d = dist.persist(lvl)
-      d.unionAll(
-          d.join(sym, col("node") === col("src"))
-            .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    val (fin, _) = (1 to rounds).foldLeft((init, Set.empty[Int])) {
+      case ((dist, prevIds), _) =>
+        val (d, ids) = checkpointRound(dist)
+        freeRound(d, prevIds)
+        (d.unionAll(
+            d.join(sym, col("node") === col("src"))
+              .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")), ids)
     }
+    fin
   }
 
   /** Bounded k-core peeling: `rounds` rounds of "drop every node with
@@ -211,16 +234,21 @@ object Graph {
     * induced degrees. */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var sym = edges.select(col("a").as("n"), col("b").as("m"))
-      .unionAll(edges.select(col("b").as("n"), col("a").as("m")))
-      .persist(lvl)
+    var (sym, symIds) = checkpointRound(
+      edges.select(col("a").as("n"), col("b").as("m"))
+        .unionAll(edges.select(col("b").as("n"), col("a").as("m"))))
     for (_ <- 1 to rounds) {
+      // 3 references to sym per round (count + two join legs):
+      // checkpoint keeps the plan linear instead of 3^rounds
       val keep = sym.groupBy(col("n")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("n"))
-      sym = sym.join(keep, Seq("n"))
-        .join(keep.select(col("n").as("m")), Seq("m"))
-        .select(col("n"), col("m")).persist(lvl)
+      val (next, ids) = checkpointRound(
+        sym.join(keep, Seq("n"))
+          .join(keep.select(col("n").as("m")), Seq("m"))
+          .select(col("n"), col("m")))
+      freeRound(next, symIds)
+      sym = next
+      symIds = ids
     }
     sym.groupBy(col("n")).agg(count(lit(1)).as("degree"))
       .select(col("n").as("node"), col("degree"))
@@ -280,14 +308,16 @@ object Graph {
     val init = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     // each round reads the PREVIOUS label frame twice (self ∪ neighbor
-    // push): without a persist per round the lineage recomputes 2^r
-    // copies of the base — the pagerank persist lesson, doubled
-    val fin = (1 to rounds).foldLeft(init) { (lbls, _) =>
-      val l = lbls.persist(lvl)
-      l.unionAll(
-          l.join(sym, col("node") === col("src"))
-            .select(col("dst").as("node"), col("lbl")))
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    // push): checkpoint per round keeps both recompute AND the logical
+    // plan linear in rounds (see checkpointRound)
+    val (fin, _) = (1 to rounds).foldLeft((init, Set.empty[Int])) {
+      case ((lbls, prevIds), _) =>
+        val (l, ids) = checkpointRound(lbls)
+        freeRound(l, prevIds)
+        (l.unionAll(
+            l.join(sym, col("node") === col("src"))
+              .select(col("dst").as("node"), col("lbl")))
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")), ids)
     }
     fin.groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))

@@ -99,6 +99,72 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("forward as-of equals the naive per-row minimum-following-match on random data") {
+    val rowGen: Gen[(String, Int, Double)] = for {
+      key <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0, 500)
+      v <- Gen.choose(0.0, 100.0)
+    } yield (key, t, v)
+    samples(Gen.listOfN(60, rowGen), 3).foreach { rows =>
+      val (lRows, rRows0) = rows.splitAt(30)
+      val rRows = rRows0.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+      def ts(t: Int) = new java.sql.Timestamp(1704067200000L + t * 1000L)
+      val left = lRows.zipWithIndex
+        .map { case ((k, t, _), i) => (i.toLong, k, ts(t)) }.toDF("lid", "key", "ts")
+      val right = rRows.map { case (k, t, v) => (k, ts(t), v) }.toDF("key", "ts", "px")
+      val got = graft.ops.AsOfJoin.asOfForward(left, right, "key", "ts", Seq("px"))
+        .select($"lid", $"asof_px").as[(Long, Option[Double])].collect().toMap
+      // oracle: per left row, the right row with MIN time >= left time
+      lRows.zipWithIndex.foreach { case ((k, t, _), i) =>
+        val expect = rRows.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(r => (r._2, r._3)).headOption.map(_._3)
+        assert(got(i.toLong) == expect, s"left=($k,$t): got ${got(i.toLong)}, want $expect")
+      }
+    }
+  }
+
+  test("k-core peel converges to a subgraph where every degree >= k") {
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    samples(Gen.listOfN(50, edgeGen), 3).foreach { es =>
+      val edges = es.distinct.toDF("a", "b")
+      val out = graft.ops.Graph.kCorePeel(edges, k = 2, rounds = 8)
+        .as[(Long, Long)].collect()
+      assert(out.forall(_._2 >= 2), s"degree < k survived: ${out.mkString(",")}")
+      // fewer rounds can only keep MORE nodes (peeling is monotone)
+      val early = graft.ops.Graph.kCorePeel(edges, k = 2, rounds = 1)
+        .as[(Long, Long)].collect().map(_._1).toSet
+      assert(out.map(_._1).toSet.subsetOf(early), "peel not monotone")
+    }
+  }
+
+  test("linear interpolation: gaps lie between their neighbors; observations exact") {
+    val obsGen: Gen[(Int, Double)] = for {
+      b <- Gen.choose(0, 40); v <- Gen.choose(-50.0, 50.0)
+    } yield (b, v)
+    samples(Gen.listOfN(12, obsGen), 3).foreach { obs0 =>
+      val obs = obs0.groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
+      def ts(b: Int) = new java.sql.Timestamp(1704067200000L + b * 3600000L)
+      val df = obs.map { case (b, v) => (1L, ts(b), v) }.toDF("k", "ts", "v")
+      val out = graft.ops.GapFill.interpolateLinear(df, "k", "ts", "v", 3600L)
+        .select($"bucket", $"value_interp", $"is_gap")
+        .as[(Long, Double, Boolean)].collect()
+      val byBucket = obs.map { case (b, v) =>
+        (1704067200000L / 3600000L + b, v) }.toMap
+      out.foreach { case (b, v, gap) =>
+        if (!gap) assert(v == byBucket(b), s"observation bucket $b altered")
+        else {
+          val lo = byBucket.keys.filter(_ < b).max
+          val hi = byBucket.keys.filter(_ > b).min
+          val (vl, vh) = (byBucket(lo), byBucket(hi))
+          assert(v >= math.min(vl, vh) - 1e-9 && v <= math.max(vl, vh) + 1e-9,
+            s"bucket $b interp $v outside [$vl, $vh]")
+        }
+      }
+    }
+  }
+
   test("interval join equals the filtered cross product on random data") {
     val rowGen: Gen[(String, Int)] = for {
       key <- Gen.oneOf("a", "b")
