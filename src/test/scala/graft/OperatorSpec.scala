@@ -1459,6 +1459,30 @@ class OperatorSpec extends SparkSuite {
     assert(out(1)._2 > out.head._2, s"copy should strictly lead: ${out.mkString(",")}")
   }
 
+  test("PQ and IVF-PQ return pure same-cluster neighbors on clusterable data") {
+    val dim = 64
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    // interleaved ids: vec_id<8 (coarse init) and vec_id<16 (PQ init)
+    // each cover every planted cluster
+    val pts = for (c <- 0 until 8; j <- 0 until 40)
+      yield ((j * 8 + c).toLong, centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    val vecs = pts.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 8)
+    // within a tight cluster every member shares its codes, so ADC
+    // cannot rank INSIDE the cluster (PQ's resolution limit — ties break
+    // by id); the honest quality claim is cluster PURITY: every returned
+    // neighbor belongs to the query's planted cluster
+    def purity(approx: org.apache.spark.sql.DataFrame): Double = {
+      val rows = approx.select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect()
+      rows.count { case (q, n) => n % 8 == q % 8 }.toDouble / rows.length
+    }
+    assert(purity(Similarity.pqTopK(vecs, qs, k = 10)) == 1.0)
+    assert(purity(Similarity.ivfPqTopK(vecs, qs, k = 10,
+      nCells = 8, nProbe = 2)) == 1.0)
+  }
+
   test("quantized k-means recovers planted clusters and is rerun-stable") {
     val dim = 64
     val rnd = new scala.util.Random(17)
