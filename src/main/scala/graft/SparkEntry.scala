@@ -1674,6 +1674,14 @@ object SparkEntry {
     "graph_kcore" -> ((s, dir) =>
       Graph.kCorePeel(coPurchaseEdges(s, dir), k = 2, rounds = 2)),
 
+    // Partition quality of the 3-round label-prop communities: Newman
+    // modularity from integer counts, total decimal-summed.
+    "graph_modularity" -> { (s, dir) =>
+      val ed = coPurchaseEdges(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Graph.modularity(ed, Graph.labelPropagationNodes(ed, rounds = 3))
+    },
+
     // Link prediction by neighbor-set Jaccard: candidates only through
     // shared neighbors (the wedge envelope), score a ratio of exact
     // integers via inclusion-exclusion.
@@ -2458,6 +2466,38 @@ object SparkEntry {
          |       c.common / (da.d + db.d - c.common) AS jaccard
          |FROM c JOIN deg da ON da.n = c.x JOIN deg db ON db.n = c.y
          |WHERE c.common / (da.d + db.d - c.common) >= 0.25""".stripMargin,
+
+    // Same l3 label recurrence, then Q = Σ_c [L_c/m − (d_c/2m)²].
+    "graph_modularity" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b AS src, a AS dst FROM ed),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         |l1 AS (SELECT node, min(lbl) AS lbl FROM (
+         |        SELECT node, lbl FROM l0 UNION ALL
+         |        SELECT s.dst AS node, l.lbl AS lbl FROM l0 l JOIN sym s ON l.node = s.src)
+         |       GROUP BY node),
+         |l2 AS (SELECT node, min(lbl) AS lbl FROM (
+         |        SELECT node, lbl FROM l1 UNION ALL
+         |        SELECT s.dst AS node, l.lbl AS lbl FROM l1 l JOIN sym s ON l.node = s.src)
+         |       GROUP BY node),
+         |l3 AS (SELECT node, min(lbl) AS lbl FROM (
+         |        SELECT node, lbl FROM l2 UNION ALL
+         |        SELECT s.dst AS node, l.lbl AS lbl FROM l2 l JOIN sym s ON l.node = s.src)
+         |       GROUP BY node),
+         |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM ed),
+         |w AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS l_c
+         |      FROM ed JOIN l3 la ON ed.a = la.node JOIN l3 lb ON ed.b = lb.node
+         |      WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+         |d AS (SELECT l3.lbl AS community, CAST(count(*) AS BIGINT) AS d_c
+         |      FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) n
+         |      JOIN l3 ON n.node = l3.node GROUP BY l3.lbl),
+         |c AS (SELECT d.community, coalesce(w.l_c, 0) AS l_c, d.d_c,
+         |        coalesce(w.l_c, 0) / m.m - (d.d_c / (2.0 * m.m)) * (d.d_c / (2.0 * m.m)) AS contrib
+         |      FROM d LEFT JOIN w ON d.community = w.community, m)
+         |SELECT community, l_c, d_c, contrib,
+         |       CAST(sum(CAST(contrib AS DECIMAL(28,18))) OVER () AS DOUBLE) AS q_total
+         |FROM c""".stripMargin,
 
     // The identical 3-round min-label recurrence, unrolled: closed
     // neighborhood = self ∪ in-neighbors over the symmetrized edges.

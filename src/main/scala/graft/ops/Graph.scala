@@ -299,7 +299,16 @@ object Graph {
     * is one equi-join on the label frame + one keyed min — the same
     * per-iteration cost envelope as [[pagerank]], with k chosen small.
     * Returns one row per surviving label: (component, n_nodes, max_node). */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    labelPropagationNodes(edges, rounds)
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+      .select(col("lbl").as("component"), col("n_nodes"), col("max_node"))
+
+  /** Per-node labels after `rounds` of min-label propagation — the raw
+    * assignment [[labelPropagation]] aggregates and [[modularity]]
+    * scores. */
+  def labelPropagationNodes(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10] (plan grows per round)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
@@ -319,9 +328,43 @@ object Graph {
               .select(col("dst").as("node"), col("lbl")))
           .groupBy(col("node")).agg(min(col("lbl")).as("lbl")), ids)
     }
-    fin.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
-      .select(col("lbl").as("component"), col("n_nodes"), col("max_node"))
+    fin
+  }
+
+  /** Newman modularity of a node partition over an undirected edge set:
+    * Q = Σ_c [ L_c/m − (d_c/2m)² ] — how much denser the communities are
+    * than a degree-preserving random rewiring (Q≈0: no structure;
+    * 0.3–0.7: strong). All inputs are integer counts (within-community
+    * edges, degree sums, m), so every per-community contribution is a
+    * deterministic double and the total sums in DECIMAL — exactly the
+    * psiDrift gating trick. Plan: two broadcast-sized label joins over
+    * the edge list, two keyed aggregates, and a |communities|-row
+    * window. Returns (community, l_c, d_c, contrib, q_total). */
+  def modularity(edges: DataFrame, nodeLabels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lbl = nodeLabels.persist(lvl)
+    val labeled = edges
+      .join(lbl.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lbl.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+    val mRow = broadcast(edges.agg(count(lit(1)).cast("double").as("__m")))
+    val within = labeled.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("l_c"))
+    val degSum = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .join(lbl, Seq("node"))
+      .groupBy(col("lbl").as("community")).agg(count(lit(1)).as("d_c"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    degSum.join(within, Seq("community"), "left")
+      .select(col("community"), coalesce(col("l_c"), lit(0L)).as("l_c"), col("d_c"))
+      .crossJoin(mRow)
+      .withColumn("contrib",
+        col("l_c") / col("__m") -
+          (col("d_c") / (lit(2.0) * col("__m"))) * (col("d_c") / (lit(2.0) * col("__m"))))
+      .withColumn("q_total",
+        sum(col("contrib").cast("decimal(28,18)")).over(all).cast("double"))
+      .select(col("community"), col("l_c"), col("d_c"), col("contrib"), col("q_total"))
   }
 
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
