@@ -1403,6 +1403,46 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("plan guards: round-6 scale claims hold in the executed plans") {
+    spark.catalog.clearCache()
+    withoutAqe {
+      // inverted index: postings come from the k-bounded ObjectHashAggregate
+      // (TopKAggregator), never a collect_list of the full posting list
+      val ii = SparkEntry.queries("text_inverted_index")(spark, sfDir)
+      val iiPlan = ii.queryExecution.executedPlan.toString
+      assert(iiPlan.contains("ObjectHashAggregate"), iiPlan)
+      assert(!iiPlan.contains("collect_list"),
+        "inverted index must not collect_list postings")
+      // PSI drift: both cohort histograms broadcast back onto the
+      // nBuckets spine — no shuffle join of cohort-sized frames
+      val psi = SparkEntry.queries("rel_drift_psi")(spark, sfDir)
+      val psiPlan = psi.queryExecution.executedPlan.toString
+      assert(psiPlan.contains("BroadcastHashJoin"), psiPlan)
+      // OHLC: ONE keyed aggregate, no Window node (min_by/max_by carry
+      // open/close through partial aggregation)
+      val oh = SparkEntry.queries("ts_ohlc_bars")(spark, sfDir)
+      val ohPlan = oh.queryExecution.executedPlan.toString
+      assert(!ohPlan.contains("Window"), "OHLC must not plan a window")
+      assert(numShuffles(oh) == 1, ohPlan)
+      // normalization: zero exchanges — a pure codegen'd projection
+      val nm = SparkEntry.queries("text_normalize")(spark, sfDir)
+      assert(numShuffles(nm) == 0,
+        nm.queryExecution.executedPlan.toString)
+      // MAD outliers: percentile moments broadcast back, never a window
+      val mad = SparkEntry.queries("ts_mad_outliers")(spark, sfDir)
+      val madPlan = mad.queryExecution.executedPlan.toString
+      assert(madPlan.contains("BroadcastHashJoin"), madPlan)
+      assert(!madPlan.contains("Window"), "MAD must not plan a window")
+      // PQ: the query distance table reaches the ADC join by broadcast;
+      // the codebook frame is persisted (read via InMemoryTableScan)
+      val pq = SparkEntry.queries("ann_pq_topk")(spark, sfDir)
+      val pqPlan = pq.queryExecution.executedPlan.toString
+      assert(pqPlan.contains("BroadcastHashJoin"), pqPlan)
+      assert(pqPlan.contains("InMemoryTableScan"),
+        "PQ must read its persisted codebook/subvector frames")
+    }
+  }
+
   test("random walks: edge-respecting, rerun-stable, seed-sensitive") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("a", "b")
     val nbrs = Map(1L -> Set(2L, 3L), 2L -> Set(1L, 3L),
