@@ -104,6 +104,53 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd strict left-to-right squared L2 distance. Over the
+  * int8-quantized vectors the k-means / PQ family feeds it, every term
+  * and partial sum is an exact integer in a double, so the result is
+  * bit-identical to the HOF `aggregate(zip_with(...))` fold AND the
+  * oracle's `list_reduce` — swapping this in changes nothing but the
+  * per-element interpretation cost (the MinHash 322 s lesson). Null on
+  * length mismatch, mirroring CosineSimilarity's degenerate-input rule. */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, acc, d) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("acc"), ctx.freshName("d"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** MinHash signature of a shingle array in ONE pass over the shingles:
   * xxhash64 (same function and seed as the `xxhash64` builtin) reduced
   * into [0, p), then min over the universal-hash family per position.
@@ -175,6 +222,7 @@ object native {
 
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
   def dot_product(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def squared_distance(a: Column, b: Column): Column = c(SquaredDistance(e(a), e(b)))
   def minhash_sig(shingles: Column, family: Seq[(Long, Long)], prime: Long): Column =
     c(MinHashSignature(e(shingles), family.map(_._1), family.map(_._2), prime))
   def sig_agreement(a: Column, b: Column): Column = c(SignatureAgreement(e(a), e(b)))

@@ -333,8 +333,7 @@ object Similarity {
           (0 until nSub).map(s => slice(col("qv"), s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "sqv")))
     def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, t) => acc + t)
+      graft.functions.native.squared_distance(a, b)
     val subs = subSplit(quant(candidates)).persist(lvl)
     val init = subs.filter(col("vec_id") < codebook)
       .select(col("sub"), col("vec_id").as("cid"), col("sqv").as("cv"))
@@ -400,8 +399,7 @@ object Similarity {
         graft.functions.vectornative
           .quantize_int8(col("embedding").cast("array<double>")).as("qv"))
     def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, t) => acc + t)
+      graft.functions.native.squared_distance(a, b)
     val base = quant(candidates).persist(lvl)
     // coarse cells: 1-round Lloyd over the full quantized vector
     val cellInit = base.filter(col("vec_id") < nCells)
@@ -511,8 +509,7 @@ object Similarity {
 
     // Squared L2 distance: integer-valued doubles, exact in any order.
     def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, t) => acc + t)
+      graft.functions.native.squared_distance(a, b)
 
     // One Lloyd's assignment: nearest centroid per vector, ties → low cid.
     def assign(centroids: DataFrame): DataFrame =
