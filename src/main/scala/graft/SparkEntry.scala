@@ -1320,6 +1320,11 @@ object SparkEntry {
       TextAnalysis.termStats(t(s, dir, "documents"))
         .select(col("doc_id"), col("top_term"), col("tf"), col("df"))),
 
+    // Collocation mining: PMI of adjacent token pairs vs independence —
+    // ratios of exact corpus counts, two keyed aggregates, no window.
+    "text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(t(s, dir, "documents"), minPairN = 20)),
+
     // Inverted-index build (token → df + bounded ascending postings):
     // the posting lists come out of the k-bounded TopKAggregator, never a
     // collect_list — O(k) state per token even for stopwords.
@@ -3859,6 +3864,20 @@ object SparkEntry {
         |       CASE WHEN b.n_2grams > 0
         |            THEN 1.0 - CAST(b.d2 AS DOUBLE) / b.n_2grams END AS dup_2gram_frac
         |FROM base b JOIN mx m ON b.doc_id = m.doc_id""".stripMargin,
+
+    "text_pmi" ->
+      """WITH tk AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |px AS (SELECT toks[CAST(i + 1 AS INT)] AS w1, toks[CAST(i + 2 AS INT)] AS w2
+        |       FROM tk, unnest(range(0, len(toks) - 1)) AS u(i) WHERE len(toks) >= 2),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+        |       FROM px GROUP BY 1, 2 HAVING count(*) >= 20),
+        |un AS (SELECT unnest(toks) AS w FROM tk),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS w_n FROM un GROUP BY w),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM px),
+        |nu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM un)
+        |SELECT w1, w2, pair_n,
+        |       round(ln((pair_n / nb) / ((u1.w_n / nu) * (u2.w_n / nu))), 6) AS pmi
+        |FROM bi JOIN uc u1 ON u1.w = bi.w1 JOIN uc u2 ON u2.w = bi.w2, nb, nu""".stripMargin,
 
     "text_inverted_index" ->
       """WITH tok AS (SELECT DISTINCT doc_id,

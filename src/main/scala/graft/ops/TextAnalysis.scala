@@ -522,6 +522,42 @@ object TextAnalysis {
     * classifier is one codegen'd projection over the scan) → score =
     * sum / (1000 · n_tokens). Intermediate bound: |sum| ≤ 1001·n_tokens,
     * overflow-free for any document under ~9·10^15 tokens. */
+  /** Collocation mining by pointwise mutual information over adjacent
+    * token pairs: pmi = ln( p(w1,w2) / (p(w1)·p(w2)) ) — how much more
+    * often the pair co-occurs than independence predicts (multi-word
+    * expressions, named entities). All probabilities are ratios of exact
+    * corpus counts, so the score is a deterministic double on both
+    * engines. Two keyed aggregates over the token stream + two broadcast
+    * scalar totals — no window, nothing quadratic; `minPairN` prunes the
+    * hapax tail before the joins. */
+  def pmiPairs(df: DataFrame, textCol: String = "text",
+      minPairN: Long = 20): DataFrame = {
+    val toks = col("__toks")
+    val pairs = transform(sequence(lit(0), size(toks) - 2),
+      i => struct(element_at(toks, i + 1).as("w1"),
+        element_at(toks, i + 2).as("w2")))
+    val tokArr = df.select(tokens(col(textCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val px = tokArr.filter(size(toks) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bi = px.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPairN)
+    val un = tokArr.select(explode(toks).as("w"))
+    val uc = un.groupBy(col("w")).agg(count(lit(1)).as("w_n"))
+    val nb = broadcast(px.agg(count(lit(1)).cast("double").as("__nb")))
+    val nu = broadcast(un.agg(count(lit(1)).cast("double").as("__nu")))
+    bi
+      .join(uc.select(col("w").as("w1"), col("w_n").as("__c1")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("w_n").as("__c2")), Seq("w2"))
+      .crossJoin(nb).crossJoin(nu)
+      .select(col("w1"), col("w2"), col("pair_n"),
+        round(log((col("pair_n") / col("__nb")) /
+          ((col("__c1") / col("__nu")) * (col("__c2") / col("__nu")))), 6)
+          .as("pmi"))
+  }
+
   /** Inverted index build: token → document frequency + the first
     * `maxPostings` doc ids (ascending) — the retrieval-side artifact a
     * corpus search / decontamination pipeline materializes.
