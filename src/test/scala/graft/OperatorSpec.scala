@@ -1523,6 +1523,23 @@ class OperatorSpec extends SparkSuite {
       nCells = 8, nProbe = 2)) == 1.0)
   }
 
+  test("negative sampling: k distinct non-self partners per key, partition-stable") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val out = graft.ops.Sampling.negativeSample(docs, "doc_id", k = 2, nShards = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    val byKey = out.groupBy(_._1)
+    assert(byKey.size == 200, s"every key present: ${byKey.size}")
+    byKey.foreach { case (k, rows) =>
+      val negs = rows.map(_._4).toSet
+      assert(rows.length == 2 && negs.size == 2 && !negs.contains(k),
+        s"key $k: $rows")
+    }
+    // same pairings regardless of partitioning
+    val re = graft.ops.Sampling.negativeSample(docs.repartition(13), "doc_id",
+      k = 2, nShards = 8).as[(Long, Long, Long, Long)].collect().toSet
+    assert(re == out.toSet, "pairings changed under repartition")
+  }
+
   test("quantized k-means recovers planted clusters and is rerun-stable") {
     val dim = 64
     val rnd = new scala.util.Random(17)
