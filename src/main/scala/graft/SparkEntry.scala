@@ -1377,6 +1377,23 @@ object SparkEntry {
         .select(col("doc_id"), col("n_ngrams"), col("n_hits"), col("contaminated"))
     },
 
+    // Embedding-space decontamination: vectors 0-15 stand in for the
+    // benchmark set; every other vector is corpus. Broadcast bench +
+    // BroadcastNestedLoopJoin — the corpus side never shuffles.
+    "decon_embed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Training.deconEmbed(e.filter(col("vec_id") >= 16),
+        e.filter(col("vec_id") < 16), "vec_id", "embedding", tau = 0.2)
+    }),
+
+    // DSIR importance weights: hashed-bigram likelihood ratio of the
+    // English subset (the "target domain") vs the whole corpus.
+    "sample_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Training.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", nBuckets = 64, alpha = 0.5)
+    }),
+
     // ── multimodal columns ────────────────────────────────────────────
     "mm_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -3969,6 +3986,43 @@ object SparkEntry {
         |       count(b.k) > 0 AS contaminated
         |FROM corp c LEFT JOIN bench b ON c.k = b.k
         |GROUP BY c.doc_id""".stripMargin,
+
+    // Same raw-vector cosine replay as ann_range_search, aggregated to
+    // per-corpus-vector (count, max) over hits against the bench block.
+    "decon_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS bv FROM e WHERE vec_id < 16),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 16),
+        |p AS (SELECT c.vec_id,
+        |        list_reduce(list_transform(range(0, len(bv)), i -> c.v[i+1] * bv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(bv)), i -> c.v[i+1] * c.v[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(bv)), i -> bv[i+1] * bv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM c, q)
+        |SELECT vec_id, count(*) AS n_hits, round(max(sim), 6) AS max_sim
+        |FROM p WHERE sim >= 0.2 GROUP BY vec_id""".stripMargin,
+
+    // The DSIR recurrence replayed relationally: md5-hashed bigram
+    // buckets, add-0.5 smoothed target (lang='en') vs corpus models,
+    // per-doc Σ n·log-ratio; fold order absorbed by round(,6).
+    "sample_dsir" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |ix AS (SELECT doc_id, lang, toks, unnest(range(0, len(toks) - 1)) AS i
+        |       FROM tk WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2]), 1, 8)) AS BIGINT) % 64 AS b
+        |       FROM ix),
+        |dbk AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+        |cb AS (SELECT b, sum(n) AS cn FROM dbk GROUP BY b),
+        |tb AS (SELECT b, count(*) AS tn FROM bg WHERE lang = 'en' GROUP BY b),
+        |bk AS (SELECT unnest(range(0, 64)) AS b),
+        |m AS (SELECT bk.b AS b, coalesce(cn, 0) AS cn, coalesce(tn, 0) AS tn
+        |      FROM bk LEFT JOIN cb ON bk.b = cb.b LEFT JOIN tb ON bk.b = tb.b),
+        |tot AS (SELECT sum(cn) AS tc, sum(tn) AS tt FROM m),
+        |lr AS (SELECT b, ln((tn + 0.5) / (tt + 0.5 * 64)) - ln((cn + 0.5) / (tc + 0.5 * 64)) AS lrv
+        |       FROM m, tot)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |       round(sum(n * lrv), 6) AS logratio
+        |FROM dbk JOIN lr USING (b) GROUP BY doc_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,

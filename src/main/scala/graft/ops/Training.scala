@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -209,5 +209,103 @@ object Training {
         array_join(
           transform(array_sort(collect_list(struct(col("doc_id"), col("__txt")))),
             x => x.getField("__txt")), " ").as("seq_text"))
+  }
+
+  /** Embedding-space benchmark decontamination: flag corpus vectors whose
+    * cosine similarity to ANY benchmark vector reaches `tau` — the
+    * semantic companion to the n-gram [[decontaminate]] pass (a
+    * paraphrased benchmark item shares no exact n-gram with its source
+    * but still embeds close, so pipelines run both).
+    *
+    * Plan shape (the 100 TB-safe one, same as Similarity.bruteForceTopK):
+    * the benchmark set — eval suites, thousands to low millions of rows —
+    * is explicitly BROADCAST, so each corpus partition scans its vectors
+    * against the in-memory benchmark block (BroadcastNestedLoopJoin) and
+    * the corpus never shuffles for the probe; only the per-vector
+    * (count, max) aggregate exchanges, after map-side partials collapse
+    * it to one row per vector per partition. Cosine is the codegen'd
+    * native expression (float→double widening, strictly sequential
+    * accumulation), so the score is bit-reproducible and the oracle
+    * replays it exactly; the 6-decimal round only guards the printed
+    * max. Output: (vec_id, n_hits, max_sim) for flagged vectors only —
+    * clean vectors produce no row, which is what the downstream anti-join
+    * wants. */
+  def deconEmbed(corpus: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau in (0, 1]")
+    val c = corpus.select(col(idCol).as("__cid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val b = broadcast(bench.select(col(vecCol).cast("array<double>").as("__bv")))
+    c.crossJoin(b)
+      .select(col("__cid"),
+        graft.functions.native.cosine_sim(col("__cv"), col("__bv")).as("__sim"))
+      .filter(col("__sim") >= tau)
+      .groupBy(col("__cid").as(idCol))
+      .agg(count(lit(1)).as("n_hits"), round(max(col("__sim")), 6).as("max_sim"))
+  }
+
+  /** DSIR-style importance weights (the hashed-n-gram data-selection
+    * recipe: score every corpus document by how much likelier its bigram
+    * profile is under a curated TARGET distribution than under the raw
+    * corpus's own, then keep/resample the high-ratio tail — the standard
+    * way to steer a crawl toward a quality domain without a trained
+    * classifier).
+    *
+    * Features are word bigrams hashed into `nBuckets` buckets via the
+    * first 8 hex digits of md5 (engine-independent, so the oracle
+    * reproduces the bucketing exactly); both unigram-over-bucket models
+    * are add-α smoothed: p(b) = (n_b + α) / (N + α·B). A document's
+    * weight is Σ_b n_b·(ln p_t(b) − ln p_c(b)) over its bucket counts.
+    *
+    * Plan shape for 100 TB: the corpus token explode runs ONCE — the
+    * per-doc bucket-count frame is persisted and feeds both the corpus
+    * model and the final score, the same shared-frame persist as
+    * [[TextAnalysis.perplexity]]. Both models and the log-ratio table
+    * are B rows (B = `nBuckets`, constant), broadcast onto the per-doc
+    * counts; the only corpus-sized exchanges are the two map-side-
+    * combined count aggregations. The target pass is a separate (small,
+    * curated) input and never joins the corpus row-wise. Double-sum fold
+    * order is the single engine-variant step, absorbed by the 6-decimal
+    * round (the perplexity precedent). Documents with fewer than two
+    * tokens have no bigrams and are absent from the output.
+    * Output: (doc_id, n_bigrams, logratio). */
+  def dsirWeights(corpus: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 64, alpha: Double = 0.5): DataFrame = {
+    require(nBuckets >= 2, "nBuckets >= 2")
+    require(alpha > 0, "alpha must be positive (unseen buckets need mass)")
+    import org.apache.spark.storage.StorageLevel
+    val toks = col("__toks")
+    val pairs = transform(sequence(lit(0), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    def bucketOf(bigram: Column): Column =
+      conv(substring(md5(bigram), 1, 8), 16, 10).cast("long") % nBuckets
+    def bucketCounts(df: DataFrame, keyCols: Seq[Column]): DataFrame = df
+      .select(keyCols :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(toks) >= 2)
+      .select(keyCols :+ explode(pairs).as("__bg"): _*)
+      .select(keyCols :+ bucketOf(col("__bg")).as("b"): _*)
+      .groupBy(keyCols :+ col("b"): _*)
+      .agg(count(lit(1)).as("n"))
+    val dbk = bucketCounts(corpus, Seq(col(idCol).as("doc_id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = dbk.groupBy(col("b")).agg(sum(col("n")).as("cn"))
+    val tb = bucketCounts(target, Seq.empty)
+      .select(col("b"), col("n").as("tn"))
+    // Dense bucket frame: a bucket unseen in either input still carries
+    // smoothed mass, and ln p is defined for it.
+    val m = corpus.sparkSession.range(0, nBuckets).toDF("b")
+      .join(cb, Seq("b"), "left").join(tb, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cn"), lit(0L)).as("cn"),
+        coalesce(col("tn"), lit(0L)).as("tn"))
+    val tot = m.agg(sum(col("cn")).as("__C"), sum(col("tn")).as("__T"))
+    val lr = m.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("tn") + lit(alpha)) / (col("__T") + lit(alpha * nBuckets))) -
+       log((col("cn") + lit(alpha)) / (col("__C") + lit(alpha * nBuckets))))
+        .as("__lr"))
+    dbk.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        round(sum(col("n") * col("__lr")), 6).as("logratio"))
   }
 }

@@ -673,6 +673,52 @@ class OperatorSpec extends SparkSuite {
     assert(out(1) == ((2L, 0L, false)), out(1).toString)
   }
 
+  test("embedding decontamination flags a planted clone and spares orthogonal vectors") {
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // same direction as the bench vector
+      (2L, Array(0.0f, 3.0f, 0.0f)),   // orthogonal — must NOT be flagged
+      (3L, Array(1.0f, 1.0f, 0.0f))    // cos = 1/√2 ≈ 0.707
+    ).toDF("vec_id", "embedding")
+    val out = Training.deconEmbed(corpus, bench, "vec_id", "embedding", tau = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L), out.mkString(","))
+    assert(out(0)._3 == 1.0 && out(0)._2 == 1L, out(0).toString)
+    assert(math.abs(out(1)._3 - 0.707107) < 1e-6, out(1).toString)
+  }
+
+  test("plan: embedding decontamination broadcasts the bench side") {
+    val bench = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val plan = Training.deconEmbed(corpus, bench, "vec_id", "embedding", tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("DSIR weights rank on-target documents above off-target, stable under rerun") {
+    // Target vocabulary is disjoint from the noise vocabulary, so a doc
+    // written in target words must out-score one written in noise words.
+    val tgtText = Seq.tabulate(30)(i => s"tgt${i % 10}").mkString(" ")
+    val noiseText = Seq.tabulate(30)(i => s"noise${i % 10}").mkString(" ")
+    val corpus = Seq(
+      (1L, tgtText), (2L, noiseText), (3L, tgtText + " " + noiseText),
+      (4L, "one"), // single token: no bigram, must be absent
+      (5L, tgtText), (6L, noiseText)
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, tgtText)).toDF("doc_id", "text")
+    val out = Training.dsirWeights(corpus, target, nBuckets = 32)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val byId = out.map(t => t._1 -> t._3).toMap
+    assert(!byId.contains(4L), "no-bigram doc must be absent")
+    assert(byId(1L) > byId(3L) && byId(3L) > byId(2L),
+      s"expected tgt > mixed > noise: $byId")
+    assert(byId(1L) > 0 && byId(2L) < 0, s"sign check: $byId")
+    // partitioning independence
+    val re = Training.dsirWeights(corpus.repartition(7), target, nBuckets = 32)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(re == out.toSet, "weights changed under repartition")
+  }
+
   test("int8 quantization rounds half away from zero and preserves ranking") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     // scale = 127/127 = 1 → q_i = round(v_i): ±2.5 must go to ±3 (away
