@@ -15,9 +15,14 @@ object Pipelines {
     *   2. quality filter ([[TextAnalysis.repetitionStats]]: minimum
     *      length, maximum top-token fraction — the cheap Gopher-style
     *      gate),
-    *   3. PII scrub ([[TextAnalysis.piiScrub]] — runs AFTER the filters
+    *   3. benchmark decontamination ([[Training.decontaminate]], only
+    *      when a `bench` set is supplied — drops any doc sharing an
+    *      8-token n-gram with the eval suite; runs after the cheap
+    *      filters so the n-gram probe never sees rows already doomed,
+    *      and before scrub/pack so a leaked doc costs nothing further),
+    *   4. PII scrub ([[TextAnalysis.piiScrub]] — runs AFTER the filters
     *      so redaction work isn't spent on rows about to be dropped),
-    *   4. greedy sequence packing over the scrubbed text
+    *   5. greedy sequence packing over the scrubbed text
     *      ([[Training.packSequences]]).
     *
     * Dedup runs FIRST (its signatures must see original text, and
@@ -26,18 +31,26 @@ object Pipelines {
     * Output: one row per surviving document — (doc_id, text scrubbed,
     * n_tokens, seq_id, seq_offset). Every stage is a shape that survives
     * 100 TB: no all-pairs, no global single-task window, projections
-    * codegen'd. */
+    * codegen'd, the benchmark n-gram set broadcast. */
   def prepareCorpus(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dedupThreshold: Double = 0.8,
       minTokens: Long = 5, maxTopTokenFrac: Double = 0.5,
-      capacity: Int = 512): DataFrame = {
+      capacity: Int = 512, bench: Option[DataFrame] = None): DataFrame = {
     val keepers = Dedup.dedupCorpus(docs, idCol, textCol,
         threshold = dedupThreshold)
       .filter(!col("is_duplicate"))
     val filtered = TextAnalysis.repetitionStats(keepers, textCol)
       .filter(col("n_tokens") >= minTokens &&
         col("top_token_frac") <= maxTopTokenFrac)
-    val scrubbed = TextAnalysis.piiScrub(filtered, textCol)
+    val clean = bench match {
+      case None => filtered
+      case Some(b) =>
+        val flagged = Training.decontaminate(filtered, b, idCol, textCol)
+          .filter(col("contaminated"))
+          .select(col("doc_id").as(idCol))
+        filtered.join(flagged, Seq(idCol), "left_anti")
+    }
+    val scrubbed = TextAnalysis.piiScrub(clean, textCol)
       .select(col(idCol), col("scrubbed").as(textCol))
     Training.packSequences(scrubbed, idCol, textCol, capacity)
       .join(scrubbed.select(col(idCol).as("doc_id"), col(textCol)), Seq("doc_id"))

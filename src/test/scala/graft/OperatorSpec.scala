@@ -635,6 +635,24 @@ class OperatorSpec extends SparkSuite {
     assert(out(1)._4 == out(0)._3 / 16 && out(1)._5 == out(0)._3 % 16)
   }
 
+  test("prepareCorpus with a bench set drops the leaked doc, keeps the rest") {
+    val good = Seq.tabulate(30)(i => s"word$i").mkString(" ")
+    val leakedTail = Seq.tabulate(8)(i => s"bench$i").mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, Seq.tabulate(40)(i => s"tok$i").mkString(" ") + " " + leakedTail)
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, leakedTail + " " + Seq.tabulate(12)(i => s"extra$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = Pipelines.prepareCorpus(docs, capacity = 16, bench = Some(bench))
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L), kept.mkString(","))
+    // without the bench set, both survive
+    val all = Pipelines.prepareCorpus(docs, capacity = 16)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(all == Seq(1L, 2L), all.mkString(","))
+  }
+
   test("incremental dedup: new docs dedupe against corpus and earlier new docs only") {
     val a = "the quick brown fox jumps over the lazy dog again and again " * 5
     val b = "completely different content about spark shuffles and joins " * 5
