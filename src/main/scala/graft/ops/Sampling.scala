@@ -1,7 +1,31 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** One (md5 draw, row key) pair flowing into per-group min-k selection. */
+case class DrawKey(draw: String, key: Long)
+
+/** Bounded min-k aggregator over (draw asc, key asc): keeps at most the
+  * k smallest entries in its buffer, so a billion-row group reduces in
+  * O(k) memory with map-side partial aggregation — the same property
+  * that makes [[TopKAggregator]] scale, applied to quota selection.
+  * Deterministic: md5-draw ties break on ascending key. */
+class MinKAggregator(k: Int) extends Aggregator[DrawKey, Seq[DrawKey], Seq[DrawKey]] {
+  private def before(a: DrawKey, b: DrawKey): Boolean =
+    a.draw < b.draw || (a.draw == b.draw && a.key < b.key)
+  override def zero: Seq[DrawKey] = Vector.empty
+  override def reduce(buf: Seq[DrawKey], a: DrawKey): Seq[DrawKey] =
+    if (buf.size >= k && before(buf.last, a)) buf
+    else ((a +: buf).sortWith(before)).take(k)
+  override def merge(b1: Seq[DrawKey], b2: Seq[DrawKey]): Seq[DrawKey] =
+    (b1 ++ b2).sortWith(before).take(k)
+  override def finish(r: Seq[DrawKey]): Seq[DrawKey] = r.sortWith(before)
+  override def bufferEncoder: Encoder[Seq[DrawKey]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[DrawKey]] = ExpressionEncoder()
+}
 
 /** Deterministic sampling operators for a training-data pipeline.
   *
@@ -116,21 +140,38 @@ object Sampling {
     * deterministic twin of per-group reservoir sampling. Rank rows inside
     * each group by md5(seed‖key) (a seeded uniform draw any engine can
     * reproduce) and keep ranks ≤ k; the key itself breaks md5 ties.
+    * `keyCol` must be an integral, group-unique id (every fixture key
+    * is).
     *
     * Unlike a true reservoir the selection is a pure function of
     * (seed, key set): rerun-stable, partitioning-independent, and
     * re-auditable row-for-row. Changing the seed redraws; growing k keeps
-    * the smaller sample as a prefix (rank order is seed-fixed). One
-    * shuffle on the group key; per-group state is the window's single
-    * ordered pass. */
+    * the smaller sample as a prefix (rank order is seed-fixed).
+    *
+    * Plan shape (the skew-proof one): the obvious
+    * `row_number() over (partition by group order by draw)` shuffles the
+    * WHOLE corpus — payload included — and then sorts each group on a
+    * single task, so one billion-row domain serializes the stage. Here a
+    * k-bounded min-heap aggregator ([[MinKAggregator]]) reduces
+    * (group, draw, key) with map-side partials — every map task emits at
+    * most k rows per group, whatever the group's size — and the kept
+    * (key, rank) set, |groups|·k rows (the QUOTA, tiny by construction),
+    * broadcasts back onto the corpus: the corpus itself is scanned, never
+    * shuffled, never group-sorted. Results are row-identical to the
+    * window formulation (spec-pinned). */
   def groupSample(df: DataFrame, keyCol: String, groupCol: String,
       k: Int, seed: Long): DataFrame = {
     require(k >= 1, "k >= 1")
     val draw = md5(concat_ws("-", lit(seed), col(keyCol).cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(draw, col(keyCol))
-    df.withColumn("draw_rank", row_number().over(w).cast("long"))
-      .filter(col("draw_rank") <= k)
+    val mink = udaf(new MinKAggregator(k))
+    val kept = df
+      .groupBy(col(groupCol))
+      .agg(mink(draw, col(keyCol).cast("long")).as("__kept"))
+      .select(posexplode(col("__kept")).as(Seq("__pos", "__dk")))
+      .select(col("__dk.key").as("__key"),
+        (col("__pos") + 1).cast("long").as("draw_rank"))
+    df.join(broadcast(kept), col(keyCol).cast("long") === col("__key"))
+      .drop("__key")
   }
 
   /** Weighted sampling without replacement, deterministic: the

@@ -1122,6 +1122,18 @@ class OperatorSpec extends SparkSuite {
     val k10 = Sampling.groupSample(docs, "doc_id", "lang", 10, 42L)
       .select("doc_id").as[Long].collect().toSet
     assert(k10.subsetOf(again), "smaller k must be a prefix of the seed-fixed rank order")
+    // row- and rank-identical to the single-task-per-group window
+    // formulation the heap shape replaces (and the oracle SQL uses)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(md5(concat_ws("-", lit(42L), $"doc_id".cast("string"))), $"doc_id")
+    val windowed = docs.withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter($"draw_rank" <= 40)
+      .select($"doc_id", $"draw_rank").as[(Long, Long)].collect().toSet
+    val heap = k40.select($"doc_id", $"draw_rank").as[(Long, Long)].collect().toSet
+    assert(heap == windowed, "heap selection must equal the window formulation")
+    // the corpus side must come back via a broadcast join, not a shuffle
+    val plan = k40.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("scd2: intervals chain per key, current row open; histogram edges half-open") {
