@@ -1537,6 +1537,64 @@ object SparkEntry {
       TimeSeries.ohlcBars(t(s, dir, "events"), tsCol = "ts",
         idCol = "event_id", valueCol = "value", widthSec = 300L)),
 
+    // Autocorrelation of the hourly count series at lags 1..6 — the
+    // seasonality detector feeding ts_seasonal_naive's period choice.
+    // One corpus-sized keyed aggregate; all windows run over the
+    // collapsed (series, bucket) frame.
+    "ts_acf" -> ((s, dir) =>
+      TimeSeries.acfBuckets(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, maxLag = 6)),
+
+    // 2-D Pareto frontier (maximize price AND recency) over raw orders —
+    // the multi-objective selection primitive, run corpus-sized (no
+    // pre-aggregation) so the two-level bucketed plan is exercised on
+    // the full table. DECIMAL price and integer epoch keep the frontier
+    // exact; the oracle is the independent quadratic NOT-EXISTS
+    // dominance formulation.
+    "rel_skyline" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        unix_timestamp(col("o_orderdate")).as("odate_s"))
+      Skyline.frontier(o, "price", "odate_s", buckets = 32)
+    },
+
+    // URL-canonicalization dedup (the C4/CCNet crawl-prep pass): raw
+    // page URLs synthesized in-plan from document attributes with the
+    // full zoo of spelling variants (case-shifted www hosts, default
+    // ports, utm/fbclid tracking params, shuffled query order,
+    // fragments, trailing slashes), then collapsed by Web.canonicalizeUrl
+    // — a zero-shuffle projection — and deduplicated with one keyed
+    // aggregate. The oracle re-derives the same canonical form with
+    // DuckDB string/list functions, so every rule is value-gated.
+    "dedup_url" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val item = col("doc_id") % 40
+      val page = col("doc_id") % 5
+      val hostCase = when(col("doc_id") % 2 === 0,
+        concat(lit("WWW."), upper(col("source")), lit(".Example.COM")))
+        .otherwise(concat(lit("www."), col("source"), lit(".example.com")))
+      val port = when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit(""))
+      val slash = when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit(""))
+      val baseQ = when(col("doc_id") % 3 === 0,
+        concat(lit("page="), page, lit("&q="), col("lang")))
+        .otherwise(concat(lit("q="), col("lang"), lit("&page="), page))
+      val track = when(col("doc_id") % 2 === 1,
+        concat(lit("&utm_source=feed&fbclid=x"), col("doc_id")))
+        .otherwise(lit(""))
+      val frag = when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit(""))
+      val raw = concat(lit("HTTPS://"), hostCase, port,
+        lit("/catalog/item-"), item, slash, lit("?"), baseQ, track, frag)
+      d.select(col("doc_id"), Web.canonicalizeUrl(raw).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
+    },
+
+    // CCNet head/middle/tail perplexity tertiles per language —
+    // histogram-binned thresholds (the published pipeline's own shape,
+    // and the one that never sorts a whole language in one task).
+    "text_ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"))),
+
     // Null-safe equality join (`<=>`): the null group joins itself
     // instead of falling out — Catalyst still plans it as an equi-join
     // (EqualNullSafe is a join key, not a filter), so it shuffles on the
@@ -1648,6 +1706,18 @@ object SparkEntry {
       val e = tradePairs(s, dir)
       Graph.pagerank(e.select(col("c").as("src"), (-col("su") - 1).as("dst")),
         "src", "dst", iters = 3, damping = 0.85, redistributeDangling = true)
+    },
+
+    // HITS hubs/authorities over the directed customer→supplier graph
+    // (customers only buy, suppliers only sell — pure hub and pure
+    // authority sides make the scores interpretable). 3 unrolled
+    // iterations, L∞ (max) normalization so the normalizer is
+    // fold-order-independent; the oracle replicates the recurrence
+    // term for term.
+    "graph_hits" -> { (s, dir) =>
+      val e = tradePairs(s, dir)
+      Graph.hits(e.select(col("c").as("src"), (-col("su") - 1).as("dst")),
+        "src", "dst", iters = 3)
     },
 
     // Triangle count under the degree-ordered orientation — hash-gated
@@ -2217,6 +2287,35 @@ object SparkEntry {
        |ed AS (SELECT c AS src, -su - 1 AS dst FROM e)""".stripMargin,
     dangling = true)
 
+  /** HITS oracle: the identical unrolled recurrence (auth ← Σ_in hub,
+    * hub ← Σ_out auth, each side divided by its max) over the same
+    * directed trade edges; max-normalization keeps the normalizer
+    * fold-order-independent, per Graph.hits. */
+  private val hitsOracleSql: String = {
+    val iters = (1 to 3).map { i =>
+      s"""ar$i AS (SELECT ed.dst AS node, sum(h${i - 1}.hub) AS a
+         |  FROM ed JOIN h${i - 1} ON ed.src = h${i - 1}.node GROUP BY ed.dst),
+         |af$i AS (SELECT nodes.node, coalesce(ar$i.a, 0.0) AS a
+         |  FROM nodes LEFT JOIN ar$i USING (node)),
+         |am$i AS (SELECT max(a) AS mx FROM af$i),
+         |a$i AS (SELECT node, a / mx AS auth FROM af$i CROSS JOIN am$i),
+         |hr$i AS (SELECT ed.src AS node, sum(a$i.auth) AS h
+         |  FROM ed JOIN a$i ON ed.dst = a$i.node GROUP BY ed.src),
+         |hf$i AS (SELECT nodes.node, coalesce(hr$i.h, 0.0) AS h
+         |  FROM nodes LEFT JOIN hr$i USING (node)),
+         |hm$i AS (SELECT max(h) AS mx FROM hf$i),
+         |h$i AS (SELECT node, h / mx AS hub FROM hf$i CROSS JOIN hm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradePairsCte,
+       |ed AS (SELECT c AS src, -su - 1 AS dst FROM e),
+       |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),
+       |$iters
+       |SELECT a3.node AS node_id, round(a3.auth, 6) AS auth,
+       |       round(h3.hub, 6) AS hub
+       |FROM a3 JOIN h3 USING (node)""".stripMargin
+  }
+
   /** Random-walk oracle: the identical md5-driven step recurrence over
     * the identical sorted adjacency, unrolled per step. */
   private val randomWalkOracleSql: String = {
@@ -2321,6 +2420,124 @@ object SparkEntry {
         |       c.value AS close, a.n_events, a.volume
         |FROM agg a JOIN r o ON o.bucket = a.bucket AND o.ra = 1
         |           JOIN r c ON c.bucket = a.bucket AND c.rd = 1""".stripMargin,
+
+    // Same hourly-count series, mean-centered lag products; double fold
+    // order absorbed by round(,6) as in ts_zscore.
+    "ts_acf" -> {
+      val lagDefs = (1 to 6)
+        .map(k => s"lag(d, $k) OVER w AS l$k").mkString(",\n        ")
+      val sums = (1 to 6)
+        .map(k => s"sum(d * l$k) AS num$k, count(l$k) AS np$k")
+        .mkString(",\n        ")
+      val rows = (1 to 6).map(k =>
+        s"SELECT event_type, $k AS lag, round(num$k / den, 6) AS acf, np$k AS n_pairs FROM s")
+        .mkString("\n|", "\n|UNION ALL ", "")
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+         |             CAST(count(*) AS DOUBLE) AS x
+         |           FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, avg(x) AS m FROM c GROUP BY 1),
+         |d AS (SELECT c.event_type, bucket, x - m.m AS d
+         |      FROM c JOIN m USING (event_type)),
+         |l AS (SELECT event_type, d,
+         |        $lagDefs
+         |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+         |s AS (SELECT event_type, sum(d * d) AS den,
+         |        $sums
+         |      FROM l GROUP BY 1)$rows""".stripMargin
+    },
+
+    // Independent quadratic dominance formulation — the two-level
+    // bucketed plan must reproduce the textbook NOT-EXISTS answer.
+    "rel_skyline" ->
+      """WITH s AS (SELECT o_orderkey,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |             CAST(epoch(o_orderdate) AS BIGINT) AS odate_s
+        |           FROM orders)
+        |SELECT o_orderkey, price, odate_s FROM s p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM s q
+        |  WHERE q.price >= p.price AND q.odate_s >= p.odate_s
+        |    AND (q.price > p.price OR q.odate_s > p.odate_s))""".stripMargin,
+
+    // Same synthetic raw URLs, same master regex (groups 1/2/3/5), same
+    // canonicalization rules re-expressed with DuckDB list functions.
+    "dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'HTTPS://' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'WWW.' || upper(source) || '.Example.COM'
+        |         ELSE 'www.' || source || '.example.com' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+        |    '/catalog/item-' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || '?' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'page=' || CAST(doc_id % 5 AS VARCHAR) || '&q=' || lang
+        |         ELSE 'q=' || lang || '&page=' || CAST(doc_id % 5 AS VARCHAR) END ||
+        |    CASE WHEN doc_id % 2 = 1
+        |         THEN '&utm_source=feed&fbclid=x' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?([^#]*))?.*', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?([^#]*))?.*', 2)) AS rawhost,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?([^#]*))?.*', 3) AS rawpath,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?([^#]*))?.*', 5) AS rawq
+        |  FROM raw),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://' ||
+        |    CASE WHEN scheme = 'http'
+        |           THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':80$', '')
+        |         WHEN scheme = 'https'
+        |           THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':443$', '')
+        |         ELSE regexp_replace(rawhost, '^www\.', '') END ||
+        |    CASE WHEN rawpath = '' THEN '/'
+        |         ELSE regexp_replace(rawpath, '(.)/$', '\1') END ||
+        |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+        |          string_split(rawq, '&'),
+        |          q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+        |          '&') AS kept
+        |        FROM p))
+        |SELECT canonical_url, min(doc_id) AS rep_doc, count(*) AS n_docs
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // The text_perplexity model CTE verbatim, then the identical
+    // histogram-bin boundary arithmetic (3·cum ≥ n / 3·cum ≥ 2n).
+    "text_ccnet_buckets" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |ix AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+        |       FROM tk WHERE len(toks) >= 2),
+        |dbc AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2, count(*) AS n
+        |        FROM ix GROUP BY 1, 2, 3),
+        |mm AS (SELECT w1, w2, sum(n) AS pair_n FROM dbc GROUP BY w1, w2),
+        |hh AS (SELECT w1, w2, pair_n,
+        |             sum(pair_n) OVER (PARTITION BY w1) AS head_n FROM mm),
+        |v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS vsz FROM mm),
+        |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |         sum(n * ln((pair_n + 0.5) / (head_n + 0.5 * vsz))) AS lp
+        |       FROM dbc JOIN hh USING (w1, w2), v GROUP BY doc_id),
+        |sl AS (SELECT s.doc_id, d.lang,
+        |         round(exp(-lp / n_bigrams), 6) AS ppl,
+        |         CAST(floor(round(exp(-lp / n_bigrams), 6) * 8) AS BIGINT) AS bin
+        |       FROM sc s JOIN documents d USING (doc_id)),
+        |bins AS (SELECT lang, bin, count(*) AS c FROM sl GROUP BY 1, 2),
+        |cum AS (SELECT lang, bin, sum(c) OVER (PARTITION BY lang ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM bins),
+        |n AS (SELECT lang, count(*) AS n FROM sl GROUP BY 1),
+        |b AS (SELECT cum.lang,
+        |        min(CASE WHEN cum * 3 >= n.n THEN bin END) AS b1,
+        |        min(CASE WHEN cum * 3 >= n.n * 2 THEN bin END) AS b2
+        |      FROM cum JOIN n USING (lang) GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.ppl,
+        |       CASE WHEN s.bin <= b.b1 THEN 'head'
+        |            WHEN s.bin <= b.b2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sl s JOIN b USING (lang)""".stripMargin,
 
     "rel_nullsafe_join" ->
       """WITH a AS (SELECT nullif(event_type, 'error') AS etype,
@@ -2547,6 +2764,7 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracleSql,
 
     "graph_pagerank_directed" -> pagerankDirectedOracleSql,
+    "graph_hits" -> hitsOracleSql,
 
     // The SAME degree-ordered orientation (tie-break by id), replicated
     // relationally: any orientation disagreement shows up as a different

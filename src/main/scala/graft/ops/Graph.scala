@@ -419,4 +419,62 @@ object Graph {
     }
     pr.select(col("node_id"), round(col("pr"), 6).as("pr"))
   }
+
+  /** HITS hubs-and-authorities over a DIRECTED edge list (Kleinberg's
+    * algorithm, public knowledge) — the bipartite-flavored companion to
+    * [[pagerank]]: on a buyer→seller graph, hub score ranks buyers by how
+    * much authoritative selling they touch, authority ranks sellers by
+    * how much hub buying points at them.
+    *
+    * Fixed iterations unrolled into one declarative plan, like pagerank:
+    * per iteration, auth ← Σ_in hub then hub ← Σ_out auth, each an
+    * edge-join + grouped sum (two narrow (node, double) shuffles).
+    * Normalization is by the L∞ norm (max), NOT the conventional L2/L1:
+    * max over doubles is fold-order-independent, so the only
+    * engine-variant arithmetic left is the per-node contribution sum —
+    * the same bounded-fan-in addition the pagerank gate already absorbs
+    * with the 6-decimal round. An L2 norm would thread a corpus-wide
+    * order-dependent Σx² through every score. Ranking is unaffected
+    * (all norms are positive scalings).
+    *
+    * Same materialization discipline as pagerank: the edge frame and the
+    * per-side contribution frames persist; the iteration frames are
+    * referenced twice each (next side's join + normalizer) and stay
+    * plan-bounded because iters ≤ 10. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters in [1,10] (plan size grows per iter)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(lvl)
+    val nodes = ed.select(col("src").as("node_id"))
+      .unionAll(ed.select(col("dst").as("node_id"))).distinct().persist(lvl)
+    var hub = nodes.select(col("node_id"), lit(1.0).as("hub"))
+    var auth = nodes.select(col("node_id"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val a = ed
+        .join(hub.withColumnRenamed("node_id", "src"), "src")
+        .groupBy(col("dst").as("node_id"))
+        .agg(sum(col("hub")).as("__a"))
+      val aFull = nodes.join(a, Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("__a"), lit(0.0)).as("__a"))
+        .persist(lvl)
+      val aMax = broadcast(aFull.agg(max(col("__a")).as("__amx")))
+      auth = aFull.crossJoin(aMax)
+        .select(col("node_id"), (col("__a") / col("__amx")).as("auth"))
+      val h = ed
+        .join(auth.withColumnRenamed("node_id", "dst"), "dst")
+        .groupBy(col("src").as("node_id"))
+        .agg(sum(col("auth")).as("__h"))
+      val hFull = nodes.join(h, Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("__h"), lit(0.0)).as("__h"))
+        .persist(lvl)
+      val hMax = broadcast(hFull.agg(max(col("__h")).as("__hmx")))
+      hub = hFull.crossJoin(hMax)
+        .select(col("node_id"), (col("__h") / col("__hmx")).as("hub"))
+    }
+    auth.join(hub, Seq("node_id"))
+      .select(col("node_id"), round(col("auth"), 6).as("auth"),
+        round(col("hub"), 6).as("hub"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline, over a
@@ -406,6 +407,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("__lp"), 6).as("logprob"),
         round(exp(-col("__lp") / col("n_bigrams")), 6).as("ppl"))
+  }
+
+  /** CCNet-style head/middle/tail bucketing: per language, documents are
+    * split into perplexity tertiles — "head" (most fluent third under the
+    * corpus LM) is kept, "middle" kept or sampled, "tail" dropped. The
+    * published pipeline thresholds on a perplexity HISTOGRAM rather than
+    * exact order statistics, and so does this operator, because that is
+    * also the scale-correct shape: exact per-language tertiles would sort
+    * every document of a language in one task (English IS the corpus at
+    * 100 TB), while histogram thresholds need only
+    *
+    *  1. per-(lang, bin) counts — one map-side-combined keyed aggregate,
+    *     the only corpus-sized exchange (bin = floor(ppl·8): ×8 is a
+    *     power-of-two exponent shift, exact in IEEE, so both engines bin
+    *     identically from the already-gated 6-decimal ppl);
+    *  2. a running-count window over the BIN frame (bounded by the score
+    *     range — thousands of rows whatever the corpus size);
+    *  3. the two boundary bins (first with 3·cum ≥ n, first with
+    *     3·cum ≥ 2n — integer arithmetic, no percentile semantics to
+    *     disagree on) broadcast back over the scored corpus.
+    *
+    * Output: (doc_id, lang, ppl, bucket ∈ head|middle|tail). */
+  def perplexityBuckets(df: DataFrame, textCol: String = "text",
+      langCol: String = "lang", alpha: Double = 0.5): DataFrame = {
+    val scored = perplexity(df, textCol, alpha)
+      .join(df.select(col("doc_id"), col(langCol)), Seq("doc_id"))
+      .withColumn("__bin", floor(col("ppl") * 8).cast("long"))
+    val bins = scored.groupBy(col(langCol), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(langCol)).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("__cum", sum(col("__c")).over(w))
+    val n = cum.groupBy(col(langCol)).agg(sum(col("__c")).as("__n"))
+    val bounds = broadcast(cum.join(n, Seq(langCol))
+      .groupBy(col(langCol))
+      .agg(
+        min(when(col("__cum") * 3 >= col("__n"), col("__bin"))).as("__b1"),
+        min(when(col("__cum") * 3 >= col("__n") * 2, col("__bin"))).as("__b2")))
+    scored.join(bounds, Seq(langCol))
+      .select(col("doc_id"), col(langCol), col("ppl"),
+        when(col("__bin") <= col("__b1"), lit("head"))
+          .when(col("__bin") <= col("__b2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 
   /** Deterministic document fingerprint: polynomial rolling hash over the

@@ -133,4 +133,49 @@ object TimeSeries {
         count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(28,6)")).as("volume"))
   }
+
+  /** Per-series autocorrelation at lags 1..maxLag over a regular-bucket
+    * count series — the seasonality detector that tells a forecaster (or
+    * the [[ohlcBars]]/seasonal-naive consumers) WHICH period to model:
+    * a daily cycle shows up as a peak at lag 24 on hourly buckets.
+    *
+    * acf_k = Σ (x_t − m)(x_{t−k} − m) / Σ (x_t − m)², computed over the
+    * observed bucket rows in bucket order (documented: gaps are skipped,
+    * not zero-filled — compose with [[GapFill]] first when the grid must
+    * be dense).
+    *
+    * Scale shape: the raw stream collapses to (key, bucket, count) by ONE
+    * map-side-combined aggregate — the only corpus-sized exchange. Every
+    * window after that runs on the collapsed frame, bounded by
+    * series × observed buckets (hours, not events), and partitioned by
+    * key. The mean joins back as a broadcast, the lag products fold in a
+    * grouped sum. Double fold order is the single engine-variant step,
+    * absorbed by the 6-decimal round (the zscoreOutliers precedent). */
+  def acfBuckets(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 48, "maxLag in [1,48]")
+    val c = df
+      .select(col(keyCol),
+        floor(unix_micros(col(tsCol)) / (bucketSec * 1000000L))
+          .cast("long").as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val m = c.groupBy(col(keyCol)).agg(avg(col("x")).as("__m"))
+    val d = c.join(broadcast(m), Seq(keyCol))
+      .select(col(keyCol), col("bucket"), (col("x") - col("__m")).as("d"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val lagged = d.select(Seq(col(keyCol), col("d")) ++
+      (1 to maxLag).map(k => lag(col("d"), k).over(w).as(s"__l$k")): _*)
+    val aggs = sum(col("d") * col("d")).as("__den") +:
+      (1 to maxLag).flatMap(k => Seq(
+        sum(col("d") * col(s"__l$k")).as(s"__num$k"),
+        count(col(s"__l$k")).as(s"__n$k")))
+    val sums = lagged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    sums.select(col(keyCol), explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"),
+          round(col(s"__num$k") / col("__den"), 6).as("acf"),
+          col(s"__n$k").as("n_pairs"))): _*)).as("__a"))
+      .select(col(keyCol), col("__a.lag").as("lag"),
+        col("__a.acf").as("acf"), col("__a.n_pairs").as("n_pairs"))
+  }
 }

@@ -1660,4 +1660,130 @@ class OperatorSpec extends SparkSuite {
       .as[Long].head()
     assert(z == ((1L << 0) | (1L << 4) | (1L << 1) | (1L << 3)), z.toString)
   }
+
+  test("skyline: bucketed plan equals brute-force dominance; ties survive") {
+    import spark.implicits._
+    // crafted frontier with equal-x, equal-(x,y), and dominated points
+    val pts = Seq(
+      (1L, 10L, 100L), (2L, 10L, 90L),          // same x: only max-y survives
+      (3L, 20L, 80L), (4L, 20L, 80L),           // exact tie: BOTH survive
+      (5L, 30L, 50L), (6L, 25L, 49L),           // (6) dominated by (5)
+      (7L, 40L, 10L), (8L, 5L, 120L),
+      (9L, 40L, 10L), (10L, 39L, 10L)           // (9) ties (7); (10) dominated
+    ).toDF("id", "x", "y")
+    for (buckets <- Seq(1, 3, 32)) {            // bucketing must not matter
+      val got = Skyline.frontier(pts, "x", "y", buckets)
+        .select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 4L, 5L, 7L, 8L, 9L), s"buckets=$buckets: $got")
+    }
+    // rerun under different partitioning: selection is value-based
+    val re = Skyline.frontier(pts.repartition(7), "x", "y", 3)
+      .select("id").as[Long].collect().toSet
+    assert(re == Set(1L, 3L, 4L, 5L, 7L, 8L, 9L))
+    // scale guard: no corpus-wide unpartitioned window — every window in
+    // the executed plan must run over the collapsed level/bucket frames,
+    // which the corpus (carrying `id`) never enters
+    val plan = Skyline.frontier(pts, "x", "y", 3)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty && !windowLines.exists(_.contains("id#")),
+      s"corpus column inside a window operator:\n$plan")
+  }
+
+  test("url canonicalization: each rule fires; canonical forms collide") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a/b/?q=1&utm_source=x&page=2#frag",
+      "https://example.com/a/b?page=2&q=1",
+      "http://example.com:80/",
+      "http://example.com",
+      "https://example.com:8443/a",                 // non-default port kept
+      "ftp://Example.com:80/a",                     // non-http :80 kept
+      "https://example.com/a?fbclid=z&gclid=y&ref=r&utm_campaign=c",
+      "not a url").toDF("u")
+      .select(col("u"), Web.canonicalizeUrl(col("u")).as("c"))
+      .as[(String, String)].collect().toMap
+    assert(urls("HTTPS://WWW.Example.COM:443/a/b/?q=1&utm_source=x&page=2#frag")
+      == "https://example.com/a/b?page=2&q=1")
+    assert(urls("https://example.com/a/b?page=2&q=1")
+      == "https://example.com/a/b?page=2&q=1")      // already canonical
+    assert(urls("http://example.com:80/") == "http://example.com/")
+    assert(urls("http://example.com") == "http://example.com/")
+    assert(urls("https://example.com:8443/a") == "https://example.com:8443/a")
+    assert(urls("ftp://Example.com:80/a") == "ftp://example.com:80/a")
+    assert(urls("https://example.com/a?fbclid=z&gclid=y&ref=r&utm_campaign=c")
+      == "https://example.com/a")
+    assert(urls("not a url") == "://" + "/")        // non-URL: inert key
+  }
+
+  test("acf: lag-1 autocorrelation matches the closed form; gaps skip") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one event per hour-bucket position in a fixed pattern, one series;
+    // counts per bucket: 1,2,1,2,... (alternating) => acf(1) = -1 * (n adj)
+    val rows = (0 until 12).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      (0 until n).map(i => ("a", new Timestamp(h * 3600000L + i * 1000L)))
+    }
+    val df = rows.toDF("event_type", "ts")
+    val acf = TimeSeries.acfBuckets(df, "event_type", "ts", 3600L, 2)
+      .select("lag", "acf", "n_pairs").as[(Int, Double, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // series 1,3,1,3,... mean 2, deviations ±1: acf(1) = -1, acf(2) = +1
+    // up to the (n-1)/n window edge effect; with 12 buckets, num over 11
+    // pairs, den over 12 squares: acf(1) = -11/12, acf(2) = 10/12
+    assert(math.abs(acf(1)._1 - (-11.0 / 12).toDouble) < 1e-6, acf.toString)
+    assert(math.abs(acf(2)._1 - (10.0 / 12).toDouble) < 1e-6, acf.toString)
+    assert(acf(1)._2 == 11 && acf(2)._2 == 10)
+  }
+
+  test("hits: pure-hub/pure-authority sides, L-inf normalized, converged ranks") {
+    import spark.implicits._
+    // star-ish bipartite: buyer 1 touches sellers {-1,-2,-3}, buyer 2
+    // touches {-1}, buyer 3 touches {-2}. Seller -1,-2 shared, -3 not.
+    val ed = Seq((1L, -1L), (1L, -2L), (1L, -3L), (2L, -1L), (3L, -2L))
+      .toDF("src", "dst")
+    val out = Graph.hits(ed, "src", "dst", iters = 3)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // L-inf: best auth and best hub are exactly 1.0
+    assert(out.values.map(_._1).max == 1.0 && out.values.map(_._2).max == 1.0)
+    // buyer 1 is the top hub; sellers -1/-2 tie as top authorities and
+    // beat -3 (one strong + one weak buyer vs one strong only)
+    assert(out(1L)._2 == 1.0, out.toString)
+    assert(out(-1L)._1 == out(-2L)._1 && out(-1L)._1 > out(-3L)._1)
+    // hub side of sellers and auth side of buyers are zero
+    assert(Seq(-1L, -2L, -3L).forall(k => out(k)._2 == 0.0))
+    assert(Seq(1L, 2L, 3L).forall(k => out(k)._1 == 0.0))
+  }
+
+  test("ccnet buckets: tertile split per language, monotone in perplexity") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val b = TextAnalysis.perplexityBuckets(docs)
+    val byLang = b.groupBy(col("lang"), col("bucket")).count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (l, rs) =>
+        l -> rs.map(r => r._2 -> r._3).toMap }
+    byLang.foreach { case (lang, m) =>
+      val n = m.values.sum
+      // histogram thresholds: head ends at the first bin crossing n/3,
+      // so head is at least a third (can overshoot by one bin's mass)
+      assert(m.getOrElse("head", 0L) * 3 >= n, s"$lang: $m")
+      assert(m.getOrElse("head", 0L) + m.getOrElse("middle", 0L) >= 2 * n / 3,
+        s"$lang: $m")
+    }
+    // monotone: every head ppl <= every middle ppl <= every tail ppl
+    val agg = b.groupBy(col("lang"), col("bucket"))
+      .agg(min("ppl").as("lo"), max("ppl").as("hi"))
+      .as[(String, String, Double, Double)].collect()
+      .groupBy(_._1).map { case (l, rs) =>
+        l -> rs.map(r => r._2 -> ((r._3, r._4))).toMap }
+    agg.foreach { case (lang, m) =>
+      for (h <- m.get("head"); mid <- m.get("middle"))
+        assert(h._2 <= mid._1 + 0.125, s"$lang head/middle overlap: $m")
+      for (mid <- m.get("middle"); t <- m.get("tail"))
+        assert(mid._2 <= t._1 + 0.125, s"$lang middle/tail overlap: $m")
+    }
+  }
 }
