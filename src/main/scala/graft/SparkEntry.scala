@@ -1595,6 +1595,62 @@ object SparkEntry {
     "text_ccnet_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"))),
 
+    // Moving-window level-shift detector over hourly counts: every
+    // full-window bucket with pre/post means and the step size; the
+    // regime-change signal ts_zscore's point outliers can't see.
+    "ts_level_shift" -> ((s, dir) =>
+      TimeSeries.levelShift(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, w = 6, threshold = 3.0)),
+
+    // Benford first-digit audit over order totals — the classic
+    // data-quality screen for fabricated numeric columns. Digits come
+    // from the INTEGER cents string (never from double formatting, which
+    // engines render differently); expected log10(1+1/d) and the rounded
+    // observed fractions absorb libm variance.
+    "rel_benford" -> { (s, dir) =>
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val d = t(s, dir, "orders")
+        .select(substring(cents.cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = broadcast(d.agg(sum(col("n")).cast("double").as("__t")))
+      d.crossJoin(tot).select(col("digit"), col("n"),
+        round(col("n") / col("__t"), 6).as("obs_frac"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("exp_frac"))
+    },
+
+    // ColBERT-style MaxSim late-interaction retrieval: embeddings play
+    // 5-token multi-vector documents (did = vec_id div 5, pos = mod);
+    // every 25th document queries the rest for its top-3.
+    "ann_maxsim_topk" -> { (s, dir) =>
+      val toks = t(s, dir, "embeddings").select(
+        expr("vec_id div 5").as("did"), (col("vec_id") % 5).as("dpos"),
+        col("embedding").cast("array<double>").as("dvec"))
+      val qtoks = toks.filter(col("did") % 25 === 0).select(
+        col("did").as("qid"), col("dpos").as("qpos"),
+        col("dvec").as("qvec"))
+      Similarity.maxSimTopK(toks, qtoks, k = 3)
+    },
+
+    // CLIP-score filtering of image-text pairs (the LAION-style
+    // multimodal curation gate): adjacent embeddings play the two
+    // modalities of one pair; a keyed equi-join brings a pair's sides
+    // together and the codegen'd cosine scores it. Emits every pair
+    // with its score and kept flag (threshold stays a consumer choice).
+    "mm_clip_filter" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val img = e.filter(col("vec_id") % 2 === 0)
+        .select(expr("vec_id div 2").as("pair_id"), col("v").as("img_v"))
+      val txt = e.filter(col("vec_id") % 2 === 1)
+        .select(expr("(vec_id - 1) div 2").as("pair_id"), col("v").as("txt_v"))
+      img.join(txt, Seq("pair_id"))
+        .select(col("pair_id"),
+          round(Similarity.cosine(col("img_v"), col("txt_v")), 6)
+            .as("clip_score"))
+        .withColumn("kept", col("clip_score") >= 0.1)
+    },
+
     // Null-safe equality join (`<=>`): the null group joins itself
     // instead of falling out — Catalyst still plans it as an equi-join
     // (EqualNullSafe is a join key, not a filter), so it shuffles on the
@@ -2538,6 +2594,70 @@ object SparkEntry {
         |            WHEN s.bin <= b.b2 THEN 'middle'
         |            ELSE 'tail' END AS bucket
         |FROM sl s JOIN b USING (lang)""".stripMargin,
+
+    // Same frame windows over the same collapsed hourly series; both
+    // engines fold the frame in sorted bucket order.
+    "ts_level_shift" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |             CAST(count(*) AS DOUBLE) AS x
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket,
+        |        avg(x) OVER pre AS pre, count(x) OVER pre AS npre,
+        |        avg(x) OVER post AS post, count(x) OVER post AS npost
+        |      FROM c WINDOW
+        |        pre AS (PARTITION BY event_type ORDER BY bucket
+        |                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+        |        post AS (PARTITION BY event_type ORDER BY bucket
+        |                 ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING))
+        |SELECT event_type, bucket, round(pre, 6) AS pre_mean,
+        |       round(post, 6) AS post_mean, round(post - pre, 6) AS shift,
+        |       abs(round(post - pre, 6)) >= 3.0 AS is_shift
+        |FROM w WHERE npre = 6 AND npost = 6""".stripMargin,
+
+    // Digits from the integer cents string, never double formatting.
+    "rel_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                    AS VARCHAR), 1, 1) AS digit,
+        |                  count(*) AS n
+        |           FROM orders GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM d)
+        |SELECT digit, n, round(n / tt.t, 6) AS obs_frac,
+        |       round(log10(1 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_frac
+        |FROM d, tt""".stripMargin,
+
+    // Same sequential-cosine formulation as ann_cosine_topk; the
+    // per-document sum folds over list(m ORDER BY qpos), matching the
+    // operator's sorted-array reduce term for term.
+    "ann_maxsim_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |tok AS (SELECT vec_id // 5 AS did, vec_id % 5 AS pos, v FROM e),
+        |q AS (SELECT did AS qid, pos AS qpos, v AS qv FROM tok WHERE did % 25 = 0),
+        |p AS (SELECT qid, t.did AS did, qpos,
+        |        max(list_reduce(list_transform(range(0, len(qv)), i -> t.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> t.v[i+1] * t.v[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y)))) AS m
+        |      FROM q JOIN tok t ON t.did <> q.qid
+        |      GROUP BY qid, t.did, qpos),
+        |s AS (SELECT qid, did,
+        |        list_reduce([0.0] || list(m ORDER BY qpos), (x, y) -> x + y) AS score
+        |      FROM p GROUP BY qid, did),
+        |r AS (SELECT qid, did, score, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, did) AS rnk FROM s)
+        |SELECT qid AS query_id, did AS doc_id, CAST(rnk AS INT) AS rank,
+        |       round(score, 6) AS score
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // Same pairing, same sequential cosine, same rounded threshold.
+    "mm_clip_filter" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |img AS (SELECT vec_id // 2 AS pair_id, v AS iv FROM e WHERE vec_id % 2 = 0),
+        |txt AS (SELECT (vec_id - 1) // 2 AS pair_id, v AS tv FROM e WHERE vec_id % 2 = 1),
+        |c AS (SELECT pair_id,
+        |        round(list_reduce(list_transform(range(0, len(iv)), i -> iv[i+1] * tv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(iv)), i -> iv[i+1] * iv[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(iv)), i -> tv[i+1] * tv[i+1]), (x,y) -> x + y))), 6) AS clip_score
+        |      FROM img JOIN txt USING (pair_id))
+        |SELECT pair_id, clip_score, clip_score >= 0.1 AS kept FROM c""".stripMargin,
 
     "rel_nullsafe_join" ->
       """WITH a AS (SELECT nullif(event_type, 'error') AS etype,

@@ -10,6 +10,8 @@ object Pipelines {
 
   /** One-call training-corpus preparation:
     *
+    *   0. canonical-URL exact dedup ([[Web.canonicalizeUrl]], only when
+    *      a `urlCol` is supplied — crawl corpora first),
     *   1. near-dup dedup ([[Dedup.dedupCorpus]]: LSH candidates → exact
     *      verify → transitive groups → keep keepers),
     *   2. quality filter ([[TextAnalysis.repetitionStats]]: minimum
@@ -35,8 +37,20 @@ object Pipelines {
   def prepareCorpus(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dedupThreshold: Double = 0.8,
       minTokens: Long = 5, maxTopTokenFrac: Double = 0.5,
-      capacity: Int = 512, bench: Option[DataFrame] = None): DataFrame = {
-    val keepers = Dedup.dedupCorpus(docs, idCol, textCol,
+      capacity: Int = 512, bench: Option[DataFrame] = None,
+      urlCol: Option[String] = None): DataFrame = {
+    // Stage 0 (crawl corpora, when a URL column exists): exact dedup by
+    // canonical URL — runs before content dedup because it is the
+    // cheapest shrink (one projection + one keyed aggregate, no
+    // signatures) and crawls re-fetch the same page under many raw
+    // spellings. Representative: smallest id per canonical URL.
+    val base = urlCol.fold(docs) { u =>
+      val canon = docs.withColumn("__curl", Web.canonicalizeUrl(col(u)))
+      val rep = canon.groupBy(col("__curl")).agg(min(col(idCol)).as("__rep"))
+      canon.join(rep, Seq("__curl"))
+        .filter(col(idCol) === col("__rep")).drop("__curl", "__rep")
+    }
+    val keepers = Dedup.dedupCorpus(base, idCol, textCol,
         threshold = dedupThreshold)
       .filter(!col("is_duplicate"))
     val filtered = TextAnalysis.repetitionStats(keepers, textCol)

@@ -577,4 +577,45 @@ object Similarity {
         (col("pos") + 1).as("rank"),
         col("col.score").as("sim"))
   }
+
+  /** ColBERT-style late-interaction (MaxSim) retrieval over MULTI-vector
+    * documents: each document is a bag of token vectors, and the score of
+    * document d for query q is Σ over q's tokens of the best cosine
+    * against any of d's tokens — the published late-interaction scoring
+    * (Khattab & Zaharia, 2020), which beats single-vector pooling
+    * whenever different query tokens match different parts of a document.
+    *
+    * Inputs are token frames: candidates (did, dpos, dvec), queries
+    * (qid, qpos, qvec). Scale shape mirrors [[bruteForceTopK]]: the
+    * query-token frame (|Q|·tokens rows) is broadcast, candidate tokens
+    * fan over it with no shuffle of the corpus; the per-query-token max
+    * is a keyed aggregate (max is fold-order-independent), and the
+    * per-document sum folds in ascending qpos order via a sorted-array
+    * reduce — a DETERMINISTIC IEEE sequence, so ranking needs no
+    * tolerance and the oracle replicates it term for term. Top-k is the
+    * k-bounded [[TopKAggregator]]; only |Q|·k rows reach the merge. */
+  def maxSimTopK(candToks: DataFrame, queryToks: DataFrame,
+      k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    val perQTok = candToks
+      .join(broadcast(queryToks), col("did") =!= col("qid"))
+      .select(col("qid"), col("did"), col("qpos"),
+        cosine(col("dvec"), col("qvec")).as("__c"))
+      .filter(col("__c").isNotNull)
+      .groupBy(col("qid"), col("did"), col("qpos"))
+      .agg(max(col("__c")).as("__m"))
+    val scored = perQTok
+      .groupBy(col("qid"), col("did"))
+      .agg(sort_array(collect_list(struct(col("qpos"), col("__m"))))
+        .as("__ms"))
+      .select(col("qid"), col("did"),
+        aggregate(col("__ms"), lit(0.0),
+          (acc, x) => acc + x.getField("__m")).as("__s"))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("did"), col("__s")).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).as("rank"),
+        round(col("col.score"), 6).as("score"))
+  }
 }

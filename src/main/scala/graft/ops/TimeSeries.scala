@@ -178,4 +178,43 @@ object TimeSeries {
       .select(col(keyCol), col("__a.lag").as("lag"),
         col("__a.acf").as("acf"), col("__a.n_pairs").as("n_pairs"))
   }
+
+  /** Level-shift (step-change) detection over a regular-bucket count
+    * series: at every bucket, compare the mean of the w buckets ending
+    * just before it against the mean of the w buckets starting at it —
+    * the moving-window "edge detector" that flags regime changes a
+    * z-score on single points can't see (each post-shift point is
+    * ordinary; the LEVEL moved).
+    *
+    * Emits every full-window bucket with both means, the shift, and an
+    * `is_shift` flag (|shift| ≥ threshold) rather than only the flagged
+    * rows, so the threshold stays a consumer-side choice. Same scale
+    * posture as [[acfBuckets]]: one corpus-sized keyed aggregate, then
+    * per-key frame windows over the collapsed (key, bucket) rows; the
+    * frame aggregation folds in sorted bucket order on both engines, so
+    * the means are deterministic. */
+  def levelShift(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, w: Int, threshold: Double): DataFrame = {
+    require(w >= 1, "w >= 1")
+    val c = df
+      .select(col(keyCol),
+        floor(unix_micros(col(tsCol)) / (bucketSec * 1000000L))
+          .cast("long").as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val pre = byKey.rowsBetween(-w, -1)
+    val post = byKey.rowsBetween(Window.currentRow, w - 1)
+    c.select(col(keyCol), col("bucket"),
+        avg(col("x")).over(pre).as("__pre"),
+        count(col("x")).over(pre).as("__npre"),
+        avg(col("x")).over(post).as("__post"),
+        count(col("x")).over(post).as("__npost"))
+      .filter(col("__npre") === w && col("__npost") === w)
+      .select(col(keyCol), col("bucket"),
+        round(col("__pre"), 6).as("pre_mean"),
+        round(col("__post"), 6).as("post_mean"),
+        round(col("__post") - col("__pre"), 6).as("shift"))
+      .withColumn("is_shift", abs(col("shift")) >= threshold)
+  }
 }

@@ -653,6 +653,72 @@ class OperatorSpec extends SparkSuite {
     assert(all == Seq(1L, 2L), all.mkString(","))
   }
 
+  test("prepareCorpus url stage: canonical-URL dup collapses to the smallest id") {
+    val good = Seq.tabulate(30)(i => s"word$i").mkString(" ")
+    val other = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, good, "https://example.com/a?q=1&utm_source=x"),
+      (2L, other, "HTTPS://WWW.Example.com:443/a/?q=1"),   // same canonical as 1
+      (3L, Seq.tabulate(40)(i => s"distinct$i").mkString(" "),
+        "https://example.com/b")
+    ).toDF("doc_id", "text", "url")
+    val kept = Pipelines.prepareCorpus(docs, capacity = 16,
+      urlCol = Some("url")).select($"doc_id").as[Long].collect().toSeq.sorted
+    // doc 2 lost the URL dedup (bigger id); 1 and 3 survive the rest
+    assert(kept == Seq(1L, 3L), kept.mkString(","))
+    val noUrl = Pipelines.prepareCorpus(docs.drop("url"), capacity = 16)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(noUrl == Seq(1L, 2L, 3L), noUrl.mkString(","))
+  }
+
+  test("maxsim: late interaction ranks the split-match doc over the pooled look-alike") {
+    // query tokens hit DIFFERENT tokens of doc 1 (each matched exactly),
+    // while doc 2's tokens are both middling matches of both query
+    // tokens — mean-pooling can't tell them apart nearly as sharply.
+    val toks = Seq(
+      // query doc 0: two orthogonal unit tokens
+      (0L, 0L, Seq(1.0, 0.0)), (0L, 1L, Seq(0.0, 1.0)),
+      // doc 1: exact copies of the two query tokens → maxsim = 2
+      (1L, 0L, Seq(2.0, 0.0)), (1L, 1L, Seq(0.0, 0.5)),
+      // doc 2: both tokens at 45° → maxsim = 2·cos45 ≈ 1.4142
+      (2L, 0L, Seq(1.0, 1.0)), (2L, 1L, Seq(1.0, 1.0)),
+      // doc 3: matches only one query token → maxsim ≈ 1 + 0
+      (3L, 0L, Seq(1.0, 0.0)), (3L, 1L, Seq(1.0, 0.0))
+    ).toDF("did", "dpos", "dvec")
+      .select($"did", $"dpos", $"dvec".cast("array<double>").as("dvec"))
+    val q = toks.filter($"did" === 0L)
+      .select($"did".as("qid"), $"dpos".as("qpos"), $"dvec".as("qvec"))
+    val out = Similarity.maxSimTopK(toks, q, k = 3)
+      .select($"doc_id", $"rank", $"score").as[(Long, Int, Double)]
+      .collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), out.mkString(","))
+    assert(out(0)._3 == 2.0)
+    assert(math.abs(out(1)._3 - math.sqrt(2.0)) < 1e-6)
+    assert(math.abs(out(2)._3 - 1.0) < 1e-6)
+  }
+
+  test("level shift: planted step flagged at the boundary, stable plateaus are not") {
+    import java.sql.Timestamp
+    // hourly counts: 12 buckets at 2 events, then 12 at 9 events
+    val rows = (0 until 24).flatMap { h =>
+      val n = if (h < 12) 2 else 9
+      (0 until n).map(i => ("s", new Timestamp(h * 3600000L + i * 1000L)))
+    }
+    val out = TimeSeries.levelShift(rows.toDF("event_type", "ts"),
+        "event_type", "ts", 3600L, w = 3, threshold = 3.0)
+      .select($"bucket", $"shift", $"is_shift")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    // full windows exist for buckets 3..21; the step is at bucket 12
+    assert(out.head._1 == 3L && out.last._1 == 21L)
+    val flagged = out.filter(_._3).map(_._1).toSeq
+    // shift = post-mean − pre-mean crosses 3.0 only when the w-window
+    // straddles the boundary: buckets 10..14 see mixes; exactly at 12
+    // the shift is the full 7.0
+    assert(flagged.contains(12L), out.mkString(","))
+    assert(out.find(_._1 == 12L).get._2 == 7.0)
+    assert(!out.take(3).exists(_._3) && !out.takeRight(3).exists(_._3))
+  }
+
   test("incremental dedup: new docs dedupe against corpus and earlier new docs only") {
     val a = "the quick brown fox jumps over the lazy dog again and again " * 5
     val b = "completely different content about spark shuffles and joins " * 5
