@@ -21,16 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Fixture loader. `events.parquet` stores TIMESTAMP(NANOS), which Spark
-    * only reads as a raw long (nanosAsLong); normalize to a microsecond
-    * TimestampType by truncation — the same nanos→micros truncation DuckDB
-    * applies when it scans the file, so both engines see identical values. */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+  /** Fixture loader. `events.ts` has shipped in two physical shapes across
+    * driver generations: TIMESTAMP(NANOS) (Spark reads only as a raw long
+    * via nanosAsLong → truncate to micros, matching DuckDB's scan) and
+    * plain TIMESTAMP(MICROS) without UTC adjustment (Spark reads as
+    * TIMESTAMP_NTZ → reinterpret as session-UTC TimestampType, value-equal
+    * to DuckDB's naive TIMESTAMP). Adapt on the observed schema so the
+    * engine-side column is always a microsecond TimestampType. */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else s.read.parquet(s"$dir/$name.parquet")
+    val df0 = s.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" &&
+          df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df0
+    // Any remaining NTZ column (o_orderdate, l_shipdate, micros-shape ts)
+    // → session-UTC TimestampType, value-preserving under the UTC session.
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+  }
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the
     * reference's per-city per-minute metrics, batch twin over `events`. */
