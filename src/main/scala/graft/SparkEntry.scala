@@ -1023,6 +1023,13 @@ object SparkEntry {
         .select(col("vec_id"),
           Similarity.lshBucket(col("v"), Similarity.hyperplanes(12, 64)).as("bucket"))),
 
+    // SemDeDup: k-means topic clusters, then per-cluster cosine near-dup
+    // pruning with a lower-id keep rule — the full routing AND the drop
+    // verdicts hash-gate (integer-exact cosine test, see Dedup scaladoc).
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), k = 8, iters = 2,
+        tauNum = 3, tauDen = 10)),
+
     // ── similarity search ─────────────────────────────────────────────
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
@@ -2006,7 +2013,11 @@ object SparkEntry {
     * integer squared distance (ties → low cid), centroid update by
     * round(avg) back onto the int8 grid (`+ 0.0` canonicalizes −0.0),
     * and a final assignment aggregated per cluster. */
-  private def kmeansOracleSql(iters: Int): String = {
+  /** Shared CTE chain of the quantized-k-means recurrence (quantize →
+    * init → `iters` assign/update rounds → final assignment s{iters+1}
+    * with (vec_id, qv, cid)) — composed by the kmeans oracle and the
+    * SemDeDup oracle so the clustering replay can't drift between them. */
+  private def kmeansCtes(iters: Int): String = {
     def assign(src: String, cents: String, out: Int): String =
       s"""a$out AS (SELECT vec_id, qv, $cents.cid AS cid, row_number() OVER (PARTITION BY vec_id ORDER BY
          |  list_reduce(list_transform(range(0, len(qv)), i -> (qv[i+1]-cv[i+1])*(qv[i+1]-cv[i+1])), (x,y) -> x+y), $cents.cid) AS rk
@@ -2029,12 +2040,38 @@ object SparkEntry {
        |  FROM e),
        |c0 AS (SELECT vec_id AS cid, qv AS cv FROM s WHERE vec_id < 8),
        |$rounds,
-       |${assign(s"s$iters", s"c$iters", fin)}
+       |${assign(s"s$iters", s"c$iters", fin)}""".stripMargin
+  }
+
+  private def kmeansOracleSql(iters: Int): String = {
+    val fin = iters + 1
+    s"""${kmeansCtes(iters)}
        |SELECT s$fin.cid AS cid, CAST(count(*) AS BIGINT) AS n_members,
        |       CAST(sum(vec_id) AS BIGINT) AS id_sum,
        |       CAST(min(vec_id) AS BIGINT) AS min_id, c$iters.cv AS centroid
        |FROM s$fin JOIN c$iters ON s$fin.cid = c$iters.cid
        |GROUP BY s$fin.cid, c$iters.cv""".stripMargin
+  }
+
+  /** SemDeDup oracle: replay the k-means routing (shared CTEs), then the
+    * same integer-exact within-cluster cosine test and lower-id drop rule
+    * as Dedup.semanticDedup. */
+  private def semanticDedupOracleSql(iters: Int, tauNum: Int,
+      tauDen: Int): String = {
+    val fin = iters + 1
+    s"""${kmeansCtes(iters)},
+       |pr AS (SELECT x.vec_id AS ida, y.vec_id AS idb,
+       |        list_reduce(list_transform(range(0, len(x.qv)),
+       |          i -> x.qv[CAST(i+1 AS INT)]*y.qv[CAST(i+1 AS INT)]), (p,q) -> p+q) AS dot,
+       |        list_reduce(list_transform(x.qv, z -> z*z), (p,q) -> p+q) AS na2,
+       |        list_reduce(list_transform(y.qv, z -> z*z), (p,q) -> p+q) AS nb2
+       |      FROM s$fin x JOIN s$fin y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+       |dup AS (SELECT idb AS vec_id, CAST(count(*) AS BIGINT) AS n_dup_lower FROM pr
+       |        WHERE dot >= 0 AND dot*dot*${tauDen * tauDen} >= ${tauNum * tauNum}*na2*nb2
+       |        GROUP BY idb)
+       |SELECT s.vec_id, s.cid, d.vec_id IS NULL AS kept,
+       |       coalesce(d.n_dup_lower, CAST(0 AS BIGINT)) AS n_dup_lower
+       |FROM s$fin s LEFT JOIN dup d ON s.vec_id = d.vec_id""".stripMargin
   }
 
   /** DuckDB replica of the ENTIRE md5-twin MinHash+LSH pipeline
@@ -3816,6 +3853,7 @@ object SparkEntry {
     "ann_ivf_planted" -> ivfPlantedOracleSql,
 
     "ann_kmeans" -> kmeansOracleSql(2),
+    "dedup_semantic" -> semanticDedupOracleSql(2, 3, 10),
 
     // Raw-vector cosine (the knn-label formula), thresholded not ranked.
     "ann_range_search" ->

@@ -749,4 +749,45 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .distinct()
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the int8-quantized embeddings with fixed-round Lloyd's
+    * ([[Similarity.kmeansAssignments]]), then inside each cluster drop
+    * every vector that has a LOWER-id neighbor at cosine ≥ tauNum/tauDen
+    * (the deterministic stand-in for the paper's keep-one-per-ε-group).
+    *
+    * The cosine test runs in exact integer arithmetic so the verdict
+    * hash-gates: dot ≥ 0 ∧ dot²·tauDen² ≥ tauNum²·|a|²·|b|². At d=64
+    * int8 the largest term is ≈ 2^47, well inside double exactness.
+    *
+    * Scale: pair formation is per-cluster quadratic BY DESIGN — that is
+    * SemDeDup's contract. k is the knob: choose k ∝ corpus/√pairs-budget
+    * so each cluster fits a partition; the self-join is an equi-join on
+    * cid (bucketed exchange, never all-pairs across clusters), and the
+    * assignment frame is persisted so clustering runs once, not three
+    * times (the bm25 lesson). */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    import graft.functions.native.dot_product
+    val assigned = Similarity.kmeansAssignments(emb, k, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cid"), col("vec_id").as("ida"),
+      col("qv").as("qa"))
+    val b = assigned.select(col("cid"), col("vec_id").as("idb"),
+      col("qv").as("qb"))
+    val dot = dot_product(col("qa"), col("qb"))
+    val na2 = dot_product(col("qa"), col("qa"))
+    val nb2 = dot_product(col("qb"), col("qb"))
+    val dups = a.join(b, Seq("cid"))
+      .filter(col("ida") < col("idb"))
+      .filter(dot >= 0 &&
+        dot * dot * lit((tauDen * tauDen).toDouble) >=
+          lit((tauNum * tauNum).toDouble) * na2 * nb2)
+      .groupBy(col("idb")).agg(count(lit(1)).as("n_dup_lower"))
+      .select(col("idb").as("vec_id"), col("n_dup_lower"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("n_dup_lower").isNull.as("kept"),
+        coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"))
+  }
 }

@@ -500,6 +500,25 @@ object Similarity {
     * Returns one row per surviving cluster:
     * (cid, n_members, id_sum, min_id, centroid). */
   def kmeansQuantized(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (assigned, finalCentroids) = kmeansCore(vecs, k, iters)
+    assigned
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).as("id_sum"),
+        min(col("vec_id")).as("min_id"))
+      .join(broadcast(finalCentroids), Seq("cid"))
+      .select(col("cid"), col("n_members"), col("id_sum"), col("min_id"),
+        col("cv").as("centroid"))
+  }
+
+  /** The final Lloyd's assignment frame (vec_id, qv, cid) — the cluster
+    * routing consumed by SemDeDup-style per-cluster semantic dedup
+    * (Dedup.semanticDedup). Same recurrence as kmeansQuantized. */
+  def kmeansAssignments(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansCore(vecs, k, iters)._1
+
+  private def kmeansCore(vecs: DataFrame, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     val base = vecs.select(col("vec_id"),
         graft.functions.vectornative
           .quantize_int8(col("embedding").cast("array<double>")).as("qv"))
@@ -540,14 +559,7 @@ object Similarity {
     val finalCentroids =
       (1 to iters).foldLeft(initCentroids)((c, _) => update(assign(c)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assign(finalCentroids)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(col("vec_id")).as("id_sum"),
-        min(col("vec_id")).as("min_id"))
-      .join(broadcast(finalCentroids), Seq("cid"))
-      .select(col("cid"), col("n_members"), col("id_sum"), col("min_id"),
-        col("cv").as("centroid"))
+    (assign(finalCentroids), finalCentroids)
   }
 
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
