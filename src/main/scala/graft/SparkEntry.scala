@@ -1835,6 +1835,17 @@ object SparkEntry {
       Graph.bfsDistances(ed, seeds, rounds = 3)
     },
 
+    // Bounded closeness centrality from the same seed set as graph_bfs:
+    // per-seed 3-hop BFS balls in one keyed pass, then
+    // (reached−1)/Σdist — integer sums, one division, hash-gated.
+    "graph_closeness" -> { (s, dir) =>
+      val ed = coPurchaseEdges(s, dir)
+      val seeds = ed.select(col("a").as("node"))
+        .unionAll(ed.select(col("b").as("node"))).distinct()
+        .filter(col("node") % 97 === 0)
+      Graph.closenessBounded(ed, seeds, rounds = 3)
+    },
+
     // 2 rounds of 2-core peeling over the co-purchase graph (drop
     // degree<2 nodes, recount on the induced subgraph) — the densest-
     // region filter, fixed-round for oracle replay.
@@ -2845,6 +2856,31 @@ object SparkEntry {
          |        SELECT s.dst AS node, d.dist + 1 AS dist
          |        FROM d2 d JOIN sym s ON d.node = s.src) GROUP BY node)
          |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+
+    "graph_closeness" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b AS src, a AS dst FROM ed),
+         |seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 97 = 0),
+         |d0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         |d1 AS (SELECT seed, node, min(dist) AS dist FROM (
+         |        SELECT seed, node, dist FROM d0 UNION ALL
+         |        SELECT d.seed, s.dst AS node, d.dist + 1 AS dist
+         |        FROM d0 d JOIN sym s ON d.node = s.src) GROUP BY seed, node),
+         |d2 AS (SELECT seed, node, min(dist) AS dist FROM (
+         |        SELECT seed, node, dist FROM d1 UNION ALL
+         |        SELECT d.seed, s.dst AS node, d.dist + 1 AS dist
+         |        FROM d1 d JOIN sym s ON d.node = s.src) GROUP BY seed, node),
+         |d3 AS (SELECT seed, node, min(dist) AS dist FROM (
+         |        SELECT seed, node, dist FROM d2 UNION ALL
+         |        SELECT d.seed, s.dst AS node, d.dist + 1 AS dist
+         |        FROM d2 d JOIN sym s ON d.node = s.src) GROUP BY seed, node)
+         |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |       CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |       CASE WHEN sum(dist) > 0
+         |            THEN CAST(count(*) - 1 AS DOUBLE) / sum(dist)
+         |            ELSE 0.0 END AS closeness
+         |FROM d3 GROUP BY seed""".stripMargin,
 
     "graph_kcore" ->
       s"""WITH $coPurchaseCte,

@@ -223,6 +223,42 @@ object Graph {
     fin
   }
 
+  /** Bounded closeness centrality: per-seed BFS to `rounds` hops — the
+    * frontier frame is keyed by (seed, node), so EVERY seed advances
+    * through the same `rounds` join+min relaxations in one pass (cost is
+    * Σ per-seed frontier sizes per round, one keyed shuffle each — not
+    * |seeds| separate BFS jobs). closeness(seed) = (reached − 1) / Σ dist
+    * over the ≤`rounds`-hop ball, the k-bounded estimator used at scale
+    * where full-diameter per-node BFS is unaffordable. Integer counts and
+    * distance sums, one final IEEE division → hash-gates exactly. */
+  def closenessBounded(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(lvl)
+    val init = seeds.select(col("node").as("seed"), col("node"),
+      lit(0L).as("dist"))
+    val (fin, _) = (1 to rounds).foldLeft((init, Set.empty[Int])) {
+      case ((dist, prevIds), _) =>
+        val (d, ids) = checkpointRound(dist)
+        freeRound(d, prevIds)
+        (d.unionAll(
+            d.join(sym, col("node") === col("src"))
+              .select(col("seed"), col("dst").as("node"),
+                (col("dist") + 1).as("dist")))
+          .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist")),
+          ids)
+    }
+    fin.groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+      .select(col("seed"), col("n_reached"), col("sum_dist"),
+        when(col("sum_dist") > 0,
+            (col("n_reached") - 1).cast("double") / col("sum_dist"))
+          .otherwise(lit(0.0)).as("closeness"))
+  }
+
   /** Bounded k-core peeling: `rounds` rounds of "drop every node with
     * degree < k, recount over the induced subgraph". After enough rounds
     * this converges to the k-core (the standard densest-region filter
