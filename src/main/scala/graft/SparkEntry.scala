@@ -742,6 +742,49 @@ object SparkEntry {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))),
 
+    // Pairwise Pearson correlation matrix over lineitem's numeric
+    // columns, ONE scan: all moment sums accumulate in DECIMAL (exact,
+    // fold-order-free), then each corr is a fixed IEEE expression tree
+    // over the exact sums — hash-gates where naive corr() would drift in
+    // the last ulps of its running accumulation. The 3-row-per-group
+    // "matrix" unpivots via explode over the aggregated frame, so the
+    // scan+aggregate never re-runs per pair.
+    "rel_corr_matrix" -> { (s, dir) =>
+      // Asymmetric product widths: DuckDB computes a decimal product in
+      // the RESULT width's storage int, so (13,6)×(13,6)=26 digits still
+      // runs in INT64 and overflows — one 19,6 operand forces INT128.
+      // Spark: decimal(19,6)×decimal(13,6) → decimal(33,12), same values.
+      def d6(c: String) = col(c).cast("decimal(13,6)")
+      def d19(c: String) = col(c).cast("decimal(19,6)")
+      val a = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(d6("l_quantity")).as("sq"),
+        sum(d6("l_extendedprice")).as("sp"),
+        sum(d6("l_discount")).as("sd"),
+        sum(d19("l_quantity") * d6("l_quantity")).as("sqq"),
+        sum(d19("l_extendedprice") * d6("l_extendedprice")).as("spp"),
+        sum(d19("l_discount") * d6("l_discount")).as("sdd"),
+        sum(d19("l_quantity") * d6("l_extendedprice")).as("sqp"),
+        sum(d19("l_quantity") * d6("l_discount")).as("sqd"),
+        sum(d19("l_extendedprice") * d6("l_discount")).as("spd"))
+      def dd(c: String) = col(c).cast("double")
+      def corrOf(sx: String, sy: String, sxy: String, sxx: String,
+          syy: String) =
+        (col("n") * dd(sxy) - dd(sx) * dd(sy)) /
+          sqrt((col("n") * dd(sxx) - dd(sx) * dd(sx)) *
+            (col("n") * dd(syy) - dd(sy) * dd(sy)))
+      a.select(col("l_returnflag"), col("n"),
+          explode(array(
+            struct(lit("qty_price").as("pair"),
+              corrOf("sq", "sp", "sqp", "sqq", "spp").as("corr")),
+            struct(lit("qty_disc").as("pair"),
+              corrOf("sq", "sd", "sqd", "sqq", "sdd").as("corr")),
+            struct(lit("price_disc").as("pair"),
+              corrOf("sp", "sd", "spd", "spp", "sdd").as("corr")))).as("pc"))
+        .select(col("l_returnflag"), col("pc.pair").as("pair"), col("n"),
+          col("pc.corr").as("corr"))
+    },
+
     // ── skew mitigation (results provably equal the unsalted plan) ─────
     "skew_salted_join" -> { (s, dir) =>
       val dim = t(s, dir, "customer")
@@ -1540,6 +1583,37 @@ object SparkEntry {
       c.join(f, Seq("event_type", "bucket"))
         .select(col("event_type"), col("bucket"), col("n"), col("forecast"),
           abs(col("n") - col("forecast")).as("abs_err"))
+    },
+
+    // Classical additive decomposition of the hourly count series
+    // (trend = centered 25-point moving average, seasonal = hour-of-day
+    // mean of the detrended series, residual = the rest). Trend rows are
+    // restricted to COMPLETE windows so the seasonal mean stays a ratio
+    // of exact integers (Σ(25n − wsum) / 25m) — every output is integer
+    // sums plus a fixed IEEE expression tree, so it hash-gates. Cost:
+    // one keyed collapse to (type, hour) then windows/aggregates over
+    // the collapsed frame, never the raw events.
+    "ts_decompose" -> { (s, dir) =>
+      val c = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("bucket"))
+        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(-12, 12)
+      val base = c.select(col("event_type"), col("bucket"), col("n"),
+          sum(col("n")).over(w).as("wsum"),
+          count(lit(1)).over(w).as("wcnt"))
+        .filter(col("wcnt") === 25)
+        .withColumn("hod", col("bucket") % 24)
+      val seas = base.groupBy(col("event_type"), col("hod"))
+        .agg(sum(lit(25) * col("n") - col("wsum")).as("s_num"),
+          (count(lit(1)) * 25).as("s_den"))
+      base.join(seas, Seq("event_type", "hod"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          (col("wsum") / 25.0).as("trend"),
+          (col("s_num").cast("double") / col("s_den")).as("seasonal"),
+          (col("n") - col("wsum") / 25.0 -
+            col("s_num").cast("double") / col("s_den")).as("residual"))
     },
 
     // Robust median/MAD outliers (50% breakdown point — the heavy-tail-
@@ -2507,6 +2581,30 @@ object SparkEntry {
         |FROM c AS a JOIN c AS f
         |  ON f.event_type = a.event_type AND f.bucket = a.bucket - 24""".stripMargin,
 
+    // Same complete-window restriction and integer-ratio seasonal mean;
+    // residual written as the identical left-associated IEEE expression.
+    "ts_decompose" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket, n,
+        |       CAST(sum(n) OVER win AS BIGINT) AS wsum,
+        |       count(*) OVER win AS wcnt
+        |      FROM c
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+        |                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |b AS (SELECT event_type, bucket, n, wsum, bucket % 24 AS hod
+        |      FROM w WHERE wcnt = 25),
+        |se AS (SELECT event_type, hod,
+        |        CAST(sum(25 * n - wsum) AS BIGINT) AS s_num,
+        |        CAST(count(*) * 25 AS BIGINT) AS s_den
+        |       FROM b GROUP BY 1, 2)
+        |SELECT b.event_type AS event_type, b.bucket AS bucket, b.n AS n,
+        |       b.wsum / 25.0 AS trend,
+        |       CAST(s_num AS DOUBLE) / s_den AS seasonal,
+        |       b.n - b.wsum / 25.0 - CAST(s_num AS DOUBLE) / s_den AS residual
+        |FROM b JOIN se ON b.event_type = se.event_type AND b.hod = se.hod""".stripMargin,
+
     "ts_mad_outliers" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |             FROM events GROUP BY 1),
@@ -3287,6 +3385,38 @@ object SparkEntry {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // Same DECIMAL moment sums and the same left-associated IEEE corr
+    // expression; the 3 pair rows come from the single aggregated CTE.
+    "rel_corr_matrix" ->
+      """WITH a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(13,6))) AS sq,
+        |  sum(CAST(l_extendedprice AS DECIMAL(13,6))) AS sp,
+        |  sum(CAST(l_discount AS DECIMAL(13,6))) AS sd,
+        |  sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(13,6))) AS sqq,
+        |  sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(13,6))) AS spp,
+        |  sum(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(13,6))) AS sdd,
+        |  sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(13,6))) AS sqp,
+        |  sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(13,6))) AS sqd,
+        |  sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(13,6))) AS spd
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty_price' AS pair, n,
+        |  (n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+        |  sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+        |       (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr
+        |FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'qty_disc' AS pair, n,
+        |  (n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        |  sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+        |       (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr
+        |FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'price_disc' AS pair, n,
+        |  (n * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        |  sqrt((n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) *
+        |       (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr
+        |FROM a""".stripMargin,
 
     "skew_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
