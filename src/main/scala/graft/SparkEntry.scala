@@ -742,6 +742,28 @@ object SparkEntry {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))),
 
+    // Key-skew profile of orders-per-customer — the operational report
+    // behind salting/AQE decisions: Gini concentration of the key load
+    // histogram plus the 5 heaviest keys with their load share. The
+    // ranked window runs over the COLLAPSED key frame (distinct keys,
+    // not rows) — at 100 TB the collapse is the only corpus-sized
+    // shuffle. Integer sums, two single divisions → hash-gates.
+    "rel_key_skew" -> { (s, dir) =>
+      val cnt = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      val ranked = cnt.select(col("o_custkey"), col("x"),
+        row_number().over(w).as("i"))
+      val tot = ranked.agg(sum(col("x")).as("sx"), count(lit(1)).as("nk"),
+        sum(col("i") * col("x")).as("six"))
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("i") > col("nk") - 5)
+        .select(col("o_custkey"), col("x").as("n_orders"),
+          (col("x").cast("double") / col("sx")).as("share"),
+          ((lit(2) * col("six") - (col("nk") + 1) * col("sx")).cast("double") /
+            (col("nk") * col("sx"))).as("gini"))
+    },
+
     // Pairwise Pearson correlation matrix over lineitem's numeric
     // columns, ONE scan: all moment sums accumulate in DECIMAL (exact,
     // fold-order-free), then each corr is a fixed IEEE expression tree
@@ -1818,6 +1840,12 @@ object SparkEntry {
     "text_perplexity" -> ((s, dir) =>
       TextAnalysis.perplexity(t(s, dir, "documents"))),
 
+    // Interpolated Kneser–Ney bigram probabilities (type-count
+    // continuation smoothing, the KenLM default) — exact integer counts,
+    // one IEEE expression per bigram, hash-gated.
+    "text_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.kneserNey(t(s, dir, "documents"))),
+
     // ── wave 8: graph analytics + warehouse CDC ───────────────────────
 
     // Degree distribution of the part co-purchase graph (parts sharing
@@ -2877,6 +2905,25 @@ object SparkEntry {
         |      FROM c)
         |SELECT w1, w2 AS top_next, pair_n, head_n FROM r WHERE rn = 1""".stripMargin,
 
+    // Same bigram type frame; the KN probability replicates the engine's
+    // expression tree term-for-term over the exact integer counts.
+    "text_kneser_ney" ->
+      """WITH tk AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |ix AS (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+        |       FROM tk WHERE len(toks) >= 2),
+        |p AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2 FROM ix),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY w1, w2),
+        |fwd AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+        |               CAST(count(*) AS BIGINT) AS n1_fwd FROM bi GROUP BY w1),
+        |bwd AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_bwd FROM bi GROUP BY w2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n1_all FROM bi)
+        |SELECT bi.w1, bi.w2, bi.c,
+        |       (greatest(bi.c - 0.75, 0.0) +
+        |        0.75 * n1_fwd * (CAST(n1_bwd AS DOUBLE) / n1_all)) / cw1 AS pkn
+        |FROM bi JOIN fwd ON bi.w1 = fwd.w1
+        |        JOIN bwd ON bi.w2 = bwd.w2
+        |        CROSS JOIN tot""".stripMargin,
+
     // Same corpus LM as text_bigram_lm, scored per document with the
     // identical add-k formula; ln-sum fold order absorbed by round(,6).
     "text_perplexity" ->
@@ -3385,6 +3432,18 @@ object SparkEntry {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "rel_key_skew" ->
+      """WITH cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+        |             FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, x,
+        |             row_number() OVER (ORDER BY x, o_custkey) AS i FROM cnt),
+        |t AS (SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS nk,
+        |             CAST(sum(i * x) AS BIGINT) AS six FROM r)
+        |SELECT o_custkey, x AS n_orders,
+        |       CAST(x AS DOUBLE) / sx AS share,
+        |       CAST(2 * six - (nk + 1) * sx AS DOUBLE) / (nk * sx) AS gini
+        |FROM r CROSS JOIN t WHERE i > nk - 5""".stripMargin,
 
     // Same DECIMAL moment sums and the same left-associated IEEE corr
     // expression; the 3 pair rows come from the single aggregated CTE.

@@ -351,6 +351,45 @@ object TextAnalysis {
       .select(col("w1"), col("w2").as("top_next"), col("pair_n"), col("head_n"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995, the
+    * smoothing behind KenLM-style corpus LMs): P(w2|w1) =
+    * (max(c(w1w2)−D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·), with the
+    * continuation probability Pcont(w2) = N1+(·w2)/N1+(··) counting
+    * bigram TYPES, not tokens — the "how many contexts does w2 complete"
+    * correction add-k smoothing lacks.
+    *
+    * Plan: the corpus explodes to bigrams once and collapses to the
+    * (w1, w2, c) type frame, which is persisted — the forward totals,
+    * backward type counts, and global type count are all aggregates of
+    * that bounded frame (vocabulary-sized, not corpus-sized), so nothing
+    * re-runs the explode (the bm25 lesson). Probabilities are one fixed
+    * IEEE expression over exact integer counts → hash-gates. */
+  def kneserNey(df: DataFrame, textCol: String = "text",
+      discount: Double = 0.75): DataFrame = {
+    val toks = col("__toks")
+    val pairs = transform(sequence(lit(0), size(toks) - 2),
+      i => struct(element_at(toks, i + 1).as("w1"),
+        element_at(toks, i + 2).as("w2")))
+    val bi = df
+      .select(tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fwd = bi.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1_fwd"))
+    val bwd = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1_bwd"))
+    val tot = bi.agg(count(lit(1)).as("n1_all"))
+    bi.join(fwd, Seq("w1")).join(bwd, Seq("w2")).crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c"),
+        ((greatest(col("c") - lit(discount), lit(0.0)) +
+          lit(discount) * col("n1_fwd") *
+            (col("n1_bwd").cast("double") / col("n1_all"))) / col("cw1"))
+          .as("pkn"))
+  }
+
   /** Per-document bigram-LM perplexity (the CCNet-style quality filter: a
     * count LM is trained over the corpus, then every document is scored by
     * how "ordinary" its token transitions are — high perplexity flags
