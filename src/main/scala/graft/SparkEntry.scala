@@ -1846,6 +1846,31 @@ object SparkEntry {
     "text_kneser_ney" -> ((s, dir) =>
       TextAnalysis.kneserNey(t(s, dir, "documents"))),
 
+    // RAKE keyword scoring (Rose et al. 2010): phrases are maximal
+    // stopword-free runs; word degree sums the lengths of the phrases
+    // each occurrence sits in, score = deg/freq. One token explode, one
+    // doc-partitioned running-count window to assign phrase ids, then
+    // vocabulary-sized aggregates — integer counts, single division.
+    "text_rake" -> { (s, dir) =>
+      val stops = Seq("a", "the")
+      val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seg = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+        .withColumn("pid",
+          sum(when(col("w").isin(stops: _*), 1).otherwise(0)).over(wnd))
+        .filter(!col("w").isin(stops: _*))
+      val plen = seg.groupBy(col("doc_id"), col("pid"))
+        .agg(count(lit(1)).as("plen"))
+      seg.join(plen, Seq("doc_id", "pid"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("w").as("word"), col("freq"), col("deg"),
+          (col("deg").cast("double") / col("freq")).as("score"))
+    },
+
     // ── wave 8: graph analytics + warehouse CDC ───────────────────────
 
     // Degree distribution of the part co-purchase graph (parts sharing
@@ -2923,6 +2948,24 @@ object SparkEntry {
         |FROM bi JOIN fwd ON bi.w1 = fwd.w1
         |        JOIN bwd ON bi.w2 = bwd.w2
         |        CROSS JOIN tot""".stripMargin,
+
+    // Same running-stopword-count segmentation and integer aggregates.
+    "text_rake" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |            FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, toks[i + 1] AS w
+        |        FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM tk)),
+        |seg AS (SELECT doc_id, pos, w,
+        |         sum(CASE WHEN w IN ('a','the') THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        |        FROM tok),
+        |ns AS (SELECT doc_id, pid, w FROM seg WHERE w NOT IN ('a','the')),
+        |pl AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+        |       FROM ns GROUP BY 1, 2)
+        |SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+        |       CAST(sum(plen) AS BIGINT) AS deg,
+        |       CAST(sum(plen) AS DOUBLE) / count(*) AS score
+        |FROM ns JOIN pl USING (doc_id, pid) GROUP BY w""".stripMargin,
 
     // Same corpus LM as text_bigram_lm, scored per document with the
     // identical add-k formula; ln-sum fold order absorbed by round(,6).
