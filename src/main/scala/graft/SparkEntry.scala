@@ -1228,6 +1228,12 @@ object SparkEntry {
     "ann_kmeans" -> ((s, dir) =>
       Similarity.kmeansQuantized(t(s, dir, "embeddings"), k = 8, iters = 2)),
 
+    // Dominant principal direction by 2-round power iteration on the
+    // quantized Gram matrix — integer-grid iterate, every reduction
+    // exact, loadings hash-gated (see Similarity scaladoc).
+    "ann_pca_power" -> ((s, dir) =>
+      Similarity.pcaPowerQuantized(t(s, dir, "embeddings"), iters = 2)),
+
     // ── deterministic sampling (training-split stability at 100 TB) ───
     // Membership from md5(key), not rand(): same subset every run, every
     // partitioning, every engine — the oracle recomputes it row-for-row.
@@ -2151,6 +2157,17 @@ object SparkEntry {
     * integer squared distance (ties → low cid), centroid update by
     * round(avg) back onto the int8 grid (`+ 0.0` canonicalizes −0.0),
     * and a final assignment aggregated per cluster. */
+  /** Shared int8-quantization CTEs (`e` raw vectors → `s` (vec_id, qv)) —
+    * the DuckDB replica of vectornative.quantize_int8, composed by every
+    * quantized-analytics oracle (k-means, SemDeDup, PCA power iteration). */
+  private val quantizeCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id,
+      |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+      |         THEN list_transform(v, x -> 0.0)
+      |         ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127))) END AS qv
+      |  FROM e)""".stripMargin
+
   /** Shared CTE chain of the quantized-k-means recurrence (quantize →
     * init → `iters` assign/update rounds → final assignment s{iters+1}
     * with (vec_id, qv, cid)) — composed by the kmeans oracle and the
@@ -2170,12 +2187,7 @@ object SparkEntry {
       assign(if (i == 1) "s" else s"s${i - 1}", s"c${i - 1}", i) + ",\n" + update(i))
       .mkString(",\n")
     val fin = iters + 1
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |s AS (SELECT vec_id,
-       |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
-       |         THEN list_transform(v, x -> 0.0)
-       |         ELSE list_transform(v, x -> round(x / (list_max(list_transform(v, y -> abs(y))) / 127))) END AS qv
-       |  FROM e),
+    s"""WITH $quantizeCtes,
        |c0 AS (SELECT vec_id AS cid, qv AS cv FROM s WHERE vec_id < 8),
        |$rounds,
        |${assign(s"s$iters", s"c$iters", fin)}""".stripMargin
@@ -2189,6 +2201,28 @@ object SparkEntry {
        |       CAST(min(vec_id) AS BIGINT) AS min_id, c$iters.cv AS centroid
        |FROM s$fin JOIN c$iters ON s$fin.cid = c$iters.cid
        |GROUP BY s$fin.cid, c$iters.cv""".stripMargin
+  }
+
+  /** PCA power-iteration oracle: Gram matrix from the shared quantize
+    * CTEs, then `iters` unrolled multiply/rescale rounds on the same
+    * 10⁶ integer grid as Similarity.pcaPowerQuantized. */
+  private def pcaPowerOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val prev = s"v${k - 1}"
+      s"""w$k AS (SELECT g.i, sum(g.g * $prev.v) AS w
+         |       FROM g JOIN $prev ON g.j = $prev.j GROUP BY g.i),
+         |m$k AS (SELECT max(abs(w)) AS mx FROM w$k),
+         |v$k AS (SELECT i AS j, round(w / mx * 1000000.0, 0) AS v
+         |       FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantizeCtes,
+       |g AS (SELECT a.i, b.j, CAST(sum(qv[CAST(a.i+1 AS INT)] * qv[CAST(b.j+1 AS INT)]) AS DOUBLE) AS g
+       |      FROM s, unnest(range(0, len(qv))) AS a(i), unnest(range(0, len(qv))) AS b(j)
+       |      GROUP BY a.i, b.j),
+       |v0 AS (SELECT i AS j, 1000000.0 AS v FROM (SELECT DISTINCT i FROM g)),
+       |$rounds
+       |SELECT j AS pos, v / sqrt(ss) AS loading
+       |FROM v$iters, (SELECT sum(v * v) AS ss FROM v$iters)""".stripMargin
   }
 
   /** SemDeDup oracle: replay the k-means routing (shared CTEs), then the
@@ -4122,6 +4156,7 @@ object SparkEntry {
 
     "ann_kmeans" -> kmeansOracleSql(2),
     "dedup_semantic" -> semanticDedupOracleSql(2, 3, 10),
+    "ann_pca_power" -> pcaPowerOracleSql(2),
 
     // Raw-vector cosine (the knn-label formula), thresholded not ranked.
     "ann_range_search" ->

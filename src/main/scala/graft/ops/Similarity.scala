@@ -562,6 +562,58 @@ object Similarity {
     (assign(finalCentroids), finalCentroids)
   }
 
+  /** Dominant principal direction of the int8-quantized corpus by
+    * fixed-round power iteration on the Gram matrix G = QᵀQ — the
+    * embedding-space diagnostic (anisotropy / dominant-direction removal)
+    * run before whitening or ABTT-style postprocessing.
+    *
+    * Exactness protocol (everything hash-gates):
+    *  - G accumulates integer products (int8 × int8), exact in any fold
+    *    order; the d×d frame is vocabulary-sized (d²), never corpus-sized.
+    *  - the iterate v is kept on an INTEGER grid: after each
+    *    multiply-accumulate w = G·v (exact — every product and partial
+    *    sum stays below 2^53), v′ = round(w / max|w| · 10⁶), one
+    *    deterministic IEEE division + round back onto the grid. No
+    *    accumulated-double sum ever crosses an exchange.
+    *  - the returned loadings are v/√(Σv²): exact integer sum, one sqrt,
+    *    one division per dim.
+    *
+    * Scale: G is one map-side-combined keyed aggregate over d² keys
+    * (N·d² products stream through partial aggregation; the exchange
+    * carries d² rows per partition). Each iteration joins the d²-row G
+    * with the d-row v — broadcast-sized both sides. At corpora where
+    * N·127² · 10⁶ nears 2^53 (N ≳ 5·10⁸), shrink the v grid a decade per
+    * 100× rows; the gate pins the 10⁶ grid at test SFs. */
+  def pcaPowerQuantized(vecs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 6, "iters in [1,6]")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val q = vecs.select(col("vec_id"),
+      graft.functions.vectornative
+        .quantize_int8(col("embedding").cast("array<double>")).as("qv"))
+    val g = q.select(col("qv"), posexplode(col("qv")))
+      .select(col("qv"), col("pos").as("i"), col("col").as("xi"))
+      .select(col("i"), col("xi"), posexplode(col("qv")))
+      .select(col("i"), col("pos").as("j"), (col("xi") * col("col")).as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+      .persist(lvl)
+    val v0 = g.select(col("i").as("j")).distinct()
+      .select(col("j"), lit(1000000.0).as("v"))
+    val vFin = (1 to iters).foldLeft(v0) { (v, _) =>
+      val w = g.join(v, Seq("j"))
+        .groupBy(col("i")).agg(sum(col("g") * col("v")).as("w"))
+        .persist(lvl)
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          round(col("w") / col("mx") * 1000000.0, 0).as("v"))
+        .persist(lvl)
+    }
+    val nrm = vFin.agg(sum(col("v") * col("v")).as("ss"))
+    vFin.crossJoin(broadcast(nrm))
+      .select(col("j").cast("long").as("pos"),
+        (col("v") / sqrt(col("ss"))).as("loading"))
+  }
+
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
