@@ -742,6 +742,17 @@ object SparkEntry {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))),
 
+    // Deterministic column masking for governed exports: digits
+    // structurally masked (length/format preserved) plus a stable md5
+    // pseudonym — the same masking on every engine/rerun, so masked
+    // extracts stay joinable on the pseudonym.
+    "rel_masking" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+          substring(md5(col("c_name")), 1, 12).as("pseudonym"),
+          col("c_mktsegment"))),
+
     // Key-skew profile of orders-per-customer — the operational report
     // behind salting/AQE decisions: Gini concentration of the key load
     // histogram plus the 5 heaviest keys with their load share. The
@@ -1273,6 +1284,25 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
         .orderBy(col("h"), col("doc_id")).limit(100)
         .select(col("doc_id"))),
+
+    // Class-balanced downsample: every language kept at exactly the
+    // MINORITY class size, the target derived IN-PLAN (1-row broadcast
+    // min, no driver collect) and membership by seeded md5 rank — the
+    // imbalance fix run before classifier fine-tuning. id_sum pins the
+    // selected SET, not just the counts.
+    "sample_balance" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val tgt = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("k"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      d.select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(tgt))
+        .filter(col("rk") <= col("k"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    },
 
     // Deterministic sharded negative sampling (contrastive-training
     // partners from a hash ring, not an RNG): rerun/partition/engine-
@@ -3509,6 +3539,24 @@ object SparkEntry {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "rel_masking" ->
+      """SELECT c_custkey,
+        |       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+        |       substr(md5(c_name), 1, 12) AS pseudonym,
+        |       c_mktsegment
+        |FROM customer""".stripMargin,
+
+    "sample_balance" ->
+      """WITH tgt AS (SELECT min(n) AS k FROM (
+        |       SELECT lang, count(*) AS n FROM documents GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |       row_number() OVER (PARTITION BY lang
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r, tgt WHERE rk <= k GROUP BY lang""".stripMargin,
 
     "rel_key_skew" ->
       """WITH cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
