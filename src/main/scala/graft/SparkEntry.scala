@@ -1887,25 +1887,8 @@ object SparkEntry {
     // each occurrence sits in, score = deg/freq. One token explode, one
     // doc-partitioned running-count window to assign phrase ids, then
     // vocabulary-sized aggregates — integer counts, single division.
-    "text_rake" -> { (s, dir) =>
-      val stops = Seq("a", "the")
-      val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val seg = t(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(TextAnalysis.tokens(col("text"))))
-        .select(col("doc_id"), col("pos"), col("col").as("w"))
-        .withColumn("pid",
-          sum(when(col("w").isin(stops: _*), 1).otherwise(0)).over(wnd))
-        .filter(!col("w").isin(stops: _*))
-      val plen = seg.groupBy(col("doc_id"), col("pid"))
-        .agg(count(lit(1)).as("plen"))
-      seg.join(plen, Seq("doc_id", "pid"))
-        .groupBy(col("w"))
-        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-        .select(col("w").as("word"), col("freq"), col("deg"),
-          (col("deg").cast("double") / col("freq")).as("score"))
-    },
+    "text_rake" -> ((s, dir) =>
+      TextAnalysis.rake(t(s, dir, "documents"), stopwords = Seq("a", "the"))),
 
     // ── wave 8: graph analytics + warehouse CDC ───────────────────────
 

@@ -390,6 +390,33 @@ object TextAnalysis {
           .as("pkn"))
   }
 
+  /** RAKE keyword scoring (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; word degree accumulates the length
+    * of every phrase each occurrence sits in; score = deg/freq (words
+    * that travel in long phrases beat frequent-but-isolated ones). One
+    * corpus token explode + a doc-partitioned running-count window to
+    * assign phrase ids, then vocabulary-sized aggregates — integer
+    * counts, one division. */
+  def rake(df: DataFrame, stopwords: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wnd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = df
+      .select(col(idCol), posexplode(tokens(col(textCol))))
+      .select(col(idCol), col("pos"), col("col").as("w"))
+      .withColumn("pid",
+        sum(when(col("w").isin(stopwords: _*), 1).otherwise(0)).over(wnd))
+      .filter(!col("w").isin(stopwords: _*))
+    val plen = seg.groupBy(col(idCol), col("pid"))
+      .agg(count(lit(1)).as("plen"))
+    seg.join(plen, Seq(idCol, "pid"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w").as("word"), col("freq"), col("deg"),
+        (col("deg").cast("double") / col("freq")).as("score"))
+  }
+
   /** Per-document bigram-LM perplexity (the CCNet-style quality filter: a
     * count LM is trained over the corpus, then every document is scored by
     * how "ordinary" its token transitions are — high perplexity flags

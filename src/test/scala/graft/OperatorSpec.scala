@@ -1852,4 +1852,85 @@ class OperatorSpec extends SparkSuite {
         assert(mid._2 <= t._1 + 0.125, s"$lang middle/tail overlap: $m")
     }
   }
+
+  test("semantic dedup: lowest id survives a planted near-dup group; outlier kept") {
+    import spark.implicits._
+    val dim = 64
+    // ids 0..5: one tight group along e0 (pairwise cosine ≈ 1);
+    // id 6: orthogonal outlier along e1
+    val group = (0 until 6).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = 1.0f; v(1) = 0.001f * i
+      (i.toLong, v)
+    }
+    val outlier = {
+      val v = Array.fill(dim)(0.0f); v(1) = 1.0f
+      (6L, v)
+    }
+    val vecs = (group :+ outlier).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, k = 1, iters = 1,
+        tauNum = 9, tauDen = 10)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out(0L), "group representative (lowest id) must survive")
+    assert(out(6L), "orthogonal outlier must survive")
+    assert((1 to 5).forall(i => !out(i.toLong)), s"dups not dropped: $out")
+  }
+
+  test("bounded closeness: path-graph closed form, ball truncated at k hops") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.closenessBounded(edges, seeds, rounds = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // 3 rounds from node 1 reach {1,2,3,4} (node 5 is 4 hops away):
+    // sum of distances 0+1+2+3 = 6, closeness (4-1)/6 = 0.5
+    assert(out == Seq((1L, 4L, 6L, 0.5)), s"got $out")
+  }
+
+  test("pca power iteration: recovers a planted dominant axis at unit norm") {
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(5)
+    val pts = (0 until 200).map { i =>
+      val v = Array.fill(dim)(0.05 * rnd.nextGaussian())
+      v(7) += (if (i % 2 == 0) 1.0 else -1.0)
+      (i.toLong, v.map(_.toFloat))
+    }
+    val out = Similarity.pcaPowerQuantized(pts.toDF("vec_id", "embedding"),
+        iters = 2)
+      .as[(Long, Double)].collect().toMap
+    val norm = math.sqrt(out.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9, s"loadings not unit norm: $norm")
+    assert(math.abs(out(7L)) > 0.9, s"dominant axis not found: ${out(7L)}")
+  }
+
+  test("kneser-ney: closed form on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val kn = TextAnalysis.kneserNey(docs)
+      .select("w1", "w2", "pkn").as[(String, String, Double)].collect()
+      .map { case (w1, w2, p) => (w1, w2) -> p }.toMap
+    // c(a,b)=2, c(a,c)=1, cw1(a)=3, N1+(a·)=2, N1+(·b)=N1+(·c)=1, N1+(··)=2
+    assert(kn(("a", "b")) == (2 - 0.75 + 0.75 * 2 * 0.5) / 3)
+    assert(kn(("a", "c")) == (0.25 + 0.75 * 2 * 0.5) / 3)
+    // observed mass is the full mass here (no unseen continuation of 'a'
+    // has backoff weight: 'a' never occurs as a second token)
+    assert(math.abs(kn(("a", "b")) + kn(("a", "c")) - 1.0) < 1e-15)
+  }
+
+  test("rake: phrase segmentation at stopwords, deg sums phrase lengths") {
+    import spark.implicits._
+    val docs = Seq((0L, "a big fox the red dog"),
+      (1L, "big fox")).toDF("doc_id", "text")
+    val out = TextAnalysis.rake(docs, stopwords = Seq("a", "the"))
+      .select("word", "freq", "deg", "score")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // phrases: [big fox] ×2, [red dog] ×1
+    assert(out("big") == ((2L, 4L, 2.0)), s"got ${out("big")}")
+    assert(out("fox") == ((2L, 4L, 2.0)))
+    assert(out("red") == ((1L, 2L, 2.0)))
+    assert(out("dog") == ((1L, 2L, 2.0)))
+    assert(!out.contains("a") && !out.contains("the"))
+  }
 }
