@@ -1992,6 +1992,17 @@ object SparkEntry {
       Graph.closenessBounded(ed, seeds, rounds = 3)
     },
 
+    // Seed-sampled bounded Brandes betweenness (3-hop, same seed set):
+    // σ forward in exact integers, δ backward as the unrolled dependency
+    // recurrence, round(,6) absorbing δ's last-ulp fold drift.
+    "graph_betweenness" -> { (s, dir) =>
+      val ed = coPurchaseEdges(s, dir)
+      val seeds = ed.select(col("a").as("node"))
+        .unionAll(ed.select(col("b").as("node"))).distinct()
+        .filter(col("node") % 97 === 0)
+      Graph.betweennessBounded(ed, seeds)
+    },
+
     // 2 rounds of 2-core peeling over the co-purchase graph (drop
     // degree<2 nodes, recount on the induced subgraph) — the densest-
     // region filter, fixed-round for oracle replay.
@@ -3116,6 +3127,59 @@ object SparkEntry {
          |            THEN CAST(count(*) - 1 AS DOUBLE) / sum(dist)
          |            ELSE 0.0 END AS closeness
          |FROM d3 GROUP BY seed""".stripMargin,
+
+    // Same per-seed BFS layers; σ/δ recurrences replayed join-for-join.
+    "graph_betweenness" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b AS src, a AS dst FROM ed),
+         |seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 97 = 0),
+         |d0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         |d1 AS (SELECT seed, node, min(dist) AS dist FROM (
+         |        SELECT seed, node, dist FROM d0 UNION ALL
+         |        SELECT d.seed, s.dst AS node, d.dist + 1 AS dist
+         |        FROM d0 d JOIN sym s ON d.node = s.src) GROUP BY seed, node),
+         |d2 AS (SELECT seed, node, min(dist) AS dist FROM (
+         |        SELECT seed, node, dist FROM d1 UNION ALL
+         |        SELECT d.seed, s.dst AS node, d.dist + 1 AS dist
+         |        FROM d1 d JOIN sym s ON d.node = s.src) GROUP BY seed, node),
+         |df AS (SELECT seed, node, min(dist) AS dist FROM (
+         |        SELECT seed, node, dist FROM d2 UNION ALL
+         |        SELECT d.seed, s.dst AS node, d.dist + 1 AS dist
+         |        FROM d2 d JOIN sym s ON d.node = s.src) GROUP BY seed, node),
+         |s0 AS (SELECT seed, node, CAST(1 AS BIGINT) AS sigma FROM df WHERE dist = 0),
+         |s1 AS (SELECT df.seed, df.node, CAST(sum(s0.sigma) AS BIGINT) AS sigma
+         |       FROM df JOIN sym ON df.node = sym.dst
+         |            JOIN s0 ON s0.seed = df.seed AND s0.node = sym.src
+         |       WHERE df.dist = 1 GROUP BY df.seed, df.node),
+         |s2 AS (SELECT df.seed, df.node, CAST(sum(s1.sigma) AS BIGINT) AS sigma
+         |       FROM df JOIN sym ON df.node = sym.dst
+         |            JOIN s1 ON s1.seed = df.seed AND s1.node = sym.src
+         |       WHERE df.dist = 2 GROUP BY df.seed, df.node),
+         |s3 AS (SELECT df.seed, df.node, CAST(sum(s2.sigma) AS BIGINT) AS sigma
+         |       FROM df JOIN sym ON df.node = sym.dst
+         |            JOIN s2 ON s2.seed = df.seed AND s2.node = sym.src
+         |       WHERE df.dist = 3 GROUP BY df.seed, df.node),
+         |b3 AS (SELECT seed, node, sigma, 0.0 AS delta FROM s3),
+         |c2 AS (SELECT s2.seed, s2.node,
+         |        sum((s2.sigma / b3.sigma) * (1.0 + b3.delta)) AS d
+         |       FROM s2 JOIN sym ON s2.node = sym.src
+         |            JOIN b3 ON b3.seed = s2.seed AND b3.node = sym.dst
+         |       GROUP BY s2.seed, s2.node),
+         |b2 AS (SELECT s2.seed, s2.node, s2.sigma, coalesce(c2.d, 0.0) AS delta
+         |       FROM s2 LEFT JOIN c2 ON c2.seed = s2.seed AND c2.node = s2.node),
+         |c1 AS (SELECT s1.seed, s1.node,
+         |        sum((s1.sigma / b2.sigma) * (1.0 + b2.delta)) AS d
+         |       FROM s1 JOIN sym ON s1.node = sym.src
+         |            JOIN b2 ON b2.seed = s1.seed AND b2.node = sym.dst
+         |       GROUP BY s1.seed, s1.node),
+         |b1 AS (SELECT s1.seed, s1.node, s1.sigma, coalesce(c1.d, 0.0) AS delta
+         |       FROM s1 LEFT JOIN c1 ON c1.seed = s1.seed AND c1.node = s1.node)
+         |SELECT node, round(sum(delta), 6) AS betweenness
+         |FROM (SELECT node, delta FROM b1 UNION ALL
+         |      SELECT node, delta FROM b2 UNION ALL
+         |      SELECT node, delta FROM b3)
+         |GROUP BY node""".stripMargin,
 
     "graph_kcore" ->
       s"""WITH $coPurchaseCte,

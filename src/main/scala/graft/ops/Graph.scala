@@ -231,13 +231,11 @@ object Graph {
     * over the ≤`rounds`-hop ball, the k-bounded estimator used at scale
     * where full-diameter per-node BFS is unaffordable. Integer counts and
     * distance sums, one final IEEE division → hash-gates exactly. */
-  def closenessBounded(edges: DataFrame, seeds: DataFrame,
+  /** Per-seed BFS distance frame (seed, node, dist ≤ rounds): every seed
+    * advances through the same join+min relaxations in one keyed pass.
+    * Shared by [[closenessBounded]] and [[betweennessBounded]]. */
+  private def perSeedDistances(sym: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist(lvl)
     val init = seeds.select(col("node").as("seed"), col("node"),
       lit(0L).as("dist"))
     val (fin, _) = (1 to rounds).foldLeft((init, Set.empty[Int])) {
@@ -251,12 +249,83 @@ object Graph {
           .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist")),
           ids)
     }
-    fin.groupBy(col("seed"))
+    fin
+  }
+
+  def closenessBounded(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(lvl)
+    perSeedDistances(sym, seeds, rounds).groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
       .select(col("seed"), col("n_reached"), col("sum_dist"),
         when(col("sum_dist") > 0,
             (col("n_reached") - 1).cast("double") / col("sum_dist"))
           .otherwise(lit(0.0)).as("closeness"))
+  }
+
+  /** Seed-sampled bounded betweenness centrality (Brandes 2001, the
+    * sampled estimator of Brandes–Pich 2007, truncated at 3 hops): for
+    * each sampled seed, shortest-path counts σ accumulate FORWARD layer
+    * by layer (a node at depth d sums σ of its depth-(d−1) neighbors —
+    * exact integers), then dependencies δ accumulate BACKWARD
+    * (δ(v) = Σ_{w∈succ(v)} σv/σw · (1+δw)); a node's betweenness is its
+    * δ summed over seeds. Layers are fixed-depth, so the whole recurrence
+    * unrolls into joins the oracle replays; δ is an IEEE sum whose fold
+    * order drifts in the last ulps, absorbed by round(·,6) on output —
+    * the pagerank precedent.
+    *
+    * Scale: every step is an equi-join of a (seed, node) frame with the
+    * symmetric edge list — the frontier-frame shape of the BFS family;
+    * no per-source sequential pass, no all-pairs. Seeds bound total cost
+    * linearly (the sampling IS the estimator); depth bounds the ball. */
+  def betweennessBounded(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(lvl)
+    val dist = perSeedDistances(sym, seeds, rounds = 3).persist(lvl)
+    def layer(d: Int) = dist.filter(col("dist") === d)
+    val s0 = layer(0).select(col("seed"), col("node"), lit(1L).as("sigma"))
+      .persist(lvl)
+    def fwd(prev: DataFrame, d: Int): DataFrame = {
+      val p = prev.select(col("seed").as("pseed"), col("node").as("pnode"),
+        col("sigma").as("psigma"))
+      layer(d).select(col("seed"), col("node"))
+        .join(sym, col("node") === col("dst"))
+        .join(p, col("pseed") === col("seed") && col("pnode") === col("src"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("psigma")).as("sigma"))
+        .persist(lvl)
+    }
+    val s1 = fwd(s0, 1)
+    val s2 = fwd(s1, 2)
+    val s3 = fwd(s2, 3)
+    val b3 = s3.select(col("seed"), col("node"), col("sigma"),
+      lit(0.0).as("delta"))
+    def bwd(next: DataFrame, cur: DataFrame): DataFrame = {
+      val nx = next.select(col("seed").as("nseed"), col("node").as("nnode"),
+        col("sigma").as("nsigma"), col("delta").as("ndelta"))
+      val contrib = cur.join(sym, col("node") === col("src"))
+        .join(nx, col("nseed") === col("seed") && col("nnode") === col("dst"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum((col("sigma") / col("nsigma")) * (lit(1.0) + col("ndelta")))
+          .as("d"))
+      cur.join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("d"), lit(0.0)).as("delta"))
+        .persist(lvl)
+    }
+    val b2 = bwd(b3, s2)
+    val b1 = bwd(b2, s1)
+    b1.select(col("node"), col("delta"))
+      .unionAll(b2.select(col("node"), col("delta")))
+      .unionAll(b3.select(col("node"), col("delta")))
+      .groupBy(col("node"))
+      .agg(round(sum(col("delta")), 6).as("betweenness"))
   }
 
   /** Bounded k-core peeling: `rounds` rounds of "drop every node with

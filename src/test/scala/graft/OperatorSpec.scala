@@ -1887,6 +1887,16 @@ class OperatorSpec extends SparkSuite {
     assert(out == Seq((1L, 4L, 6L, 0.5)), s"got $out")
   }
 
+  test("bounded betweenness: path-graph dependency closed form") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.betweennessBounded(edges, seeds)
+      .as[(Long, Double)].collect().toMap
+    // from seed 1 truncated at 3 hops: δ(4)=0, δ(3)=1·(1+0)=1, δ(2)=1·(1+1)=2
+    assert(out == Map(2L -> 2.0, 3L -> 1.0, 4L -> 0.0), s"got $out")
+  }
+
   test("pca power iteration: recovers a planted dominant axis at unit norm") {
     import spark.implicits._
     val dim = 64
