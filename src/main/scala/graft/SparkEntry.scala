@@ -742,6 +742,23 @@ object SparkEntry {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))),
 
+    // Small-file compaction plan: per-day "files" (bytes proxied by row
+    // count) packed into contiguous ~25 KB bins by cumulative-sum
+    // bucketing — the planner a table service runs before rewriting a
+    // fragmented partition. The window runs over the collapsed day
+    // frame; integer cumsum, floor-division bin ids → hash-gates.
+    "rel_compaction_plan" -> { (s, dir) =>
+      val f = t(s, dir, "orders").groupBy(col("o_orderdate").as("day"))
+        .agg((count(lit(1)) * 100).as("bytes"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      f.withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", ((col("cum") - col("bytes")) / 25000).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+    },
+
     // Deterministic column masking for governed exports: digits
     // structurally masked (length/format preserved) plus a stable md5
     // pseudonym — the same masking on every engine/rerun, so masked
@@ -1244,6 +1261,12 @@ object SparkEntry {
     // exact, loadings hash-gated (see Similarity scaladoc).
     "ann_pca_power" -> ((s, dir) =>
       Similarity.pcaPowerQuantized(t(s, dir, "embeddings"), iters = 2)),
+
+    // All-but-the-top anisotropy correction: projection onto the PCA
+    // direction + residual norm via ‖q‖² − (q·v)², per-row fixed IEEE
+    // trees over the broadcast unit direction.
+    "ann_whiten" -> ((s, dir) =>
+      Similarity.removeDominantDirection(t(s, dir, "embeddings"), iters = 2)),
 
     // ── deterministic sampling (training-split stability at 100 TB) ───
     // Membership from md5(key), not rand(): same subset every run, every
@@ -2230,7 +2253,10 @@ object SparkEntry {
   /** PCA power-iteration oracle: Gram matrix from the shared quantize
     * CTEs, then `iters` unrolled multiply/rescale rounds on the same
     * 10⁶ integer grid as Similarity.pcaPowerQuantized. */
-  private def pcaPowerOracleSql(iters: Int): String = {
+  /** Shared CTE chain of the power-iteration recurrence (quantize → Gram
+    * → `iters` multiply/rescale rounds ending at v{iters}), composed by
+    * the PCA oracle and the whitening oracle. */
+  private def pcaCtes(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       val prev = s"v${k - 1}"
       s"""w$k AS (SELECT g.i, sum(g.g * $prev.v) AS w
@@ -2244,10 +2270,26 @@ object SparkEntry {
        |      FROM s, unnest(range(0, len(qv))) AS a(i), unnest(range(0, len(qv))) AS b(j)
        |      GROUP BY a.i, b.j),
        |v0 AS (SELECT i AS j, 1000000.0 AS v FROM (SELECT DISTINCT i FROM g)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def pcaPowerOracleSql(iters: Int): String =
+    s"""${pcaCtes(iters)}
        |SELECT j AS pos, v / sqrt(ss) AS loading
        |FROM v$iters, (SELECT sum(v * v) AS ss FROM v$iters)""".stripMargin
-  }
+
+  /** Whitening oracle: unit direction from the shared PCA CTEs, then the
+    * same fixed-order dot products and the ‖q‖² − proj² residual. */
+  private def whitenOracleSql(iters: Int): String =
+    s"""${pcaCtes(iters)},
+       |varr AS (SELECT list(v / sqrt(ss) ORDER BY j) AS v
+       |         FROM v$iters, (SELECT sum(v * v) AS ss FROM v$iters)),
+       |pr AS (SELECT vec_id,
+       |        list_reduce(list_transform(range(0, len(qv)),
+       |          i -> qv[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)]), (a,b) -> a + b) AS proj,
+       |        list_reduce(list_transform(qv, z -> z*z), (a,b) -> a + b) AS qq
+       |       FROM s, varr)
+       |SELECT vec_id, proj, sqrt(qq - proj * proj) AS res_norm FROM pr""".stripMargin
 
   /** SemDeDup oracle: replay the k-means routing (shared CTEs), then the
     * same integer-exact within-cluster cosine test and lower-id drop rule
@@ -3587,6 +3629,17 @@ object SparkEntry {
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
+    "rel_compaction_plan" ->
+      """WITH f AS (SELECT o_orderdate AS day, CAST(count(*) * 100 AS BIGINT) AS bytes
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT day, bytes,
+        |       CAST(sum(bytes) OVER (ORDER BY day) AS BIGINT) AS cum FROM f)
+        |SELECT CAST((cum - bytes) // 25000 AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |       min(day) AS min_day, max(day) AS max_day
+        |FROM c GROUP BY 1""".stripMargin,
+
     "rel_masking" ->
       """SELECT c_custkey,
         |       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
@@ -4252,6 +4305,7 @@ object SparkEntry {
     "ann_kmeans" -> kmeansOracleSql(2),
     "dedup_semantic" -> semanticDedupOracleSql(2, 3, 10),
     "ann_pca_power" -> pcaPowerOracleSql(2),
+    "ann_whiten" -> whitenOracleSql(2),
 
     // Raw-vector cosine (the knn-label formula), thresholded not ranked.
     "ann_range_search" ->

@@ -556,14 +556,20 @@ object Graph {
       .unionAll(ed.select(col("dst").as("node_id"))).distinct().persist(lvl)
     var hub = nodes.select(col("node_id"), lit(1.0).as("hub"))
     var auth = nodes.select(col("node_id"), lit(1.0).as("auth"))
+    // localCheckpoint each half-round (the kCorePeel pattern): with
+    // persist-only, the LOGICAL plan still chains through every prior
+    // round and each broadcast-max job re-optimizes the whole growing
+    // tree — measured 60 s for 3 iterations at sf0.1, superlinear in
+    // iters; checkpointing makes plan and optimizer cost linear.
+    var prevIds = Set.empty[Int]
     for (_ <- 1 to iters) {
       val a = ed
         .join(hub.withColumnRenamed("node_id", "src"), "src")
         .groupBy(col("dst").as("node_id"))
         .agg(sum(col("hub")).as("__a"))
-      val aFull = nodes.join(a, Seq("node_id"), "left")
-        .select(col("node_id"), coalesce(col("__a"), lit(0.0)).as("__a"))
-        .persist(lvl)
+      val (aFull, aIds) = checkpointRound(
+        nodes.join(a, Seq("node_id"), "left")
+          .select(col("node_id"), coalesce(col("__a"), lit(0.0)).as("__a")))
       val aMax = broadcast(aFull.agg(max(col("__a")).as("__amx")))
       auth = aFull.crossJoin(aMax)
         .select(col("node_id"), (col("__a") / col("__amx")).as("auth"))
@@ -571,12 +577,16 @@ object Graph {
         .join(auth.withColumnRenamed("node_id", "dst"), "dst")
         .groupBy(col("src").as("node_id"))
         .agg(sum(col("auth")).as("__h"))
-      val hFull = nodes.join(h, Seq("node_id"), "left")
-        .select(col("node_id"), coalesce(col("__h"), lit(0.0)).as("__h"))
-        .persist(lvl)
+      val (hFull, hIds) = checkpointRound(
+        nodes.join(h, Seq("node_id"), "left")
+          .select(col("node_id"), coalesce(col("__h"), lit(0.0)).as("__h")))
       val hMax = broadcast(hFull.agg(max(col("__h")).as("__hmx")))
       hub = hFull.crossJoin(hMax)
         .select(col("node_id"), (col("__h") / col("__hmx")).as("hub"))
+      // the superseded round's blocks are no longer reachable once this
+      // round's checkpoints exist (the last round's stay live for output)
+      freeRound(hFull, prevIds)
+      prevIds = aIds ++ hIds
     }
     auth.join(hub, Seq("node_id"))
       .select(col("node_id"), round(col("auth"), 6).as("auth"),

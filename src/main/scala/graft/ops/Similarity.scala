@@ -614,6 +614,32 @@ object Similarity {
         (col("v") / sqrt(col("ss"))).as("loading"))
   }
 
+  /** All-but-the-top-style dominant-direction removal (Mu & Viswanath
+    * 2018): project every quantized vector onto the [[pcaPowerQuantized]]
+    * direction and report the projection and the residual norm. Because
+    * the direction is unit-norm, ‖q − (q·v)v‖² = ‖q‖² − (q·v)² — one
+    * per-row expression, no second pass over the vector. q·v runs in the
+    * codegen'd fixed-order DotProduct (engine-parity proven by the
+    * cosine family), ‖q‖² is an exact integer, so the outputs are fixed
+    * IEEE trees → hash-gate. The direction travels as a 1-row broadcast
+    * (no driver collect). */
+  def removeDominantDirection(vecs: DataFrame, iters: Int): DataFrame = {
+    import graft.functions.native.dot_product
+    val vArr = pcaPowerQuantized(vecs, iters)
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("loading")))),
+        x => x("loading")).as("v"))
+    val q = vecs.select(col("vec_id"),
+      graft.functions.vectornative
+        .quantize_int8(col("embedding").cast("array<double>")).as("qv"))
+    q.crossJoin(broadcast(vArr))
+      .select(col("vec_id"),
+        dot_product(col("qv"), col("v")).as("proj"),
+        dot_product(col("qv"), col("qv")).as("qq"))
+      .select(col("vec_id"), col("proj"),
+        sqrt(col("qq") - col("proj") * col("proj")).as("res_norm"))
+  }
+
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
