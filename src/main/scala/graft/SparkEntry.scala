@@ -1299,6 +1299,29 @@ object SparkEntry {
         temperature = 2.0)
         .select(col("doc_id"), col("lang"))),
 
+    // Poisson(1) bootstrap (the distributed bootstrap for massive data:
+    // per-row replicate weights w ~ Poisson(1) instead of resampling —
+    // one scan builds ALL replicates): the draw is the stable md5 key
+    // salted by replicate id, the inverse CDF is integer thresholds on
+    // the 1e6 grid, and each replicate total accumulates in DECIMAL —
+    // every replicate is rerun/partition/engine-identical.
+    "sample_bootstrap" -> { (s, dir) =>
+      val reps = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(array(lit(1), lit(2), lit(3))).as("rep"))
+        .withColumn("u", Sampling.drawOf(
+          concat(col("o_orderkey").cast("string"), lit(":"),
+            col("rep").cast("string"))))
+        .withColumn("w",
+          when(col("u") < 367879, 0).when(col("u") < 735758, 1)
+            .when(col("u") < 919698, 2).when(col("u") < 981011, 3)
+            .when(col("u") < 996340, 4).otherwise(5))
+      reps.groupBy(col("rep"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum((col("w") * col("o_totalprice")).cast("decimal(38,6)"))
+            .cast("double").as("boot_total"))
+    },
+
     // Exact-size deterministic sample: the k smallest md5 draws (a
     // consistent sample is binomial-sized; eval sets often need EXACTLY
     // k). TakeOrdered is k-bounded per partition — no global sort.
@@ -4479,6 +4502,23 @@ object SparkEntry {
         |         i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))))
         |         AS BIGINT) AS n_shingles
         |FROM tk""".stripMargin,
+
+    // Same salted md5 draw and integer inverse-CDF thresholds.
+    "sample_bootstrap" ->
+      """WITH r AS (SELECT o_orderkey, o_totalprice, unnest([1, 2, 3]) AS rep
+        |           FROM orders),
+        |u AS (SELECT rep, o_totalprice,
+        |       CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |         || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u
+        |      FROM r),
+        |w AS (SELECT rep, o_totalprice,
+        |       CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |            WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |            WHEN u < 996340 THEN 4 ELSE 5 END AS w
+        |      FROM u)
+        |SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+        |       CAST(sum(CAST(w * o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS boot_total
+        |FROM w GROUP BY rep""".stripMargin,
 
     "sample_consistent" ->
       """SELECT doc_id FROM documents

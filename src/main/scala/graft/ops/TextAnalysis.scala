@@ -497,9 +497,13 @@ object TextAnalysis {
     * Output: (doc_id, lang, ppl, bucket ∈ head|middle|tail). */
   def perplexityBuckets(df: DataFrame, textCol: String = "text",
       langCol: String = "lang", alpha: Double = 0.5): DataFrame = {
+    // referenced by the bucket-bounds chain AND the final labeling join:
+    // persist, or the whole perplexity corpus pass runs twice (the bm25
+    // lesson; before/after in BASELINE.md)
     val scored = perplexity(df, textCol, alpha)
       .join(df.select(col("doc_id"), col(langCol)), Seq("doc_id"))
       .withColumn("__bin", floor(col("ppl") * 8).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bins = scored.groupBy(col(langCol), col("__bin"))
       .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(col(langCol)).orderBy(col("__bin"))
