@@ -1697,27 +1697,19 @@ object SparkEntry {
     // sums plus a fixed IEEE expression tree, so it hash-gates. Cost:
     // one keyed collapse to (type, hour) then windows/aggregates over
     // the collapsed frame, never the raw events.
-    "ts_decompose" -> { (s, dir) =>
-      val c = t(s, dir, "events")
-        .select(col("event_type"),
-          expr("unix_micros(ts) div 3600000000L").as("bucket"))
-        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
-        .rowsBetween(-12, 12)
-      val base = c.select(col("event_type"), col("bucket"), col("n"),
-          sum(col("n")).over(w).as("wsum"),
-          count(lit(1)).over(w).as("wcnt"))
-        .filter(col("wcnt") === 25)
-        .withColumn("hod", col("bucket") % 24)
-      val seas = base.groupBy(col("event_type"), col("hod"))
-        .agg(sum(lit(25) * col("n") - col("wsum")).as("s_num"),
-          (count(lit(1)) * 25).as("s_den"))
-      base.join(seas, Seq("event_type", "hod"))
-        .select(col("event_type"), col("bucket"), col("n"),
-          (col("wsum") / 25.0).as("trend"),
-          (col("s_num").cast("double") / col("s_den")).as("seasonal"),
-          (col("n") - col("wsum") / 25.0 -
-            col("s_num").cast("double") / col("s_den")).as("residual"))
+    "ts_decompose" -> ((s, dir) =>
+      TimeSeries.decompose(t(s, dir, "events"), "ts", "event_type")),
+
+    // Decomposition-residual anomalies: the residual channel of
+    // ts_decompose scored with the robust median/MAD z (madOutliers) —
+    // seasonality-aware anomaly detection, vs ts_mad_outliers' raw-value
+    // screen. The decomposed frame is persisted: med/MAD broadcasts and
+    // the final join are three references.
+    "ts_decompose_anomaly" -> { (s, dir) =>
+      val d = TimeSeries.decompose(t(s, dir, "events"), "ts", "event_type")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      TimeSeries.madOutliers(d, keyCol = "event_type", idCol = "bucket",
+        valueCol = "residual", threshold = 3.0)
     },
 
     // Robust median/MAD outliers (50% breakdown point — the heavy-tail-
@@ -1936,6 +1928,11 @@ object SparkEntry {
     "text_rake" -> ((s, dir) =>
       TextAnalysis.rake(t(s, dir, "documents"), stopwords = Seq("a", "the"))),
 
+    // Per-doc top-3 TF-IDF terms (smoothed sklearn idf), ties by term —
+    // one persisted explode, vocabulary-sized df, 1-row N broadcast.
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 3)),
+
     // ── wave 8: graph analytics + warehouse CDC ───────────────────────
 
     // Degree distribution of the part co-purchase graph (parts sharing
@@ -1986,6 +1983,12 @@ object SparkEntry {
       Graph.hits(e.select(col("c").as("src"), (-col("su") - 1).as("dst")),
         "src", "dst", iters = 3)
     },
+
+    // Local clustering coefficient from the canonical triangle join —
+    // per-node triangle credit via one explode, wedge capacity from the
+    // degree frame; integer counts, one division.
+    "graph_clustering_coeff" -> ((s, dir) =>
+      Graph.clusteringCoefficient(coPurchaseEdges(s, dir))),
 
     // Triangle count under the degree-ordered orientation — hash-gated
     // equal to graph_triangles' id-ordered count (both are total-order
@@ -2227,6 +2230,32 @@ object SparkEntry {
     * integer squared distance (ties → low cid), centroid update by
     * round(avg) back onto the int8 grid (`+ 0.0` canonicalizes −0.0),
     * and a final assignment aggregated per cluster. */
+  /** Shared CTEs of the additive decomposition (hourly collapse → windowed
+    * trend → integer-ratio seasonal → `dc` (event_type, bucket, n, trend,
+    * seasonal, residual)), composed by ts_decompose and the residual-
+    * anomaly oracle. */
+  private val decomposeCtes: String =
+    """c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, bucket, n,
+      |       CAST(sum(n) OVER win AS BIGINT) AS wsum,
+      |       count(*) OVER win AS wcnt
+      |      FROM c
+      |      WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+      |                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |b AS (SELECT event_type, bucket, n, wsum, bucket % 24 AS hod
+      |      FROM w WHERE wcnt = 25),
+      |se AS (SELECT event_type, hod,
+      |        CAST(sum(25 * n - wsum) AS BIGINT) AS s_num,
+      |        CAST(count(*) * 25 AS BIGINT) AS s_den
+      |       FROM b GROUP BY 1, 2),
+      |dc AS (SELECT b.event_type AS event_type, b.bucket AS bucket, b.n AS n,
+      |        b.wsum / 25.0 AS trend,
+      |        CAST(s_num AS DOUBLE) / s_den AS seasonal,
+      |        b.n - b.wsum / 25.0 - CAST(s_num AS DOUBLE) / s_den AS residual
+      |       FROM b JOIN se ON b.event_type = se.event_type AND b.hod = se.hod)""".stripMargin
+
   /** Shared int8-quantization CTEs (`e` raw vectors → `s` (vec_id, qv)) —
     * the DuckDB replica of vectornative.quantize_int8, composed by every
     * quantized-analytics oracle (k-means, SemDeDup, PCA power iteration). */
@@ -2759,27 +2788,21 @@ object SparkEntry {
 
     // Same complete-window restriction and integer-ratio seasonal mean;
     // residual written as the identical left-associated IEEE expression.
-    "ts_decompose" ->
-      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
-        |             CAST(count(*) AS BIGINT) AS n
-        |           FROM events GROUP BY 1, 2),
-        |w AS (SELECT event_type, bucket, n,
-        |       CAST(sum(n) OVER win AS BIGINT) AS wsum,
-        |       count(*) OVER win AS wcnt
-        |      FROM c
-        |      WINDOW win AS (PARTITION BY event_type ORDER BY bucket
-        |                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-        |b AS (SELECT event_type, bucket, n, wsum, bucket % 24 AS hod
-        |      FROM w WHERE wcnt = 25),
-        |se AS (SELECT event_type, hod,
-        |        CAST(sum(25 * n - wsum) AS BIGINT) AS s_num,
-        |        CAST(count(*) * 25 AS BIGINT) AS s_den
-        |       FROM b GROUP BY 1, 2)
-        |SELECT b.event_type AS event_type, b.bucket AS bucket, b.n AS n,
-        |       b.wsum / 25.0 AS trend,
-        |       CAST(s_num AS DOUBLE) / s_den AS seasonal,
-        |       b.n - b.wsum / 25.0 - CAST(s_num AS DOUBLE) / s_den AS residual
-        |FROM b JOIN se ON b.event_type = se.event_type AND b.hod = se.hod""".stripMargin,
+    "ts_decompose" -> s"WITH $decomposeCtes\nSELECT * FROM dc",
+
+    // Decompose CTEs + the ts_mad_outliers med/MAD shape on residual.
+    "ts_decompose_anomaly" ->
+      s"""WITH $decomposeCtes,
+         |med AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
+         |        FROM dc GROUP BY 1),
+         |mad AS (SELECT d.event_type, med,
+         |          quantile_cont(abs(residual - med), 0.5) AS mad
+         |        FROM dc d JOIN med USING (event_type)
+         |        GROUP BY d.event_type, med),
+         |f AS (SELECT d.event_type, d.bucket, d.residual,
+         |        round((d.residual - m.med) / (1.4826 * m.mad), 6) AS robust_z
+         |      FROM dc d JOIN mad m USING (event_type))
+         |SELECT * FROM f WHERE abs(robust_z) > 3.0""".stripMargin,
 
     "ts_mad_outliers" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -3072,6 +3095,24 @@ object SparkEntry {
         |        JOIN bwd ON bi.w2 = bwd.w2
         |        CROSS JOIN tot""".stripMargin,
 
+    // Same persisted-type-frame statistics and ln/rank expressions.
+    "text_tfidf_topk" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |        tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0) AS score
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, score,
+        |       row_number() OVER (PARTITION BY doc_id
+        |                          ORDER BY score DESC, term) AS rk
+        |      FROM sc)
+        |SELECT doc_id, term, tf, score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
     // Same running-stopword-count segmentation and integer aggregates.
     "text_rake" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
@@ -3147,6 +3188,23 @@ object SparkEntry {
          |       FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)),
          |ne AS (SELECT count(*) AS n_edges FROM ed)
          |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      s"""WITH $coPurchaseCte,
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+         |                 JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tn AS (SELECT unnest([x, y, z]) AS node FROM t),
+         |tri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM tn GROUP BY node),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)
+         |        GROUP BY node)
+         |SELECT deg.node, deg.deg, coalesce(tri.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+         |       CASE WHEN deg.deg >= 2
+         |            THEN CAST(coalesce(tri.n_tri, 0) AS DOUBLE) * 2
+         |                 / (deg.deg * (deg.deg - 1))
+         |            ELSE 0.0 END AS lcc
+         |FROM deg LEFT JOIN tri ON deg.node = tri.node""".stripMargin,
 
     "graph_bfs" ->
       s"""WITH $coPurchaseCte,

@@ -90,6 +90,33 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(triangles)
   }
 
+  /** Local clustering coefficient: per-node triangle participation over
+    * wedge capacity, lcc(v) = 2·T(v) / (d(v)·(d(v)−1)). The canonical
+    * a<b<c triangle join (the triangleStats shape) enumerates each
+    * triangle once; one explode credits its three corners, so T(v) is one
+    * keyed count — no per-node neighborhood materialization. Integer
+    * counts, one IEEE division → hash-gates. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e1 = e.select(col("a").as("x"), col("b").as("y"))
+    val e2 = e.select(col("a").as("y"), col("b").as("z"))
+    val e3 = e.select(col("a").as("x"), col("b").as("z"))
+    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+            coalesce(col("n_tri"), lit(0L)).cast("double") * 2 /
+              (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
   /** Orient each canonical undirected edge from its LOWER-degree endpoint
     * to its higher-degree one (tie-break by id, so the orientation is a
     * total order and engine-independent). This is the hub-scale triangle

@@ -351,6 +351,36 @@ object TextAnalysis {
       .select(col("w1"), col("w2").as("top_next"), col("pair_n"), col("head_n"))
   }
 
+  /** Per-document top-k TF-IDF terms (the sparse document vector head —
+    * retrieval indexing / keyword features): idf = ln((N+1)/(df+1)) + 1
+    * (the smoothed sklearn form), score = tf·idf. The corpus explodes
+    * once into the persisted (doc, term, tf) frame; df aggregates that
+    * frame (vocabulary-sized) and N is a 1-row broadcast — nothing
+    * re-runs the explode. Ranking is a doc-partitioned window with ties
+    * broken by term, so the head set is engine-exact; each score is one
+    * fixed IEEE tree over exact integers (no accumulated-double sums). */
+  def tfidfTopK(df: DataFrame, k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"),
+        (col("tf") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0))
+          .as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995, the
     * smoothing behind KenLM-style corpus LMs): P(w2|w1) =
     * (max(c(w1w2)−D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·), with the

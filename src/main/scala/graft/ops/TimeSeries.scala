@@ -96,6 +96,39 @@ object TimeSeries {
     * per-key frame broadcast back over the scan) — the same
     * broadcast-moments shape the z-score plan guard pins, never a
     * whole-corpus window. */
+  /** Classical additive decomposition of an hourly count series: trend =
+    * centered (2·half+1)-point moving average restricted to COMPLETE
+    * windows, seasonal = hour-of-period mean of the detrended series kept
+    * as a ratio of exact integers (Σ((2h+1)n − wsum) / (2h+1)m), residual
+    * = the rest. Every output is integer sums plus a fixed IEEE
+    * expression tree → hash-gates. One keyed collapse to (key, bucket);
+    * windows and aggregates run over the collapsed frame only. */
+  def decompose(df: DataFrame, tsCol: String, keyCol: String,
+      period: Int = 24, half: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = 2 * half + 1
+    val c = df
+      .select(col(keyCol),
+        expr(s"unix_micros($tsCol) div 3600000000L").as("bucket"))
+      .groupBy(col(keyCol), col("bucket")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-half, half)
+    val base = c.select(col(keyCol), col("bucket"), col("n"),
+        sum(col("n")).over(w).as("wsum"),
+        count(lit(1)).over(w).as("wcnt"))
+      .filter(col("wcnt") === width)
+      .withColumn("hod", col("bucket") % period)
+    val seas = base.groupBy(col(keyCol), col("hod"))
+      .agg(sum(lit(width) * col("n") - col("wsum")).as("s_num"),
+        (count(lit(1)) * width).as("s_den"))
+    base.join(seas, Seq(keyCol, "hod"))
+      .select(col(keyCol), col("bucket"), col("n"),
+        (col("wsum") / width.toDouble).as("trend"),
+        (col("s_num").cast("double") / col("s_den")).as("seasonal"),
+        (col("n") - col("wsum") / width.toDouble -
+          col("s_num").cast("double") / col("s_den")).as("residual"))
+  }
+
   def madOutliers(df: DataFrame, keyCol: String, idCol: String,
       valueCol: String, threshold: Double): DataFrame = {
     val med = df.groupBy(col(keyCol))
