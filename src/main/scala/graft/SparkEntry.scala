@@ -1262,6 +1262,12 @@ object SparkEntry {
     "ann_pca_power" -> ((s, dir) =>
       Similarity.pcaPowerQuantized(t(s, dir, "embeddings"), iters = 2)),
 
+    // Centroid-silhouette cluster quality over the k-means routing:
+    // exact-integer d², per-row sqrt/ratio trees, per-vector rows.
+    "ann_silhouette" -> ((s, dir) =>
+      Similarity.silhouetteQuantized(t(s, dir, "embeddings"), k = 8,
+        iters = 2)),
+
     // All-but-the-top anisotropy correction: projection onto the PCA
     // direction + residual norm via ‖q‖² − (q·v)², per-row fixed IEEE
     // trees over the broadcast unit direction.
@@ -1984,6 +1990,33 @@ object SparkEntry {
         "src", "dst", iters = 3)
     },
 
+    // Degree assortativity (Newman 2002): Pearson r of endpoint degrees
+    // over both edge orientations — every moment sum is an exact long,
+    // one IEEE expression at the end; the join is deg broadcast onto the
+    // edge list twice.
+    "graph_assortativity" -> { (s, dir) =>
+      val e = coPurchaseEdges(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val p = sym
+        .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      val m = p.agg(count(lit(1)).as("m"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+      m.select(col("m"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("m") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("assortativity"))
+    },
+
     // Local clustering coefficient from the canonical triangle join —
     // per-node triangle credit via one explode, wedge capacity from the
     // degree frame; integer counts, one division.
@@ -2300,6 +2333,27 @@ object SparkEntry {
        |       CAST(min(vec_id) AS BIGINT) AS min_id, c$iters.cv AS centroid
        |FROM s$fin JOIN c$iters ON s$fin.cid = c$iters.cid
        |GROUP BY s$fin.cid, c$iters.cv""".stripMargin
+  }
+
+  /** Silhouette oracle: replay the k-means routing (shared CTEs), then
+    * per-vector distances to all final centroids and the (b−a)/max(a,b)
+    * score — the same per-row expression as silhouetteQuantized. */
+  private def silhouetteOracleSql(iters: Int): String = {
+    val fin = iters + 1
+    s"""${kmeansCtes(iters)},
+       |dd AS (SELECT s$fin.vec_id, s$fin.cid, c$iters.cid AS cc,
+       |        list_reduce(list_transform(range(0, len(qv)),
+       |          i -> (qv[i+1]-cv[i+1])*(qv[i+1]-cv[i+1])), (x,y) -> x+y) AS d2
+       |       FROM s$fin, c$iters),
+       |ab AS (SELECT vec_id, cid,
+       |        min(CASE WHEN cc = cid THEN d2 END) AS a2,
+       |        min(CASE WHEN cc <> cid THEN d2 END) AS b2
+       |       FROM dd GROUP BY vec_id, cid)
+       |SELECT vec_id, cid, sqrt(a2) AS a, sqrt(b2) AS b,
+       |       CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+       |            THEN (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+       |            ELSE 0.0 END AS s
+       |FROM ab""".stripMargin
   }
 
   /** PCA power-iteration oracle: Gram matrix from the shared quantize
@@ -3188,6 +3242,26 @@ object SparkEntry {
          |       FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)),
          |ne AS (SELECT count(*) AS n_edges FROM ed)
          |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT a AS u, b AS v FROM ed
+         |        UNION ALL SELECT b AS u, a AS v FROM ed),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+         |        FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)
+         |        GROUP BY node),
+         |p AS (SELECT x.d AS du, y.d AS dv
+         |      FROM sym JOIN deg x ON sym.u = x.node
+         |               JOIN deg y ON sym.v = y.node),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |        CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dv) AS BIGINT) AS sy,
+         |        CAST(sum(du * dv) AS BIGINT) AS sxy,
+         |        CAST(sum(du * du) AS BIGINT) AS sxx,
+         |        CAST(sum(dv * dv) AS BIGINT) AS syy FROM p)
+         |SELECT m, CAST(m * sxy - sx * sy AS DOUBLE) /
+         |          sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+         |               CAST(m * syy - sy * sy AS DOUBLE)) AS assortativity
+         |FROM mm""".stripMargin,
 
     "graph_clustering_coeff" ->
       s"""WITH $coPurchaseCte,
@@ -4385,6 +4459,7 @@ object SparkEntry {
 
     "ann_kmeans" -> kmeansOracleSql(2),
     "dedup_semantic" -> semanticDedupOracleSql(2, 3, 10),
+    "ann_silhouette" -> silhouetteOracleSql(2),
     "ann_pca_power" -> pcaPowerOracleSql(2),
     "ann_whiten" -> whitenOracleSql(2),
 

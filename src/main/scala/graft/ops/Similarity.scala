@@ -614,6 +614,31 @@ object Similarity {
         (col("v") / sqrt(col("ss"))).as("loading"))
   }
 
+  /** Simplified (centroid-based) silhouette over the quantized k-means
+    * clustering: a = distance to own centroid, b = distance to the
+    * nearest OTHER centroid, s = (b − a)/max(a, b). The centroid form is
+    * the 100 TB silhouette — per-point cost is K broadcast distances,
+    * not a corpus pairwise pass. d² is exact integer; the sqrt/ratio is
+    * one per-row IEEE tree → hash-gates. Emitted per vector (no
+    * accumulated-double mean crosses an exchange; average downstream in
+    * DECIMAL if a scalar is needed). */
+  def silhouetteQuantized(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (assigned, centroids) = kmeansCore(vecs, k, iters)
+    val c2 = centroids.select(col("cid").as("c2"), col("cv"))
+    val d2 = graft.functions.native.squared_distance(col("qv"), col("cv"))
+    val ab = assigned.join(broadcast(c2))
+      .select(col("vec_id"), col("cid"), col("c2"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(min(when(col("c2") === col("cid"), col("d2"))).as("a2"),
+        min(when(col("c2") =!= col("cid"), col("d2"))).as("b2"))
+    ab.select(col("vec_id"), col("cid"),
+      sqrt(col("a2")).as("a"), sqrt(col("b2")).as("b"),
+      when(greatest(sqrt(col("a2")), sqrt(col("b2"))) > 0,
+          (sqrt(col("b2")) - sqrt(col("a2"))) /
+            greatest(sqrt(col("a2")), sqrt(col("b2"))))
+        .otherwise(lit(0.0)).as("s"))
+  }
+
   /** All-but-the-top-style dominant-direction removal (Mu & Viswanath
     * 2018): project every quantized vector onto the [[pcaPowerQuantized]]
     * direction and report the projection and the residual norm. Because
