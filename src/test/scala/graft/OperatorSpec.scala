@@ -1928,6 +1928,33 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(kn(("a", "b")) + kn(("a", "c")) - 1.0) < 1e-15)
   }
 
+  test("round-6 analytics invariants: bounded scores, identities, bootstrap mass") {
+    import spark.implicits._
+    val dec = SparkEntry.queries("ts_decompose")(spark, sfDir)
+      .select(abs(col("n") - (col("trend") + col("seasonal") + col("residual"))))
+      .as[Double].collect()
+    assert(dec.forall(_ < 1e-9), "decomposition identity violated")
+    val sil = SparkEntry.queries("ann_silhouette")(spark, sfDir)
+      .select("s").as[Double].collect()
+    assert(sil.forall(s => s >= -1.0 && s <= 1.0), "silhouette out of [-1,1]")
+    val ast = SparkEntry.queries("graph_assortativity")(spark, sfDir)
+      .select("assortativity").as[Double].collect().head
+    assert(ast >= -1.0 && ast <= 1.0, s"assortativity $ast out of [-1,1]")
+    val lcc = SparkEntry.queries("graph_clustering_coeff")(spark, sfDir)
+      .select("lcc").as[Double].collect()
+    assert(lcc.forall(x => x >= 0.0 && x <= 1.0), "lcc out of [0,1]")
+    // Poisson(1) weights: each replicate's effective size stays near n
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val boot = SparkEntry.queries("sample_bootstrap")(spark, sfDir)
+      .select("n_eff").as[Long].collect()
+    assert(boot.length == 3 &&
+      boot.forall(n => math.abs(n - nOrders) < 0.1 * nOrders),
+      s"bootstrap mass drifted: $nOrders vs ${boot.toSeq}")
+    val tfidf = SparkEntry.queries("text_tfidf_topk")(spark, sfDir)
+      .groupBy(col("doc_id")).count().select("count").as[Long].collect()
+    assert(tfidf.forall(_ <= 3), "tfidf top-k emitted more than k rows")
+  }
+
   test("rake: phrase segmentation at stopwords, deg sums phrase lengths") {
     import spark.implicits._
     val docs = Seq((0L, "a big fox the red dog"),
