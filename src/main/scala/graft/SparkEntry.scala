@@ -1706,6 +1706,13 @@ object SparkEntry {
     "ts_decompose" -> ((s, dir) =>
       TimeSeries.decompose(t(s, dir, "events"), "ts", "event_type")),
 
+    // LTTB-style visual downsampling (6 h buckets, neighbor-average
+    // anchors): the point per bucket with the largest triangle area —
+    // single-division averages, per-row area trees, struct-argmax.
+    "ts_downsample" -> ((s, dir) =>
+      TimeSeries.downsampleLttb(t(s, dir, "events"), tsCol = "ts",
+        keyCol = "event_type", valueCol = "value", widthSec = 21600L)),
+
     // Decomposition-residual anomalies: the residual channel of
     // ts_decompose scored with the robust median/MAD z (madOutliers) —
     // seasonality-aware anomaly detection, vs ts_mad_outliers' raw-value
@@ -2843,6 +2850,30 @@ object SparkEntry {
     // Same complete-window restriction and integer-ratio seasonal mean;
     // residual written as the identical left-associated IEEE expression.
     "ts_decompose" -> s"WITH $decomposeCtes\nSELECT * FROM dc",
+
+    // Same neighbor-average anchors and area expression; argmax replayed
+    // as a row_number with the identical (area DESC, x, y DESC) order.
+    "ts_downsample" ->
+      """WITH r AS (SELECT event_type, epoch_us(ts) // 1000000 AS x, value AS y,
+        |             epoch_us(ts) // 21600000000 AS bucket FROM events),
+        |b AS (SELECT event_type, bucket,
+        |       CAST(sum(x) AS DOUBLE) / count(*) AS ax,
+        |       CAST(sum(CAST(y AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS ay
+        |      FROM r GROUP BY 1, 2),
+        |nbr AS (SELECT event_type, bucket,
+        |        lag(ax) OVER w AS px, lag(ay) OVER w AS py,
+        |        lead(ax) OVER w AS nx, lead(ay) OVER w AS ny,
+        |        lag(bucket) OVER w AS pb, lead(bucket) OVER w AS nb
+        |       FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |g AS (SELECT * FROM nbr WHERE pb = bucket - 1 AND nb = bucket + 1),
+        |a AS (SELECT r.event_type, r.bucket, r.x, r.y,
+        |       abs((px - nx) * (y - py) - (px - x) * (ny - py)) AS area
+        |      FROM r JOIN g ON r.event_type = g.event_type AND r.bucket = g.bucket),
+        |rk AS (SELECT event_type, bucket, x, y, area,
+        |        row_number() OVER (PARTITION BY event_type, bucket
+        |                           ORDER BY area DESC, x, y DESC) AS rn FROM a)
+        |SELECT event_type, bucket, CAST(x AS BIGINT) AS ts_s, y AS value, area
+        |FROM rk WHERE rn = 1""".stripMargin,
 
     // Decompose CTEs + the ts_mad_outliers med/MAD shape on residual.
     "ts_decompose_anomaly" ->

@@ -129,6 +129,47 @@ object TimeSeries {
           col("s_num").cast("double") / col("s_den")).as("residual"))
   }
 
+  /** LTTB-style downsampling (Steinarsson 2013), the fixed-rate variant
+    * that replaces the sequential previous-SELECTED anchor with the
+    * previous bucket's AVERAGE so every bucket decides independently
+    * (one pass, no cross-bucket dependency — the price is a slightly
+    * different, still shape-preserving selection): per bucket keep the
+    * point with the largest triangle area against the neighbor bucket
+    * averages. Averages are single divisions of DECIMAL/long sums; the
+    * area is one fixed IEEE tree per row; argmax ties break on earliest
+    * ts via struct ordering — all engine-exact. Interior buckets only
+    * (no neighbors → no triangle). */
+  def downsampleLttb(df: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, widthSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(keyCol),
+      expr(s"unix_micros($tsCol) div 1000000L").as("x"),
+      col(valueCol).as("y"),
+      expr(s"unix_micros($tsCol) div ${widthSec * 1000000L}L").as("bucket"))
+    val b = rows.groupBy(col(keyCol), col("bucket"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).as("ax"),
+        (sum(col("y").cast("decimal(27,6)")).cast("double") / count(lit(1)))
+          .as("ay"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val nb = b.select(col(keyCol), col("bucket"),
+      lag(col("ax"), 1).over(w).as("px"), lag(col("ay"), 1).over(w).as("py"),
+      lead(col("ax"), 1).over(w).as("nx"), lead(col("ay"), 1).over(w).as("ny"),
+      lag(col("bucket"), 1).over(w).as("pb"),
+      lead(col("bucket"), 1).over(w).as("nb"))
+      // averages must come from ADJACENT buckets: a gap in the series
+      // would otherwise anchor the triangle on a far-away average
+      .filter(col("pb") === col("bucket") - 1 && col("nb") === col("bucket") + 1)
+    rows.join(nb, Seq(keyCol, "bucket"))
+      .select(col(keyCol), col("bucket"), col("x"), col("y"),
+        abs((col("px") - col("nx")) * (col("y") - col("py")) -
+          (col("px") - col("x")) * (col("ny") - col("py"))).as("area"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(struct(col("area"), (-col("x")).as("negx"), col("y"))).as("m"))
+      .select(col(keyCol), col("bucket"),
+        (-col("m.negx")).cast("long").as("ts_s"), col("m.y").as("value"),
+        col("m.area").as("area"))
+  }
+
   def madOutliers(df: DataFrame, keyCol: String, idCol: String,
       valueCol: String, threshold: Double): DataFrame = {
     val med = df.groupBy(col(keyCol))
