@@ -1946,6 +1946,27 @@ object SparkEntry {
     "text_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 3)),
 
+    // Dunning G² collocations — the significance-weighted companion to
+    // text_pmi; fixed 4-term contingency tree per bigram.
+    "text_collocation_llr" -> ((s, dir) =>
+      TextAnalysis.collocationLlr(t(s, dir, "documents"))),
+
+    // Sequence-length bucketing (padding-efficiency prep): ntile(8) over
+    // the total (len, doc_id) order; per-bucket padding waste =
+    // max_len·n − Σlen, all integer sums over the collapsed length frame.
+    "sample_length_bucket" -> { (s, dir) =>
+      val len = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("len"))
+      val w = Window.orderBy(col("len"), col("doc_id"))
+      len.withColumn("bucket", ntile(8).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("len")).as("min_len"),
+          max(col("len")).as("max_len"), sum(col("len")).as("sum_len"))
+        .withColumn("padding_waste",
+          col("max_len") * col("n_docs") - col("sum_len"))
+    },
+
     // ── wave 8: graph analytics + warehouse CDC ───────────────────────
 
     // Degree distribution of the part co-purchase graph (parts sharing
@@ -3179,6 +3200,38 @@ object SparkEntry {
         |FROM bi JOIN fwd ON bi.w1 = fwd.w1
         |        JOIN bwd ON bi.w2 = bwd.w2
         |        CROSS JOIN tot""".stripMargin,
+
+    // Same margins and the identical guarded 4-term G² tree.
+    "text_collocation_llr" ->
+      """WITH tk AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |ix AS (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+        |       FROM tk WHERE len(toks) >= 2),
+        |p AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2 FROM ix),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY w1, w2),
+        |fwd AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1 FROM bi GROUP BY w1),
+        |bwd AS (SELECT w2, CAST(sum(c) AS BIGINT) AS cw2 FROM bi GROUP BY w2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bi)
+        |SELECT bi.w1, bi.w2, bi.c,
+        |  2.0 * (CASE WHEN c > 0
+        |              THEN c * ln(c / ((cw1 * cw2) / n)) ELSE 0.0 END
+        |       + CASE WHEN cw1 - c > 0
+        |              THEN (cw1 - c) * ln((cw1 - c) / ((cw1 * (n - cw2)) / n)) ELSE 0.0 END
+        |       + CASE WHEN cw2 - c > 0
+        |              THEN (cw2 - c) * ln((cw2 - c) / (((n - cw1) * cw2) / n)) ELSE 0.0 END
+        |       + CASE WHEN n - cw1 - cw2 + c > 0
+        |              THEN (n - cw1 - cw2 + c) * ln((n - cw1 - cw2 + c) / (((n - cw1) * (n - cw2)) / n)) ELSE 0.0 END) AS llr
+        |FROM bi JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN tot""".stripMargin,
+
+    "sample_length_bucket" ->
+      """WITH len AS (SELECT doc_id,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS l
+        |      FROM documents),
+        |b AS (SELECT doc_id, l, ntile(8) OVER (ORDER BY l, doc_id) AS bucket FROM len)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(l) AS BIGINT) AS min_len, CAST(max(l) AS BIGINT) AS max_len,
+        |       CAST(sum(l) AS BIGINT) AS sum_len,
+        |       CAST(max(l) * count(*) - sum(l) AS BIGINT) AS padding_waste
+        |FROM b GROUP BY bucket""".stripMargin,
 
     // Same persisted-type-frame statistics and ln/rank expressions.
     "text_tfidf_topk" ->

@@ -351,6 +351,45 @@ object TextAnalysis {
       .select(col("w1"), col("w2").as("top_next"), col("pair_n"), col("head_n"))
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    * significance-tested companion to PMI (PMI over-ranks rare pairs;
+    * G² weights by evidence): per adjacent bigram, G² = 2·Σ O·ln(O/E)
+    * over the 2×2 contingency table built from the bigram margins.
+    * Same persisted bigram type frame as Kneser–Ney; margins are
+    * vocabulary-sized aggregates; G² is a fixed 4-term IEEE tree over
+    * exact integer counts (each term guarded for O = 0) → hash-gates. */
+  def collocationLlr(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = col("__toks")
+    val pairs = transform(sequence(lit(0), size(toks) - 2),
+      i => struct(element_at(toks, i + 1).as("w1"),
+        element_at(toks, i + 2).as("w2")))
+    val bi = df
+      .select(tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fwd = bi.groupBy(col("w1")).agg(sum(col("c")).as("cw1"))
+    val bwd = bi.groupBy(col("w2")).agg(sum(col("c")).as("cw2"))
+    val tot = bi.agg(sum(col("c")).as("n"))
+    def term(k: Column, e: Column): Column =
+      when(k > 0, k * log(k / e)).otherwise(lit(0.0))
+    val k11 = col("c")
+    val k12 = col("cw1") - col("c")
+    val k21 = col("cw2") - col("c")
+    val k22 = col("n") - col("cw1") - col("cw2") + col("c")
+    val e11 = (col("cw1") * col("cw2")) / col("n")
+    val e12 = (col("cw1") * (col("n") - col("cw2"))) / col("n")
+    val e21 = ((col("n") - col("cw1")) * col("cw2")) / col("n")
+    val e22 = ((col("n") - col("cw1")) * (col("n") - col("cw2"))) / col("n")
+    bi.join(fwd, Seq("w1")).join(bwd, Seq("w2")).crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c"),
+        (lit(2.0) * (term(k11, e11) + term(k12, e12) +
+          term(k21, e21) + term(k22, e22))).as("llr"))
+  }
+
   /** Per-document top-k TF-IDF terms (the sparse document vector head —
     * retrieval indexing / keyword features): idf = ln((N+1)/(df+1)) + 1
     * (the smoothed sklearn form), score = tf·idf. The corpus explodes
