@@ -1585,6 +1585,46 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("plan guards: round-6 final wave scale claims hold in executed plans") {
+    spark.catalog.clearCache()
+    withoutAqe {
+      // silhouette: centroids reach every vector by broadcast (K rows),
+      // never a shuffled join of corpus-sized frames
+      val sil = SparkEntry.queries("ann_silhouette")(spark, sfDir)
+      val silPlan = sil.queryExecution.executedPlan.toString
+      assert(silPlan.contains("BroadcastNestedLoopJoin") ||
+        silPlan.contains("BroadcastHashJoin"), silPlan)
+      // tfidf: the corpus explode materializes once — every reference to
+      // the (doc, term, tf) frame reads the cache (plan STRINGS repeat
+      // the lineage under each InMemoryRelation, so count cache scans,
+      // not Generate text)
+      val tf = SparkEntry.queries("text_tfidf_topk")(spark, sfDir)
+      val tfPlan = tf.queryExecution.executedPlan.toString
+      assert("InMemoryTableScan".r.findAllIn(tfPlan).size >= 3,
+        s"tfidf must reuse the persisted type frame for tf/df/N:\n$tfPlan")
+      // whitening: the PCA direction arrives as a 1-row broadcast; the
+      // residual is the |q|^2 - proj^2 shortcut (no second vector pass,
+      // so exactly the quantize projection + one broadcast join)
+      val wh = SparkEntry.queries("ann_whiten")(spark, sfDir)
+      val whPlan = wh.queryExecution.executedPlan.toString
+      assert(whPlan.contains("BroadcastNestedLoopJoin") ||
+        whPlan.contains("BroadcastHashJoin"), whPlan)
+      // bootstrap: all replicates in one scan — one Generate, one
+      // exchange into the replicate aggregate
+      val bt = SparkEntry.queries("sample_bootstrap")(spark, sfDir)
+      val btPlan = bt.queryExecution.executedPlan.toString
+      assert("Generate".r.findAllIn(btPlan).size == 1, btPlan)
+      assert(numShuffles(bt) == 1, btPlan)
+      // decompose-anomaly: med/MAD moments broadcast back onto the
+      // persisted decomposed frame — no corpus-wide window for scoring
+      val da = SparkEntry.queries("ts_decompose_anomaly")(spark, sfDir)
+      val daPlan = da.queryExecution.executedPlan.toString
+      assert(daPlan.contains("BroadcastHashJoin"), daPlan)
+      assert(daPlan.contains("InMemoryTableScan"),
+        "anomaly scoring must reuse the persisted decomposed frame")
+    }
+  }
+
   test("random walks: edge-respecting, rerun-stable, seed-sensitive") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("a", "b")
     val nbrs = Map(1L -> Set(2L, 3L), 2L -> Set(1L, 3L),
