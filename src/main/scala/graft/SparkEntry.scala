@@ -742,6 +742,25 @@ object SparkEntry {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))),
 
+    // Mergeable-sketch distinct counting — the 100 TB architecture:
+    // per-partition (per-segment) DataSketches HLL sketches, merged by
+    // hll_union_agg into the global estimate. Gated like the
+    // approx-quantile row: exact global distinct + a within-2% flag on
+    // the merged estimate (sketch internals are engine-specific; the
+    // MERGEABILITY and accuracy contract are what the gate pins).
+    "rel_hll_merge" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val per = c.groupBy(col("c_mktsegment"))
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      val merged = per.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = c.agg(countDistinct(col("c_custkey")).as("n_exact"))
+      exact.crossJoin(broadcast(merged))
+        .select(col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact") * 0.02).as("merge_within_2pct"))
+    },
+
     // Small-file compaction plan: per-day "files" (bytes proxied by row
     // count) packed into contiguous ~25 KB bins by cumulative-sum
     // bucketing — the planner a table service runs before rewriting a
@@ -3867,6 +3886,14 @@ object SparkEntry {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // The oracle pins the exact count and asserts the engine's merged
+    // sketch landed inside the tolerance (the rel_approx_quantile gate
+    // pattern: TRUE is only reproduced if the estimate is within 2%).
+    "rel_hll_merge" ->
+      """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact,
+        |       TRUE AS merge_within_2pct
+        |FROM customer""".stripMargin,
 
     "rel_compaction_plan" ->
       """WITH f AS (SELECT o_orderdate AS day, CAST(count(*) * 100 AS BIGINT) AS bytes
