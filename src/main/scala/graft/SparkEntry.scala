@@ -742,6 +742,23 @@ object SparkEntry {
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"))),
 
+    // Numeric band self-join (|Δprice| ≤ 0.5 — near-equal-amount record
+    // matching): bucket quantization + 3-bucket fan equi-join, residual
+    // exact filter — no nested loop (the range-join family's value-axis
+    // member). The oracle runs the naive theta join; the engine's bucket
+    // plan must reproduce its pairs exactly.
+    "rel_band_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val l = o.select(col("o_orderkey").as("l_key"),
+        col("o_totalprice").as("l_price"))
+      val r = o.select(col("o_orderkey").as("r_key"),
+        col("o_totalprice").as("r_price"))
+      RangeJoin.bandJoin(l, r, "l_price", "r_price", width = 0.5)
+        .filter(col("l_key") < col("r_key"))
+        .select(col("l_key"), col("r_key"),
+          (col("l_price") - col("r_price")).as("diff"))
+    },
+
     // Mergeable-sketch distinct counting — the 100 TB architecture:
     // per-partition (per-segment) DataSketches HLL sketches, merged by
     // hll_union_agg into the global estimate. Gated like the
@@ -3886,6 +3903,15 @@ object SparkEntry {
         |       min(o_totalprice) AS min_price,
         |       max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // Naive theta form — DuckDB's IEJoin handles it at oracle scale; the
+    // engine must reproduce the exact pair set through its bucket plan.
+    "rel_band_join" ->
+      """SELECT a.o_orderkey AS l_key, b.o_orderkey AS r_key,
+        |       a.o_totalprice - b.o_totalprice AS diff
+        |FROM orders a JOIN orders b
+        |  ON a.o_orderkey < b.o_orderkey
+        | AND abs(a.o_totalprice - b.o_totalprice) <= 0.5""".stripMargin,
 
     // The oracle pins the exact count and asserts the engine's merged
     // sketch landed inside the tolerance (the rel_approx_quantile gate

@@ -94,4 +94,28 @@ object RangeJoin {
           col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__p_bucket", "__i_bucket")
   }
+
+  /** Numeric band self/two-table join: pair rows with |x − y| ≤ width —
+    * the value-similarity member of the inequality-join family (record
+    * matching on near-equal amounts, sensor alignment on near-equal
+    * readings). A raw |x−y|≤w theta-join plans as a nested loop; the
+    * scale shape quantizes both sides onto width-sized buckets and
+    * equi-joins each left bucket against {b−1, b, b+1} (a band match
+    * cannot span further), residual-filtering the exact predicate.
+    * Cost: 3 hash-join probes per row, partition-parallel, no
+    * nested-loop anywhere. Each pair emits once: the right row's bucket
+    * is unique, and it appears once in the left row's 3-bucket fan. */
+  def bandJoin(left: DataFrame, right: DataFrame,
+      leftVal: String, rightVal: String, width: Double): DataFrame = {
+    require(width > 0, "width must be > 0")
+    // floor of one IEEE division — deterministic and engine-identical
+    // on the same doubles
+    def bucket(c: String) = floor(col(c) / width).cast("long")
+    val l = left.withColumn("__lb", bucket(leftVal))
+    val r = right.withColumn("__rb",
+      explode(sequence(bucket(rightVal) - 1, bucket(rightVal) + 1)))
+    l.join(r, col("__lb") === col("__rb") &&
+        abs(col(leftVal) - col(rightVal)) <= width)
+      .drop("__lb", "__rb")
+  }
 }
