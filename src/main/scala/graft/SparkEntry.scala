@@ -116,6 +116,16 @@ object SparkEntry {
         timeCol = "ts", idCol = "event_id", lateness = "10 minutes",
         streaming = false)),
 
+    // Windowed HLL distinct counting, batch twin of the streaming
+    // cardinality monitor (state per open window = one mergeable sketch,
+    // not the key set; countDistinct is unsupported in streaming aggs).
+    // At the fixture's per-window cardinality the sketch is sparse-mode
+    // EXACT, so it hash-gates against the exact oracle.
+    "stream_distinct_window" -> ((s, dir) =>
+      graft.streaming.StreamOps.distinctPerWindow(t(s, dir, "events"),
+        "ts", "user_id", duration = "1 hour", lateness = "10 minutes",
+        streaming = false)),
+
     // Conversion funnel (cross-event-type state machine): each purchase
     // attributed to the user's latest preceding view within 1 h. Batch
     // twin = one window pass; the flatMapGroupsWithState streaming form
@@ -4077,6 +4087,12 @@ object SparkEntry {
         |         round((value - mean) / sqrt(var), 6) AS z
         |  FROM k WHERE var > 0)
         |SELECT * FROM f WHERE abs(z) > 3.0""".stripMargin,
+
+    "stream_distinct_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS approx_distinct,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "stream_sliding_window" ->
       """WITH w AS (

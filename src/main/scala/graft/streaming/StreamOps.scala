@@ -100,6 +100,25 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Per-window approximate distinct counting via mergeable DataSketches
+    * HLL — the streaming cardinality monitor (distinct users per window)
+    * whose state per open window is ONE sketch (~2^lgK bytes), not the
+    * key set a windowed countDistinct would hold. The same call is the
+    * batch twin (`streaming = false`); below sketch saturation (sparse
+    * mode) the estimate is EXACT, which is what the parity test pins.
+    * countDistinct itself is unsupported in streaming aggregation — the
+    * sketch form is the 100 TB (and the only) shape. */
+  def distinctPerWindow(df: DataFrame, timeCol: String, keyCol: String,
+      duration: String, lateness: String, streaming: Boolean): DataFrame = {
+    val base = if (streaming) df.withWatermark(timeCol, lateness) else df
+    base.groupBy(window(col(timeCol), duration))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(keyCol)))
+          .as("approx_distinct"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("approx_distinct"), col("n_events"))
+  }
+
   /** Stream-stream (or batch-batch) interval join: left rows paired with
     * right rows of the same key whose time lies in
     * [left.time - maxDelaySec, left.time] — the attribution/correlation

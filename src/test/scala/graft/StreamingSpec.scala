@@ -548,6 +548,39 @@ class StreamingSpec extends SparkSuite {
     assert((b0._2, b0._5) == ((10.0, 20.0)), s"open/close by (ts,id): $b0")
   }
 
+  test("windowed HLL distinct: streaming sketch equals exact batch twin") {
+    import graft.streaming.StreamOps
+    // window 0: users {1,2,3} over 5 events; window 1: users {1,4}
+    val rows = Seq((0L, 1L), (10L, 2L), (20L, 1L), (30L, 3L), (40L, 2L),
+      (70L, 1L), (80L, 4L))
+    def toDf(df: org.apache.spark.sql.DataFrame) = df.toDF("epoch", "uid")
+      .select(timestamp_seconds($"epoch").as("ts"), $"uid")
+    val source = MemoryStream[(Long, Long)]
+    val out = StreamOps.distinctPerWindow(toDf(source.toDF()), "ts", "uid",
+      duration = "1 minute", lateness = "10 minutes", streaming = true)
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("hll_out").start()
+    try {
+      val (b1, b2) = rows.partition(_._1 < 35L)
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits on change: keep the final emission per window
+    val streamed = spark.table("hll_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"window_start")
+          .orderBy($"n_events".desc)))
+      .filter($"rn" === 1).drop("rn")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    val batch = StreamOps.distinctPerWindow(toDf(rows.toDF()), "ts", "uid",
+      duration = "1 minute", lateness = "10 minutes", streaming = false)
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // sparse-mode HLL is exact: windows hold 3 and 2 distinct users
+    assert(batch.map(r => (r._2, r._3)) == Set((3L, 5L), (2L, 2L)),
+      s"got $batch")
+  }
+
   test("streaming CDC apply: latest emissions minus tombstones equal batch cdcApply") {
     import graft.streaming.StreamOps
     // key 1: I then U (survives with U's value); key 2: I then D (dropped);
