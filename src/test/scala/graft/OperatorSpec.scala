@@ -1625,6 +1625,25 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("band join: boundary-inclusive, each pair once, no nested loop") {
+    import spark.implicits._
+    val l = Seq((1L, 10.0), (2L, 10.5), (3L, 11.01), (4L, 10.0))
+      .toDF("l_key", "l_price")
+    val r = l.select($"l_key".as("r_key"), $"l_price".as("r_price"))
+    val out = RangeJoin.bandJoin(l, r, "l_price", "r_price", width = 0.5)
+      .filter($"l_key" < $"r_key")
+      .select($"l_key", $"r_key").as[(Long, Long)].collect()
+    // |Δ|=0.5 is IN (boundary-inclusive); 1.01 and 0.51 are out;
+    // the duplicate price (1,4) matches once despite the 3-bucket fan
+    assert(out.length == out.toSet.size, s"pair emitted twice: ${out.toSeq}")
+    assert(out.toSet == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"got ${out.toSeq}")
+    val plan = RangeJoin.bandJoin(l, r, "l_price", "r_price", width = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"band join must not nested-loop:\n$plan")
+  }
+
   test("random walks: edge-respecting, rerun-stable, seed-sensitive") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("a", "b")
     val nbrs = Map(1L -> Set(2L, 3L), 2L -> Set(1L, 3L),
