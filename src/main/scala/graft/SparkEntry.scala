@@ -685,6 +685,34 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))),
 
+    // Incremental-sync detection: which buckets must be reprocessed —
+    // the rel_bucket_checksums digest computed on BOTH synthetic
+    // versions (the rel_table_diff fixtures) and full-outer-joined on
+    // bucket; a bucket re-syncs iff its checksum or row count moved.
+    // Only 2·nBuckets digest rows cross the wire — never the tables.
+    "rel_incremental_detect" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def digest(v: DataFrame, side: String) = v
+        .select(expr("o_orderkey div 1000").as("bucket"),
+          conv(substring(md5(concat_ws("|",
+              col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus"), col("o_orderpriority"))), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"n_$side"), sum(col("h")).as(s"ck_$side"))
+      val v1 = o.filter(col("o_orderkey") % 10 =!= 0)
+      val v2 = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      digest(v1, "v1").join(digest(v2, "v2"), Seq("bucket"), "full_outer")
+        .filter(!(col("ck_v1") <=> col("ck_v2")) ||
+          !(col("n_v1") <=> col("n_v2")))
+        .select(col("bucket"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+    },
+
     // One-pass per-column profile (nulls + exact distincts for every
     // column of orders).
     "rel_profile" -> ((s, dir) =>
@@ -3629,6 +3657,29 @@ object SparkEntry {
     "sample_exact_k" ->
       """SELECT doc_id FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""".stripMargin,
+
+    "rel_incremental_detect" ->
+      """WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        |v2 AS (SELECT o_orderkey, o_custkey,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |        o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0),
+        |d1 AS (SELECT o_orderkey // 1000 AS bucket, CAST(count(*) AS BIGINT) AS n_v1,
+        |        CAST(sum(CAST(('0x' || substr(md5(
+        |          CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |          || '|' || o_orderstatus || '|' || o_orderpriority), 1, 8)) AS BIGINT))
+        |          AS BIGINT) AS ck_v1
+        |       FROM v1 GROUP BY 1),
+        |d2 AS (SELECT o_orderkey // 1000 AS bucket, CAST(count(*) AS BIGINT) AS n_v2,
+        |        CAST(sum(CAST(('0x' || substr(md5(
+        |          CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |          || '|' || o_orderstatus || '|' || o_orderpriority), 1, 8)) AS BIGINT))
+        |          AS BIGINT) AS ck_v2
+        |       FROM v2 GROUP BY 1)
+        |SELECT coalesce(d1.bucket, d2.bucket) AS bucket,
+        |       coalesce(n_v1, CAST(0 AS BIGINT)) AS n_v1,
+        |       coalesce(n_v2, CAST(0 AS BIGINT)) AS n_v2
+        |FROM d1 FULL OUTER JOIN d2 ON d1.bucket = d2.bucket
+        |WHERE ck_v1 IS DISTINCT FROM ck_v2 OR n_v1 IS DISTINCT FROM n_v2""".stripMargin,
 
     "rel_bucket_checksums" ->
       """SELECT o_orderkey // 1000 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
