@@ -2470,7 +2470,9 @@ object SparkEntry {
       s"""w$k AS (SELECT g.i, sum(g.g * $prev.v) AS w
          |       FROM g JOIN $prev ON g.j = $prev.j GROUP BY g.i),
          |m$k AS (SELECT max(abs(w)) AS mx FROM w$k),
-         |v$k AS (SELECT i AS j, round(w / mx * 1000000.0, 0) AS v
+         |v$k AS (SELECT i AS j,
+         |         CASE WHEN mx > 0 THEN round(w / mx * 1000000.0, 0)
+         |              ELSE 0.0 END AS v
          |       FROM w$k, m$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH $quantizeCtes,
@@ -2483,14 +2485,16 @@ object SparkEntry {
 
   private def pcaPowerOracleSql(iters: Int): String =
     s"""${pcaCtes(iters)}
-       |SELECT j AS pos, v / sqrt(ss) AS loading
+       |SELECT j AS pos,
+       |       CASE WHEN ss > 0 THEN v / sqrt(ss) ELSE 0.0 END AS loading
        |FROM v$iters, (SELECT sum(v * v) AS ss FROM v$iters)""".stripMargin
 
   /** Whitening oracle: unit direction from the shared PCA CTEs, then the
     * same fixed-order dot products and the ‖q‖² − proj² residual. */
   private def whitenOracleSql(iters: Int): String =
     s"""${pcaCtes(iters)},
-       |varr AS (SELECT list(v / sqrt(ss) ORDER BY j) AS v
+       |varr AS (SELECT list(CASE WHEN ss > 0 THEN v / sqrt(ss) ELSE 0.0 END
+       |                      ORDER BY j) AS v
        |         FROM v$iters, (SELECT sum(v * v) AS ss FROM v$iters)),
        |pr AS (SELECT vec_id,
        |        list_reduce(list_transform(range(0, len(qv)),

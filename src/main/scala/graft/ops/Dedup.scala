@@ -768,6 +768,12 @@ object Dedup {
     * times (the bm25 lesson). */
   def semanticDedup(emb: DataFrame, k: Int, iters: Int,
       tauNum: Int, tauDen: Int): DataFrame = {
+    // bound the threshold so tauNum²·|a|²·|b|² stays inside double
+    // exactness (≤ ~2^47 at d=64 int8 needs tauNum ≤ ~180; 1000 leaves
+    // margin for the tauDen side too)
+    require(tauNum >= 0 && tauDen > 0 && tauNum <= 1000 && tauDen <= 1000,
+      s"tau = $tauNum/$tauDen out of [0,1000] bounds")
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     import graft.functions.native.dot_product
     val assigned = Similarity.kmeansAssignments(emb, k, iters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -108,6 +108,8 @@ object RangeJoin {
   def bandJoin(left: DataFrame, right: DataFrame,
       leftVal: String, rightVal: String, width: Double): DataFrame = {
     require(width > 0, "width must be > 0")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty, s"left/right column name clash: $clash")
     // floor of one IEEE division — deterministic and engine-identical
     // on the same doubles
     def bucket(c: String) = floor(col(c) / width).cast("long")

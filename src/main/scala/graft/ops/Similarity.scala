@@ -605,13 +605,17 @@ object Similarity {
       val mx = w.agg(max(abs(col("w"))).as("mx"))
       w.crossJoin(broadcast(mx))
         .select(col("i").as("j"),
-          round(col("w") / col("mx") * 1000000.0, 0).as("v"))
+          // mx = 0 (an all-zero corpus) would otherwise yield NaN and
+          // poison every later round silently
+          when(col("mx") > 0, round(col("w") / col("mx") * 1000000.0, 0))
+            .otherwise(lit(0.0)).as("v"))
         .persist(lvl)
     }
     val nrm = vFin.agg(sum(col("v") * col("v")).as("ss"))
     vFin.crossJoin(broadcast(nrm))
       .select(col("j").cast("long").as("pos"),
-        (col("v") / sqrt(col("ss"))).as("loading"))
+        when(col("ss") > 0, col("v") / sqrt(col("ss")))
+          .otherwise(lit(0.0)).as("loading"))
   }
 
   /** Simplified (centroid-based) silhouette over the quantized k-means

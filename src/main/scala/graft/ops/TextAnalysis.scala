@@ -357,7 +357,12 @@ object TextAnalysis {
     * over the 2×2 contingency table built from the bigram margins.
     * Same persisted bigram type frame as Kneser–Ney; margins are
     * vocabulary-sized aggregates; G² is a fixed 4-term IEEE tree over
-    * exact integer counts (each term guarded for O = 0) → hash-gates. */
+    * exact integer counts (each term guarded for O = 0) → hash-gates.
+    *
+    * Exactness bound: the expected-count numerators multiply two margin
+    * sums (≤ total bigram tokens T each), so T must stay below ~3·10⁹
+    * for the long product to hold — beyond that, lift the margins to
+    * DECIMAL (the corr-matrix pattern) before the products. */
   def collocationLlr(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = col("__toks")
     val pairs = transform(sequence(lit(0), size(toks) - 2),
@@ -400,6 +405,7 @@ object TextAnalysis {
     * fixed IEEE tree over exact integers (no accumulated-double sums). */
   def tfidfTopK(df: DataFrame, k: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
@@ -435,6 +441,8 @@ object TextAnalysis {
     * IEEE expression over exact integer counts → hash-gates. */
   def kneserNey(df: DataFrame, textCol: String = "text",
       discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0,1), got $discount")
     val toks = col("__toks")
     val pairs = transform(sequence(lit(0), size(toks) - 2),
       i => struct(element_at(toks, i + 1).as("w1"),
