@@ -479,7 +479,8 @@ object SparkEntry {
       Layout.readPartition(s, path, "l_returnflag", "R")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          (sum(col("l_quantity").cast("decimal(18,2)")) * 100).cast("long")
+            .as("sum_qty_c"))
     },
 
     // Bucket both sides by the join key at write time, then join with
@@ -497,15 +498,23 @@ object SparkEntry {
           "l_orderkey", "o_orderkey")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          (sum(col("l_quantity").cast("decimal(18,2)")) * 100).cast("long")
+            .as("sum_qty_c"))
     },
 
     // Batch sessionization (gap > 30 min splits a user's events): the
     // backfill twin of the streaming session window, hash-gated on every
     // session's span and exact decimal value sum.
     "rel_sessionize" -> ((s, dir) =>
+      // The exact-decimal session value sum leaves the gate as integer
+      // MICROS: a scale-6 decimal always renders with trailing zeros
+      // ("0.010000"), which a checker that floats one side collapses to
+      // "0.01" — scaled BIGINT is renderer-independent.
       Sessionize.sessionize(t(s, dir, "events"), "user_id", "ts", "value",
-        gapSec = 1800.0)),
+          gapSec = 1800.0)
+        .withColumn("sum_value_micros",
+          (col("sum_value") * 1000000).cast("long"))
+        .drop("sum_value")),
 
     // Exact interpolated percentiles (percentile_cont semantics — the
     // non-sketch twin of rel_approx_quantile's gated t-digest).
@@ -560,16 +569,21 @@ object SparkEntry {
     // serialization (double shortest-round-trip, nulls, quoting) flips
     // the hash.
     "src_csv_roundtrip" -> { (s, dir) =>
-      import org.apache.spark.sql.types._
       val path = layoutPath("orders_csv")
-      Sources.writeCsv(t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")), path)
-      val schema = new StructType().add("o_orderkey", LongType)
-        .add("o_orderstatus", StringType).add("o_totalprice", DoubleType)
-      Sources.readCsv(s, path, schema)
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Sources.writeCsv(src, path)
+      // Read-back schema is DERIVED from the source frame, not hard-coded:
+      // if the driver's fixture generation shifts a column's physical type,
+      // the declared read shifts with it instead of silently re-casting.
+      // The price sum leaves the gate as exact integer CENTS — a decimal
+      // column renders scale-dependently ("x.00" vs "x.0") once a checker
+      // materializes one side as float, so no decimal crosses the boundary.
+      Sources.readCsv(s, path, src.schema)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+            .as("sum_price_cents"),
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
     },
 
@@ -591,20 +605,20 @@ object SparkEntry {
       s.read.option("mergeSchema", "true").parquet(path)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+            .as("sum_price_cents"))
     },
 
     "src_json_roundtrip" -> { (s, dir) =>
-      import org.apache.spark.sql.types._
       val path = layoutPath("orders_json")
-      Sources.writeJsonLines(t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")), path)
-      val schema = new StructType().add("o_orderkey", LongType)
-        .add("o_orderpriority", StringType).add("o_totalprice", DoubleType)
-      Sources.readJsonLines(s, path, schema)
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      Sources.writeJsonLines(src, path)
+      Sources.readJsonLines(s, path, src.schema)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+            .as("sum_price_cents"))
     },
 
     "src_orc_roundtrip" -> { (s, dir) =>
@@ -614,7 +628,8 @@ object SparkEntry {
       Sources.readOrc(s, path)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+            .as("sum_price_cents"),
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
     },
 
@@ -647,7 +662,10 @@ object SparkEntry {
     // the gate is fold-order-exact.
     "rel_winsorize" -> ((s, dir) =>
       Profile.winsorize(t(s, dir, "lineitem"), "l_returnflag",
-        "l_extendedprice", pLo = 0.05, pHi = 0.95)),
+          "l_extendedprice", pLo = 0.05, pHi = 0.95)
+        .withColumn("sum_winsorized_c",
+          (col("sum_winsorized") * 100).cast("long"))
+        .drop("sum_winsorized")),
 
     // Incremental aggregate maintenance: the materialized view's state
     // (n, decimal sum) computed on the OLD partition is merged with the
@@ -665,7 +683,8 @@ object SparkEntry {
       val delta = part(o.filter(col("o_orderkey") % 5 === 0))
       old.unionByName(delta)
         .groupBy(col("o_orderpriority"))
-        .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("sum_price"))
+        .agg(sum(col("n")).as("n_orders"),
+          (sum(col("s")) * 100).cast("long").as("sum_price_cents"))
     },
 
     // Bucket-level sync checksums (the incremental-replication audit:
@@ -827,7 +846,10 @@ object SparkEntry {
       val w = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       f.withColumn("cum", sum(col("bytes")).over(w))
-        .withColumn("bin", ((col("cum") - col("bytes")) / 25000).cast("long"))
+        // integer floor division on longs, matching the oracle's exact
+        // `//` — a double-division round-trip can misbin once cumulative
+        // bytes approach ~1e16
+        .withColumn("bin", expr("(cum - bytes) div 25000"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
           min(col("day")).as("min_day"), max(col("day")).as("max_day"))
@@ -847,15 +869,33 @@ object SparkEntry {
     // Key-skew profile of orders-per-customer — the operational report
     // behind salting/AQE decisions: Gini concentration of the key load
     // histogram plus the 5 heaviest keys with their load share. The
-    // ranked window runs over the COLLAPSED key frame (distinct keys,
-    // not rows) — at 100 TB the collapse is the only corpus-sized
-    // shuffle. Integer sums, two single divisions → hash-gates.
+    // rank i over (x, key) is a TWO-LEVEL bucketed prefix count (the
+    // pack_sequences formulation): intra-bucket row_numbers run
+    // partitioned by (x, key-stripe), and only the COLLAPSED bucket
+    // frame (one row per (load level, stripe) — stripeWidth× smaller
+    // than the distinct-key frame, recurse another level if even that
+    // is too wide) crosses a single-task ordered window. A direct
+    // Window.orderBy over the distinct keys computes the same i but
+    // serializes every key through one task — billions at 100 TB.
+    // Integer sums, two single divisions → hash-gates.
     "rel_key_skew" -> { (s, dir) =>
+      val stripeWidth = 4096L
       val cnt = t(s, dir, "orders").groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("x"))
-      val w = Window.orderBy(col("x"), col("o_custkey"))
-      val ranked = cnt.select(col("o_custkey"), col("x"),
-        row_number().over(w).as("i"))
+        .withColumn("__g", expr(s"o_custkey div $stripeWidth"))
+      val intraW = Window.partitionBy(col("x"), col("__g"))
+        .orderBy(col("o_custkey"))
+      val bucketW = Window.orderBy(col("x"), col("__g"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketPrefix = cnt.groupBy(col("x"), col("__g"))
+        .agg(count(lit(1)).as("__bn"))
+        .select(col("x"), col("__g"),
+          coalesce(sum(col("__bn")).over(bucketW), lit(0L)).as("__before"))
+      val ranked = cnt
+        .withColumn("__intra", row_number().over(intraW))
+        .join(broadcast(bucketPrefix), Seq("x", "__g"))
+        .select(col("o_custkey"), col("x"),
+          (col("__before") + col("__intra")).as("i"))
       val tot = ranked.agg(sum(col("x")).as("sx"), count(lit(1)).as("nk"),
         sum(col("i") * col("x")).as("six"))
       ranked.crossJoin(broadcast(tot))
@@ -1328,7 +1368,12 @@ object SparkEntry {
     // integer math, so the full clustering trace (assignments AND
     // centroids) hash-gates against the oracle's unrolled recurrence.
     "ann_kmeans" -> ((s, dir) =>
-      Similarity.kmeansQuantized(t(s, dir, "embeddings"), k = 8, iters = 2)),
+      // The centroid grid vector leaves the gate as a CSV string: the
+      // driver's checker compares scalar cells, not arrays — same boundary
+      // rule as pack_chunks / text_vocab_encode.
+      Similarity.kmeansQuantized(t(s, dir, "embeddings"), k = 8, iters = 2)
+        .withColumn("centroid", array_join(
+          col("centroid").cast("array<long>").cast("array<string>"), ","))),
 
     // Dominant principal direction by 2-round power iteration on the
     // quantized Gram matrix — integer-grid iterate, every reduction
@@ -1499,7 +1544,10 @@ object SparkEntry {
     // after the 5 learned merges (encode once per unique word; the corpus
     // then joins on word) — the final token state of the same loop.
     "text_bpe_encode" -> ((s, dir) =>
-      TextAnalysis.bpeEncodeWords(t(s, dir, "documents"), iterations = 5)),
+      // Token list → space-joined string at the gate boundary (tokens are
+      // word fragments, never containing whitespace): scalar cells only.
+      TextAnalysis.bpeEncodeWords(t(s, dir, "documents"), iterations = 5)
+        .withColumn("tokens", array_join(col("tokens"), " "))),
 
     // Corpus token counting THROUGH the learned tokenizer: per-word
     // segment lengths broadcast-join onto the exploded corpus (the
@@ -1575,7 +1623,10 @@ object SparkEntry {
     // the posting lists come out of the k-bounded TopKAggregator, never a
     // collect_list — O(k) state per token even for stopwords.
     "text_inverted_index" -> ((s, dir) =>
-      TextAnalysis.invertedIndex(t(s, dir, "documents"))),
+      // Posting list → CSV string at the gate boundary: scalar cells only.
+      TextAnalysis.invertedIndex(t(s, dir, "documents"))
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), ","))),
 
     // BM25 ranking over the same tf/df/length statistics: each doc's best
     // term with its score rounded to 6 decimals; the arithmetic is
@@ -1810,8 +1861,13 @@ object SparkEntry {
     // combined aggregate (open/close via min_by/max_by on (ts, event_id),
     // volume in DECIMAL) — no per-bucket window sort.
     "ts_ohlc_bars" -> ((s, dir) =>
+      // volume (scale-6 decimal) crosses the gate as integer MICROS; the
+      // o/h/l/c doubles are raw pass-through values (identical bits on
+      // both sides), so they stay doubles.
       TimeSeries.ohlcBars(t(s, dir, "events"), tsCol = "ts",
-        idCol = "event_id", valueCol = "value", widthSec = 300L)),
+          idCol = "event_id", valueCol = "value", widthSec = 300L)
+        .withColumn("volume_micros", (col("volume") * 1000000).cast("long"))
+        .drop("volume")),
 
     // Autocorrelation of the hourly count series at lags 1..6 — the
     // seasonality detector feeding ts_seasonal_naive's period choice.
@@ -1831,7 +1887,11 @@ object SparkEntry {
       val o = t(s, dir, "orders").select(col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,2)").as("price"),
         unix_timestamp(col("o_orderdate")).as("odate_s"))
+      // price exits as integer cents (decimal renders scale-dependently
+      // once a checker floats one side — e.g. a frontier price of x.40).
       Skyline.frontier(o, "price", "odate_s", buckets = 32)
+        .withColumn("price_cents", (col("price") * 100).cast("long"))
+        .drop("price")
     },
 
     // URL-canonicalization dedup (the C4/CCNet crawl-prep pass): raw
@@ -1974,7 +2034,8 @@ object SparkEntry {
           col("o_totalprice") >= 50000.0 && col("o_totalprice") < 150000.0)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+            .as("sum_price_cents"))
     },
 
     // Weighted sampling without replacement (Efraimidis–Spirakis):
@@ -2432,7 +2493,9 @@ object SparkEntry {
     s"""${kmeansCtes(iters)}
        |SELECT s$fin.cid AS cid, CAST(count(*) AS BIGINT) AS n_members,
        |       CAST(sum(vec_id) AS BIGINT) AS id_sum,
-       |       CAST(min(vec_id) AS BIGINT) AS min_id, c$iters.cv AS centroid
+       |       CAST(min(vec_id) AS BIGINT) AS min_id,
+       |       array_to_string(list_transform(c$iters.cv,
+       |         x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS centroid
        |FROM s$fin JOIN c$iters ON s$fin.cid = c$iters.cid
        |GROUP BY s$fin.cid, c$iters.cv""".stripMargin
   }
@@ -2586,7 +2649,7 @@ object SparkEntry {
 
   private def bpeEncodeOracleSql(iterations: Int): String =
     s"""WITH ${bpeCtes(iterations)}
-       |SELECT word, freq, list(tok ORDER BY pos) AS tokens,
+       |SELECT word, freq, string_agg(tok, ' ' ORDER BY pos) AS tokens,
        |       CAST(count(*) AS BIGINT) AS n_tokens
        |FROM t$iterations GROUP BY word, freq""".stripMargin
 
@@ -3011,10 +3074,11 @@ object SparkEntry {
         |      FROM e),
         |agg AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
         |          max(value) AS high, min(value) AS low,
-        |          sum(CAST(value AS DECIMAL(28,6))) AS volume
+        |          CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+        |            AS volume_micros
         |        FROM e GROUP BY bucket)
         |SELECT a.bucket AS bucket, o.value AS open, a.high, a.low,
-        |       c.value AS close, a.n_events, a.volume
+        |       c.value AS close, a.n_events, a.volume_micros
         |FROM agg a JOIN r o ON o.bucket = a.bucket AND o.ra = 1
         |           JOIN r c ON c.bucket = a.bucket AND c.rd = 1""".stripMargin,
 
@@ -3050,7 +3114,8 @@ object SparkEntry {
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
         |             CAST(epoch(o_orderdate) AS BIGINT) AS odate_s
         |           FROM orders)
-        |SELECT o_orderkey, price, odate_s FROM s p
+        |SELECT o_orderkey, CAST(price * 100 AS BIGINT) AS price_cents,
+        |       odate_s FROM s p
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM s q
         |  WHERE q.price >= p.price AND q.odate_s >= p.odate_s
@@ -3221,7 +3286,8 @@ object SparkEntry {
     // round-trip must preserve every row inside the box.
     "rel_zorder" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS sum_price_cents
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 199
         |  AND o_totalprice >= 50000.0 AND o_totalprice < 150000.0
@@ -3290,13 +3356,13 @@ object SparkEntry {
         |bwd AS (SELECT w2, CAST(sum(c) AS BIGINT) AS cw2 FROM bi GROUP BY w2),
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bi)
         |SELECT bi.w1, bi.w2, bi.c,
-        |  2.0 * (CASE WHEN c > 0
+        |  2.0 * (CASE WHEN c > 0 AND (cw1 * cw2) / n > 0
         |              THEN c * ln(c / ((cw1 * cw2) / n)) ELSE 0.0 END
-        |       + CASE WHEN cw1 - c > 0
+        |       + CASE WHEN cw1 - c > 0 AND (cw1 * (n - cw2)) / n > 0
         |              THEN (cw1 - c) * ln((cw1 - c) / ((cw1 * (n - cw2)) / n)) ELSE 0.0 END
-        |       + CASE WHEN cw2 - c > 0
+        |       + CASE WHEN cw2 - c > 0 AND ((n - cw1) * cw2) / n > 0
         |              THEN (cw2 - c) * ln((cw2 - c) / (((n - cw1) * cw2) / n)) ELSE 0.0 END
-        |       + CASE WHEN n - cw1 - cw2 + c > 0
+        |       + CASE WHEN n - cw1 - cw2 + c > 0 AND ((n - cw1) * (n - cw2)) / n > 0
         |              THEN (n - cw1 - cw2 + c) * ln((n - cw1 - cw2 + c) / (((n - cw1) * (n - cw2)) / n)) ELSE 0.0 END) AS llr
         |FROM bi JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN tot""".stripMargin,
 
@@ -3655,7 +3721,8 @@ object SparkEntry {
     // operator's md5 row-hash must reach the same verdicts.
     "rel_delta_merge" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS sum_price_cents
         |FROM orders GROUP BY 1""".stripMargin,
 
     "sample_exact_k" ->
@@ -3750,24 +3817,28 @@ object SparkEntry {
 
     "src_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS sum_price_cents,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "src_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n_rows,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS sum_price_cents
         |FROM orders GROUP BY 1""".stripMargin,
 
     "src_json_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS sum_price_cents
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "src_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS sum_price_cents,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
@@ -3814,7 +3885,8 @@ object SparkEntry {
         |SELECT l.l_returnflag AS l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CASE WHEN l_extendedprice < cut_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
         |       CAST(sum(CASE WHEN l_extendedprice > cut_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
-        |       sum(CAST(least(greatest(l_extendedprice, cut_lo), cut_hi) AS DECIMAL(18,2))) AS sum_winsorized
+        |       CAST(sum(CAST(least(greatest(l_extendedprice, cut_lo), cut_hi)
+        |                     AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_winsorized_c
         |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
         |GROUP BY l.l_returnflag""".stripMargin,
 
@@ -3864,13 +3936,15 @@ object SparkEntry {
     // or mangles turns the hash red.
     "rel_partition_prune" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS sum_qty_c
         |FROM lineitem WHERE l_returnflag = 'R'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "rel_bucket_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |         AS sum_qty_c
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
@@ -3892,7 +3966,8 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       count(*) AS n_events, min(ts) AS session_start,
         |       max(ts) AS session_end,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |         AS sum_value_micros
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "rel_window_ntile" ->
@@ -5121,7 +5196,8 @@ object SparkEntry {
       """WITH tok AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
         |SELECT tok, CAST(count(*) AS BIGINT) AS df,
-        |       (list(doc_id ORDER BY doc_id))[1:15] AS postings
+        |       array_to_string(list_transform((list(doc_id ORDER BY doc_id))[1:15],
+        |         x -> CAST(x AS VARCHAR)), ',') AS postings
         |FROM tok GROUP BY tok HAVING count(*) >= 60""".stripMargin,
 
     "text_term_stats" ->

@@ -4,6 +4,27 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** One canonical cell rendering for the .rows.txt diff artifact:
+    * doubles at 9 significant digits (the common checker normalization),
+    * timestamps as UTC instants, arrays/structs recursively bracketed.
+    * This format exists for human diffing of a red row, not for gating —
+    * the gate itself compares only scalar integer/string/double cells
+    * (see the query-boundary rules in SparkEntry). */
+  private def canonCell(v: Any): String = v match {
+    case null => "NULL"
+    case d: Double =>
+      if (d.isNaN) "NaN"
+      else String.format(java.util.Locale.ROOT, "%.9g", Double.box(d))
+    case f: Float => canonCell(f.toDouble)
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case ts: java.sql.Timestamp => ts.toInstant.toString
+    case s: scala.collection.Seq[_] =>
+      s.map(canonCell).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.map(canonCell).mkString("(", ",", ")")
+    case other => other.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,9 +43,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Divergence-capture artifact: the WRITTEN parquet (exactly what
+        // the driver's checker reads) re-read and dumped as sorted
+        // canonical row strings, so a driver-side hash red comes with the
+        // first differing row identifiable from artifacts alone — not a
+        // bare boolean. Reading the file back costs one small scan, never
+        // a re-execution of the query.
+        val rows = spark.read.parquet(s"$outDir/$name")
+          .limit(200001).collect()
+        val canon = rows.map(r => r.toSeq.map(canonCell).mkString(" | "))
+          .sorted
+        val body = if (rows.length > 200000)
+          canon.take(200000).mkString("\n") + "\n<<truncated at 200000 rows>>"
+        else canon.mkString("\n")
+        Files.writeString(Paths.get(s"$outDir/$name.rows.txt"), body)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,6 +80,18 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The GENERATED upsert dialect strings, dumped for execution-level
+    // validation: Derby executes the ANSI MERGE in StreamingSpec; the
+    // Postgres ON CONFLICT string (no Postgres/H2/pgjdbc in the sandbox)
+    // is executed by tools/pg_dialect_check.py against DuckDB's
+    // PG-flavored ON CONFLICT implementation — the exact string the
+    // generator emits, so dialect drift cannot hide behind a copy.
+    val merge = Seq(
+      "pg_upsert" -> graft.streaming.MergeSql.upsertStatement("ride_metrics"),
+      "ansi_merge" -> graft.streaming.MergeSql
+        .ansiMergeStatement("ride_metrics", "ride_metrics_stage"))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/merge_sql.json"), merge)
     spark.stop()
   }
 }

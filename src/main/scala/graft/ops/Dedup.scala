@@ -765,35 +765,107 @@ object Dedup {
     * so each cluster fits a partition; the self-join is an equi-join on
     * cid (bucketed exchange, never all-pairs across clusters), and the
     * assignment frame is persisted so clustering runs once, not three
-    * times (the bm25 lesson). */
+    * times (the bm25 lesson). `maxClusterSize` is the hot-cluster guard
+    * for corpora where one boilerplate cluster would dominate: see
+    * [[semanticDupPairs]]. The default (no cap) keeps the paper-exact
+    * all-pairs semantics the oracle replays. */
   def semanticDedup(emb: DataFrame, k: Int, iters: Int,
-      tauNum: Int, tauDen: Int): DataFrame = {
-    // bound the threshold so tauNum²·|a|²·|b|² stays inside double
-    // exactness (≤ ~2^47 at d=64 int8 needs tauNum ≤ ~180; 1000 leaves
-    // margin for the tauDen side too)
-    require(tauNum >= 0 && tauDen > 0 && tauNum <= 1000 && tauDen <= 1000,
-      s"tau = $tauNum/$tauDen out of [0,1000] bounds")
+      tauNum: Int, tauDen: Int,
+      maxClusterSize: Int = Int.MaxValue, dim: Int = 64): DataFrame = {
+    // bound the threshold so the exact-verdict contract holds: with
+    // d=64 int8, dot²·tauDen² and tauNum²·|a|²·|b|² reach ~2^53 once
+    // tau components pass ~180 — beyond that both engines still agree
+    // (identical IEEE trees) but the threshold itself loses exactness,
+    // so the bound IS the exactness envelope, not a style choice
+    require(tauNum >= 0 && tauDen > 0 && tauNum <= 180 && tauDen <= 180,
+      s"tau = $tauNum/$tauDen outside the d=64 int8 exact-verdict " +
+        "envelope [0,180]")
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
-    import graft.functions.native.dot_product
+    require(maxClusterSize >= 2, "maxClusterSize must be >= 2")
     val assigned = Similarity.kmeansAssignments(emb, k, iters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = assigned.select(col("cid"), col("vec_id").as("ida"),
-      col("qv").as("qa"))
-    val b = assigned.select(col("cid"), col("vec_id").as("idb"),
-      col("qv").as("qb"))
-    val dot = dot_product(col("qa"), col("qb"))
-    val na2 = dot_product(col("qa"), col("qa"))
-    val nb2 = dot_product(col("qb"), col("qb"))
-    val dups = a.join(b, Seq("cid"))
-      .filter(col("ida") < col("idb"))
-      .filter(dot >= 0 &&
-        dot * dot * lit((tauDen * tauDen).toDouble) >=
-          lit((tauNum * tauNum).toDouble) * na2 * nb2)
-      .groupBy(col("idb")).agg(count(lit(1)).as("n_dup_lower"))
-      .select(col("idb").as("vec_id"), col("n_dup_lower"))
+    val dups =
+      semanticDupPairs(assigned, tauNum, tauDen, maxClusterSize, dim)
+        .groupBy(col("idb")).agg(count(lit(1)).as("n_dup_lower"))
+        .select(col("idb").as("vec_id"), col("n_dup_lower"))
     assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         col("n_dup_lower").isNull.as("kept"),
         coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"))
+  }
+
+  /** SemDeDup's pair stage over a (vec_id, qv, cid) assignment frame:
+    * emits every within-cluster (ida < idb) pair whose exact-integer
+    * cosine clears tauNum/tauDen.
+    *
+    * Hot-cluster guard: a single boilerplate-heavy cluster is O(|c|²)
+    * at corpus scale no matter how k is tuned, so clusters are first
+    * re-split into sign-LSH sub-cells using the fewest hyperplane bits
+    * that bring the EXPECTED cell size under `maxClusterSize` (clusters
+    * already inside the cap keep one cell — semantics unchanged). Cells
+    * that are still oversized after the split (near-identical vectors
+    * share every LSH sign, so no similarity-preserving split can break
+    * them up) fall back to a REPRESENTATIVE prune: each member is
+    * compared only to the cell's minimum-id vector — |cell|−1 pairs
+    * instead of |cell|²/2, which is exactly the right answer for the
+    * pathological case (a pile of near-duplicates all collapses onto
+    * the representative; recall is lost only for members similar to a
+    * mid-cell vector but not to the representative). */
+  def semanticDupPairs(assigned: DataFrame, tauNum: Int, tauDen: Int,
+      maxClusterSize: Int = Int.MaxValue, dim: Int = 64): DataFrame = {
+    import graft.functions.native.dot_product
+    def tauPass(qa: Column, qb: Column): Column = {
+      val dot = dot_product(qa, qb)
+      dot >= 0 &&
+        dot * dot * lit((tauDen * tauDen).toDouble) >=
+          lit((tauNum * tauNum).toDouble) *
+            dot_product(qa, qa) * dot_product(qb, qb)
+    }
+    if (maxClusterSize == Int.MaxValue) {
+      val a = assigned.select(col("cid"), col("vec_id").as("ida"),
+        col("qv").as("qa"))
+      val b = assigned.select(col("cid"), col("vec_id").as("idb"),
+        col("qv").as("qb"))
+      a.join(b, Seq("cid"))
+        .filter(col("ida") < col("idb"))
+        .filter(tauPass(col("qa"), col("qb")))
+        .select(col("ida"), col("idb"))
+    } else {
+      val planes = Similarity.hyperplanes(30, dim, seed = 97L)
+      val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("__cn"))
+      val bits = greatest(lit(0.0), ceil(log(2.0,
+        col("__cn").cast("double") / maxClusterSize)))
+      val cells = assigned.join(broadcast(sizes), Seq("cid"))
+        .withColumn("__sub",
+          pmod(Similarity.lshBucket(col("qv").cast("array<double>"), planes),
+            pow(lit(2.0), bits).cast("long")))
+        .drop("__cn")
+      val cellSizes = cells.groupBy(col("cid"), col("__sub"))
+        .agg(count(lit(1)).as("__sn"))
+      val sized = cells.join(cellSizes, Seq("cid", "__sub"))
+      val b = sized.select(col("cid"), col("__sub"), col("__sn"),
+        col("vec_id").as("idb"), col("qv").as("qb"))
+      // in-cap cells: exact all-pairs, as in the unguarded path
+      val aSmall = sized.filter(col("__sn") <= maxClusterSize)
+        .select(col("cid"), col("__sub"), col("vec_id").as("ida"),
+          col("qv").as("qa"))
+      val exact = aSmall
+        .join(b.filter(col("__sn") <= maxClusterSize)
+          .drop("__sn"), Seq("cid", "__sub"))
+        .filter(col("ida") < col("idb"))
+      // still-oversized cells: representative prune (min id vs the rest)
+      val reps = sized.filter(col("__sn") > maxClusterSize)
+        .groupBy(col("cid"), col("__sub"))
+        .agg(min(col("vec_id")).as("ida"),
+          min_by(col("qv"), col("vec_id")).as("qa"))
+      val capped = reps
+        .join(b.filter(col("__sn") > maxClusterSize)
+          .drop("__sn"), Seq("cid", "__sub"))
+        .filter(col("ida") < col("idb"))
+      exact.select(col("ida"), col("qa"), col("idb"), col("qb"))
+        .unionByName(capped.select(col("ida"), col("qa"), col("idb"), col("qb")))
+        .filter(tauPass(col("qa"), col("qb")))
+        .select(col("ida"), col("idb"))
+    }
   }
 }

@@ -625,7 +625,14 @@ object Similarity {
     * not a corpus pairwise pass. d² is exact integer; the sqrt/ratio is
     * one per-row IEEE tree → hash-gates. Emitted per vector (no
     * accumulated-double mean crosses an exchange; average downstream in
-    * DECIMAL if a scalar is needed). */
+    * DECIMAL if a scalar is needed).
+    *
+    * Single-cluster convention: if only ONE cluster survives the Lloyd
+    * rounds there is no "other centroid", so `b` (and hence `s`) is NULL
+    * by definition — silhouette is undefined at k=1 and the NULL is the
+    * honest answer (the oracle replays the same convention). Consumers
+    * that need a scalar should filter `b IS NOT NULL` or require k ≥ 2
+    * surviving clusters. */
   def silhouetteQuantized(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     val (assigned, centroids) = kmeansCore(vecs, k, iters)
     val c2 = centroids.select(col("cid").as("c2"), col("cv"))

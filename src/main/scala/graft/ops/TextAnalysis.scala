@@ -379,8 +379,11 @@ object TextAnalysis {
     val fwd = bi.groupBy(col("w1")).agg(sum(col("c")).as("cw1"))
     val bwd = bi.groupBy(col("w2")).agg(sum(col("c")).as("cw2"))
     val tot = bi.agg(sum(col("c")).as("n"))
+    // E = 0 (a word's margin equals the bigram total, i.e. a degenerate
+    // single-vocabulary corpus) would make k·ln(k/E) = +Inf — guard both
+    // operands; mirrored in the oracle to keep parity
     def term(k: Column, e: Column): Column =
-      when(k > 0, k * log(k / e)).otherwise(lit(0.0))
+      when(k > 0 && e > 0, k * log(k / e)).otherwise(lit(0.0))
     val k11 = col("c")
     val k12 = col("cw1") - col("c")
     val k21 = col("cw2") - col("c")

@@ -1935,6 +1935,41 @@ class OperatorSpec extends SparkSuite {
     assert((1 to 5).forall(i => !out(i.toLong)), s"dups not dropped: $out")
   }
 
+  test("semantic dedup hot-cluster guard: planted giant cluster keeps pair count linear") {
+    import spark.implicits._
+    val dim = 64
+    val n = 300
+    // one giant pile of near-identical vectors: every LSH split fails on
+    // purpose (identical signs), so the guard must hit the representative
+    // fallback — the worst case the cap exists for
+    val vecs = (0 until n).map { i =>
+      val v = Array.fill(dim)(0.0f); v(0) = 1.0f; v(1) = 0.0001f * (i % 3)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val assigned = Similarity.kmeansAssignments(vecs, k = 1, iters = 1)
+    val cap = 32
+    val pairs = Dedup.semanticDupPairs(assigned, tauNum = 9, tauDen = 10,
+      maxClusterSize = cap, dim = dim)
+    val nPairs = pairs.count()
+    // unguarded all-pairs would be n(n-1)/2 = 44850; the guard bounds the
+    // comparisons at (#cells)·(cellSize-1) ≤ n-ish
+    assert(nPairs <= n.toLong, s"pair count not capped: $nPairs")
+    // and the dedup verdicts still collapse the pile onto per-cell
+    // representatives: at most #cells survivors among the pile
+    val out = Dedup.semanticDedup(vecs, k = 1, iters = 1, tauNum = 9,
+        tauDen = 10, maxClusterSize = cap, dim = dim)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect()
+    val survivors = out.count(_._2)
+    assert(survivors < n / 4, s"guard kept $survivors of $n near-identical docs")
+    assert(out.toMap.apply(0L), "minimum id must survive")
+    // guard disabled (default) on an in-cap frame: identical verdicts
+    val exact = Dedup.semanticDedup(vecs, k = 1, iters = 1,
+        tauNum = 9, tauDen = 10)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(exact(0L) && exact.count(_._2) == 1,
+      "unguarded run must keep exactly the minimum id")
+  }
+
   test("bounded closeness: path-graph closed form, ball truncated at k hops") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
@@ -2028,5 +2063,39 @@ class OperatorSpec extends SparkSuite {
     assert(out("red") == ((1L, 2L, 2.0)))
     assert(out("dog") == ((1L, 2L, 2.0)))
     assert(!out.contains("a") && !out.contains("the"))
+  }
+
+  test("key-skew: two-level rank matches the global window; no key-frame global sort") {
+    // value parity with the direct single-window formulation
+    val got = SparkEntry.queries("rel_key_skew")(spark, sfDir)
+      .select($"o_custkey", $"n_orders", $"share", $"gini")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val cnt = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"x", $"o_custkey")
+    val ranked = cnt.select($"o_custkey", $"x", row_number().over(w).as("i"))
+      .as[(Long, Long, Int)].collect()
+    val nk = ranked.length.toLong
+    val sx = ranked.map(_._2).sum
+    val six = ranked.map(r => r._3.toLong * r._2).sum
+    val gini = (2L * six - (nk + 1) * sx).toDouble / (nk * sx)
+    val expect = ranked.filter(_._3 > nk - 5)
+      .map(r => (r._1, r._2, r._2.toDouble / sx, gini)).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq,
+      s"two-level rank diverged: $got vs ${expect.toSeq}")
+    // plan guard: the per-key row_number window is PARTITIONED by
+    // (x, stripe); the only ordered-unpartitioned frames are the
+    // collapsed bucket-prefix window and the scalar totals — the
+    // distinct-key frame never crosses a single task
+    withoutAqe {
+      val plan = SparkEntry.queries("rel_key_skew")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert("row_number\\(\\) windowspecdefinition\\(x#\\d+L?, __g#"
+        .r.findFirstIn(plan).isDefined,
+        "per-key rank must be a partitioned window:\n" + plan.take(3000))
+      val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+      assert(singles <= 2,
+        s"expected at most bucket-prefix + totals single-partition frames, got $singles")
+    }
   }
 }
