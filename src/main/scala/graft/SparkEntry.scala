@@ -779,14 +779,17 @@ object SparkEntry {
 
     // ── array functions over the embedding column ──────────────────────
     "rel_array_funcs" -> ((s, dir) =>
+      // float32 values widened to double at the gate (exact widening,
+      // same bits both sides): a checker that upcasts only ONE side
+      // would render 6.55f as "6.550000190734863" vs "6.55"
       t(s, dir, "embeddings")
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
-          element_at(col("embedding"), 1).as("first_val"),
-          element_at(col("embedding"), -1).as("last_val"),
-          array_max(col("embedding")).as("max_val"),
-          array_min(col("embedding")).as("min_val"))),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          element_at(col("embedding"), -1).cast("double").as("last_val"),
+          array_max(col("embedding")).cast("double").as("max_val"),
+          array_min(col("embedding")).cast("double").as("min_val"))),
 
     // ── statistics aggregates ──────────────────────────────────────────
     "rel_stats" -> ((s, dir) =>
@@ -880,9 +883,13 @@ object SparkEntry {
     // Integer sums, two single divisions → hash-gates.
     "rel_key_skew" -> { (s, dir) =>
       val stripeWidth = 4096L
+      // persisted: the collapsed key frame feeds the intra-bucket rank,
+      // the bucket-prefix branch, and the totals — one corpus aggregate,
+      // not three (the bm25 lesson)
       val cnt = t(s, dir, "orders").groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("x"))
         .withColumn("__g", expr(s"o_custkey div $stripeWidth"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val intraW = Window.partitionBy(col("x"), col("__g"))
         .orderBy(col("o_custkey"))
       val bucketW = Window.orderBy(col("x"), col("__g"))
@@ -4031,8 +4038,10 @@ object SparkEntry {
 
     "rel_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-        |       embedding[1] AS first_val, embedding[-1] AS last_val,
-        |       list_max(embedding) AS max_val, list_min(embedding) AS min_val
+        |       CAST(embedding[1] AS DOUBLE) AS first_val,
+        |       CAST(embedding[-1] AS DOUBLE) AS last_val,
+        |       CAST(list_max(embedding) AS DOUBLE) AS max_val,
+        |       CAST(list_min(embedding) AS DOUBLE) AS min_val
         |FROM embeddings""".stripMargin,
 
     "rel_stats" ->

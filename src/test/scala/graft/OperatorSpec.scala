@@ -26,6 +26,26 @@ class OperatorSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("gate boundary: no DECIMAL/ARRAY/FLOAT32 column crosses a query output") {
+    // The r6 driver-red class: a DECIMAL renders scale-dependently
+    // ("x.00" vs "x.0") once a checker materializes one side as float;
+    // ARRAY cells crash pandas sorting; FLOAT32 renders differently from
+    // its float64 widening. Decimal sums must leave as scaled BIGINT,
+    // arrays as joined strings, float32 widened to double — in BOTH the
+    // query and its oracle SQL. Schema-only check: nothing executes.
+    import org.apache.spark.sql.types.{ArrayType, DecimalType, FloatType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[DecimalType] ||
+            f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType == FloatType => s"$name.${f.name}: ${f.dataType}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"renderer-dependent output columns:\n${offenders.mkString("\n")}")
+  }
+
   test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5
     val nearDup = base.replace("lazy", "sleepy") // one token changed
