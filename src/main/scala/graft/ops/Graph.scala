@@ -314,10 +314,15 @@ object Graph {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(lvl)
-    val dist = perSeedDistances(sym, seeds, rounds = 3).persist(lvl)
+    // localCheckpoint (not persist) on every per-round frame: each σ/δ
+    // round stacks joins on the previous round's lineage, and persist
+    // alone leaves the optimizer re-analyzing the whole chain at every
+    // downstream action — superlinear in rounds (the graph_hits/BPE
+    // lesson). Values are exact either way.
+    val dist = perSeedDistances(sym, seeds, rounds = 3).localCheckpoint()
     def layer(d: Int) = dist.filter(col("dist") === d)
     val s0 = layer(0).select(col("seed"), col("node"), lit(1L).as("sigma"))
-      .persist(lvl)
+      .localCheckpoint()
     def fwd(prev: DataFrame, d: Int): DataFrame = {
       val p = prev.select(col("seed").as("pseed"), col("node").as("pnode"),
         col("sigma").as("psigma"))
@@ -326,7 +331,7 @@ object Graph {
         .join(p, col("pseed") === col("seed") && col("pnode") === col("src"))
         .groupBy(col("seed"), col("node"))
         .agg(sum(col("psigma")).as("sigma"))
-        .persist(lvl)
+        .localCheckpoint()
     }
     val s1 = fwd(s0, 1)
     val s2 = fwd(s1, 2)
@@ -344,7 +349,7 @@ object Graph {
       cur.join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sigma"),
           coalesce(col("d"), lit(0.0)).as("delta"))
-        .persist(lvl)
+        .localCheckpoint()
     }
     val b2 = bwd(b3, s2)
     val b1 = bwd(b2, s1)

@@ -694,7 +694,12 @@ object TextAnalysis {
           concat(col("tok"), col("mb"))).otherwise(col("tok")))
         .withColumn("pos", row_number().over(byWord).cast("long"))
         .select(col("word"), col("freq"), col("pos"), col("tok"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint, not persist: each round stacks 3 windows on
+        // the lineage, and the optimizer re-analyzes the WHOLE chain at
+        // every round's argmax action — superlinear in iterations (the
+        // graph_hits 60 s → 6 s lesson). Truncating lineage keeps each
+        // round's plan flat; values are exact either way.
+        .localCheckpoint()
     }
     (outs.result(), toks)
   }
