@@ -1136,6 +1136,22 @@ object SparkEntry {
           n = 3, threshold = 0.5))
     },
 
+    // Duplicate-cluster size report over the same transitive groups: how
+    // many clusters of each size and how many documents they absorb —
+    // the dedup-health summary every corpus run publishes (a heavy tail
+    // here means boilerplate; a spike at 2 means true near-dups). Two
+    // keyed aggregates over the group frame; integer outputs.
+    "dedup_group_stats" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateGroups(
+          Dedup.jaccardVerifiedPairs(docs, "doc_id", "text",
+            Dedup.minhashLshCandidates(docs, "doc_id", "text"),
+            n = 3, threshold = 0.5))
+        .groupBy(col("group_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("group_size"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_docs"))
+    },
+
     // Representative selection over the same groups: keep the longest
     // member per duplicate group (tie → smaller id), singletons pass
     // through — the deduplicated corpus itself, hash-gated end to end.
@@ -1665,6 +1681,13 @@ object SparkEntry {
         capacity = 512, bucketSize = 64)
         .select(col("seq_id"), col("n_docs"), col("n_tokens"),
           md5(col("seq_text")).as("seq_md5"))),
+
+    // Length-bucketed shelf packing: same-length docs share a sequence
+    // (⌊cap/L⌋ each), so no doc straddles a boundary and waste is
+    // capacity mod L per shelf — every assignment integer-gated.
+    "pack_shelves" -> ((s, dir) =>
+      Training.packShelves(t(s, dir, "documents"), "doc_id", "text",
+        capacity = 512, bucketSize = 64L)),
 
     // Decontamination against a benchmark slice (doc_id % 97 == 0), with
     // planted leaks: the benchmark docs re-enter the corpus under
@@ -4592,6 +4615,33 @@ object SparkEntry {
         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS group_id
         |FROM reach GROUP BY a""".stripMargin,
 
+    // Same recursive-CTE groups, then the cluster-size distribution.
+    "dedup_group_stats" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(0, len(w) - 2),
+        |           i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |p AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b
+        |  FROM s l JOIN s r ON l.doc_id < r.doc_id
+        |  WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p
+        |      UNION SELECT a, a FROM p UNION SELECT b, b FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |g AS (SELECT a AS doc_id, min(b) AS gid FROM reach GROUP BY a),
+        |sz AS (SELECT gid, CAST(count(*) AS BIGINT) AS group_size
+        |       FROM g GROUP BY gid)
+        |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(group_size) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY group_size""".stripMargin,
+
     // Same recursive-CTE groups as dedup_groups, then the argmax
     // representative per group plus the anti-joined singleton pass-through.
     "dedup_keep_best" ->
@@ -5274,6 +5324,27 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |       md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5
         |FROM c GROUP BY tok_before // 512""".stripMargin,
+
+    // Direct per-L rank / ceil-div replay of the shelf assignment — the
+    // oracle's row_number over each length class is the single-task
+    // shape the engine's two-level rank avoids at scale.
+    "pack_shelves" ->
+      """WITH tk AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS L
+        |  FROM documents),
+        |r AS (SELECT doc_id, L,
+        |    row_number() OVER (PARTITION BY L ORDER BY doc_id) - 1 AS k
+        |  FROM tk),
+        |cls AS (SELECT L, greatest(1, 512 // L) AS per, count(*) AS nL
+        |  FROM tk GROUP BY L),
+        |b AS (SELECT L, per,
+        |    CAST(COALESCE(sum((nL + per - 1) // per) OVER (ORDER BY L
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+        |  FROM cls)
+        |SELECT r.doc_id, r.L AS n_tokens,
+        |       CAST(b.base + k // per AS BIGINT) AS seq_id,
+        |       CAST((k % per) * r.L AS BIGINT) AS seq_offset
+        |FROM r JOIN b USING (L)""".stripMargin,
 
     "decon_ngram" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -101,6 +101,73 @@ object Training {
         (col("__before") % capacity).as("seq_offset"))
   }
 
+  /** Length-bucketed SHELF packing: documents are grouped by exact token
+    * length L and each training sequence holds only same-length docs —
+    * ⌊capacity/L⌋ per sequence — so no document ever straddles a
+    * sequence boundary (greedy concat-order packing splits ~1 doc per
+    * sequence) and per-sequence waste is bounded by capacity mod L
+    * instead of depending on arrival order. The layout trade: batches
+    * lose length diversity (standard for length-bucketed training).
+    * Documents LONGER than capacity get a dedicated sequence each
+    * (offset 0) — the caller chunks or truncates those upstream.
+    *
+    * Scale shape, all corpus-sized steps bucketed:
+    *   1. rank k of a doc within its L class is a TWO-LEVEL prefix count
+    *      (the packSequences formulation, per L): intra-stripe
+    *      row_numbers partitioned by (L, id-stripe), plus per-L stripe
+    *      prefixes over the collapsed (L, stripe) frame — a hot length
+    *      class (most corpora pile up at the truncation length) never
+    *      serializes through one task;
+    *   2. per-class sequence-id bases are an ordered prefix sum over the
+    *      class-stats frame (≤ max-doc-length rows — broadcast-sized by
+    *      construction);
+    *   3. seq_id = base(L) + k / per(L), offset = (k mod per(L))·L —
+    *      pure per-row arithmetic.
+    * Output: (doc_id, n_tokens, seq_id, seq_offset); seq_ids are dense
+    * 0..nSeqs−1 ordered by (L, intra-class rank). */
+  def packShelves(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 512, bucketSize: Long = 4096L): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    val base = df.select(
+        col(idCol).as("doc_id"),
+        expr(s"${idCol} div $bucketSize").as("__g"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val intraW = Window.partitionBy(col("__L"), col("__g"))
+      .orderBy(col("doc_id"))
+    // per-L stripe prefixes: collapsed (L, stripe) frame, ordered within
+    // each L — partitioned window, never a global sort
+    val stripeW = Window.partitionBy(col("__L")).orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stripePrefix = base.groupBy(col("__L"), col("__g"))
+      .agg(count(lit(1)).as("__sn"))
+      .select(col("__L"), col("__g"),
+        coalesce(sum(col("__sn")).over(stripeW), lit(0L)).as("__before"))
+    // class stats: one row per distinct length (≤ max doc length rows);
+    // the ordered prefix over it is single-task over a tiny frame.
+    // All quotients are integer `div` (never `/`, which is double
+    // division and can mis-floor at extreme magnitudes).
+    val per = expr(s"greatest(1L, ${capacity}L div __L)")
+    val classW = Window.orderBy(col("__L"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classBase = base.groupBy(col("__L"))
+      .agg(count(lit(1)).as("__nL"))
+      .withColumn("__per", per)
+      .withColumn("__nseq", expr("(__nL + __per - 1) div __per"))
+      .select(col("__L"), col("__per"),
+        coalesce(sum(col("__nseq")).over(classW), lit(0L)).as("__base"))
+    base
+      .withColumn("__intra", row_number().over(intraW).cast("long"))
+      .join(broadcast(stripePrefix), Seq("__L", "__g"))
+      .join(broadcast(classBase), Seq("__L"))
+      .withColumn("__k", col("__before") + col("__intra") - 1)
+      .select(
+        col("doc_id"),
+        col("__L").as("n_tokens"),
+        expr("__base + (__k div __per)").as("seq_id"),
+        ((col("__k") % col("__per")) * col("__L")).as("seq_offset"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * `n`-gram with a benchmark/eval set. N-grams are keyed by md5 — a
     * fixed 32-byte join key regardless of n-gram length (and an

@@ -601,6 +601,42 @@ class OperatorSpec extends SparkSuite {
     assert(packed.last._3 == (packed.map(_._2).sum - packed.last._2) / 16)
   }
 
+  test("shelf packing: same-length shelves, capacity respected, dense seq ids") {
+    val docs = (0L until 240L)
+      .map(i => (i, Seq.fill(1 + (i % 9).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "text") // lengths 1..9, 26-27 docs each
+    val out = Training.packShelves(docs, "doc_id", "text",
+        capacity = 16, bucketSize = 8L)
+      .select($"doc_id", $"n_tokens", $"seq_id", $"seq_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 240)
+    val bySeq = out.groupBy(_._3)
+    bySeq.foreach { case (seq, ds) =>
+      // one length class per sequence; offsets are 0, L, 2L, …; total fits
+      assert(ds.map(_._2).distinct.length == 1, s"seq $seq mixes lengths")
+      val l = ds.head._2
+      assert(ds.map(_._4).sorted.toSeq == ds.indices.map(_ * l),
+        s"seq $seq offsets not contiguous shelves")
+      assert(ds.length * l <= 16, s"seq $seq overflows capacity")
+      // full utilization except the last shelf of a class
+      assert(ds.length <= (16 / l).max(1))
+    }
+    // dense ids 0..nSeqs-1
+    assert(bySeq.keySet == (0L until bySeq.size).toSet, "seq ids not dense")
+    // docs longer than capacity get a dedicated sequence at offset 0
+    val big = Seq((1L, Seq.fill(40)("w").mkString(" ")),
+      (2L, Seq.fill(40)("w").mkString(" "))).toDF("doc_id", "text")
+    val bigOut = Training.packShelves(big, "doc_id", "text", capacity = 16)
+      .select($"seq_id", $"seq_offset").as[(Long, Long)].collect().toSeq
+    assert(bigOut.sorted == Seq((0L, 0L), (1L, 0L)), s"got $bigOut")
+    // deterministic re-run
+    val again = Training.packShelves(docs, "doc_id", "text",
+        capacity = 16, bucketSize = 8L)
+      .select($"doc_id", $"seq_id", $"seq_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == out.map(t => (t._1, t._3, t._4)).toSet)
+  }
+
   test("sequence build: concatenating sequences in order reproduces the corpus") {
     val docs = (0L until 50L)
       .map(i => (i, Seq.tabulate(1 + (i % 5).toInt)(j => s"w${i}_$j").mkString(" ")))
