@@ -1520,6 +1520,27 @@ object SparkEntry {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
 
+    // Domain-mixture plan: per-language weights + a 500k-token budget →
+    // exact integer targets, epoch counts (up-sampled small sources run
+    // multiple passes), and the final partial pass in ppm.
+    "sample_mixture_plan" -> ((s, dir) =>
+      Sampling.mixturePlan(t(s, dir, "documents"), "lang", "text",
+        Seq("en" -> 2, "de" -> 3, "es" -> 3, "fr" -> 3, "zh" -> 1),
+        budgetTokens = 500000L)),
+
+    // Leak-free variant: near-duplicate docs adopt their group
+    // representative's split, so no eval doc has a training near-twin —
+    // the benchmark-leak guard run after dedup, before export.
+    "sample_split_leakfree" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val groups = Dedup.duplicateGroups(
+        Dedup.jaccardVerifiedPairs(docs, "doc_id", "text",
+          Dedup.minhashLshCandidates(docs, "doc_id", "text"),
+          n = 3, threshold = 0.5))
+      Sampling.leakFreeSplit(docs, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), groups)
+    },
+
     // ── text analysis ─────────────────────────────────────────────────
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"))
@@ -3954,6 +3975,60 @@ object SparkEntry {
         |            WHEN draw < 950000 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM d""".stripMargin,
+
+    // Same integer div arithmetic over the per-lang token counts.
+    "sample_mixture_plan" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w(lang, w) AS (VALUES ('en', 2), ('de', 3), ('es', 3), ('fr', 3), ('zh', 1)),
+        |t AS (SELECT n.lang, n.n_docs, n.n_tokens,
+        |        (500000 * w) // 12 AS target_tokens
+        |      FROM n JOIN w USING (lang)),
+        |ep AS (SELECT *, (target_tokens + n_tokens - 1) // n_tokens AS n_epochs
+        |       FROM t)
+        |SELECT lang, n_docs, n_tokens,
+        |       CAST(target_tokens AS BIGINT) AS target_tokens,
+        |       CAST(n_epochs AS BIGINT) AS n_epochs,
+        |       CAST(((target_tokens - (n_epochs - 1) * n_tokens) * 1000000)
+        |            // n_tokens AS BIGINT) AS last_epoch_ppm
+        |FROM ep""".stripMargin,
+
+    // Recursive groups + the sample_split draw; group members adopt the
+    // representative's (min id) split.
+    "sample_split_leakfree" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(0, len(w) - 2),
+        |           i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |p AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b
+        |  FROM s l JOIN s r ON l.doc_id < r.doc_id
+        |  WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p
+        |      UNION SELECT a, a FROM p UNION SELECT b, b FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |g AS (SELECT a AS doc_id, min(b) AS gid FROM reach GROUP BY a),
+        |d AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 1000000 AS draw FROM documents),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN draw < 900000 THEN 'train'
+        |         WHEN draw < 950000 THEN 'val'
+        |         ELSE 'test' END AS split FROM d),
+        |rep AS (SELECT gid, min(doc_id) AS rep FROM g GROUP BY gid),
+        |rs AS (SELECT g.doc_id, spr.split AS rep_split
+        |       FROM g JOIN rep USING (gid) JOIN sp spr ON spr.doc_id = rep.rep)
+        |SELECT sp.doc_id, COALESCE(rs.rep_split, sp.split) AS split,
+        |       rs.rep_split IS NOT NULL AND rs.rep_split <> sp.split AS reassigned
+        |FROM sp LEFT JOIN rs ON rs.doc_id = sp.doc_id""".stripMargin,
 
     "sql_lateral_explode" ->
       """WITH tok AS (SELECT lang,

@@ -258,4 +258,73 @@ object Sampling {
     }
     df.withColumn("split", label)
   }
+
+  /** Data-mixture plan: given per-source integer weights and a total
+    * token budget, how much of each source to sample and how many epochs
+    * of it to run — the "domain weights → concrete sampling schedule"
+    * calculation every mixture-trained run performs (cf. the published
+    * practice of up-sampling small high-quality sources over multiple
+    * epochs while big crawls run fractional).
+    *
+    * All arithmetic is exact integer (`div`, no doubles):
+    *   target_g   = budget · w_g div Σw
+    *   n_epochs_g = ⌈target_g / tokens_g⌉  (how many passes over g)
+    *   last_epoch_ppm = parts-per-million of g sampled in the final
+    *                    (partial) pass — 10⁶ means full passes only.
+    * Sources with zero weight (or absent from `weights`) are excluded.
+    * One corpus aggregate; the plan frame is |sources| rows. */
+  def mixturePlan(df: DataFrame, groupCol: String, textCol: String,
+      weights: Seq[(String, Int)], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    require(budgetTokens > 0, "budget must be positive")
+    val sumW = weights.map(_._2.toLong).sum
+    val wDf = broadcast(df.sparkSession.createDataFrame(
+      weights.map { case (g, w) => (g, w.toLong) })
+      .toDF(groupCol, "__w"))
+    df.select(col(groupCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__n"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+      .join(wDf, Seq(groupCol))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * __w) div ${sumW}L"))
+      .withColumn("n_epochs",
+        expr("(target_tokens + n_tokens - 1) div n_tokens"))
+      .withColumn("last_epoch_ppm",
+        expr("((target_tokens - (n_epochs - 1) * n_tokens) * 1000000L) div n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("n_epochs"), col("last_epoch_ppm"))
+  }
+
+  /** Leak-free train/val/test assignment: near-duplicate documents must
+    * land in the SAME split, or the eval set silently contains training
+    * data (the classic benchmark-leak failure). Every member of a
+    * duplicate group adopts the split of the group's MINIMUM doc id (the
+    * canonical representative — deterministic, so re-running with an
+    * extended corpus cannot flip an old doc's split unless its group's
+    * minimum changes); singletons keep their own [[splitAssign]] draw.
+    *
+    * `groups` is the (doc_id, group_id) frame from
+    * [[graft.ops.Dedup.duplicateGroups]] — only duplicate docs appear in
+    * it, so every join here is sized by the duplicate subset, not the
+    * corpus; the corpus-wide work is the one md5-draw projection.
+    * Output: (doc_id, split, reassigned) — `reassigned` marks docs whose
+    * own draw disagreed with their group representative's. */
+  def leakFreeSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], groups: DataFrame): DataFrame = {
+    val assigned = splitAssign(df, keyCol, splits)
+      .select(col(keyCol), col("split"))
+    val rep = groups.groupBy(col("group_id"))
+      .agg(min(col("doc_id")).as("__rep"))
+    val repSplit = groups.join(rep, Seq("group_id"))
+      .join(assigned.select(col(keyCol).as("__rep"),
+        col("split").as("__rep_split")), Seq("__rep"))
+      .select(col("doc_id").as(keyCol), col("__rep_split"))
+    assigned.join(repSplit, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("__rep_split"), col("split")).as("split"),
+        (col("__rep_split").isNotNull &&
+          col("__rep_split") =!= col("split")).as("reassigned"))
+  }
 }

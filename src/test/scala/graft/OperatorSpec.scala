@@ -601,6 +601,50 @@ class OperatorSpec extends SparkSuite {
     assert(packed.last._3 == (packed.map(_._2).sum - packed.last._2) / 16)
   }
 
+  test("leak-free split: dup-group members share the representative's split") {
+    val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // planted groups spanning many ids: {0,101,202,303}, {7,250}
+    val groups = Seq((0L, 0L), (101L, 0L), (202L, 0L), (303L, 0L),
+      (7L, 7L), (250L, 7L)).toDF("doc_id", "group_id")
+    val splits = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val out = Sampling.leakFreeSplit(docs, "doc_id", splits, groups)
+      .select($"doc_id", $"split", $"reassigned")
+      .as[(Long, String, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // every group member carries the minimum member's split
+    assert(Seq(101L, 202L, 303L).forall(i => out(i)._1 == out(0L)._1))
+    assert(out(250L)._1 == out(7L)._1)
+    // representatives are never marked reassigned
+    assert(!out(0L)._2 && !out(7L)._2)
+    // singletons keep the plain splitAssign draw bit-for-bit
+    val plain = Sampling.splitAssign(docs, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val grouped = Set(0L, 101L, 202L, 303L, 7L, 250L)
+    assert(out.filterNot(kv => grouped(kv._1))
+      .forall { case (id, (s, r)) => s == plain(id) && !r })
+    // a member is flagged reassigned iff its own draw disagreed
+    assert(out.filter(kv => grouped(kv._1)).forall { case (id, (s, r)) =>
+      r == (plain(id) != s) })
+  }
+
+  test("mixture plan: integer targets, epochs, and final partial pass") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, if (i < 10) "big" else "small",
+        Seq.fill(if (i < 10) 50 else 5)("t").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    // big: 500 tokens, small: 100 tokens; weights 1:3 over budget 400
+    val out = Sampling.mixturePlan(docs, "lang", "text",
+        Seq("big" -> 1, "small" -> 3), budgetTokens = 400L)
+      .select($"lang", $"n_docs", $"n_tokens", $"target_tokens",
+        $"n_epochs", $"last_epoch_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // big: target 400*1/4=100 of 500 → 1 epoch at 200000 ppm
+    assert(out("big") == (("big", 10L, 500L, 100L, 1L, 200000L)), out("big"))
+    // small: target 300 of 100 → 3 epochs, final pass full (1e6 ppm)
+    assert(out("small") == (("small", 20L, 100L, 300L, 3L, 1000000L)),
+      out("small"))
+  }
+
   test("shelf packing: same-length shelves, capacity respected, dense seq ids") {
     val docs = (0L until 240L)
       .map(i => (i, Seq.fill(1 + (i % 9).toInt)("t").mkString(" ")))
