@@ -1520,6 +1520,16 @@ object SparkEntry {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
 
+    // Curriculum staging: difficulty stage 1..4 by per-language length
+    // quartiles (shorter = easier; per-group cutoffs so verbose
+    // languages don't monopolize the hard stages).
+    "sample_curriculum" -> ((s, dir) =>
+      Sampling.curriculumStages(
+        t(s, dir, "documents").withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long")),
+        "lang", "n_tokens")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("stage"))),
+
     // Domain-mixture plan: per-language weights + a 500k-token budget →
     // exact integer targets, epoch counts (up-sampled small sources run
     // multiple passes), and the final partial pass in ppm.
@@ -3975,6 +3985,21 @@ object SparkEntry {
         |            WHEN draw < 950000 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM d""".stripMargin,
+
+    // quantile_cont = Spark's interpolated percentile (rel_percentiles
+    // precedent); the boolean-sum stage expression is identical.
+    "sample_curriculum" ->
+      """WITH n AS (SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS q1,
+        |        quantile_cont(n_tokens, 0.5) AS q2,
+        |        quantile_cont(n_tokens, 0.75) AS q3
+        |      FROM n GROUP BY lang)
+        |SELECT doc_id, n.lang, n_tokens,
+        |       CAST(1 + CAST(n_tokens > q1 AS INT) + CAST(n_tokens > q2 AS INT)
+        |            + CAST(n_tokens > q3 AS INT) AS BIGINT) AS stage
+        |FROM n JOIN q USING (lang)""".stripMargin,
 
     // Same integer div arithmetic over the per-lang token counts.
     "sample_mixture_plan" ->

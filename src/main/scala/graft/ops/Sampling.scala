@@ -259,6 +259,29 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Curriculum staging: assign each row a difficulty stage 1..4 by the
+    * quartiles of `scoreCol` WITHIN its group (per-language quartiles,
+    * so one verbose language doesn't push every other language's docs
+    * into the "hard" stages). The standard curriculum-ordering pass —
+    * train on stage 1 first, anneal upward. Cutoffs are exact
+    * interpolated percentiles (the rel_percentiles parity precedent);
+    * the stage comparison is the same fixed expression on both engines.
+    * One aggregate for the cutoffs (|groups| rows, broadcast back), one
+    * corpus projection. */
+  def curriculumStages(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val cuts = df.groupBy(col(groupCol)).agg(
+      percentile(col(scoreCol), lit(0.25)).as("__q1"),
+      percentile(col(scoreCol), lit(0.5)).as("__q2"),
+      percentile(col(scoreCol), lit(0.75)).as("__q3"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("stage",
+        (lit(1) + (col(scoreCol) > col("__q1")).cast("int")
+          + (col(scoreCol) > col("__q2")).cast("int")
+          + (col(scoreCol) > col("__q3")).cast("int")).cast("long"))
+      .drop("__q1", "__q2", "__q3")
+  }
+
   /** Data-mixture plan: given per-source integer weights and a total
     * token budget, how much of each source to sample and how many epochs
     * of it to run — the "domain weights → concrete sampling schedule"

@@ -626,6 +626,20 @@ class OperatorSpec extends SparkSuite {
       r == (plain(id) != s) })
   }
 
+  test("curriculum stages: per-group quartile boundaries, monotone in score") {
+    // group A scores 1..8 (quartiles 2.75/4.5/6.25); group B all-equal
+    val rows = (1 to 8).map(i => ("A", i.toLong, i.toLong * 10)) ++
+      (1 to 4).map(i => ("B", 100L + i, 7L))
+    val df = rows.toDF("g", "id", "s")
+    val out = Sampling.curriculumStages(df, "g", "s")
+      .select($"id", $"stage").as[(Long, Long)].collect().toMap
+    // A: 10,20 -> stage1 | 30,40 -> 2 | 50,60 -> 3 | 70,80 -> 4
+    assert((1 to 8).map(i => out(i.toLong)) ==
+      Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L), out.toSeq.sorted)
+    // B: every score equals every quartile -> all stage 1 (no > holds)
+    assert((101L to 104L).forall(out(_) == 1L))
+  }
+
   test("mixture plan: integer targets, epochs, and final partial pass") {
     val docs = Seq.tabulate(30)(i =>
       (i.toLong, if (i < 10) "big" else "small",
