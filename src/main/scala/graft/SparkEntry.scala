@@ -898,9 +898,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("__bn"))
         .select(col("x"), col("__g"),
           coalesce(sum(col("__bn")).over(bucketW), lit(0L)).as("__before"))
+      // plain join, NOT broadcast: bucketPrefix collapses by stripe but
+      // its worst case (diverse counts within a stripe) approaches the
+      // key frame — the join keys match the intra window's partitioning,
+      // so only the small side exchanges; AQE may still broadcast it at
+      // runtime when it IS small
       val ranked = cnt
         .withColumn("__intra", row_number().over(intraW))
-        .join(broadcast(bucketPrefix), Seq("x", "__g"))
+        .join(bucketPrefix, Seq("x", "__g"))
         .select(col("o_custkey"), col("x"),
           (col("__before") + col("__intra")).as("i"))
       val tot = ranked.agg(sum(col("x")).as("sx"), count(lit(1)).as("nk"),
@@ -4015,8 +4020,9 @@ object SparkEntry {
         |SELECT lang, n_docs, n_tokens,
         |       CAST(target_tokens AS BIGINT) AS target_tokens,
         |       CAST(n_epochs AS BIGINT) AS n_epochs,
-        |       CAST(((target_tokens - (n_epochs - 1) * n_tokens) * 1000000)
-        |            // n_tokens AS BIGINT) AS last_epoch_ppm
+        |       CAST(CASE WHEN n_epochs = 0 THEN 0 ELSE
+        |            ((target_tokens - (n_epochs - 1) * n_tokens) * 1000000)
+        |            // n_tokens END AS BIGINT) AS last_epoch_ppm
         |FROM ep""".stripMargin,
 
     // Recursive groups + the sample_split draw; group members adopt the

@@ -52,8 +52,17 @@ object Verify {
         // first differing row identifiable from artifacts alone — not a
         // bare boolean. Reading the file back costs one small scan, never
         // a re-execution of the query.
-        val rows = spark.read.parquet(s"$outDir/$name")
-          .limit(200001).collect()
+        val out = spark.read.parquet(s"$outDir/$name")
+        // deterministic capture: order by every orderable column BEFORE
+        // the limit, so an over-200k truncation keeps a stable prefix
+        // (a bare limit takes a planner-dependent subset that could omit
+        // the very row a driver-side red hinges on)
+        val sortCols = out.schema.fields.filter(f =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType)).map(f => org.apache.spark.sql
+            .functions.col(f.name))
+        val rows = (if (sortCols.nonEmpty) out.orderBy(sortCols.toSeq: _*)
+          else out).limit(200001).collect()
         val canon = rows.map(r => r.toSeq.map(canonCell).mkString(" | "))
           .sorted
         val body = if (rows.length > 200000)

@@ -842,7 +842,11 @@ object Dedup {
         .drop("__cn")
       val cellSizes = cells.groupBy(col("cid"), col("__sub"))
         .agg(count(lit(1)).as("__sn"))
+      // persisted: b, aSmall, and reps all read this frame — without it
+      // the LSH projection + size join recompute once per branch (the
+      // bm25 lesson this file already cites)
       val sized = cells.join(cellSizes, Seq("cid", "__sub"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val b = sized.select(col("cid"), col("__sub"), col("__sn"),
         col("vec_id").as("idb"), col("qv").as("qb"))
       // in-cap cells: exact all-pairs, as in the unguarded path

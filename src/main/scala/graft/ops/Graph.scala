@@ -318,7 +318,11 @@ object Graph {
     // round stacks joins on the previous round's lineage, and persist
     // alone leaves the optimizer re-analyzing the whole chain at every
     // downstream action — superlinear in rounds (the graph_hits/BPE
-    // lesson). Values are exact either way.
+    // lesson). Values are exact either way. Unlike the freed-per-round
+    // loops (checkpointRound/freeRound), NO frame here is superseded —
+    // every σ layer feeds the later δ backward pass — so all 6 bounded
+    // frames stay pinned until the job ends; the recompute-on-executor-
+    // loss trade is accepted for the flat plans.
     val dist = perSeedDistances(sym, seeds, rounds = 3).localCheckpoint()
     def layer(d: Int) = dist.filter(col("dist") === d)
     val s0 = layer(0).select(col("seed"), col("node"), lit(1L).as("sigma"))

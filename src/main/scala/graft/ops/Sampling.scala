@@ -293,17 +293,23 @@ object Sampling {
     *   target_g   = budget · w_g div Σw
     *   n_epochs_g = ⌈target_g / tokens_g⌉  (how many passes over g)
     *   last_epoch_ppm = parts-per-million of g sampled in the final
-    *                    (partial) pass — 10⁶ means full passes only.
-    * Sources with zero weight (or absent from `weights`) are excluded.
+    *                    (partial) pass — 10⁶ means full passes only; 0
+    *                    when the integer target rounds to zero (skip).
+    * Sources with zero weight (or absent from `weights`) are excluded
+    * from the plan; duplicate source keys are rejected.
     * One corpus aggregate; the plan frame is |sources| rows. */
   def mixturePlan(df: DataFrame, groupCol: String, textCol: String,
       weights: Seq[(String, Int)], budgetTokens: Long): DataFrame = {
-    require(weights.nonEmpty && weights.forall(_._2 > 0),
-      "weights must be positive")
+    require(weights.nonEmpty && weights.forall(_._2 >= 0),
+      "weights must be non-negative")
+    require(weights.exists(_._2 > 0), "at least one weight must be positive")
+    require(weights.map(_._1).distinct.length == weights.length,
+      "duplicate source keys in weights")
     require(budgetTokens > 0, "budget must be positive")
-    val sumW = weights.map(_._2.toLong).sum
+    val positive = weights.filter(_._2 > 0)
+    val sumW = positive.map(_._2.toLong).sum
     val wDf = broadcast(df.sparkSession.createDataFrame(
-      weights.map { case (g, w) => (g, w.toLong) })
+      positive.map { case (g, w) => (g, w.toLong) })
       .toDF(groupCol, "__w"))
     df.select(col(groupCol),
         size(split(trim(col(textCol)), "\\s+")).cast("long").as("__n"))
@@ -314,8 +320,13 @@ object Sampling {
         expr(s"(${budgetTokens}L * __w) div ${sumW}L"))
       .withColumn("n_epochs",
         expr("(target_tokens + n_tokens - 1) div n_tokens"))
+      // an integer-rounded-to-zero target means "skip this source": zero
+      // epochs AND a zero final pass (without the guard the formula
+      // degenerates to 10⁶ ppm — "sample everything" — for a source with
+      // no budget)
       .withColumn("last_epoch_ppm",
-        expr("((target_tokens - (n_epochs - 1) * n_tokens) * 1000000L) div n_tokens"))
+        expr("CASE WHEN n_epochs = 0 THEN 0L ELSE " +
+          "((target_tokens - (n_epochs - 1) * n_tokens) * 1000000L) div n_tokens END"))
       .select(col(groupCol), col("n_docs"), col("n_tokens"),
         col("target_tokens"), col("n_epochs"), col("last_epoch_ppm"))
   }

@@ -673,6 +673,10 @@ object TextAnalysis {
         posexplode(transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1)))).as(Seq("pos", "tok")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ids of the PREVIOUS round's checkpointed blocks — superseded once
+    // the next round materializes, freed so executor storage stays O(1)
+    // in iterations (the Graph.checkpointRound/freeRound discipline)
+    var prevRoundIds = Set.empty[Int]
     val outs = Seq.newBuilder[DataFrame]
     for (it <- 1 to iterations) {
       val m = toks
@@ -689,17 +693,28 @@ object TextAnalysis {
         .withColumn("sel", col("tok") === col("ma") &&
           lead(col("tok"), 1).over(byWord) === col("mb"))
         .withColumn("prev_sel", lag(col("sel"), 1).over(byWord))
+      // localCheckpoint, not persist: each round stacks 3 windows on
+      // the lineage, and the optimizer re-analyzes the WHOLE chain at
+      // every round's argmax action — superlinear in iterations (the
+      // graph_hits 60 s → 6 s lesson). Truncating lineage keeps each
+      // round's plan flat; values are exact either way. Trade: a
+      // checkpointed block is not recomputable from lineage (an executor
+      // loss fails the job instead of recomputing) — acceptable for a
+      // bounded 5-round vocab-scale loop; superseded rounds' blocks are
+      // freed below so executor storage stays O(1) in iterations (the
+      // Graph.checkpointRound/freeRound discipline).
+      val sc = toks.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       toks = sel.filter(!coalesce(col("prev_sel"), lit(false)))
         .withColumn("tok", when(coalesce(col("sel"), lit(false)),
           concat(col("tok"), col("mb"))).otherwise(col("tok")))
         .withColumn("pos", row_number().over(byWord).cast("long"))
         .select(col("word"), col("freq"), col("pos"), col("tok"))
-        // localCheckpoint, not persist: each round stacks 3 windows on
-        // the lineage, and the optimizer re-analyzes the WHOLE chain at
-        // every round's argmax action — superlinear in iterations (the
-        // graph_hits 60 s → 6 s lesson). Truncating lineage keeps each
-        // round's plan flat; values are exact either way.
         .localCheckpoint()
+      val newIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRoundIds = newIds
     }
     (outs.result(), toks)
   }

@@ -158,7 +158,12 @@ object Training {
         coalesce(sum(col("__nseq")).over(classW), lit(0L)).as("__base"))
     base
       .withColumn("__intra", row_number().over(intraW).cast("long"))
-      .join(broadcast(stripePrefix), Seq("__L", "__g"))
+      // stripePrefix is NOT broadcast: its worst case (many distinct
+      // lengths per stripe) approaches the corpus; the join keys match
+      // the intra window's partitioning, so only the small side
+      // exchanges. classBase IS broadcast-safe by construction
+      // (≤ max-doc-length rows).
+      .join(stripePrefix, Seq("__L", "__g"))
       .join(broadcast(classBase), Seq("__L"))
       .withColumn("__k", col("__before") + col("__intra") - 1)
       .select(

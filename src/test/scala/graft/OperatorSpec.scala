@@ -32,7 +32,9 @@ class OperatorSpec extends SparkSuite {
     // ARRAY cells crash pandas sorting; FLOAT32 renders differently from
     // its float64 widening. Decimal sums must leave as scaled BIGINT,
     // arrays as joined strings, float32 widened to double — in BOTH the
-    // query and its oracle SQL. Schema-only check: nothing executes.
+    // query and its oracle SQL. Only schemas are ASSERTED (no count/
+    // collect here), though building some queries does run their
+    // construction-time side effects (scratch writes, sampled training).
     import org.apache.spark.sql.types.{ArrayType, DecimalType, FloatType}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
