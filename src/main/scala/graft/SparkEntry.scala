@@ -2196,6 +2196,21 @@ object SparkEntry {
       Graph.pagerank(fwd.unionAll(rev), "src", "dst", iters = 3, damping = 0.85)
     },
 
+    // Personalized PageRank seeded on customers 1..5 over the undirected
+    // trade graph: restart mass returns to the seed set, so scores rank
+    // graph proximity TO those customers (random-walk-with-restart — the
+    // seed-expansion / recommendation primitive). Same unrolled plan
+    // shape as graph_pagerank; oracle replays the recurrence.
+    "graph_ppr" -> { (s, dir) =>
+      import s.implicits._
+      val e = tradePairs(s, dir)
+      val fwd = e.select(col("c").as("src"), (-col("su") - 1).as("dst"))
+      val rev = e.select((-col("su") - 1).as("src"), col("c").as("dst"))
+      val seeds = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+      Graph.personalizedPagerank(fwd.unionAll(rev), "src", "dst", seeds,
+        iters = 3, damping = 0.85)
+    },
+
     // PageRank over the DIRECTED customer→supplier graph: suppliers have
     // no outgoing edges, so every one of them is a dangling sink — the
     // query exercises the Σ pr(dangling)/N redistribution (without it,
@@ -2970,6 +2985,37 @@ object SparkEntry {
     s"""$tradePairsCte,
        |ed AS (SELECT c AS src, -su - 1 AS dst FROM e)""".stripMargin,
     dangling = true)
+
+  /** Personalized-PageRank oracle: identical unrolled recurrence with the
+    * restart vector (uniform over seeds∩nodes) in place of 1/N. */
+  private val pprOracleSql: String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val base = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    val iters = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT ed.dst AS node_id, sum($prev.pr / od.odeg) AS c
+         |  FROM ed JOIN $prev ON ed.src = $prev.node_id
+         |          JOIN od ON ed.src = od.src
+         |  GROUP BY ed.dst),
+         |r$i AS (SELECT rst.node_id,
+         |    $base * rst.r + $d * coalesce(c$i.c, 0.0) AS pr
+         |  FROM rst LEFT JOIN c$i USING (node_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradePairsCte,
+       |ed AS (SELECT c AS src, -su - 1 AS dst FROM e
+       |       UNION ALL SELECT -su - 1 AS src, c AS dst FROM e),
+       |nodes AS (SELECT src AS node_id FROM ed UNION SELECT dst FROM ed),
+       |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg FROM ed GROUP BY src),
+       |sg AS (SELECT node_id FROM nodes WHERE node_id IN (1, 2, 3, 4, 5)),
+       |sn AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM sg),
+       |rst AS (SELECT nodes.node_id,
+       |    CASE WHEN sg.node_id IS NOT NULL THEN CAST(1 AS DOUBLE) / sn.s
+       |         ELSE CAST(0 AS DOUBLE) END AS r
+       |  FROM nodes LEFT JOIN sg USING (node_id) CROSS JOIN sn),
+       |r0 AS (SELECT node_id, r AS pr FROM rst),
+       |$iters
+       |SELECT node_id, round(pr, 6) AS ppr FROM r3""".stripMargin
+  }
 
   /** HITS oracle: the identical unrolled recurrence (auth ← Σ_in hub,
     * hub ← Σ_out auth, each side divided by its max) over the same
@@ -3757,6 +3803,7 @@ object SparkEntry {
          |FROM l3 GROUP BY lbl""".stripMargin,
 
     "graph_pagerank" -> pagerankOracleSql,
+    "graph_ppr" -> pprOracleSql,
 
     "graph_pagerank_directed" -> pagerankDirectedOracleSql,
     "graph_hits" -> hitsOracleSql,

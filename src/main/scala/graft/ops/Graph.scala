@@ -561,6 +561,56 @@ object Graph {
     pr.select(col("node_id"), round(col("pr"), 6).as("pr"))
   }
 
+  /** Personalized PageRank (Haveliwala 2002; the random-walk-with-restart
+    * similarity behind item-to-item recommendation and seed-expansion):
+    * identical recurrence to [[pagerank]] except the (1−d) restart mass
+    * returns to the SEED set (uniform over seeds present in the graph)
+    * instead of all nodes — pr_{t+1} = (1−d)·r + d·Σ in-contributions,
+    * initialized at r. Seeds absent from the edge list are ignored (the
+    * restart normalizes over seeds∩nodes, deterministically). Dangling
+    * mass decays rather than redistributes — the common PPR convention;
+    * scores are a fixed-round unrolled plan the oracle replays, rounded
+    * to 6 (the pagerank precedent). Same scale shape as pagerank: edge
+    * list persisted once, one keyed aggregate per round, seed frame is a
+    * broadcast-sized join input. */
+  def personalizedPagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters in [1,10] (plan size grows per iter)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(lvl)
+    val nodes = ed.select(col("src").as("node_id"))
+      .unionAll(ed.select(col("dst").as("node_id"))).distinct().persist(lvl)
+    val sg = nodes
+      .join(seeds.select(col("node").as("node_id")).distinct(), Seq("node_id"))
+      .persist(lvl)
+    val sn = broadcast(sg.agg(count(lit(1)).cast("double").as("__sn")))
+    val restart = nodes
+      .join(sg.withColumn("__isSeed", lit(1)), Seq("node_id"), "left")
+      .crossJoin(sn)
+      .select(col("node_id"),
+        when(col("__isSeed").isNotNull, lit(1.0) / col("__sn"))
+          .otherwise(lit(0.0)).as("r"))
+      .persist(lvl)
+    val outdeg = ed.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("__od")).persist(lvl)
+    val base = 1.0 - damping
+    var pr = restart.select(col("node_id"), col("r").as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = ed
+        .join(pr.withColumnRenamed("node_id", "src"), "src")
+        .join(outdeg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("__od")).as("__c"))
+        .withColumnRenamed("dst", "node_id")
+      pr = restart.join(contribs, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(base) * col("r") +
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("node_id"), round(col("pr"), 6).as("ppr"))
+  }
+
   /** HITS hubs-and-authorities over a DIRECTED edge list (Kleinberg's
     * algorithm, public knowledge) — the bipartite-flavored companion to
     * [[pagerank]]: on a buyer→seller graph, hub score ranks buyers by how

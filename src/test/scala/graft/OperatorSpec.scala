@@ -2086,6 +2086,22 @@ class OperatorSpec extends SparkSuite {
       "unguarded run must keep exactly the minimum id")
   }
 
+  test("personalized pagerank: two-node closed form, restart mass on the seed") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.personalizedPagerank(edges, "src", "dst", seeds,
+        iters = 2, damping = 0.5)
+      .as[(Long, Double)].collect().toMap
+    // r=(1,0); pr1=(0.5,0.5); pr2 = (0.5·1+0.5·0.5, 0+0.5·0.5) = (0.75, 0.25)
+    assert(out == Map(1L -> 0.75, 2L -> 0.25), out.toString)
+    // seeds absent from the graph are ignored; restart renormalizes
+    val out2 = Graph.personalizedPagerank(edges, "src", "dst",
+        Seq(1L, 99L).toDF("node"), iters = 2, damping = 0.5)
+      .as[(Long, Double)].collect().toMap
+    assert(out2 == out, s"phantom seed changed scores: $out2")
+  }
+
   test("bounded closeness: path-graph closed form, ball truncated at k hops") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
