@@ -1403,6 +1403,32 @@ object SparkEntry {
         .withColumn("centroid", array_join(
           col("centroid").cast("array<long>").cast("array<string>"), ","))),
 
+    // Embedding-drift monitor: cluster the corpus once (the ann_kmeans
+    // routing), then compare each cluster's mean vector between the
+    // even-id and odd-id halves — the per-topic distribution-shift check
+    // run between ingest batches (a healthy split drifts ~0; a cluster
+    // whose halves diverge flags a changed source). Per-(cid,pos) sums
+    // are exact integers; the mean difference is one IEEE division per
+    // side and the cross-position Σd² fold is absorbed by round(,6) —
+    // the pagerank δ precedent. Clusters missing a half are dropped
+    // (drift undefined).
+    "ann_centroid_drift" -> { (s, dir) =>
+      val a = Similarity.kmeansAssignments(t(s, dir, "embeddings"),
+        k = 8, iters = 2)
+      val px = a.select(col("cid"), (col("vec_id") % 2 === 0).as("__even"),
+        posexplode(col("qv")))
+      val ag = px.groupBy(col("cid"), col("pos"))
+        .agg(sum(when(col("__even"), col("col"))).as("se"),
+          count(when(col("__even"), lit(1))).as("ne"),
+          sum(when(!col("__even"), col("col"))).as("so"),
+          count(when(!col("__even"), lit(1))).as("no"))
+      val d = col("se") / col("ne") - col("so") / col("no")
+      ag.filter(col("ne") > 0 && col("no") > 0)
+        .groupBy(col("cid"))
+        .agg(max(col("ne")).as("n_even"), max(col("no")).as("n_odd"),
+          round(sum(d * d), 6).as("drift2"))
+    },
+
     // Dominant principal direction by 2-round power iteration on the
     // quantized Gram matrix — integer-grid iterate, every reduction
     // exact, loadings hash-gated (see Similarity scaladoc).
@@ -4953,6 +4979,23 @@ object SparkEntry {
     "ann_ivf_planted" -> ivfPlantedOracleSql,
 
     "ann_kmeans" -> kmeansOracleSql(2),
+    // Same clustering CTE chain; per-(cid,pos) half-sums are exact
+    // integers, the Σd² fold-order wobble is absorbed by round(,6).
+    "ann_centroid_drift" ->
+      s"""${kmeansCtes(2)},
+         |px AS (SELECT cid, vec_id % 2 = 0 AS even, i AS pos,
+         |         qv[CAST(i+1 AS INT)] AS val
+         |       FROM s3, unnest(range(0, len(qv))) AS u(i)),
+         |ag AS (SELECT cid, pos,
+         |         sum(CASE WHEN even THEN val END) AS se,
+         |         count(CASE WHEN even THEN 1 END) AS ne,
+         |         sum(CASE WHEN NOT even THEN val END) AS so,
+         |         count(CASE WHEN NOT even THEN 1 END) AS no
+         |       FROM px GROUP BY cid, pos)
+         |SELECT cid, CAST(max(ne) AS BIGINT) AS n_even,
+         |       CAST(max(no) AS BIGINT) AS n_odd,
+         |       round(sum((se/ne - so/no) * (se/ne - so/no)), 6) AS drift2
+         |FROM ag WHERE ne > 0 AND no > 0 GROUP BY cid""".stripMargin,
     "dedup_semantic" -> semanticDedupOracleSql(2, 3, 10),
     "ann_silhouette" -> silhouetteOracleSql(2),
     "ann_pca_power" -> pcaPowerOracleSql(2),
