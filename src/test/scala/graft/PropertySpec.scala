@@ -333,4 +333,64 @@ class PropertySpec extends SparkSuite {
       assert(fps == again)
     }
   }
+
+  test("shelf packing: total conservation, capacity, shelf purity on random lengths") {
+    samples(Gen.listOfN(150, Gen.chooseNum(1, 24)), 2).foreach { lens =>
+      val docs = lens.zipWithIndex
+        .map { case (l, i) => (i.toLong, Seq.fill(l)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.ops.Training.packShelves(docs, "doc_id", "text",
+          capacity = 16, bucketSize = 8L)
+        .select($"doc_id", $"n_tokens", $"seq_id", $"seq_offset")
+        .as[(Long, Long, Long, Long)].collect()
+      // every doc appears once with its true length — nothing dropped
+      assert(out.length == lens.size)
+      out.foreach { case (id, n, _, _) => assert(n == lens(id.toInt)) }
+      out.groupBy(_._3).foreach { case (seq, ds) =>
+        assert(ds.map(_._2).distinct.length == 1, s"seq $seq mixes lengths")
+        val l = ds.head._2
+        // over-capacity docs get dedicated sequences; others fill shelves
+        if (l > 16) assert(ds.length == 1)
+        else assert(ds.length * l <= 16, s"seq $seq overflows")
+        assert(ds.map(_._4).sorted.toSeq == ds.indices.map(_ * l))
+      }
+      val seqIds = out.map(_._3).distinct.sorted
+      assert(seqIds.toSeq == (0L until seqIds.length), "seq ids not dense")
+    }
+  }
+
+  test("mixture plan: targets proportional and budget-conserving on random weights") {
+    val mixGen = for {
+      wA <- Gen.chooseNum(1, 9); wB <- Gen.chooseNum(1, 9)
+      nA <- Gen.chooseNum(3, 20); nB <- Gen.chooseNum(3, 20)
+      budget <- Gen.chooseNum(50L, 5000L)
+    } yield (wA, wB, nA, nB, budget)
+    samples(Gen.listOfN(4, mixGen), 2).flatten.foreach {
+      case (wA, wB, nA, nB, budget) =>
+        val docs = (Seq.tabulate(nA)(i => (i.toLong, "a", "t t t t t")) ++
+          Seq.tabulate(nB)(i => ((100 + i).toLong, "b", "t t")))
+          .toDF("doc_id", "lang", "text")
+        val out = graft.ops.Sampling.mixturePlan(docs, "lang", "text",
+            Seq("a" -> wA, "b" -> wB), budget)
+          .select($"lang", $"n_tokens", $"target_tokens", $"n_epochs",
+            $"last_epoch_ppm")
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> r).toMap
+        val sumW = wA.toLong + wB
+        // exact proportional integer targets; sum never exceeds budget
+        assert(out("a")._3 == budget * wA / sumW)
+        assert(out("b")._3 == budget * wB / sumW)
+        assert(out.values.map(_._3).sum <= budget)
+        out.values.foreach { case (_, n, target, epochs, ppm) =>
+          // epochs cover the target exactly: (epochs-1)·n < target ≤ epochs·n
+          if (target == 0) assert(epochs == 0 && ppm == 0)
+          else {
+            assert(epochs * n >= target && (epochs - 1) * n < target)
+            assert(ppm >= 0 && ppm <= 1000000)
+            // reconstructed sampled mass equals the target exactly
+            assert((epochs - 1) * n + ppm * n / 1000000 <= target)
+          }
+        }
+    }
+  }
 }
