@@ -1766,6 +1766,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_ngrams"), col("n_hits"), col("contaminated"))
     },
 
+    // Bloom-prefiltered twin of decon_ngram, same planted fixture: the
+    // bench key set rides a fixed-memory bloom instead of a broadcast
+    // (the 100 TB eval-suite path); exact verify removes false
+    // positives, so the gate is the SAME oracle — the prefilter must be
+    // invisible in the rows.
+    "decon_bloom" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(bench.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Training.decontaminateBloom(corpus, bench, "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_ngrams"), col("n_hits"), col("contaminated"))
+    },
+
     // Embedding-space decontamination: vectors 0-15 stand in for the
     // benchmark set; every other vector is corpus. Broadcast bench +
     // BroadcastNestedLoopJoin — the corpus side never shuffles.
@@ -5543,6 +5558,26 @@ object SparkEntry {
         |FROM r JOIN b USING (L)""".stripMargin,
 
     "decon_ngram" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |ngl AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 7, 0)),
+        |      i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')))) AS g
+        |  FROM tk),
+        |ng AS (SELECT doc_id, md5(g) AS k FROM ngl),
+        |bench AS (SELECT DISTINCT k FROM ng WHERE doc_id % 97 = 0),
+        |corp AS (
+        |  SELECT doc_id, k FROM ng WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, k FROM ng WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |       CAST(count(b.k) AS BIGINT) AS n_hits,
+        |       count(b.k) > 0 AS contaminated
+        |FROM corp c LEFT JOIN bench b ON c.k = b.k
+        |GROUP BY c.doc_id""".stripMargin,
+
+    // The bloom prefilter must be invisible: same exact oracle as
+    // decon_ngram (no false negatives; exact verify removes the fpp).
+    "decon_bloom" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |ngl AS (SELECT doc_id,
         |    unnest(list_distinct(list_transform(range(0, greatest(len(toks) - 7, 0)),

@@ -196,6 +196,43 @@ object Training {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[decontaminate]] for when the benchmark n-gram key set is too
+    * large to broadcast (a full eval-suite union runs to billions of
+    * n-grams): a bloom filter over the bench keys (fixed memory, one
+    * pass over the bench side) kills the (1−selectivity)·(1−fpp)
+    * fraction of corpus n-grams scan-side, BEFORE any exchange; only
+    * the survivors shuffle into the exact key join that removes the fpp
+    * false positives. No false negatives by construction, so the output
+    * is row-identical to [[decontaminate]] — only bytes-shuffled
+    * changes (the BloomJoin.bloomSemiJoin argument, applied to the
+    * n-gram probe). The bloom probes a 60-bit prefix of the md5 key
+    * (the codegen'd MightContainLong path); truncation collisions only
+    * add bloom passes, which the exact full-key join removes. */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def keyLong(k: Column): Column =
+      conv(substring(k, 1, 15), 16, 10).cast("long")
+    val benchKeys = ngramKeys(bench, idCol, textCol, n)
+      .select(col("__k")).distinct().persist(lvl)
+    val bloom = benchKeys
+      .select(keyLong(col("__k")).as("__kl"))
+      .stat.bloomFilter("__kl", expectedItems, fpp)
+    val ck = ngramKeys(corpus, idCol, textCol, n).persist(lvl)
+    val totals = ck.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"))
+    val hits = ck
+      .filter(BloomJoin.mightContain(keyLong(col("__k")), bloom))
+      .join(benchKeys, Seq("__k"), "semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** One row per distinct (doc, n-gram md5 key) — one fused native pass
     * per row ([[graft.functions.ShingleMd5Keys]]: tokenize → shingle →
     * md5 → distinct); the transform+array_distinct+md5 HOF chain

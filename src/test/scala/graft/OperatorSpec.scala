@@ -603,6 +603,24 @@ class OperatorSpec extends SparkSuite {
     assert(packed.last._3 == (packed.map(_._2).sum - packed.last._2) / 16)
   }
 
+  test("bloom decontamination equals exact decontamination row-for-row") {
+    val shared = Seq.tabulate(9)(i => s"leak$i").mkString(" ")
+    val corpus = Seq(
+      (1L, shared + " trailing words here"),          // contains bench 8-gram
+      (2L, Seq.tabulate(20)(i => s"clean$i").mkString(" ")),
+      (3L, "too short"),
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, shared + " benchy tail")).toDF("doc_id", "text")
+    val a = Training.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .orderBy($"doc_id").collect().toSeq
+    val b = Training.decontaminateBloom(corpus, bench, "doc_id", "text",
+        n = 8, expectedItems = 1024)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b, s"bloom path diverged:\n$a\n$b")
+    val flags = b.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(flags(1L) && !flags(2L))
+  }
+
   test("leak-free split: dup-group members share the representative's split") {
     val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // planted groups spanning many ids: {0,101,202,303}, {7,250}
