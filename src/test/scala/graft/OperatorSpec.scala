@@ -10,10 +10,11 @@ class OperatorSpec extends SparkSuite {
   import spark.implicits._
 
   test("every SparkEntry query runs and is non-empty on sf0.001") {
-    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
-      if (n == 0) Some(name) else None
-    }
+    val empties =
+      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val n = fn(spark, sfDir).count()
+        if (n == 0) Some(name) else None
+      } finally spark.catalog.clearCache() // see the gate-boundary test
     assert(empties.isEmpty, s"empty results: $empties")
   }
 
@@ -36,14 +37,18 @@ class OperatorSpec extends SparkSuite {
     // collect here), though building some queries does run their
     // construction-time side effects (scratch writes, sampled training).
     import org.apache.spark.sql.types.{ArrayType, DecimalType, FloatType}
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        fn(spark, sfDir).schema.fields.collect {
-          case f if f.dataType.isInstanceOf[DecimalType] ||
-            f.dataType.isInstanceOf[ArrayType] ||
-            f.dataType == FloatType => s"$name.${f.name}: ${f.dataType}"
-        }
-    }
+    val offenders =
+      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          fn(spark, sfDir).schema.fields.collect {
+            case f if f.dataType.isInstanceOf[DecimalType] ||
+              f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType == FloatType => s"$name.${f.name}: ${f.dataType}"
+          }
+      // constructing the queries persists fixture-scale frames (key-skew,
+      // shelves, bloom decon, …); drop them so later PLAN tests don't see
+      // InMemoryRelation-rewritten trees for matching subtrees
+      } finally spark.catalog.clearCache()
     assert(offenders.isEmpty,
       s"renderer-dependent output columns:\n${offenders.mkString("\n")}")
   }
@@ -482,6 +487,7 @@ class OperatorSpec extends SparkSuite {
   }
 
   test("plan: decontamination probes a broadcast benchmark set") {
+    spark.catalog.clearCache() // plan asserted on uncached subtrees
     val df = SparkEntry.queries("decon_ngram")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
