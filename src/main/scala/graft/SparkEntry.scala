@@ -621,6 +621,25 @@ object SparkEntry {
             .as("sum_price_cents"))
     },
 
+    // binaryFile round-trip — the multimodal ingestion path: one opaque
+    // .bin file per document (executor-side writes), read back via the
+    // binaryFile source; id parsed from the path, byte length and
+    // content md5 gated against the original strings. Any byte the
+    // file/read cycle mangles (encoding, truncation, content cap) flips
+    // the hash.
+    "src_binaryfile" -> { (s, dir) =>
+      val path = layoutPath("docs_bin")
+      Sources.writeBinaryFiles(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", path)
+      Sources.readBinaryFiles(s, path)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
+            .as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+    },
+
     "src_orc_roundtrip" -> { (s, dir) =>
       val path = layoutPath("orders_orc")
       Sources.writeOrc(t(s, dir, "orders")
@@ -3988,6 +4007,15 @@ object SparkEntry {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
         |         AS sum_price_cents
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // Byte length + md5 computed from the ORIGINAL strings (duck md5 of
+    // a VARCHAR hashes its UTF-8 bytes, octet_length(encode(..)) counts
+    // them — the same bytes the .bin files carry).
+    "src_binaryfile" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_md5
+        |FROM documents""".stripMargin,
 
     "src_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

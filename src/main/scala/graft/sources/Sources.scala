@@ -50,4 +50,31 @@ object Sources {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.format("jdbc").option("url", url).option("dbtable", table)
       .mode(mode).save()
+
+  /** Materialize one opaque binary file per row — the fixture half of the
+    * `binaryFile` source round-trip (the standard multimodal ingestion
+    * path: images/audio land as files, Spark reads them as (path,
+    * length, content) rows). Files are written EXECUTOR-side per
+    * partition (no driver loop; same side-effect posture as writeCsv),
+    * named `<id>.bin`, bytes = UTF-8 of `payloadCol`. Idempotent:
+    * deterministic names + contents overwrite in place. */
+  def writeBinaryFiles(df: DataFrame, idCol: String, payloadCol: String,
+      dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    df.select(df.col(idCol).cast("string"), df.col(payloadCol))
+      .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        while (rows.hasNext) {
+          val r = rows.next()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0) + ".bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+  }
+
+  /** `binaryFile` source: one row per file with (path, modificationTime,
+    * length, content) — content capped by
+    * spark.sql.sources.binaryFile.maxLength (2 GB default). */
+  def readBinaryFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
 }
