@@ -904,29 +904,17 @@ object SparkEntry {
       val stripeWidth = 4096L
       // persisted: the collapsed key frame feeds the intra-bucket rank,
       // the bucket-prefix branch, and the totals — one corpus aggregate,
-      // not three (the bm25 lesson)
-      val cnt = t(s, dir, "orders").groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("x"))
-        .withColumn("__g", expr(s"o_custkey div $stripeWidth"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val intraW = Window.partitionBy(col("x"), col("__g"))
-        .orderBy(col("o_custkey"))
-      val bucketW = Window.orderBy(col("x"), col("__g"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val bucketPrefix = cnt.groupBy(col("x"), col("__g"))
-        .agg(count(lit(1)).as("__bn"))
-        .select(col("x"), col("__g"),
-          coalesce(sum(col("__bn")).over(bucketW), lit(0L)).as("__before"))
-      // plain join, NOT broadcast: bucketPrefix collapses by stripe but
+      // not three (the bm25 lesson). The prefix side is NOT broadcast:
       // its worst case (diverse counts within a stripe) approaches the
       // key frame — the join keys match the intra window's partitioning,
       // so only the small side exchanges; AQE may still broadcast it at
-      // runtime when it IS small
-      val ranked = cnt
-        .withColumn("__intra", row_number().over(intraW))
-        .join(bucketPrefix, Seq("x", "__g"))
-        .select(col("o_custkey"), col("x"),
-          (col("__before") + col("__intra")).as("i"))
+      // runtime when it IS small.
+      val cnt = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranked = TwoLevelRank.rank(cnt, Nil, Seq("x"),
+          expr(s"o_custkey div $stripeWidth"), Seq("o_custkey"), "i")
+        .select(col("o_custkey"), col("x"), col("i"))
       val tot = ranked.agg(sum(col("x")).as("sx"), count(lit(1)).as("nk"),
         sum(col("i") * col("x")).as("six"))
       ranked.crossJoin(broadcast(tot))
@@ -1748,6 +1736,41 @@ object SparkEntry {
       Training.packSequences(t(s, dir, "documents"), "doc_id", "text",
         capacity = 512, bucketSize = 64)),
 
+    // Document-boundary mask for packed sequences: each training
+    // sequence's doc start offsets — the attention doc-mask /
+    // position-id reset points a packed-batch trainer consumes (without
+    // them, attention bleeds across concatenated documents). Offsets
+    // within a sequence are strictly increasing (every doc holds ≥ 1
+    // token), and the list leaves as a joined CSV string (ARRAY never
+    // crosses the gate — the boundary rule). groupBy(seq_id) state is
+    // bounded by capacity+1 docs per sequence at any corpus size.
+    "pack_boundaries" -> ((s, dir) =>
+      Training.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          capacity = 512, bucketSize = 64)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(array_sort(collect_list(
+            struct(col("seq_offset"), col("doc_id")))),
+            x => x("seq_offset").cast("string")), ",").as("boundaries"))),
+
+    // Per-source quota selection: top 30 docs per language by token
+    // count (desc, ties by doc_id) — the per-source quality-quota cut
+    // of a mixture pipeline. The per-lang rank is the TWO-LEVEL
+    // bucketed prefix count (ops.TwoLevelRank partitioned by lang): a
+    // hot source (real corpora are ~90% one language) never serializes
+    // through one task, unlike a plain row_number over PARTITION BY
+    // lang, whose hot partition IS the corpus.
+    "sample_quality_quota" -> { (s, dir) =>
+      val len = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("__neg", -col("n_tokens"))
+      TwoLevelRank.rank(len, Seq("lang"), Seq("__neg"),
+          expr("doc_id div 4096"), Seq("doc_id"), "rnk")
+        .filter(col("rnk") <= 30)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("rnk"))
+    },
+
     // Seeded epoch permutation: position is a pure function of
     // (seed, doc_id), reproduced row-for-row by the oracle's row_number
     // over the same md5 key.
@@ -1841,6 +1864,26 @@ object SparkEntry {
           "doc_id", "text"), chunkBytes = 64)
         .select(col("media_id"), col("frame_id").cast("long").as("frame_id"),
           col("frame_len"), md5(col("frame_bytes")).as("frame_md5"))),
+
+    // TRUE-binary frame sampling — no ASCII scoping: the payload is
+    // unhex(md5(text)) ++ UTF-8(text), so every document carries 16
+    // leading bytes spanning 0x00–0xFF that are NOT valid UTF-8 — the
+    // engine's byte-based substring over BinaryType is what's under
+    // test (a char-based slice would shear on the first multi-byte
+    // run). DuckDB 1.0 has no BLOB substring/md5, so the gate compares
+    // md5 of the frame's HEX rendering: 1 byte ⇔ 2 hex chars exactly,
+    // making the oracle's octet slicing expressible as substr over the
+    // hex string (Spark hex() and DuckDB hex() are both uppercase).
+    "mm_frames_binary" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(unhex(md5(col("text"))), encode(col("text"), "UTF-8"))
+            .as("payload"))
+      Multimodal.frameSample(
+        Multimodal.asMedia(docs, "doc_id", "payload"), chunkBytes = 16)
+        .select(col("media_id"), col("frame_id").cast("long").as("frame_id"),
+          col("frame_len"), md5(hex(col("frame_bytes"))).as("frame_hex_md5"))
+    }),
 
     // Overlapping windows (audio framing: window 48, hop 16) — the
     // window > hop shape frameSample's tumbling chunks can't express.
@@ -2214,13 +2257,24 @@ object SparkEntry {
 
     // Sequence-length bucketing (padding-efficiency prep): ntile(8) over
     // the total (len, doc_id) order; per-bucket padding waste =
-    // max_len·n − Σlen, all integer sums over the collapsed length frame.
+    // max_len·n − Σlen. The rank behind the ntile is the TWO-LEVEL
+    // bucketed prefix count (ops.TwoLevelRank — intra-stripe windows
+    // partitioned by (len, doc-stripe); only the collapsed (len, stripe)
+    // frame crosses the one ordered window), and the bucket id is exact
+    // integer ntile arithmetic from (rank, N) — a direct
+    // `ntile(8).over(Window.orderBy(len, doc_id))` computes the same
+    // buckets but serializes EVERY document through one task.
     "sample_length_bucket" -> { (s, dir) =>
       val len = t(s, dir, "documents")
         .select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("len"))
-      val w = Window.orderBy(col("len"), col("doc_id"))
-      len.withColumn("bucket", ntile(8).over(w))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranked = TwoLevelRank.rank(len, Nil, Seq("len"),
+        expr("doc_id div 4096"), Seq("doc_id"), "__i")
+      val tot = len.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("bucket",
+          TwoLevelRank.ntileFromRank(col("__i"), col("__n"), 8))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), min(col("len")).as("min_len"),
           max(col("len")).as("max_len"), sum(col("len")).as("sum_len"))
@@ -2447,7 +2501,7 @@ object SparkEntry {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
       .distinct()
 
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     // Pair formation is PER ORDER over the sorted (part, multiplicity)
@@ -5532,6 +5586,29 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, tok_before // 512 AS seq_id, tok_before % 512 AS seq_offset
         |FROM c""".stripMargin,
 
+    "pack_boundaries" ->
+      """WITH n AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |  FROM n)
+        |SELECT tok_before // 512 AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       string_agg(CAST(tok_before % 512 AS VARCHAR), ','
+        |         ORDER BY tok_before % 512) AS boundaries
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "sample_quality_quota" ->
+      """WITH lenq AS (SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM lenq)
+        |SELECT lang, doc_id, n_tokens, rnk FROM r WHERE rnk <= 30""".stripMargin,
+
     "pack_efficiency" ->
       """WITH n AS (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
@@ -5685,6 +5762,21 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_id,
         |       CAST(strlen(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS frame_len,
         |       md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM f""".stripMargin,
+
+    // Octet slicing over the hex rendering: 1 payload byte ⇔ 2 hex
+    // chars, so substr(hx, 32i+1, 32) IS the i-th 16-byte frame.
+    "mm_frames_binary" ->
+      """WITH h AS (SELECT doc_id AS media_id,
+        |        upper(md5(text)) || hex(text::BLOB) AS hx,
+        |        16 + octet_length(text::BLOB) AS nb
+        |      FROM documents),
+        |f AS (SELECT media_id, hx, nb,
+        |        unnest(range(0, (nb + 15) // 16)) AS i
+        |      FROM h)
+        |SELECT media_id, CAST(i AS BIGINT) AS frame_id,
+        |       CAST(least(16, nb - i * 16) AS BIGINT) AS frame_len,
+        |       md5(substr(hx, CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_hex_md5
         |FROM f""".stripMargin,
 
     "mm_audio_windows" ->

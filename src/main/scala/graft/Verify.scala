@@ -51,7 +51,11 @@ object Verify {
         // canonical row strings, so a driver-side hash red comes with the
         // first differing row identifiable from artifacts alone — not a
         // bare boolean. Reading the file back costs one small scan, never
-        // a re-execution of the query.
+        // a re-execution of the query. Its own try/catch: the gated
+        // parquet above already landed, so a failure HERE (a 200k-row
+        // collect OOM, an orderBy edge case) is a diagnostic-artifact
+        // failure, not a broken query — the messages must differ.
+        try {
         val out = spark.read.parquet(s"$outDir/$name")
         // deterministic capture: order by every orderable column BEFORE
         // the limit, so an over-200k truncation keeps a stable prefix
@@ -69,6 +73,10 @@ object Verify {
           canon.take(200000).mkString("\n") + "\n<<truncated at 200000 rows>>"
         else canon.mkString("\n")
         Files.writeString(Paths.get(s"$outDir/$name.rows.txt"), body)
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[verify] $name artifact failed (gate output OK): ${e.getMessage}")
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -139,29 +139,18 @@ object Multimodal {
     * `media_id` order and cut into shards of `shardBytes`; each object is
     * assigned the shard where its FIRST byte lands, plus its offset in it
     * — the write plan for tar/parquet shard emission. The global running
-    * byte count is the same two-level distributed prefix sum as
-    * [[graft.ops.Training.packSequences]] (intra-bucket windows in
+    * byte count is the two-level distributed prefix sum
+    * ([[graft.ops.TwoLevelRank.prefixSum]]: intra-bucket windows in
     * parallel, one tiny bucket-totals window, broadcast rejoin) — never a
     * corpus-wide single-task `Window.orderBy`. */
   def shardManifest(media: DataFrame, shardBytes: Long,
       bucketSize: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = media.select(
       col("media_id"),
-      (col("media_id") / bucketSize).cast("long").as("__g"),
       col("n_bytes").cast("long").as("n_bytes"))
-    val intraW = Window.partitionBy(col("__g")).orderBy(col("media_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketW = Window.orderBy(col("__g"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketPrefix = base.groupBy(col("__g"))
-      .agg(sum(col("n_bytes")).as("__gtot"))
-      .select(col("__g"),
-        coalesce(sum(col("__gtot")).over(bucketW), lit(0L)).as("__gprefix"))
-    base
-      .withColumn("__intra", coalesce(sum(col("n_bytes")).over(intraW), lit(0L)))
-      .join(broadcast(bucketPrefix), Seq("__g"))
-      .withColumn("__before", col("__gprefix") + col("__intra"))
+    graft.ops.TwoLevelRank.prefixSum(base, Nil, Nil,
+        (col("media_id") / bucketSize).cast("long"), Seq("media_id"),
+        col("n_bytes"), "__before", broadcastPrefix = true)
       .select(
         col("media_id"), col("n_bytes"),
         (col("__before") / shardBytes).cast("long").as("shard_id"),

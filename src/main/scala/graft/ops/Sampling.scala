@@ -340,13 +340,19 @@ object Sampling {
     * minimum changes); singletons keep their own [[splitAssign]] draw.
     *
     * `groups` is the (doc_id, group_id) frame from
-    * [[graft.ops.Dedup.duplicateGroups]] — only duplicate docs appear in
-    * it, so every join here is sized by the duplicate subset, not the
-    * corpus; the corpus-wide work is the one md5-draw projection.
+    * [[graft.ops.Dedup.duplicateGroups]] — its key column is LITERALLY
+    * named `doc_id` (that operator's contract) regardless of `keyCol`,
+    * which only names the key in `df`; the values must be the same ids.
+    * Only duplicate docs appear in it, so every join here is sized by
+    * the duplicate subset, not the corpus; the corpus-wide work is the
+    * one md5-draw projection.
     * Output: (doc_id, split, reassigned) — `reassigned` marks docs whose
     * own draw disagreed with their group representative's. */
   def leakFreeSplit(df: DataFrame, keyCol: String,
       splits: Seq[(String, Double)], groups: DataFrame): DataFrame = {
+    require(groups.columns.contains("doc_id") &&
+      groups.columns.contains("group_id"),
+      "groups must be the (doc_id, group_id) frame from Dedup.duplicateGroups")
     val assigned = splitAssign(df, keyCol, splits)
       .select(col(keyCol), col("split"))
     val rep = groups.groupBy(col("group_id"))

@@ -686,7 +686,13 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
         .select(col("a").as("ma"), col("b").as("mb"), col("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        // EAGER localCheckpoint (1 row): the round's merge table must
+        // not keep a lineage reference to this round's toks — those
+        // blocks are freed next round, and a lazily-persisted m whose
+        // cache partition is later lost would recompute into a freed,
+        // lineage-truncated checkpoint and fail irrecoverably when
+        // bpeMerges finally evaluates `outs`.
+        .localCheckpoint()
       outs += m.select(lit(it.toLong).as("iter"),
         concat(col("ma"), lit(" "), col("mb")).as("pair"), col("cnt"))
       val sel = toks.crossJoin(broadcast(m))

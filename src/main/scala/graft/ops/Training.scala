@@ -56,18 +56,12 @@ object Training {
     * `idCol` order and cut into training sequences of `capacity` tokens;
     * each document is assigned the sequence where its first token lands
     * (`seq_id`) and its offset within it. The global running token count
-    * is a two-level distributed prefix sum:
-    *
-    *   1. bucket g = id / bucketSize; the intra-bucket running sum is a
-    *      `Window.partitionBy(g).orderBy(id)` — one parallel shuffle on g.
-    *   2. bucket totals aggregate to corpus_size/bucketSize rows; their
-    *      ordered prefix sum is the only single-task window, over a frame
-    *      `bucketSize`× smaller than the corpus (recurse another level if
-    *      even that is too wide), and rejoins by broadcast.
-    *
-    * A direct `Window.orderBy(id)` over the raw rows computes the same
-    * numbers but forces ALL rows through one task — the classic
-    * global-sort scale killer this formulation exists to avoid.
+    * is the two-level distributed prefix sum ([[TwoLevelRank.prefixSum]],
+    * stripe = id/bucketSize): per-bucket windows run in parallel and only
+    * the bucket totals (corpus_size/bucketSize rows) cross the one
+    * ordered window, rejoining by broadcast — a direct
+    * `Window.orderBy(id)` over the raw rows computes the same numbers
+    * but forces ALL rows through one task.
     *
     * The bucket-totals branch re-scans the (pruned) id+text columns and
     * re-tokenizes — two passes over the corpus. At 100 TB, materialize
@@ -80,20 +74,10 @@ object Training {
       capacity: Int = 512, bucketSize: Int = 64): DataFrame = {
     val base = df.select(
       col(idCol).as("doc_id"),
-      (col(idCol) / bucketSize).cast("long").as("__g"),
       size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
-    val intraW = Window.partitionBy(col("__g")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketW = Window.orderBy(col("__g"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketPrefix = base.groupBy(col("__g"))
-      .agg(sum(col("n_tokens")).as("__gtot"))
-      .select(col("__g"),
-        coalesce(sum(col("__gtot")).over(bucketW), lit(0L)).as("__gprefix"))
-    base
-      .withColumn("__intra", coalesce(sum(col("n_tokens")).over(intraW), lit(0L)))
-      .join(broadcast(bucketPrefix), Seq("__g"))
-      .withColumn("__before", col("__gprefix") + col("__intra"))
+    TwoLevelRank.prefixSum(base, Nil, Nil,
+        (col("doc_id") / bucketSize).cast("long"), Seq("doc_id"),
+        col("n_tokens"), "__before", broadcastPrefix = true)
       .select(
         col("doc_id"),
         col("n_tokens"),
@@ -130,21 +114,18 @@ object Training {
     require(capacity >= 1, "capacity must be >= 1")
     val base = df.select(
         col(idCol).as("doc_id"),
-        expr(s"${idCol} div $bucketSize").as("__g"),
         size(split(trim(col(textCol)), "\\s+")).cast("long").as("__L"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val intraW = Window.partitionBy(col("__L"), col("__g"))
-      .orderBy(col("doc_id"))
-    // per-L stripe prefixes: collapsed (L, stripe) frame, ordered within
-    // each L — partitioned window, never a global sort
-    val stripeW = Window.partitionBy(col("__L")).orderBy(col("__g"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val stripePrefix = base.groupBy(col("__L"), col("__g"))
-      .agg(count(lit(1)).as("__sn"))
-      .select(col("__L"), col("__g"),
-        coalesce(sum(col("__sn")).over(stripeW), lit(0L)).as("__before"))
+    // rank within the L class: two-level bucketed prefix count
+    // (TwoLevelRank — the stripe prefix is NOT broadcast: its worst case,
+    // many distinct lengths per stripe, approaches the corpus; the join
+    // keys match the intra window's partitioning, so only the collapsed
+    // side exchanges)
+    val ranked = TwoLevelRank.rank(base, Seq("__L"), Nil,
+      expr(s"doc_id div $bucketSize"), Seq("doc_id"), "__rk")
     // class stats: one row per distinct length (≤ max doc length rows);
-    // the ordered prefix over it is single-task over a tiny frame.
+    // the ordered prefix over it is single-task over a tiny frame, and
+    // classBase IS broadcast-safe by construction.
     // All quotients are integer `div` (never `/`, which is double
     // division and can mis-floor at extreme magnitudes).
     val per = expr(s"greatest(1L, ${capacity}L div __L)")
@@ -156,16 +137,9 @@ object Training {
       .withColumn("__nseq", expr("(__nL + __per - 1) div __per"))
       .select(col("__L"), col("__per"),
         coalesce(sum(col("__nseq")).over(classW), lit(0L)).as("__base"))
-    base
-      .withColumn("__intra", row_number().over(intraW).cast("long"))
-      // stripePrefix is NOT broadcast: its worst case (many distinct
-      // lengths per stripe) approaches the corpus; the join keys match
-      // the intra window's partitioning, so only the small side
-      // exchanges. classBase IS broadcast-safe by construction
-      // (≤ max-doc-length rows).
-      .join(stripePrefix, Seq("__L", "__g"))
+    ranked
       .join(broadcast(classBase), Seq("__L"))
-      .withColumn("__k", col("__before") + col("__intra") - 1)
+      .withColumn("__k", col("__rk") - 1)
       .select(
         col("doc_id"),
         col("__L").as("n_tokens"),
@@ -238,7 +212,7 @@ object Training {
     * md5 → distinct); the transform+array_distinct+md5 HOF chain
     * interpreted a lambda per shingle and was the dominant cost of the
     * decontamination query at sf0.1 (2.15 → 0.41 s). */
-  private def ngramKeys(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def ngramKeys(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(
       col(idCol).as("doc_id"),
@@ -285,19 +259,10 @@ object Training {
   def epochShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
     val withKey = df.withColumn("__key",
       md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
-      .withColumn("__b", substring(col("__key"), 1, 2))
-    val intraW = Window.partitionBy(col("__b")).orderBy(col("__key"), col(idCol))
-    val bucketW = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketPrefix = withKey.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__bn"))
-      .select(col("__b"),
-        coalesce(sum(col("__bn")).over(bucketW), lit(0L)).as("__bprefix"))
-    withKey
-      .withColumn("__intra", row_number().over(intraW))
-      .join(broadcast(bucketPrefix), Seq("__b"))
-      .withColumn("shuffle_pos", col("__bprefix") + col("__intra") - 1)
-      .drop("__key", "__b", "__intra", "__bprefix", "__bn")
+    TwoLevelRank.rank(withKey, Nil, Nil, substring(col("__key"), 1, 2),
+        Seq("__key", idCol), "__rk", broadcastPrefix = true)
+      .withColumn("shuffle_pos", col("__rk") - 1)
+      .drop("__key", "__rk")
   }
 
   /** Materialize the packed training sequences: each sequence's

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.encode
 import org.apache.spark.sql.types.StructType
 
 /** Batch source/sink formats with explicit schemas. The reference's only
@@ -55,19 +56,43 @@ object Sources {
     * `binaryFile` source round-trip (the standard multimodal ingestion
     * path: images/audio land as files, Spark reads them as (path,
     * length, content) rows). Files are written EXECUTOR-side per
-    * partition (no driver loop; same side-effect posture as writeCsv),
-    * named `<id>.bin`, bytes = UTF-8 of `payloadCol`. Idempotent:
-    * deterministic names + contents overwrite in place. */
+    * partition (no driver loop) through the Hadoop `FileSystem` API
+    * resolved from the task-side configuration, so `dir` may be any
+    * supported URI (hdfs://, s3a://, file:/) and on a multi-node
+    * cluster every executor writes to the SAME shared filesystem — a
+    * java.nio local-path write would scatter files across executor
+    * local disks and the read-back would silently see only the driver
+    * host's. The directory is deleted and recreated first (SaveMode
+    * .Overwrite posture, like writeCsv), so rows removed from the
+    * input can't leave stale files behind. Files are named `<id>.bin`;
+    * bytes = the payload verbatim for a `binary` column, UTF-8 for a
+    * string column. Idempotent: deterministic names + contents. */
   def writeBinaryFiles(df: DataFrame, idCol: String, payloadCol: String,
       dir: String): Unit = {
-    new java.io.File(dir).mkdirs()
-    df.select(df.col(idCol).cast("string"), df.col(payloadCol))
+    import org.apache.hadoop.fs.Path
+    val sc = df.sparkSession.sparkContext
+    // Configuration implements Writable; SerializableWritable is the
+    // public DeveloperApi wrapper that ships it into tasks.
+    val confBc = sc.broadcast(
+      new org.apache.spark.SerializableWritable(sc.hadoopConfiguration))
+    val root = new Path(dir)
+    val driverFs = root.getFileSystem(sc.hadoopConfiguration)
+    driverFs.delete(root, true)
+    driverFs.mkdirs(root)
+    val isBinary = df.schema(payloadCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val payload =
+      if (isBinary) df.col(payloadCol)
+      else encode(df.col(payloadCol), "UTF-8")
+    df.select(df.col(idCol).cast("string"), payload)
       .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        val p = new Path(dir)
+        val fs = p.getFileSystem(confBc.value.value)
         while (rows.hasNext) {
           val r = rows.next()
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, r.getString(0) + ".bin"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = fs.create(new Path(p, r.getString(0) + ".bin"), true)
+          try out.write(r.getAs[Array[Byte]](1))
+          finally out.close()
         }
       }
   }

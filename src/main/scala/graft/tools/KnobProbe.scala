@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the sizing dials of the bounded graph-centrality family —
+  * wall time of `betweennessBounded` vs SEED COUNT (depth fixed at the
+  * gated 3) and of `closenessBounded` vs BFS ROUNDS — over the sf0.1
+  * co-purchase graph, so the SCALE.md knob table is measured, not
+  * argued. Each point runs cold (cache cleared) like the bench
+  * protocol. `sbt "runMain graft.tools.KnobProbe [sfDir]"`. */
+object KnobProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(body: => Long): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val nodes = graft.SparkEntry.coPurchaseEdges(spark, sfDir)
+      .select(col("a").as("node"))
+      .unionAll(graft.SparkEntry.coPurchaseEdges(spark, sfDir)
+        .select(col("b").as("node"))).distinct()
+    // seed dial: node % m == 0 sweeps the sampled-seed count
+    for (m <- Seq(97, 29, 7, 2)) {
+      val seeds = nodes.filter(col("node") % m === 0)
+      val n = seeds.count()
+      val sec = timed(graft.ops.Graph.betweennessBounded(
+        graft.SparkEntry.coPurchaseEdges(spark, sfDir),
+        seeds).count())
+      println(f"betweenness seeds=$n%d depth=3 -> $sec%.1f s")
+    }
+    // depth dial: closeness shares perSeedDistances, the cost driver
+    for (r <- Seq(2, 3, 4)) {
+      val seeds = nodes.filter(col("node") % 97 === 0)
+      val sec = timed(graft.ops.Graph.closenessBounded(
+        graft.SparkEntry.coPurchaseEdges(spark, sfDir),
+        seeds, rounds = r).count())
+      println(f"closeness seeds=200ish rounds=$r%d -> $sec%.1f s")
+    }
+    spark.stop()
+  }
+}

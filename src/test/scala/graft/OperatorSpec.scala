@@ -627,6 +627,47 @@ class OperatorSpec extends SparkSuite {
     assert(flags(1L) && !flags(2L))
   }
 
+  test("bloom decon: exact verify is load-bearing under a saturated bloom") {
+    // At fpp=0.01 over tiny fixtures false positives may simply never
+    // occur, so the equality test alone can't show the verify join does
+    // anything. Force them: expectedItems=1 + fpp=0.5 builds a few-bit
+    // filter that the bench inserts saturate — essentially every corpus
+    // key passes the prefilter — and the output must STILL be
+    // row-identical to the exact path.
+    val shared = Seq.tabulate(9)(i => s"leak$i").mkString(" ")
+    val corpus = Seq(
+      (1L, shared + " trailing words here"),
+      (2L, Seq.tabulate(40)(i => s"clean$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    // ~200 bench 8-grams × ~44 hash probes over the 64-bit minimum
+    // BitArray ⇒ every bit set ⇒ every corpus key passes the prefilter
+    val bench = Seq(
+      (100L, shared + " " + Seq.tabulate(200)(i => s"benchfill$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = Training.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .orderBy($"doc_id").collect().toSeq
+    val bloomed = Training.decontaminateBloom(corpus, bench, "doc_id", "text",
+        n = 8, expectedItems = 1L, fpp = 0.5)
+      .orderBy($"doc_id").collect().toSeq
+    assert(exact == bloomed, s"saturated bloom diverged:\n$exact\n$bloomed")
+    // prove FPs actually crossed the prefilter: rebuild the identical
+    // deterministic filter (same keys, same builder — murmur3 with a
+    // fixed seed, order-insensitive bitwise merge) and count corpus keys
+    // it passes that the bench set does NOT contain. Nonzero ⇒ the exact
+    // semi join is what keeps doc 2 clean, not bloom luck.
+    def keyLong(c: org.apache.spark.sql.Column) =
+      conv(substring(c, 1, 15), 16, 10).cast("long")
+    val benchKeys = Training.ngramKeys(bench, "doc_id", "text", 8)
+      .select($"__k").distinct()
+    val bloom = benchKeys.select(keyLong($"__k").as("__kl"))
+      .stat.bloomFilter("__kl", 1L, 0.5)
+    val fp = Training.ngramKeys(corpus, "doc_id", "text", 8)
+      .filter(BloomJoin.mightContain(keyLong($"__k"), bloom))
+      .join(benchKeys, Seq("__k"), "left_anti")
+      .count()
+    assert(fp > 0, "saturated bloom produced no false positives — test is vacuous")
+  }
+
   test("leak-free split: dup-group members share the representative's split") {
     val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // planted groups spanning many ids: {0,101,202,303}, {7,250}
@@ -2252,6 +2293,107 @@ class OperatorSpec extends SparkSuite {
       val singles = "Exchange SinglePartition".r.findAllIn(plan).size
       assert(singles <= 2,
         s"expected at most bucket-prefix + totals single-partition frames, got $singles")
+    }
+  }
+
+  test("writeBinaryFiles: overwrite clears stale files; binary payloads round-trip verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString + "/out"
+    // round 1: two docs
+    graft.sources.Sources.writeBinaryFiles(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(graft.sources.Sources.readBinaryFiles(spark, dir).count() == 2)
+    // round 2: doc 2 removed + a NON-UTF8 binary payload — the rewrite
+    // must delete-and-recreate (no stale 2.bin) and write bytes verbatim
+    val payload = Array[Byte](0, -1, -2, 65, -128)
+    graft.sources.Sources.writeBinaryFiles(
+      Seq((1L, payload)).toDF("doc_id", "blob"), "doc_id", "blob", dir)
+    val back = graft.sources.Sources.readBinaryFiles(spark, dir)
+      .select($"path", $"content").as[(String, Array[Byte])].collect()
+    assert(back.length == 1, s"stale files survived: ${back.map(_._1).toSeq}")
+    assert(back.head._1.endsWith("1.bin"))
+    assert(back.head._2.toSeq == payload.toSeq, "bytes not verbatim")
+  }
+
+  test("TwoLevelRank: rank/prefixSum equal the single global window") {
+    // crafted frame with heavy ties in the order column and a skewed
+    // per-class distribution — ids deliberately NOT dense
+    val rows = (0 until 500).map { i =>
+      (i * 3L + (i % 2), // id (tie-break; stripe = id div 16)
+        s"c${i % 3}",    // class (partCols variant)
+        (i % 7).toLong,  // order value, heavily tied
+        (i % 11).toLong) // prefix-sum payload
+    }
+    val df = rows.toDF("id", "cls", "v", "w")
+    val stripe = expr("id div 16")
+    // global rank over (v, id)
+    val gotRank = TwoLevelRank.rank(df, Nil, Seq("v"), stripe, Seq("id"), "r")
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    val wantRank = rows.sortBy(r => (r._3, r._1)).zipWithIndex
+      .map { case (r, i) => r._1 -> (i + 1L) }.toMap
+    assert(gotRank == wantRank)
+    // per-class rank over (v, id) within cls
+    val gotCls = TwoLevelRank.rank(df, Seq("cls"), Seq("v"), stripe, Seq("id"), "r")
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    val wantCls = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy(r => (r._3, r._1)).zipWithIndex.map { case (r, i) => r._1 -> (i + 1L) }
+    }
+    assert(gotCls == wantCls)
+    // exclusive prefix sum of w over (v, id)
+    val gotSum = TwoLevelRank.prefixSum(df, Nil, Seq("v"), stripe, Seq("id"),
+        $"w", "p").select($"id", $"p").as[(Long, Long)].collect().toMap
+    val sorted = rows.sortBy(r => (r._3, r._1))
+    val wantSum = sorted.zip(sorted.scanLeft(0L)(_ + _._4))
+      .map { case (r, pre) => r._1 -> pre }.toMap
+    assert(gotSum == wantSum)
+  }
+
+  test("TwoLevelRank.ntileFromRank matches ntile() for every N in 1..40") {
+    // the exact SQL remainder convention, including N < n
+    for (n <- Seq(1, 7, 8, 13, 40)) {
+      val df = (1 to n).map(i => (i.toLong, n.toLong)).toDF("r", "tot")
+      val got = df.select($"r",
+          TwoLevelRank.ntileFromRank($"r", $"tot", 8).as("b"))
+        .as[(Long, Int)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"r")
+      val want = df.select($"r", ntile(8).over(w).as("b"))
+        .as[(Long, Int)].collect().toMap
+      assert(got == want, s"N=$n: $got vs $want")
+    }
+  }
+
+  test("length-bucket: two-level ntile matches the global window; no doc-frame global sort") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = SparkEntry.queries("sample_length_bucket")(spark, sfDir)
+      .select($"bucket", $"n_docs", $"min_len", $"max_len", $"sum_len", $"padding_waste")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"len", $"doc_id")
+    val expect = docs
+      .select($"doc_id", size(TextAnalysis.tokens($"text")).cast("long").as("len"))
+      .withColumn("bucket", ntile(8).over(w))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), min($"len").as("min_len"),
+        max($"len").as("max_len"), sum($"len").as("sum_len"))
+      .withColumn("padding_waste", $"max_len" * $"n_docs" - $"sum_len")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    try assert(got.toSeq == expect.toSeq)
+    finally spark.catalog.clearCache() // the query persists the length frame
+    // plan guard: the per-doc rank window is PARTITIONED by (len, stripe);
+    // only the collapsed bucket-prefix window and the 1-row total cross a
+    // single task — the raw document frame never does
+    withoutAqe {
+      val plan = SparkEntry.queries("sample_length_bucket")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      try {
+        assert("row_number\\(\\) windowspecdefinition\\(len#\\d+L?, __g#"
+          .r.findFirstIn(plan).isDefined,
+          "per-doc rank must be a partitioned window:\n" + plan.take(3000))
+        assert(!"ntile".r.findFirstIn(plan).isDefined,
+          "no ntile window may remain in the plan")
+        val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+        assert(singles <= 2,
+          s"expected at most bucket-prefix + total single-partition frames, got $singles")
+      } finally spark.catalog.clearCache()
     }
   }
 }
