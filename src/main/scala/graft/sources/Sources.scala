@@ -69,7 +69,7 @@ object Sources {
     * string column. Idempotent: deterministic names + contents. */
   def writeBinaryFiles(df: DataFrame, idCol: String, payloadCol: String,
       dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
     val sc = df.sparkSession.sparkContext
     // Configuration implements Writable; SerializableWritable is the
     // public DeveloperApi wrapper that ships it into tasks.
@@ -79,6 +79,19 @@ object Sources {
     val driverFs = root.getFileSystem(sc.hadoopConfiguration)
     driverFs.delete(root, true)
     driverFs.mkdirs(root)
+    // Local-FS fast path: when `dir` resolves to the LOCAL filesystem
+    // (single node, or an NFS/shared mount — the only configurations
+    // where a file: target is cluster-correct at all, with or without
+    // the Hadoop API), bytes go through java.nio directly. Hadoop's
+    // local FS is a ChecksumFileSystem (a .crc sidecar per tiny file)
+    // and, without native libs, forks a `chmod` PROCESS per created
+    // file — measured 70× on 5000 files (0.5 → 38 s at sf0.1). Every
+    // non-local scheme (hdfs://, s3a://, …) takes the FileSystem
+    // stream path, which is where the multi-node portability lives.
+    val nioDir =
+      if (driverFs.isInstanceOf[LocalFileSystem] ||
+        driverFs.isInstanceOf[RawLocalFileSystem]) Some(root.toUri.getPath)
+      else None
     val isBinary = df.schema(payloadCol).dataType ==
       org.apache.spark.sql.types.BinaryType
     val payload =
@@ -86,13 +99,23 @@ object Sources {
       else encode(df.col(payloadCol), "UTF-8")
     df.select(df.col(idCol).cast("string"), payload)
       .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
-        val p = new Path(dir)
-        val fs = p.getFileSystem(confBc.value.value)
-        while (rows.hasNext) {
-          val r = rows.next()
-          val out = fs.create(new Path(p, r.getString(0) + ".bin"), true)
-          try out.write(r.getAs[Array[Byte]](1))
-          finally out.close()
+        nioDir match {
+          case Some(local) =>
+            while (rows.hasNext) {
+              val r = rows.next()
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(local, r.getString(0) + ".bin"),
+                r.getAs[Array[Byte]](1))
+            }
+          case None =>
+            val p = new Path(dir)
+            val fs = p.getFileSystem(confBc.value.value)
+            while (rows.hasNext) {
+              val r = rows.next()
+              val out = fs.create(new Path(p, r.getString(0) + ".bin"), true)
+              try out.write(r.getAs[Array[Byte]](1))
+              finally out.close()
+            }
         }
       }
   }
