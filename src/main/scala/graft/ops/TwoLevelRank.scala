@@ -41,26 +41,36 @@ object TwoLevelRank {
 
   /** 1-based global rank (row_number semantics — ties broken by
     * tieCols) over the order (orderCols..., tieCols...) within each
-    * (partCols) group, as `out` (long). */
+    * (partCols) group, as `out` (long).
+    *
+    * `levels` (default 2) is the prefix-pyramid depth: at 2, the
+    * collapsed (partCols, orderCols, stripe) frame crosses ONE ordered
+    * window per part group; at 3+, that frame's own prefix is computed
+    * by recursing with a 4096×-coarser stripe (`g div 4096` — requires
+    * a NUMERIC stripe), so each extra level divides the single-task
+    * frame by another 4096×. Two levels cover most corpora (a 10⁹-doc
+    * corpus striped by 4096 collapses to ≤ 244k rows × order-value
+    * cardinality); reach for 3 when orderCols are high-cardinality. */
   def rank(df: DataFrame, partCols: Seq[String], orderCols: Seq[String],
       stripe: Column, tieCols: Seq[String], out: String,
-      broadcastPrefix: Boolean = false): DataFrame =
+      broadcastPrefix: Boolean = false, levels: Int = 2): DataFrame =
     compute(df, partCols, orderCols, stripe, tieCols, lit(1L), out,
-      broadcastPrefix, rankMode = true)
+      broadcastPrefix, rankMode = true, levels)
 
   /** EXCLUSIVE prefix sum of `value` (Σ over rows strictly preceding
-    * in the order) as `out` (long). */
+    * in the order) as `out` (long). `levels` as in [[rank]]. */
   def prefixSum(df: DataFrame, partCols: Seq[String], orderCols: Seq[String],
       stripe: Column, tieCols: Seq[String], value: Column, out: String,
-      broadcastPrefix: Boolean = false): DataFrame =
+      broadcastPrefix: Boolean = false, levels: Int = 2): DataFrame =
     compute(df, partCols, orderCols, stripe, tieCols, value, out,
-      broadcastPrefix, rankMode = false)
+      broadcastPrefix, rankMode = false, levels)
 
   private def compute(df: DataFrame, partCols: Seq[String],
       orderCols: Seq[String], stripe: Column, tieCols: Seq[String],
       value: Column, out: String, broadcastPrefix: Boolean,
-      rankMode: Boolean): DataFrame = {
+      rankMode: Boolean, levels: Int): DataFrame = {
     require(tieCols.nonEmpty, "tieCols must order rows within a stripe")
+    require(levels >= 2, "levels >= 2 (2 = one collapsed ordered window)")
     // __g is also the name the key-skew plan-shape spec pins on the
     // windowspecdefinition — keep it stable.
     val g = "__g"
@@ -72,11 +82,26 @@ object TwoLevelRank {
     val bucketW = Window.partitionBy(partCols.map(col): _*)
       .orderBy((orderCols :+ g).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix0 = base.groupBy(keys.map(col): _*)
+    val collapsed = base.groupBy(keys.map(col): _*)
       .agg(sum(value).as("__tlr_tot"))
-      .select((keys.map(col) :+
-        coalesce(sum(col("__tlr_tot")).over(bucketW), lit(0L))
-          .as("__tlr_before")): _*)
+    val prefix0 =
+      if (levels <= 2)
+        collapsed.select((keys.map(col) :+
+          coalesce(sum(col("__tlr_tot")).over(bucketW), lit(0L))
+            .as("__tlr_before")): _*)
+      else {
+        // recurse: the collapsed frame's own ordered prefix is two-level
+        // again, striped 4096× coarser — its rows are unique per
+        // (part, order, stripe), so the exclusive prefix sum over
+        // (orderCols, stripe) IS the before-cells total
+        val c2 = collapsed.withColumnRenamed(g, "__g0")
+        compute(c2, partCols, orderCols, expr("__g0 div 4096"),
+            Seq("__g0"), col("__tlr_tot"), "__tlr_rec",
+            broadcastPrefix = false, rankMode = false, levels - 1)
+          .withColumnRenamed("__g0", g)
+          .select((keys.map(col) :+
+            col("__tlr_rec").as("__tlr_before")): _*)
+      }
     val prefix = if (broadcastPrefix) broadcast(prefix0) else prefix0
     val intra =
       if (rankMode) row_number().over(intraW).cast("long")

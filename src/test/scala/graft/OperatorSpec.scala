@@ -2348,6 +2348,28 @@ class OperatorSpec extends SparkSuite {
     assert(gotSum == wantSum)
   }
 
+  test("TwoLevelRank levels=3: recursive prefix pyramid equals the flat forms") {
+    // ids spread over ~500k so stripe (id div 16) spans multiple
+    // 4096-wide COARSE buckets — the recursion actually branches
+    val rows = (0 until 500).map(i =>
+      (i * 997L, (i % 5).toLong, (i % 11).toLong)) // (id, v, w)
+    val df = rows.toDF("id", "v", "w")
+    val stripe = expr("id div 16")
+    val got3 = TwoLevelRank.rank(df, Nil, Seq("v"), stripe, Seq("id"), "r",
+        levels = 3)
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case (r, i) => r._1 -> (i + 1L) }.toMap
+    assert(got3 == want)
+    val got3s = TwoLevelRank.prefixSum(df, Nil, Seq("v"), stripe, Seq("id"),
+        $"w", "p", levels = 3)
+      .select($"id", $"p").as[(Long, Long)].collect().toMap
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    val wantSum = sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+      .map { case (r, pre) => r._1 -> pre }.toMap
+    assert(got3s == wantSum)
+  }
+
   test("TwoLevelRank.ntileFromRank matches ntile() for every N in 1..40") {
     // the exact SQL remainder convention, including N < n
     for (n <- Seq(1, 7, 8, 13, 40)) {
