@@ -447,6 +447,21 @@ object SparkEntry {
         timeCol = "ts", payloadCols = Seq("signup_value"))
     },
 
+    // Nearest as-of (merge_asof direction='nearest'): closest signup
+    // reading to each error by |Δt|, ties backward — both directional
+    // carriers ride ONE window pass over the same single exchange, the
+    // pick is per-row integer arithmetic on the two candidate times.
+    "rel_asof_nearest" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("signup_value"))
+      AsOfJoin.asOfNearest(errors, signups, keyCol = "user_id",
+        timeCol = "ts", payloadCols = Seq("signup_value"))
+    },
+
     // Time-series densification: hourly grid per user-cohort with LOCF
     // fill across the gaps; the filled VALUE at every grid cell is the
     // gate, so bucketing, span bounds, and carry order all must agree.
@@ -1278,6 +1293,33 @@ object SparkEntry {
         t(s, dir, "embeddings"),
         t(s, dir, "embeddings").filter(col("vec_id") < 8),
         k = 10)),
+
+    // Retrieval-quality MRR@20: per labeled query, the reciprocal rank
+    // of the FIRST same-label candidate under exact brute-force cosine
+    // ranking (rank > 20 ⇒ miss, rr = 0 — the standard @k convention).
+    // The ranking is the bruteForceTopK shape (broadcast queries,
+    // k-bounded heaps, Q×k rows shuffle); the label attach joins the
+    // corpus label projection against the TINY Q×k frame (broadcast),
+    // so nothing corpus-sized moves past the search. rr = 1/rank is one
+    // exact IEEE division — hash-gates.
+    "ann_mrr" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val qlab = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      val nn = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 20)
+        .join(broadcast(qlab), Seq("query_id"))
+      val labels = e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nbr_label"))
+      val firstRel = labels.join(broadcast(nn), Seq("neighbor_id"))
+        .filter(col("nbr_label") === col("qlabel"))
+        .groupBy(col("query_id"))
+        .agg(min(col("rank")).cast("long").as("first_rel_rank"))
+      qlab.join(firstRel, Seq("query_id"), "left")
+        .select(col("query_id"), col("qlabel").as("label"),
+          coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+          when(col("first_rel_rank").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("first_rel_rank")).as("rr"))
+    },
 
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(
@@ -4828,6 +4870,37 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts <= v.ts""".stripMargin,
 
+    // Nearest = min(|Δt|) with ties to the backward match. The oracle
+    // takes both directional extrema inclusively; at an exact-time tie
+    // bt = ft = ts both forms resolve to the same right row with
+    // dir = backward, so the engine's exclusive forward frame (the
+    // equal-time right row rides the backward carrier) is immaterial.
+    "rel_asof_nearest" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS rt, max(value) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (SELECT p.event_id, max(v.rt) AS bt
+        |      FROM p JOIN v ON v.user_id = p.user_id AND v.rt <= p.ts
+        |      GROUP BY 1),
+        |f AS (SELECT p.event_id, min(v.rt) AS ft
+        |      FROM p JOIN v ON v.user_id = p.user_id AND v.rt >= p.ts
+        |      GROUP BY 1),
+        |n AS (SELECT p.event_id, p.user_id, p.ts, p.value, b.bt, f.ft,
+        |        CASE WHEN b.bt IS NOT NULL AND (f.ft IS NULL
+        |               OR (p.ts - b.bt) <= (f.ft - p.ts)) THEN b.bt
+        |             ELSE f.ft END AS mt
+        |      FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id))
+        |SELECT n.event_id, n.user_id, n.ts, n.value,
+        |       n.mt AS asof_time, v.signup_value AS asof_signup_value,
+        |       CASE WHEN n.mt IS NULL THEN NULL
+        |            WHEN n.bt IS NOT NULL AND (n.ft IS NULL
+        |              OR (n.ts - n.bt) <= (n.ft - n.ts)) THEN 'backward'
+        |            ELSE 'forward' END AS asof_dir
+        |FROM n LEFT JOIN v ON v.user_id = n.user_id AND v.rt = n.mt""".stripMargin,
+
     "rel_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |       count(DISTINCT l_orderkey) AS exact_orders,
@@ -5034,6 +5107,27 @@ object SparkEntry {
         |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
         |        ORDER BY sim DESC, nid) AS rnk FROM p)
         |WHERE rnk <= 10""".stripMargin,
+
+    // Same cosine expression and (sim DESC, nid) tie-break as
+    // ann_cosine_topk; first relevant = min rank among same-label rows
+    // within the top 20.
+    "ann_mrr" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id < 8),
+        |p AS (SELECT qid, qlabel, e.vec_id AS nid, e.label AS nlabel,
+        |        list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * e.v[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM q, e WHERE e.vec_id <> qid),
+        |r AS (SELECT qid, qlabel, nid, nlabel,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        |      FROM p),
+        |f AS (SELECT qid, min(rnk) AS frank
+        |      FROM r WHERE nlabel = qlabel AND rnk <= 20 GROUP BY qid)
+        |SELECT q.qid AS query_id, q.qlabel AS label,
+        |       CAST(coalesce(f.frank, 0) AS BIGINT) AS first_rel_rank,
+        |       CASE WHEN f.frank IS NULL THEN 0.0 ELSE 1.0 / f.frank END AS rr
+        |FROM q LEFT JOIN f ON q.qid = f.qid""".stripMargin,
 
     "ann_mean_pool" ->
       """WITH x AS (SELECT vec_id % 4 AS grp, i AS pos,

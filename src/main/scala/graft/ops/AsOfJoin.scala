@@ -102,4 +102,47 @@ object AsOfJoin {
         (col("__m.__rt").as("asof_time") +:
           payloadCols.map(p => col(s"__m.$p").as(s"asof_$p"))): _*)
   }
+
+  /** Nearest as-of join: the right row minimizing |t_right − t_left| per
+    * key, ties to the BACKWARD match (pandas merge_asof
+    * direction='nearest' convention) — "closest sensor reading to the
+    * incident". Same single-exchange plan as the directional forms:
+    * both carriers ride ONE window pass (the backward `last` and the
+    * forward `first` share the (key) partitioning and (time, side)
+    * order, so Catalyst hosts them in one WindowExec over one sort),
+    * then the pick is per-row arithmetic on the two candidate times.
+    * A right row at exactly t_left is captured by the backward carrier
+    * (distance 0 — always wins), so the forward frame's equal-time
+    * exclusion is immaterial. Output adds `asof_dir`
+    * ('backward'/'forward', null when unmatched). */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val leftTagged = left.select(
+      col(keyCol).as("__k"), col(timeCol).as("__t"), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__lrow"))
+    val rightTagged = right.select(
+      col(keyCol).as("__k"), col(timeCol).as("__t"), lit(0).as("__side"),
+      struct((col(timeCol).as("__rt") +: payloadCols.map(col)): _*).as("__rv"))
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val ord = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = unioned
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    val db = unix_micros(col("__t")) - unix_micros(col("__b.__rt"))
+    val df = unix_micros(col("__f.__rt")) - unix_micros(col("__t"))
+    val useBack = col("__b").isNotNull && (col("__f").isNull || db <= df)
+    matched
+      .withColumn("__m", when(useBack, col("__b")).otherwise(col("__f")))
+      .withColumn("asof_dir", when(col("__m").isNull, lit(null).cast("string"))
+        .otherwise(when(useBack, lit("backward")).otherwise(lit("forward"))))
+      .select(
+        leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+          (col("__m.__rt").as("asof_time") +:
+            payloadCols.map(p => col(s"__m.$p").as(s"asof_$p"))) :+
+          col("asof_dir"): _*)
+  }
 }

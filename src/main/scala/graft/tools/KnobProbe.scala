@@ -44,6 +44,23 @@ object KnobProbe {
         seeds, rounds = r).count())
       println(f"closeness seeds=200ish rounds=$r%d -> $sec%.1f s")
     }
+    // two-level rank vs the single global window, at a row count where
+    // the single task actually hurts (the sf0.1 fixtures are too small
+    // to show it): 10M synthetic rows, rank over (v, id) with v tied
+    // 1000 ways — the fixture-scale gates prove VALUES equal; this
+    // measures the wall-time gap the formulation exists for
+    val n = 10_000_000L
+    def synth = spark.range(n).select(col("id"),
+      (col("id") % 1000).as("v"), (col("id") % 7).as("w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("id"))
+    val tGlobal = timed(synth
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(w))
+      .agg(sum(col("r"))).collect().head.getLong(0))
+    val tTwo = timed(graft.ops.TwoLevelRank
+      .rank(synth, Nil, Seq("v"), expr("id div 65536"), Seq("id"), "r")
+      .agg(sum(col("r"))).collect().head.getLong(0))
+    println(f"rank 10M rows: global window $tGlobal%.1f s, two-level $tTwo%.1f s")
     spark.stop()
   }
 }

@@ -2296,6 +2296,60 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("nearest as-of: min |dt| wins, exact tie goes backward, misses null") {
+    import java.sql.Timestamp
+    def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val left = Seq(
+      (1L, 10L, ts(100)),  // right at 90 (d=10) and 105 (d=5) -> forward
+      (2L, 10L, ts(200)),  // right at 195 (d=5) and 205 (d=5) -> TIE -> backward
+      (3L, 10L, ts(300)),  // right exactly at 300 -> backward, d=0
+      (4L, 99L, ts(100))   // no right rows for key 99 -> nulls
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(90), 1.0), (10L, ts(105), 2.0),
+      (10L, ts(195), 3.0), (10L, ts(205), 4.0),
+      (10L, ts(300), 5.0)
+    ).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.asOfNearest(left, right, "user_id", "ts", Seq("v"))
+      .select($"event_id", $"asof_v", $"asof_dir")
+      .as[(Long, Option[Double], Option[String])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(2.0), Some("forward"))), s"got ${out(0)}")
+    assert(out(1) == ((2L, Some(3.0), Some("backward"))), s"got ${out(1)}")
+    assert(out(2) == ((3L, Some(5.0), Some("backward"))), s"got ${out(2)}")
+    assert(out(3) == ((4L, None, None)), s"got ${out(3)}")
+  }
+
+  test("MRR: planted positive rank and beyond-k miss") {
+    // 4-dim vectors; query 0 (label A): same-label positive planted as
+    // the 2nd-nearest neighbor -> rr = 1/2. Query 1 (label B): its only
+    // same-label partner is made maximally dissimilar and k=2 bounds the
+    // scan -> miss, rr = 0.
+    val e = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 10L),   // query, label A
+      (1L, Array(0f, 1.0f, 0f, 0f), 20L),   // query, label B
+      (2L, Array(0.9f, 0.1f, 0f, 0f), 30L), // nearest to q0, wrong label
+      (3L, Array(0.8f, 0.2f, 0f, 0f), 10L), // 2nd nearest to q0, label A
+      (4L, Array(0f, -1.0f, 0f, 0f), 20L)   // q1's partner, opposite dir
+    ).toDF("vec_id", "embedding", "label")
+    val qlab = e.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"))
+    val nn = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 2), k = 2)
+      .join(broadcast(qlab), Seq("query_id"))
+    val labels = e.select($"vec_id".as("neighbor_id"), $"label".as("nbr_label"))
+    val firstRel = labels.join(broadcast(nn), Seq("neighbor_id"))
+      .filter($"nbr_label" === $"qlabel")
+      .groupBy($"query_id")
+      .agg(min($"rank").cast("long").as("first_rel_rank"))
+    val out = qlab.join(firstRel, Seq("query_id"), "left")
+      .select($"query_id",
+        coalesce($"first_rel_rank", lit(0L)),
+        when($"first_rel_rank".isNull, lit(0.0))
+          .otherwise(lit(1.0) / $"first_rel_rank"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 2L, 0.5)), s"got ${out(0)}")
+    assert(out(1) == ((1L, 0L, 0.0)), s"got ${out(1)}")
+  }
+
   test("writeBinaryFiles: overwrite clears stale files; binary payloads round-trip verbatim") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString + "/out"
     // round 1: two docs
