@@ -61,6 +61,22 @@ object KnobProbe {
       .rank(synth, Nil, Seq("v"), expr("id div 65536"), Seq("id"), "r")
       .agg(sum(col("r"))).collect().head.getLong(0))
     println(f"rank 10M rows: global window $tGlobal%.1f s, two-level $tTwo%.1f s")
+    // hot-class variant (the sample_quality_quota claim): per-lang rank
+    // where one language holds 90% of rows — a plain PARTITION BY lang
+    // window serializes the hot language through one task
+    def synthLang = spark.range(n).select(col("id"),
+      when(col("id") % 10 < 9, lit("en")).otherwise(lit("de")).as("lang"),
+      (col("id") % 1000).as("v"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("v"), col("id"))
+    val tHot = timed(synthLang
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(wl))
+      .agg(sum(col("r"))).collect().head.getLong(0))
+    val tHot2 = timed(graft.ops.TwoLevelRank
+      .rank(synthLang, Seq("lang"), Seq("v"), expr("id div 65536"),
+        Seq("id"), "r")
+      .agg(sum(col("r"))).collect().head.getLong(0))
+    println(f"per-lang rank 10M rows (90%% one lang): partitioned window $tHot%.1f s, two-level $tHot2%.1f s")
     spark.stop()
   }
 }
