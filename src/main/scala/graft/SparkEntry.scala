@@ -1314,7 +1314,9 @@ object SparkEntry {
         .filter(col("nbr_label") === col("qlabel"))
         .groupBy(col("query_id"))
         .agg(min(col("rank")).cast("long").as("first_rel_rank"))
-      qlab.join(firstRel, Seq("query_id"), "left")
+      // firstRel is ≤ |Q| rows by construction — broadcast explicitly
+      // so the static plan is already the broadcast join AQE would pick
+      qlab.join(broadcast(firstRel), Seq("query_id"), "left")
         .select(col("query_id"), col("qlabel").as("label"),
           coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
           when(col("first_rel_rank").isNull, lit(0.0))
