@@ -2544,6 +2544,7 @@ object SparkEntry {
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -2574,6 +2575,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
       .select(col("a"), col("b"))
+      // Persisted at the edge frame itself (not only the symmetrized
+      // copies the Graph ops persist internally): every graph_* query
+      // ALSO derives an aux frame from it (seed set, node list, degree
+      // frame), and without this the aux materialization re-executes
+      // the whole build — graph_bfs paid it 2-3× per sample. The
+      // support-2 edge list is the frame the docstring argues stays
+      // small at any scale, so the cache is a few thousand rows.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def bigSpenders(s: SparkSession, dir: String): DataFrame =
