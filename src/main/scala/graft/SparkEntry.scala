@@ -2544,7 +2544,11 @@ object SparkEntry {
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (No query-boundary persist here, unlike coPurchaseEdges: every
+    // consumer immediately re-distincts and persists inside the Graph op,
+    // and the one double-reference plan — pagerank's fwd/rev union —
+    // already collapses via exchange reuse. Measured: the extra cache
+    // layer cost hits/ppr 0.4-0.6 s and won nothing.)
 
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
