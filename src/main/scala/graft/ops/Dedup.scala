@@ -711,22 +711,33 @@ object Dedup {
   def shingleContainment(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxDf: Long = 50, minShared: Long = 3,
       minContainment: Double = 0.8): DataFrame = {
-    val keys = docs.select(col(idCol).as("doc_id"),
+    // ONE keyed shuffle of the full shingle stream: group each shingle
+    // straight to its doc list (duplicates kept — multiset semantics),
+    // apply the df cap on the grouped list size, and form the ordered
+    // candidate pairs per shingle with the same bounded lambda the
+    // co-purchase edge build uses. The previous form shuffled the
+    // corpus-sized (k, doc) frame three times (df-count groupBy, df-cap
+    // join, self-join legs); this one touches it once, and everything
+    // after the cap is bounded by maxDf·(maxDf−1) pairs per shingle.
+    // Pair counts are IDENTICAL to the k-self-join: per shingle a doc
+    // pair (a,b), a≠b, contributes cnt(a)·cnt(b) ordered row pairs in
+    // both forms, and n_a counts informative rows (duplicates included)
+    // in both.
+    val g = docs.select(col(idCol).as("doc_id"),
         explode(graft.functions.textnative
           .shingle_md5_keys(col(textCol), n)).as("k"))
+      .groupBy(col("k")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // three consumers (sizes + both self-join legs): persist so the
-    // df-cap join runs once
-    val informative = keys.join(
-        keys.groupBy(col("k")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf).select(col("k")),
-        Seq("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = informative.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
-    informative.select(col("k"), col("doc_id").as("a"))
-      .join(informative.select(col("k").as("k2"), col("doc_id").as("b")),
-        col("k") === col("k2") && col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+    val sizes = g.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val ds = col("ds")
+    val pairs = flatten(transform(ds, a =>
+      transform(ds, b => struct(a.as("a"), b.as("b")))))
+    g.select(explode(pairs).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(sizes.select(col("doc_id").as("a"), col("n_a")), Seq("a"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
