@@ -25,6 +25,19 @@ object TextAnalysis {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
+  /** Adjacent token pairs as array<struct<w1,w2>> — the shared bigram
+    * formation behind the LM/collocation family. `arrays_zip` of the
+    * head and tail slices instead of `transform(sequence …
+    * element_at)`: higher-order-function lambdas evaluate INTERPRETED
+    * per element while slice/zip/cast are ordinary codegen'd
+    * expressions — measured 2× on the pair-explode-count path at
+    * sf0.1, bit-identical output (the cast renames the zip's
+    * positional fields). Callers must filter size ≥ 2 first. */
+  def bigramPairs(toks: Column): Column =
+    arrays_zip(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))
+      .cast("array<struct<w1:string,w2:string>>")
+
   /** Word n-gram shingles (n consecutive tokens joined by a space), via
     * sequence+transform — pure HOFs, no explode needed until the caller
     * wants one row per shingle. Empty array when fewer than n tokens. */
@@ -331,9 +344,7 @@ object TextAnalysis {
     // bodies) — O(tokens²) per document. Measured 5.4 s → sub-second at
     // sf0.1 from this change alone.
     val toks = col("__toks")
-    val pairs = transform(sequence(lit(0), size(toks) - 2),
-      i => struct(element_at(toks, i + 1).as("w1"),
-        element_at(toks, i + 2).as("w2")))
+    val pairs = bigramPairs(toks)
     val counts = df
       .select(tokens(col(textCol)).as("__toks"))
       .filter(size(toks) >= 2)
@@ -365,9 +376,7 @@ object TextAnalysis {
     * DECIMAL (the corr-matrix pattern) before the products. */
   def collocationLlr(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = col("__toks")
-    val pairs = transform(sequence(lit(0), size(toks) - 2),
-      i => struct(element_at(toks, i + 1).as("w1"),
-        element_at(toks, i + 2).as("w2")))
+    val pairs = bigramPairs(toks)
     val bi = df
       .select(tokens(col(textCol)).as("__toks"))
       .filter(size(toks) >= 2)
@@ -447,9 +456,7 @@ object TextAnalysis {
     require(discount > 0 && discount < 1,
       s"absolute discount must be in (0,1), got $discount")
     val toks = col("__toks")
-    val pairs = transform(sequence(lit(0), size(toks) - 2),
-      i => struct(element_at(toks, i + 1).as("w1"),
-        element_at(toks, i + 2).as("w2")))
+    val pairs = bigramPairs(toks)
     val bi = df
       .select(tokens(col(textCol)).as("__toks"))
       .filter(size(toks) >= 2)
@@ -520,9 +527,7 @@ object TextAnalysis {
       alpha: Double = 0.5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val toks = col("__toks")
-    val pairs = transform(sequence(lit(0), size(toks) - 2),
-      i => struct(element_at(toks, i + 1).as("w1"),
-        element_at(toks, i + 2).as("w2")))
+    val pairs = bigramPairs(toks)
     val dbc = df
       .select(col("doc_id"), tokens(col(textCol)).as("__toks"))
       .filter(size(toks) >= 2)
@@ -753,9 +758,7 @@ object TextAnalysis {
   def pmiPairs(df: DataFrame, textCol: String = "text",
       minPairN: Long = 20): DataFrame = {
     val toks = col("__toks")
-    val pairs = transform(sequence(lit(0), size(toks) - 2),
-      i => struct(element_at(toks, i + 1).as("w1"),
-        element_at(toks, i + 2).as("w2")))
+    val pairs = bigramPairs(toks)
     val tokArr = df.select(tokens(col(textCol)).as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val px = tokArr.filter(size(toks) >= 2)
