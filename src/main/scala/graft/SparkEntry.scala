@@ -2397,8 +2397,7 @@ object SparkEntry {
     // one IEEE expression at the end; the join is deg broadcast onto the
     // edge list twice.
     "graph_assortativity" -> { (s, dir) =>
-      val e = coPurchaseEdges(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = coPurchaseEdges(s, dir) // already persisted at the op
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       val deg = e.select(col("a").as("node"))
@@ -2496,8 +2495,7 @@ object SparkEntry {
     // Partition quality of the 3-round label-prop communities: Newman
     // modularity from integer counts, total decimal-summed.
     "graph_modularity" -> { (s, dir) =>
-      val ed = coPurchaseEdges(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ed = coPurchaseEdges(s, dir) // already persisted at the op
       Graph.modularity(ed, Graph.labelPropagationNodes(ed, rounds = 3))
     },
 
