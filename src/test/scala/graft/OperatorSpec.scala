@@ -2296,6 +2296,40 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("fused co-purchase edge build: equals the multiplicity form, one corpus shuffle") {
+    spark.catalog.clearCache()
+    // reference form: (order, part) multiplicities, pair weight cnt(a)*cnt(b)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val byOrder = li.as[(Long, Long)].collect().groupBy(_._1)
+    val expect = byOrder.iterator.flatMap { case (_, rows) =>
+      val cnt = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+      for {
+        (a, ca) <- cnt.iterator; (b, cb) <- cnt.iterator if a < b
+      } yield ((a, b), ca * cb)
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 >= 2).keySet.toSeq.sorted
+    val got = SparkEntry.coPurchaseEdges(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == expect,
+      s"fused edge build diverged: ${got.take(5)}... vs ${expect.take(5)}...")
+    // plan guard: exactly two corpus-keyed exchanges — the per-order
+    // group and the pair-support aggregate; no self-join, no extra
+    // multiplicity stage
+    spark.catalog.clearCache()
+    withoutAqe {
+      val plan = SparkEntry.coPurchaseEdges(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 2,
+        s"fused edge build must shuffle exactly twice, got $shuffles:\n" +
+          plan.take(3000))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+        "fused edge build must not contain a join:\n" + plan.take(3000))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("nearest as-of: min |dt| wins, exact tie goes backward, misses null") {
     import java.sql.Timestamp
     def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
