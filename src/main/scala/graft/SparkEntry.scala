@@ -1179,6 +1179,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_docs"))
     },
 
+    // Soft dedup (duplicate-aware loss reweighting): every document
+    // kept, weight = 1/|duplicate cluster| over the same transitive
+    // groups, singletons weigh 1 — the alternative to hard removal when
+    // near-dups carry variation worth training on. One duplicate-sized
+    // aggregate + one corpus left join; the weight is a single IEEE
+    // division from exact integers.
+    "dedup_soft_weight" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.softDedupWeights(docs,
+        Dedup.duplicateGroups(
+          Dedup.jaccardVerifiedPairs(docs, "doc_id", "text",
+            Dedup.minhashLshCandidates(docs, "doc_id", "text"),
+            n = 3, threshold = 0.5)))
+    },
+
     // Representative selection over the same groups: keep the longest
     // member per duplicate group (tie → smaller id), singletons pass
     // through — the deduplicated corpus itself, hash-gated end to end.
@@ -2463,6 +2478,13 @@ object SparkEntry {
         .filter(col("node") % 97 === 0)
       Graph.bfsDistances(ed, seeds, rounds = 3)
     },
+
+    // Diameter lower bound by double-sweep BFS: sweep 1 from the
+    // smallest node, sweep 2 from the farthest node it reaches (tie →
+    // smallest id); one exact-integer row. Two bounded single-source
+    // BFS passes — the 1-row pivot between them is a broadcast.
+    "graph_diameter" -> ((s, dir) =>
+      Graph.diameterDoubleSweep(coPurchaseEdges(s, dir), rounds = 3)),
 
     // Bounded closeness centrality from the same seed set as graph_bfs:
     // per-seed 3-hop BFS balls in one keyed pass, then
@@ -3811,6 +3833,45 @@ object SparkEntry {
          |        FROM d2 d JOIN sym s ON d.node = s.src) GROUP BY node)
          |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
 
+    // Double-sweep replay: both bounded BFS recurrences unrolled, the
+    // pivot (farthest node, tie smallest id) as ORDER BY ... LIMIT 1.
+    "graph_diameter" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b AS src, a AS dst FROM ed),
+         |u AS (SELECT least(min(a), min(b)) AS node FROM ed),
+         |e0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM u),
+         |e1 AS (SELECT node, min(dist) AS dist FROM (
+         |        SELECT node, dist FROM e0 UNION ALL
+         |        SELECT s.dst AS node, d.dist + 1 AS dist
+         |        FROM e0 d JOIN sym s ON d.node = s.src) GROUP BY node),
+         |e2 AS (SELECT node, min(dist) AS dist FROM (
+         |        SELECT node, dist FROM e1 UNION ALL
+         |        SELECT s.dst AS node, d.dist + 1 AS dist
+         |        FROM e1 d JOIN sym s ON d.node = s.src) GROUP BY node),
+         |e3 AS (SELECT node, min(dist) AS dist FROM (
+         |        SELECT node, dist FROM e2 UNION ALL
+         |        SELECT s.dst AS node, d.dist + 1 AS dist
+         |        FROM e2 d JOIN sym s ON d.node = s.src) GROUP BY node),
+         |v AS (SELECT node FROM e3 ORDER BY dist DESC, node ASC LIMIT 1),
+         |f0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM v),
+         |f1 AS (SELECT node, min(dist) AS dist FROM (
+         |        SELECT node, dist FROM f0 UNION ALL
+         |        SELECT s.dst AS node, d.dist + 1 AS dist
+         |        FROM f0 d JOIN sym s ON d.node = s.src) GROUP BY node),
+         |f2 AS (SELECT node, min(dist) AS dist FROM (
+         |        SELECT node, dist FROM f1 UNION ALL
+         |        SELECT s.dst AS node, d.dist + 1 AS dist
+         |        FROM f1 d JOIN sym s ON d.node = s.src) GROUP BY node),
+         |f3 AS (SELECT node, min(dist) AS dist FROM (
+         |        SELECT node, dist FROM f2 UNION ALL
+         |        SELECT s.dst AS node, d.dist + 1 AS dist
+         |        FROM f2 d JOIN sym s ON d.node = s.src) GROUP BY node)
+         |SELECT u.node AS start_node, v.node AS far_node,
+         |       CAST(max(f3.dist) AS BIGINT) AS diameter_lb,
+         |       CAST(count(*) AS BIGINT) AS n_reached
+         |FROM f3, u, v GROUP BY u.node, v.node""".stripMargin,
+
     "graph_closeness" ->
       s"""WITH $coPurchaseCte,
          |sym AS (SELECT a AS src, b AS dst FROM ed
@@ -5005,6 +5066,37 @@ object SparkEntry {
         |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
         |       CAST(sum(group_size) AS BIGINT) AS n_docs
         |FROM sz GROUP BY group_size""".stripMargin,
+
+    // Same recursive-CTE groups, then every doc weighted 1/|cluster|
+    // (singletons 1) — one left join, one DOUBLE/DOUBLE division.
+    "dedup_soft_weight" ->
+      """WITH RECURSIVE
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(0, len(w) - 2),
+        |           i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |p AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b
+        |  FROM s l JOIN s r ON l.doc_id < r.doc_id
+        |  WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p
+        |      UNION SELECT a, a FROM p UNION SELECT b, b FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |g AS (SELECT a AS doc_id, min(b) AS gid FROM reach GROUP BY a),
+        |sz AS (SELECT gid, CAST(count(*) AS BIGINT) AS group_size
+        |       FROM g GROUP BY gid),
+        |m AS (SELECT g.doc_id, sz.group_size FROM g JOIN sz ON g.gid = sz.gid)
+        |SELECT d.doc_id,
+        |       COALESCE(m.group_size, CAST(1 AS BIGINT)) AS group_size,
+        |       CAST(1.0 AS DOUBLE) /
+        |         CAST(COALESCE(m.group_size, 1) AS DOUBLE) AS weight
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
 
     // Same recursive-CTE groups as dedup_groups, then the argmax
     // representative per group plus the anti-joined singleton pass-through.

@@ -478,6 +478,32 @@ object Dedup {
     reps.unionByName(singles)
   }
 
+  /** Soft deduplication: instead of DROPPING near-duplicates, keep every
+    * document and down-weight duplicate-cluster members for the training
+    * loss — weight = 1/|cluster| so each cluster contributes one
+    * document's worth of gradient mass in aggregate (the published
+    * SoftDeDup idea: duplicate-aware loss reweighting beats hard removal
+    * when duplicates carry slight variations). Singletons weigh 1.
+    *
+    * Scale shape: the groups frame is sized by the DUPLICATE subset, not
+    * the corpus; the size aggregate runs over it alone, and the only
+    * corpus-sized operation is the final left join, which AQE broadcasts
+    * when the duplicate subset is small (the common case). The weight is
+    * one double division from exact integers — IEEE-identical on any
+    * engine, so the query hash-gates. */
+  def softDedupWeights(docs: DataFrame, groups: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val sz = groups.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("group_size"))
+    docs.select(col(idCol))
+      .join(groups.join(sz, Seq("group_id"))
+        .select(col(idCol), col("group_size")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("group_size"), lit(1L)).as("group_size"),
+        (lit(1.0) / coalesce(col("group_size"), lit(1L)).cast("double"))
+          .as("weight"))
+  }
+
   /** One-call corpus dedup — the full pipeline a training-data user runs:
     * MinHash-LSH candidates → exact n-gram-Jaccard verify (≥ threshold) →
     * transitive duplicate groups → every doc labeled with its group id

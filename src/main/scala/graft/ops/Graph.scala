@@ -250,6 +250,33 @@ object Graph {
     fin
   }
 
+  /** Diameter lower bound by the classic double-sweep: BFS from the
+    * smallest node id, take the farthest reached node (tie → smallest
+    * id), BFS again from there — the second sweep's eccentricity is the
+    * standard near-tight diameter estimate (exact on trees). Both
+    * sweeps are the SAME bounded min-plus relaxation as
+    * [[bfsDistances]], so cost is two single-source BFS passes —
+    * per-round keyed join+min over the frontier, nothing quadratic —
+    * and the 1-row pivot between sweeps rides a broadcast, not a
+    * collect. `rounds` caps the hop radius (the estimate is exact once
+    * rounds ≥ true eccentricity; the oracle replays the identical
+    * bounded recurrence either way). Output is one row of exact
+    * integers: (start_node, far_node, diameter_lb, n_reached). */
+  def diameterDoubleSweep(edges: DataFrame, rounds: Int): DataFrame = {
+    val u = edges.agg(least(min(col("a")), min(col("b"))).as("node"))
+    val d1 = bfsDistances(edges, u, rounds)
+    // farthest node, tie to the smallest id: max over (dist, -node)
+    val v = d1.agg(max(struct(col("dist"), (-col("node")).as("__neg"))).as("m"))
+      .select((-col("m.__neg")).as("node"))
+    val d2 = bfsDistances(edges, v, rounds)
+    d2.agg(max(col("dist")).as("diameter_lb"),
+        count(lit(1)).as("n_reached"))
+      .crossJoin(broadcast(u.select(col("node").as("start_node"))))
+      .crossJoin(broadcast(v.select(col("node").as("far_node"))))
+      .select(col("start_node"), col("far_node"),
+        col("diameter_lb"), col("n_reached"))
+  }
+
   /** Bounded closeness centrality: per-seed BFS to `rounds` hops — the
     * frontier frame is keyed by (seed, node), so EVERY seed advances
     * through the same `rounds` join+min relaxations in one pass (cost is
