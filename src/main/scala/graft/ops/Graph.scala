@@ -232,11 +232,19 @@ object Graph {
     * keep lineage linear). */
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+    bfsOverSym(edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist(lvl)
+      .persist(lvl), seeds, rounds)
+  }
+
+  /** [[bfsDistances]] over an already-symmetrized (and ideally
+    * persisted) `sym(src, dst)` frame — callers running several sweeps
+    * over the same graph (double-sweep diameter) share one
+    * materialization instead of re-symmetrizing per sweep. */
+  private[graft] def bfsOverSym(sym: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
     val init = seeds.select(col("node"), lit(0L).as("dist"))
     val (fin, _) = (1 to rounds).foldLeft((init, Set.empty[Int])) {
       case ((dist, prevIds), _) =>
@@ -263,12 +271,16 @@ object Graph {
     * bounded recurrence either way). Output is one row of exact
     * integers: (start_node, far_node, diameter_lb, n_reached). */
   def diameterDoubleSweep(edges: DataFrame, rounds: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(lvl)
     val u = edges.agg(least(min(col("a")), min(col("b"))).as("node"))
-    val d1 = bfsDistances(edges, u, rounds)
+    val d1 = bfsOverSym(sym, u, rounds)
     // farthest node, tie to the smallest id: max over (dist, -node)
     val v = d1.agg(max(struct(col("dist"), (-col("node")).as("__neg"))).as("m"))
       .select((-col("m.__neg")).as("node"))
-    val d2 = bfsDistances(edges, v, rounds)
+    val d2 = bfsOverSym(sym, v, rounds)
     d2.agg(max(col("dist")).as("diameter_lb"),
         count(lit(1)).as("n_reached"))
       .crossJoin(broadcast(u.select(col("node").as("start_node"))))
