@@ -2330,6 +2330,27 @@ class OperatorSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("double-sweep diameter: exact on a path and a star; bounded by rounds") {
+    import spark.implicits._
+    // path 1-2-3-4-5: sweep 1 from node 1 reaches node 4 at the rounds=3
+    // horizon (tie → smallest id); sweep 2 from 4 sees all 5 nodes, max
+    // dist 3 (node 1)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val p = Graph.diameterDoubleSweep(path, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(p == ((1L, 4L, 3L, 5L)), s"path diameter row: $p")
+    // with rounds ≥ eccentricity the sweep is exact: far node 5, lb 4
+    val pFull = Graph.diameterDoubleSweep(path, rounds = 5)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(pFull == ((1L, 5L, 4L, 5L)), s"full path diameter row: $pFull")
+    // star 0-{1,2,3}: from 0 all spokes at 1 (far = smallest spoke 1);
+    // from 1 the far side is the other spokes at 2 — the true diameter
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val st = Graph.diameterDoubleSweep(star, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(st == ((0L, 1L, 2L, 4L)), s"star diameter row: $st")
+  }
+
   test("nearest as-of: min |dt| wins, exact tie goes backward, misses null") {
     import java.sql.Timestamp
     def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
