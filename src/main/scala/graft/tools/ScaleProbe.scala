@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline 10× scale-up receipt — NOT part of the gated surface.
+  *
+  * The driver fixtures stop at sf0.1, so the "would this hold at 100 TB"
+  * argument in SCALE.md rests on plan shapes. This probe adds a measured
+  * point: replicate the sf0.1 tables 10× in /tmp with shifted keys
+  * (≈ sf1 row counts on the same 32 cores), run a representative operator
+  * from each family at both scales cold, and print the time ratio. A
+  * shape that is linear in the data should show a ratio ≈ 10× or less on
+  * a fixed core budget (sub-10× where fixed overhead still dominates the
+  * sf0.1 run); anything superlinear is a scale bug this probe exists to
+  * catch.
+  *
+  * Replication details: lineitem/orders shift every key by
+  * `i * 10_000_000` per replica so joins/groups see 10× DISTINCT keys
+  * (not 10× multiplicity on the same keys); documents get a per-replica
+  * token appended so near-dup structure is preserved but replicas do not
+  * collapse into one exact-dup cluster; embeddings shift vec_id and leave
+  * vectors as-is (brute-force cost is pairs, unaffected by value reuse).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
+    val s = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("scaleprobe").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+
+    val shift = 10000000L
+    def replicate(t: String, f: (DataFrame, Int) => DataFrame): String = {
+      val base = s.read.parquet(s"$sfDir/$t.parquet")
+      val out = s"$workDir/$t"
+      (0 until 10).map(i => f(base, i)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    val li10 = replicate("lineitem", (d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * shift))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * shift)))
+    val doc10 = replicate("documents", (d, i) => d
+      .withColumn("doc_id", col("doc_id") + lit(i * shift))
+      .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+    val emb10 = replicate("embeddings", (d, i) => d
+      .withColumn("vec_id", col("vec_id") + lit(i * shift)))
+
+    def timeCold(f: => Long): Double = {
+      val ts = (1 to 2).map { _ =>
+        s.catalog.clearCache()
+        val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
+      }
+      ts.min
+    }
+    def report(tag: String)(small: => Long)(big: => Long): Unit = {
+      val a = timeCold(small); val b = timeCold(big)
+      println(f"$tag%-28s sf0.1=${a}%7.2f s   10x=${b}%7.2f s   ratio=${b / a}%5.2f")
+    }
+
+    val liS = () => s.read.parquet(s"$sfDir/lineitem.parquet")
+    val liB = () => s.read.parquet(li10)
+    val docS = () => s.read.parquet(s"$sfDir/documents.parquet")
+    val docB = () => s.read.parquet(doc10)
+    val embS = () => s.read.parquet(s"$sfDir/embeddings.parquet")
+    val embB = () => s.read.parquet(emb10)
+
+    def edges(li: DataFrame): Long = {
+      val ps = col("ps")
+      val pairs = flatten(transform(sequence(lit(1), size(ps) - 1), i =>
+        transform(slice(ps, lit(1), i), x =>
+          struct(x.as("a"), element_at(ps, i + 1).as("b")))))
+      li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy(col("ok")).agg(sort_array(collect_list(col("pk"))).as("ps"))
+        .filter(size(ps) >= 2)
+        .select(explode(pairs).as("p"))
+        .filter(col("p.a") < col("p.b"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2).count()
+    }
+    report("q1-style agg")(
+      liS().groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), avg(col("l_extendedprice")),
+          count(lit(1))).count())(
+      liB().groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), avg(col("l_extendedprice")),
+          count(lit(1))).count())
+    report("co-purchase edge build")(edges(liS()))(edges(liB()))
+    report("minhash LSH pairs")(
+      graft.ops.Dedup.minhashLshPairs(docS(), "doc_id", "text").count())(
+      graft.ops.Dedup.minhashLshPairs(docB(), "doc_id", "text").count())
+    report("term stats (tf/df)")(
+      graft.ops.TextAnalysis.termStats(docS()).count())(
+      graft.ops.TextAnalysis.termStats(docB()).count())
+    report("sequence packing")(
+      graft.ops.Training.packSequences(docS(), "doc_id", "text").count())(
+      graft.ops.Training.packSequences(docB(), "doc_id", "text").count())
+    report("exact dedup groups")(
+      graft.ops.Dedup.exactGroups(docS(), "text", "doc_id").count())(
+      graft.ops.Dedup.exactGroups(docB(), "text", "doc_id").count())
+    // brute-force ANN is deliberately quadratic in CANDIDATES × QUERIES;
+    // probe with a FIXED 8-query set so the measured growth is the linear
+    // candidate-side scan (the at-scale usage: few queries, huge corpus)
+    def ann(emb: DataFrame): Long = {
+      val q = emb.filter(col("vec_id") % 251 === 0).limit(8)
+      graft.ops.Similarity.bruteForceTopK(emb, q, k = 10).count()
+    }
+    report("brute-force ANN (8 queries)")(ann(embS()))(ann(embB()))
+    s.stop()
+  }
+}
