@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   *
   * Replication details: lineitem/orders shift every key by
   * `i * 10_000_000` per replica so joins/groups see 10× DISTINCT keys
-  * (not 10× multiplicity on the same keys); documents get a per-replica
-  * token appended so near-dup structure is preserved but replicas do not
-  * collapse into one exact-dup cluster; embeddings shift vec_id and leave
+  * (not 10× multiplicity on the same keys); documents get every TOKEN
+  * suffixed with the replica index — a bijective vocabulary rename, so
+  * each replica reproduces the original corpus's shingle/dup-density
+  * distribution while replicas share no shingles (appending one token
+  * per replica would instead leave replicas at Jaccard ≈ 0.97 and hand
+  * every doc 9 near-twins — a 45× pair-density increase that would fake
+  * a superlinear LSH reading); embeddings shift vec_id and leave
   * vectors as-is (brute-force cost is pairs, unaffected by value reuse).
   */
 object ScaleProbe {
@@ -47,7 +51,7 @@ object ScaleProbe {
       .withColumn("l_partkey", col("l_partkey") + lit(i * shift)))
     val doc10 = replicate("documents", (d, i) => d
       .withColumn("doc_id", col("doc_id") + lit(i * shift))
-      .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+      .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + s"r$i")))
     val emb10 = replicate("embeddings", (d, i) => d
       .withColumn("vec_id", col("vec_id") + lit(i * shift)))
 
