@@ -687,24 +687,27 @@ object Graph {
     // tree — measured 60 s for 3 iterations at sf0.1, superlinear in
     // iters; checkpointing makes plan and optimizer cost linear.
     var prevIds = Set.empty[Int]
+    // Zero-score nodes are carried IMPLICITLY through the iteration: a
+    // node with no in-edges has auth 0 forever, and a 0-score node's
+    // contribution to the other side's sum is +0.0 — the additive
+    // identity — so the per-round nodes-left-join + coalesce(0) that
+    // used to materialize those rows six times (2 joins × 3 iters on
+    // the full node frame) is dropped, and the zeros are filled ONCE at
+    // the end. Score values are unchanged within the 6-decimal gate
+    // envelope (same non-zero sum terms; order variation was already
+    // absorbed by the round, per the scaladoc above).
     for (_ <- 1 to iters) {
-      val a = ed
+      val (aFull, aIds) = checkpointRound(ed
         .join(hub.withColumnRenamed("node_id", "src"), "src")
         .groupBy(col("dst").as("node_id"))
-        .agg(sum(col("hub")).as("__a"))
-      val (aFull, aIds) = checkpointRound(
-        nodes.join(a, Seq("node_id"), "left")
-          .select(col("node_id"), coalesce(col("__a"), lit(0.0)).as("__a")))
+        .agg(sum(col("hub")).as("__a")))
       val aMax = broadcast(aFull.agg(max(col("__a")).as("__amx")))
       auth = aFull.crossJoin(aMax)
         .select(col("node_id"), (col("__a") / col("__amx")).as("auth"))
-      val h = ed
+      val (hFull, hIds) = checkpointRound(ed
         .join(auth.withColumnRenamed("node_id", "dst"), "dst")
         .groupBy(col("src").as("node_id"))
-        .agg(sum(col("auth")).as("__h"))
-      val (hFull, hIds) = checkpointRound(
-        nodes.join(h, Seq("node_id"), "left")
-          .select(col("node_id"), coalesce(col("__h"), lit(0.0)).as("__h")))
+        .agg(sum(col("auth")).as("__h")))
       val hMax = broadcast(hFull.agg(max(col("__h")).as("__hmx")))
       hub = hFull.crossJoin(hMax)
         .select(col("node_id"), (col("__h") / col("__hmx")).as("hub"))
@@ -713,8 +716,11 @@ object Graph {
       freeRound(hFull, prevIds)
       prevIds = aIds ++ hIds
     }
-    auth.join(hub, Seq("node_id"))
-      .select(col("node_id"), round(col("auth"), 6).as("auth"),
-        round(col("hub"), 6).as("hub"))
+    nodes
+      .join(auth, Seq("node_id"), "left")
+      .join(hub, Seq("node_id"), "left")
+      .select(col("node_id"),
+        round(coalesce(col("auth"), lit(0.0)), 6).as("auth"),
+        round(coalesce(col("hub"), lit(0.0)), 6).as("hub"))
   }
 }
