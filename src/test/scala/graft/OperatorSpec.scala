@@ -627,6 +627,53 @@ class OperatorSpec extends SparkSuite {
     assert(flags(1L) && !flags(2L))
   }
 
+  test("soft dedup weights: 1/|cluster| for members, 1 for singletons, mass = n_groups + n_singletons") {
+    import spark.implicits._
+    // groups frame contract: (doc_id, group_id) for docs IN clusters only
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "group_id")
+    val out = Dedup.softDedupWeights(docs, groups)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 1L), (5L, 2L), (6L, 2L)))
+    assert(out.filter(_._2 == 3L).forall(_._3 == 1.0 / 3))
+    assert(out.filter(_._2 == 1L).forall(_._3 == 1.0))
+    // one document's worth of gradient mass per cluster (+ singletons)
+    assert(math.abs(out.map(_._3).sum - 3.0) < 1e-12)
+  }
+
+  test("bigramPairs equals the transform+element_at formulation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(split(trim($"text"), "\\s+").as("__toks"))
+      .filter(size($"__toks") >= 2)
+    val toks = col("__toks")
+    val oldPairs = transform(sequence(lit(0), size(toks) - 2),
+      i => struct(element_at(toks, i + 1).as("w1"),
+        element_at(toks, i + 2).as("w2")))
+    val a = docs.select(explode(oldPairs).as("p"))
+      .groupBy($"p.w1", $"p.w2").agg(count(lit(1)).as("n"))
+    val b = docs.select(explode(TextAnalysis.bigramPairs(toks)).as("p"))
+      .groupBy($"p.w1", $"p.w2").agg(count(lit(1)).as("n"))
+    val diff = a.unionAll(b).groupBy("w1", "w2", "n")
+      .agg(count(lit(1)).as("k")).filter($"k" =!= 2).count()
+    assert(diff == 0, s"bigram formulations diverged on $diff keys")
+  }
+
+  test("HITS: zero-score nodes appear in the output with auth/hub 0") {
+    import spark.implicits._
+    // 1→2, 1→3: node 1 is a pure hub (no in-edges → auth 0),
+    // 2 and 3 are pure authorities (no out-edges → hub 0)
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val out = Graph.hits(e, "src", "dst", iters = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), s"nodes: ${out.toSeq}")
+    assert(out(0)._2 == 0.0 && out(0)._3 == 1.0, s"hub node: ${out(0)}")
+    assert(out(1)._2 == 1.0 && out(1)._3 == 0.0, s"auth node: ${out(1)}")
+    assert(out(2)._2 == 1.0 && out(2)._3 == 0.0, s"auth node: ${out(2)}")
+  }
+
   test("bloom decon: exact verify is load-bearing under a saturated bloom") {
     // At fpp=0.01 over tiny fixtures false positives may simply never
     // occur, so the equality test alone can't show the verify join does
