@@ -30,6 +30,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scaleprobe"
+    val replicas = if (args.length > 2) args(2).toInt else 10
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -42,7 +43,7 @@ object ScaleProbe {
     def replicate(t: String, f: (DataFrame, Int) => DataFrame): String = {
       val base = s.read.parquet(s"$sfDir/$t.parquet")
       val out = s"$workDir/$t"
-      (0 until 10).map(i => f(base, i)).reduce(_ unionAll _)
+      (0 until replicas).map(i => f(base, i)).reduce(_ unionAll _)
         .write.mode("overwrite").parquet(out)
       out
     }
@@ -64,7 +65,7 @@ object ScaleProbe {
     }
     def report(tag: String)(small: => Long)(big: => Long): Unit = {
       val a = timeCold(small); val b = timeCold(big)
-      println(f"$tag%-28s sf0.1=${a}%7.2f s   10x=${b}%7.2f s   ratio=${b / a}%5.2f")
+      println(f"$tag%-28s sf0.1=${a}%7.2f s   ${replicas}x=${b}%7.2f s   ratio=${b / a}%5.2f")
     }
 
     val liS = () => s.read.parquet(s"$sfDir/lineitem.parquet")
