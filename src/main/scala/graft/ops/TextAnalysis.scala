@@ -528,10 +528,16 @@ object TextAnalysis {
     import org.apache.spark.storage.StorageLevel
     val toks = col("__toks")
     val pairs = bigramPairs(toks)
+    // Partition the per-doc bigram counts by doc_id ALONE (a valid
+    // clustering for the (doc, w1, w2) group — same doc ⇒ same
+    // partition ⇒ same triple co-located), so the FINAL per-document
+    // logprob aggregate reuses this exchange instead of re-shuffling
+    // the corpus a second time when the model join broadcasts.
     val dbc = df
       .select(col("doc_id"), tokens(col(textCol)).as("__toks"))
       .filter(size(toks) >= 2)
       .select(col("doc_id"), explode(pairs).as("p"))
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
