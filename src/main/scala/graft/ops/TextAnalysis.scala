@@ -184,8 +184,16 @@ object TextAnalysis {
     // tf feeds both the df aggregate and the top-term window: persist so
     // the corpus-wide token explode runs once, not per plan branch (the
     // same reuse bm25 below depends on).
+    // doc_id-only partitioning is a valid clustering for the (doc, term)
+    // group AND the distribution the top-term window needs — the window
+    // reuses this exchange instead of re-shuffling the tf frame (the
+    // perplexity doc_id-repartition lesson). Trade: repartition-first
+    // forfeits the map-side combine (raw token rows shuffle), which the
+    // saved corpus-sized window exchange outweighs here (0.90 → 0.61 s
+    // at sf0.1) — see tokenEntropy for the counter-case.
     val tf = df.select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -315,6 +323,12 @@ object TextAnalysis {
     * engine-variant step, absorbed by the 6-decimal round. */
   def tokenEntropy(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
+    // NOT doc_id-repartitioned like termStats/tfidf: repartition-first
+    // forfeits the map-side combine (raw token rows shuffle instead of
+    // per-partition partials), and the per-doc aggregate it would save
+    // here runs over the already-collapsed frame — measured a net LOSS
+    // (0.22 → 0.32 s at sf0.1). The trade only pays when the saved
+    // second exchange is corpus-sized (a window or join output).
     df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("n"))
@@ -421,6 +435,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      // doc-only partitioning: valid for the (doc, term) group, and when
+      // the vocabulary-sized df join broadcasts, the ranking window
+      // inherits it and skips its own corpus re-shuffle
+      .repartition(col(idCol))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
