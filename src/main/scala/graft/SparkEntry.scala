@@ -2384,6 +2384,23 @@ object SparkEntry {
         iters = 3, damping = 0.85)
     },
 
+    // Weighted PageRank over the bidirectional trade graph: each edge
+    // carries the (customer, supplier) trade count, so rank flows in
+    // proportion to relationship VOLUME instead of uniform 1/outdeg —
+    // the variant co-occurrence/trade graphs actually use. Same
+    // unrolled plan shape as graph_pagerank; oracle replays the
+    // weighted recurrence.
+    "graph_pagerank_weighted" -> { (s, dir) =>
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      val fwd = e.select(col("c").as("src"), (-col("su") - 1).as("dst"), col("w"))
+      val rev = e.select((-col("su") - 1).as("src"), col("c").as("dst"), col("w"))
+      Graph.pagerankWeighted(fwd.unionAll(rev), "src", "dst", "w",
+        iters = 3, damping = 0.85)
+    },
+
     // PageRank over the DIRECTED customer→supplier graph: suppliers have
     // no outgoing edges, so every one of them is a dangling sink — the
     // query exercises the Σ pr(dangling)/N redistribution (without it,
@@ -3178,6 +3195,37 @@ object SparkEntry {
     s"""$tradePairsCte,
        |ed AS (SELECT c AS src, -su - 1 AS dst FROM e)""".stripMargin,
     dangling = true)
+
+  /** Weighted-PageRank oracle: the same unrolled recurrence with
+    * pr·w/Σw_out contributions — identical operand order to
+    * Graph.pagerankWeighted's `pr * w / ow`. */
+  private val pagerankWeightedOracleSql: String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val base = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    val iters = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (SELECT ed.dst AS node_id, sum($prev.pr * ed.w / ow.ow) AS c
+         |  FROM ed JOIN $prev ON ed.src = $prev.node_id
+         |          JOIN ow ON ed.src = ow.src
+         |  GROUP BY ed.dst),
+         |r$i AS (SELECT nodes.node_id,
+         |    $base / n.nn + $d * coalesce(c$i.c, 0.0) AS pr
+         |  FROM nodes LEFT JOIN c$i USING (node_id) CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT o_custkey AS c, l_suppkey AS su,
+       |           CAST(count(*) AS DOUBLE) AS w
+       |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |       GROUP BY o_custkey, l_suppkey),
+       |ed AS (SELECT c AS src, -su - 1 AS dst, w FROM e
+       |       UNION ALL SELECT -su - 1 AS src, c AS dst, w FROM e),
+       |nodes AS (SELECT src AS node_id FROM ed UNION SELECT dst FROM ed),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+       |ow AS (SELECT src, sum(w) AS ow FROM ed GROUP BY src),
+       |r0 AS (SELECT node_id, CAST(1 AS DOUBLE) / n.nn AS pr
+       |       FROM nodes CROSS JOIN n),
+       |$iters
+       |SELECT node_id, round(pr, 6) AS pr FROM r3""".stripMargin
+  }
 
   /** Personalized-PageRank oracle: identical unrolled recurrence with the
     * restart vector (uniform over seeds∩nodes) in place of 1/N. */
@@ -4035,6 +4083,7 @@ object SparkEntry {
          |FROM l3 GROUP BY lbl""".stripMargin,
 
     "graph_pagerank" -> pagerankOracleSql,
+    "graph_pagerank_weighted" -> pagerankWeightedOracleSql,
     "graph_ppr" -> pprOracleSql,
 
     "graph_pagerank_directed" -> pagerankDirectedOracleSql,

@@ -600,6 +600,46 @@ object Graph {
     pr.select(col("node_id"), round(col("pr"), 6).as("pr"))
   }
 
+  /** Weighted PageRank: each out-edge carries a proportional share of its
+    * source's rank — contribution = pr(src) · w(e) / Σ w(out-edges of
+    * src) — the standard variant on co-occurrence / trade / citation
+    * graphs where edge multiplicity is signal (uniform 1/outdeg throws
+    * it away). Identical plan shape to [[pagerank]]: edge and
+    * out-weight frames persisted once, one keyed aggregate per
+    * unrolled iteration, scores rounded to 6 (the sum's fold order is
+    * the only engine-variant step, absorbed exactly as in the
+    * unweighted gate). Weights enter as exact integers cast double, so
+    * w/Σw is one IEEE division both engines compute identically. */
+  def pagerankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters in [1,10] (plan size grows per iter)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("__w"))
+      .persist(lvl)
+    val nodes = ed.select(col("src").as("node_id"))
+      .unionAll(ed.select(col("dst").as("node_id"))).distinct().persist(lvl)
+    val n1 = broadcast(nodes.agg(count(lit(1)).cast("double").as("__n")))
+    val outw = ed.groupBy(col("src"))
+      .agg(sum(col("__w")).as("__ow")).persist(lvl)
+    val base = 1.0 - damping
+    var pr = nodes.crossJoin(n1)
+      .select(col("node_id"), (lit(1.0) / col("__n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = ed
+        .join(pr.withColumnRenamed("node_id", "src"), "src")
+        .join(outw, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") * col("__w") / col("__ow")).as("__c"))
+        .withColumnRenamed("dst", "node_id")
+      pr = nodes.join(contribs, Seq("node_id"), "left").crossJoin(n1)
+        .select(col("node_id"),
+          (lit(base) / col("__n") +
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("node_id"), round(col("pr"), 6).as("pr"))
+  }
+
   /** Personalized PageRank (Haveliwala 2002; the random-walk-with-restart
     * similarity behind item-to-item recommendation and seed-expansion):
     * identical recurrence to [[pagerank]] except the (1−d) restart mass

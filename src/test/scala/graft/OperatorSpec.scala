@@ -661,6 +661,32 @@ class OperatorSpec extends SparkSuite {
     assert(diff == 0, s"bigram formulations diverged on $diff keys")
   }
 
+  test("weighted pagerank: uniform weights reproduce the unweighted ranks") {
+    import spark.implicits._
+    // star + chain with a cycle so ranks differentiate
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val plain = Graph.pagerank(e, "src", "dst", iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val unif = Graph.pagerankWeighted(e.withColumn("w", lit(1L)),
+        "src", "dst", "w", iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(plain == unif, s"uniform-weight ranks diverged: $plain vs $unif")
+    // up-weighting one fan-out edge shifts rank toward its target and
+    // away from the sibling (pure fan-out, so no feedback path muddies
+    // the direction)
+    val fan = Seq((1L, 2L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val fu = Graph.pagerankWeighted(fan.withColumn("w", lit(1L)),
+        "src", "dst", "w", iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    val fw = Graph.pagerankWeighted(
+        fan.withColumn("w", when($"src" === 1L && $"dst" === 2L, 10L).otherwise(1L)),
+        "src", "dst", "w", iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(fw(2L) > fu(2L) && fw(3L) < fu(3L),
+      s"weight should pull rank toward node 2: $fu vs $fw")
+  }
+
   test("HITS: zero-score nodes appear in the output with auth/hub 0") {
     import spark.implicits._
     // 1→2, 1→3: node 1 is a pure hub (no in-edges → auth 0),
