@@ -1455,6 +1455,14 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 8),
         k = 10)),
 
+    // Greedy k-center (farthest-first, Gonzalez) coreset selection over
+    // the int8-quantized corpus: 6 centers picked to maximize embedding-
+    // space coverage, with the final cover radius — the diversity-
+    // maximizing data-selection pass. Integer distances + lowest-id tie
+    // breaks make the whole selection trace hash-gateable.
+    "sample_kcenter" -> ((s, dir) =>
+      Similarity.kCenterQuantized(t(s, dir, "embeddings"), k = 6)),
+
     // Distributed Lloyd's k-means over the int8-quantized corpus (K=8,
     // 2 update rounds, init = the first K vectors): the coarse topic-
     // clustering pass run before mixture sampling / per-cluster dedup.
@@ -2538,6 +2546,13 @@ object SparkEntry {
       Graph.modularity(ed, Graph.labelPropagationNodes(ed, rounds = 3))
     },
 
+    // One synchronized Louvain local-move pass from singleton
+    // communities: each node joins the neighbor maximizing the
+    // integer-scaled modularity gain 2m·w − d_i·d_j (ties → lowest
+    // neighbor id, stay put unless the gain is positive).
+    "graph_louvain_move" -> ((s, dir) =>
+      Graph.louvainLocalMove(coPurchaseEdges(s, dir))),
+
     // Link prediction by neighbor-set Jaccard: candidates only through
     // shared neighbors (the wedge envelope), score a ratio of exact
     // integers via inclusion-exclusion.
@@ -2789,6 +2804,40 @@ object SparkEntry {
        |         x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS centroid
        |FROM s$fin JOIN c$iters ON s$fin.cid = c$iters.cid
        |GROUP BY s$fin.cid, c$iters.cv""".stripMargin
+  }
+
+  /** Greedy k-center oracle: the farthest-first recurrence unrolled —
+    * seed = lowest vec_id, then k−1 rounds of (argmax of min-distance,
+    * ties → lowest id; pointwise min-distance update). Distances on the
+    * shared int8 grid, so every comparison is exact. */
+  private def kCenterOracleSql(k: Int): String = {
+    def d2(qv: String, cv: String): String =
+      s"list_reduce(list_transform(range(0, len($qv)), i -> ($qv[i+1]-$cv[i+1])*($qv[i+1]-$cv[i+1])), (x,y) -> x+y)"
+    val rounds = (2 to k).map { r =>
+      val prev = s"m${r - 1}"
+      s"""c$r AS (SELECT vec_id AS cid, qv AS cv, mind FROM $prev
+         |        ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$r AS (SELECT $prev.vec_id, $prev.qv,
+         |         least($prev.mind, ${d2(s"$prev.qv", s"c$r.cv")}) AS mind
+         |        FROM $prev, c$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to k).map(r =>
+      s"UNION ALL SELECT CAST($r AS BIGINT), cid, CAST(mind AS BIGINT) FROM c$r")
+      .mkString("\n")
+    s"""WITH $quantizeCtes,
+       |c1 AS (SELECT vec_id AS cid, qv AS cv FROM s ORDER BY vec_id LIMIT 1),
+       |m1 AS (SELECT s.vec_id, s.qv, ${d2("s.qv", "c1.cv")} AS mind
+       |       FROM s, c1),
+       |$rounds,
+       |cov AS (SELECT CAST(max(mind) AS BIGINT) AS radius,
+       |         CAST(sum(mind) AS BIGINT) AS sum_mind,
+       |         CAST(count(*) AS BIGINT) AS n_points FROM m$k),
+       |sel AS (SELECT CAST(1 AS BIGINT) AS sel_order, cid AS center_id,
+       |         CAST(0 AS BIGINT) AS picked_dist FROM c1
+       |$sel)
+       |SELECT sel.sel_order, sel.center_id, sel.picked_dist,
+       |       cov.radius, cov.sum_mind, cov.n_points
+       |FROM sel, cov""".stripMargin
   }
 
   /** Silhouette oracle: replay the k-means routing (shared CTEs), then
@@ -4059,6 +4108,37 @@ object SparkEntry {
          |       CAST(sum(CAST(contrib AS DECIMAL(28,18))) OVER () AS DOUBLE) AS q_total
          |FROM c""".stripMargin,
 
+    // The same scaled-integer gain 2m − d_i·d_j (w = 1), argmax by
+    // row_number(ORDER BY g DESC, j) — the relational replay of the
+    // struct-max tie-break.
+    "graph_louvain_move" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT a AS i, b AS j FROM ed
+         |        UNION ALL SELECT b AS i, a AS j FROM ed),
+         |deg AS (SELECT i AS node, count(*) AS d FROM sym GROUP BY i),
+         |mm AS (SELECT count(*) AS m FROM ed),
+         |g AS (SELECT sym.i, sym.j, 2 * mm.m - di.d * dj.d AS g
+         |      FROM sym JOIN deg di ON di.node = sym.i
+         |      JOIN deg dj ON dj.node = sym.j, mm),
+         |r AS (SELECT i, j,
+         |        row_number() OVER (PARTITION BY i ORDER BY g DESC, j) AS rk
+         |      FROM g WHERE g > 0),
+         |lbl AS (SELECT deg.node, deg.d, coalesce(r1.j, deg.node) AS lbl
+         |        FROM deg LEFT JOIN (SELECT i, j FROM r WHERE rk = 1) r1
+         |        ON deg.node = r1.i),
+         |mem AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(min(node) AS BIGINT) AS min_node,
+         |         CAST(sum(d) AS BIGINT) AS deg_sum
+         |        FROM lbl GROUP BY lbl),
+         |intr AS (SELECT la.lbl AS community,
+         |          CAST(count(*) AS BIGINT) AS internal_edges
+         |         FROM ed JOIN lbl la ON ed.a = la.node
+         |         JOIN lbl lb ON ed.b = lb.node
+         |         WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+         |SELECT mem.community, mem.n_members, mem.min_node, mem.deg_sum,
+         |       coalesce(intr.internal_edges, 0) AS internal_edges
+         |FROM mem LEFT JOIN intr ON mem.community = intr.community""".stripMargin,
+
     // The identical 3-round min-label recurrence, unrolled: closed
     // neighborhood = self ∪ in-neighbors over the symmetrized edges.
     "graph_components_lp" ->
@@ -5326,6 +5406,7 @@ object SparkEntry {
     "ann_ivf_planted" -> ivfPlantedOracleSql,
 
     "ann_kmeans" -> kmeansOracleSql(2),
+    "sample_kcenter" -> kCenterOracleSql(6),
     // Same clustering CTE chain; per-(cid,pos) half-sums are exact
     // integers, the Σd² fold-order wobble is absorbed by round(,6).
     "ann_centroid_drift" ->

@@ -547,6 +547,67 @@ object Graph {
       .select(col("community"), col("l_c"), col("d_c"), col("contrib"), col("q_total"))
   }
 
+  /** One synchronized Louvain-style local-move pass over an undirected,
+    * unit-weight edge set, starting from singleton communities — the
+    * deterministic, oracle-replayable core step of Louvain community
+    * detection (Blondel et al. 2008). From singletons, moving node i
+    * into neighbor j's community changes modularity by
+    * ΔQ = w_ij/m − d_i·d_j/(2m²); scaling by the positive constant 2m²
+    * gives the EXACT integer gain g = 2m·w_ij − d_i·d_j (w_ij = 1 on a
+    * distinct edge set), so the argmax and the "only move if ΔQ > 0"
+    * guard are pure BIGINT comparisons — no floating-point, no
+    * engine-dependent rounding. Every node picks its best neighbor
+    * simultaneously (ties → lowest neighbor id), the synchronous
+    * variant distributed Louvain implementations use because a
+    * sequential scan order cannot be reproduced across partitions.
+    *
+    * Plan shape (the 100 TB-safe one): degree = one keyed aggregate over
+    * the symmetrized edges; gains = the edge list joined to the
+    * node-keyed degree frame twice (both hash joins on node id, no
+    * fan-out beyond |E|); the per-node argmax is a map-side-combinable
+    * max(struct); the community rollup is two keyed aggregates. No
+    * global window, no driver state, nothing sized beyond O(|E|).
+    *
+    * Returns one row per resulting community:
+    * (community, n_members, min_node, deg_sum, internal_edges). */
+  def louvainLocalMove(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a").as("i"), col("b").as("j"))
+      .unionAll(edges.select(col("b").as("i"), col("a").as("j")))
+    val deg = sym.groupBy(col("i").as("node")).agg(count(lit(1)).as("d"))
+      .persist(lvl)
+    val mRow = broadcast(edges.agg(count(lit(1)).as("__m")))
+    val gains = sym
+      .join(deg.select(col("node").as("i"), col("d").as("di")), Seq("i"))
+      .join(deg.select(col("node").as("j"), col("d").as("dj")), Seq("j"))
+      .crossJoin(mRow)
+      .select(col("i"), col("j"),
+        (lit(2L) * col("__m") - col("di") * col("dj")).as("g"))
+    // max(struct(g, −j)): lexicographic struct max = highest gain, then
+    // lowest neighbor id — the same total order the oracle's
+    // row_number(ORDER BY g DESC, j) replays.
+    val best = gains.filter(col("g") > 0)
+      .groupBy(col("i"))
+      .agg(max(struct(col("g"), (-col("j")).as("nj"))).as("m"))
+      .select(col("i").as("node"), (-col("m.nj")).as("lbl"))
+    val labels = deg.select(col("node"))
+      .join(best, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+      .persist(lvl)
+    val members = labels.join(deg, Seq("node"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"),
+        sum(col("d")).as("deg_sum"))
+    val internal = edges
+      .join(labels.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("internal_edges"))
+    members.join(internal, Seq("community"), "left")
+      .select(col("community"), col("n_members"), col("min_node"),
+        col("deg_sum"), coalesce(col("internal_edges"), lit(0L)).as("internal_edges"))
+  }
+
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double,
       redistributeDangling: Boolean = false): DataFrame = {

@@ -650,6 +650,86 @@ object Similarity {
         .otherwise(lit(0.0)).as("s"))
   }
 
+  /** Greedy k-center (Gonzalez 1985) coreset selection over the
+    * int8-quantized corpus — the diversity-maximizing data-selection
+    * pass a training pipeline runs to pick a small cover of embedding
+    * space (each successive center is the point FARTHEST from everything
+    * already chosen, a 2-approximation of the optimal k-center cover).
+    *
+    * Determinism: quantized squared distances are exact integers, the
+    * seed is the lowest vec_id, and every argmax breaks ties on lowest
+    * vec_id — so the full selection trace is bit-reproducible and the
+    * DuckDB oracle replays the identical unrolled recurrence.
+    *
+    * Plan shape (the 100 TB-safe one): the corpus is quantized once and
+    * checkpointed; each of the k−1 rounds is (a) a map-side-combinable
+    * global max(struct) — one 1-row reduction, (b) a broadcast of that
+    * 1-row center into a shuffle-free min-distance update. Nothing ever
+    * shuffles by key; total work is O(k·N·d). The per-round frame is
+    * localCheckpoint'ed (it is read by BOTH the next argmax and the
+    * update — persist alone would double the logical plan per round) and
+    * superseded rounds' blocks are freed, so executor storage stays O(N)
+    * however large k grows. Each 1-row center is EAGERLY checkpointed
+    * before its source round is freed (the bpeLoop discipline) so the
+    * final union never recomputes into freed blocks.
+    *
+    * Returns the k centers in selection order with the corpus-wide
+    * coverage stats as constant columns:
+    * (sel_order, center_id, picked_dist, radius, sum_mind, n_points). */
+  def kCenterQuantized(vecs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 16, "k in [2,16] (one unrolled round per center)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = vecs.sparkSession.sparkContext
+    val base = vecs.select(col("vec_id"),
+        graft.functions.vectornative
+          .quantize_int8(col("embedding").cast("array<double>")).as("qv"))
+      .persist(lvl)
+    def d2(a: Column, b: Column): Column =
+      graft.functions.native.squared_distance(a, b)
+    // seed = lowest id; vec_id is unique so the struct-min never
+    // consults qv
+    val c1 = base.groupBy()
+      .agg(min(struct(col("vec_id"), col("qv"))).as("m"))
+      .select(col("m.vec_id").as("cid"), col("m.qv").as("cv"))
+    val outs = Seq.newBuilder[DataFrame]
+    outs += c1.select(lit(1L).as("sel_order"), col("cid").as("center_id"),
+      lit(0L).as("picked_dist"))
+    val before0 = sc.getPersistentRDDs.keySet
+    var cur = base.crossJoin(broadcast(c1))
+      .select(col("vec_id"), col("qv"), d2(col("qv"), col("cv")).as("mind"))
+      .localCheckpoint()
+    // only THIS loop's superseded round frames are ever freed — never
+    // base, never another query's caches, and never the 1-row center
+    // checkpoints the final union still references
+    var prevIds = (sc.getPersistentRDDs.keySet -- before0).toSet
+    for (r <- 2 to k) {
+      // farthest-first argmax: highest mind, ties → lowest vec_id
+      val next = cur.groupBy()
+        .agg(max(struct(col("mind"), (-col("vec_id")).as("ni"),
+          col("qv"))).as("m"))
+        .select((-col("m.ni")).as("cid"), col("m.qv").as("cv"),
+          col("m.mind").as("picked_dist"))
+        .localCheckpoint()
+      outs += next.select(lit(r.toLong).as("sel_order"),
+        col("cid").as("center_id"),
+        col("picked_dist").cast("long").as("picked_dist"))
+      val beforeCur = sc.getPersistentRDDs.keySet
+      cur = cur.crossJoin(broadcast(next.select(col("cv"))))
+        .select(col("vec_id"), col("qv"),
+          least(col("mind"), d2(col("qv"), col("cv"))).as("mind"))
+        .localCheckpoint()
+      val curIds = (sc.getPersistentRDDs.keySet -- beforeCur).toSet
+      prevIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = curIds
+    }
+    val cov = broadcast(cur.agg(
+      max(col("mind")).cast("long").as("radius"),
+      sum(col("mind")).cast("long").as("sum_mind"),
+      count(lit(1)).as("n_points")))
+    outs.result().reduce(_.unionAll(_)).crossJoin(cov)
+  }
+
   /** All-but-the-top-style dominant-direction removal (Mu & Viswanath
     * 2018): project every quantized vector onto the [[pcaPowerQuantized]]
     * direction and report the projection and the residual norm. Because

@@ -2600,4 +2600,53 @@ class OperatorSpec extends SparkSuite {
       } finally spark.catalog.clearCache()
     }
   }
+
+  test("louvain local move: two triangles + bridge closed form, gain tie → lowest id") {
+    // triangles {1,2,3}, {4,5,6}, bridge 3-4; m=7, 2m=14
+    // gains g(i,j) = 14 − d_i·d_j: node 1 → 2 (g=10 beats 8); node 3 has
+    // a 8/8 tie between 1 and 2 → lowest id 1; node 4 ties 5/6 → 5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.louvainLocalMove(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // labels: 1→2, 2→1, 3→1 (tie), 4→5 (tie), 5→6, 6→5
+    val expect = Set(
+      (1L, 2L, 2L, 5L, 1L),  // {2,3}: deg 2+3, internal edge (2,3)
+      (2L, 1L, 1L, 2L, 0L),  // {1}
+      (5L, 2L, 4L, 5L, 1L),  // {4,6}: deg 3+2, internal edge (4,6)
+      (6L, 1L, 5L, 2L, 0L))  // {5}
+    assert(got == expect, s"got $got")
+  }
+
+  test("k-center: farthest-first selection trace and cover radius, tie → lowest id") {
+    val dim = 64
+    def v(xs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); xs.foreach { case (i, x) => a(i) = x }; a
+    }
+    // max|x| = 127 in every vector → int8 quantization is the identity,
+    // so distances are plain integer geometry on the first coordinate
+    val vecs = Seq(
+      (0L, v(1 -> 127f)),             // seed (lowest id), x=0
+      (1L, v(0 -> 127f, 1 -> 127f)),  // x=127 — farthest from seed
+      (2L, v(0 -> 10f, 1 -> 127f)),   // x=10
+      (3L, v(0 -> 120f, 1 -> 127f))   // x=120
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterQuantized(vecs, k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // trace: seed 0 (d=0) → 1 at 127² → 2 at min(10², 117²)=100;
+    // afterwards only 3 is uncovered at min(120², 7², 110²)=49
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 49L, 49L, 4L),
+      (2L, 1L, 16129L, 49L, 49L, 4L),
+      (3L, 2L, 100L, 49L, 49L, 4L)), s"got ${got.toSeq}")
+
+    // equidistant farthest pair → the lower id is chosen
+    val tie = Seq(
+      (0L, v(1 -> 127f)),
+      (1L, v(0 -> 100f, 1 -> 127f)),
+      (2L, v(0 -> -100f, 1 -> 127f))).toDF("vec_id", "embedding")
+    val second = Similarity.kCenterQuantized(tie, k = 2)
+      .filter($"sel_order" === 2).select($"center_id").as[Long].head()
+    assert(second == 1L, s"tie must break to the lower id, got $second")
+  }
 }
