@@ -1289,6 +1289,14 @@ object SparkEntry {
           col("n_lines"), col("n_dropped"))
     },
 
+    // Content-defined chunking dedup: split every doc at md5-derived
+    // content boundaries (w=8-char gram, divisor 16 → ~16-char chunks),
+    // then find chunks shared across the corpus — the insertion-
+    // resilient storage/transfer dedup fixed-offset blocking can't do.
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunkDedup(t(s, dir, "documents"), "doc_id", "text",
+        w = 8, d = 16)),
+
     "dedup_embedding_lsh" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -5590,6 +5598,34 @@ object SparkEntry {
         |       CAST(len(b.lines) AS BIGINT) AS n_lines,
         |       CAST(len(b.lines) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM docs b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // The boundary rule replayed per position (uint32 of the md5's
+    // first 8 hex digits % 16), then chunks sliced between consecutive
+    // boundaries; a boundary ON the last char leaves no tail chunk.
+    "dedup_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS nc FROM documents),
+        |bp AS (SELECT doc_id, list(p ORDER BY p) AS bpos
+        |       FROM d, unnest(range(8, nc + 1)) AS u(p)
+        |       WHERE nc >= 8
+        |         AND CAST(('0x' || substr(md5(substr(text, CAST(p AS INT) - 7, 8)), 1, 8)) AS BIGINT) % 16 = 0
+        |       GROUP BY doc_id),
+        |db AS (SELECT d.doc_id, d.text, d.nc,
+        |        coalesce(bp.bpos, CAST([] AS BIGINT[])) AS bpos
+        |       FROM d LEFT JOIN bp USING (doc_id)),
+        |sp AS (SELECT doc_id, text,
+        |        list_prepend(CAST(0 AS BIGINT), bpos) AS starts,
+        |        CASE WHEN len(bpos) > 0 AND bpos[-1] = nc THEN bpos
+        |             ELSE list_append(bpos, CAST(nc AS BIGINT)) END AS ends
+        |       FROM db),
+        |ch AS (SELECT doc_id,
+        |        substr(text, CAST(starts[CAST(i + 1 AS INT)] + 1 AS INT),
+        |          CAST(ends[CAST(i + 1 AS INT)] - starts[CAST(i + 1 AS INT)] AS INT)) AS chunk
+        |       FROM sp, unnest(range(0, len(ends))) AS u(i))
+        |SELECT md5(chunk) AS chunk_hash,
+        |       CAST(length(chunk) AS BIGINT) AS chunk_len,
+        |       count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |FROM ch WHERE length(chunk) >= 1
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "sql_text_funcs" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

@@ -505,6 +505,59 @@ object TextRepetition {
   }
 }
 
+/** Content-defined chunking (rsync/FastCDC family): split `text` at every
+  * position p (1-based, p ≥ w) where the md5 of the w-char gram ending at
+  * p satisfies `uint32(first 8 hex digits) % d == 0`, and return the
+  * chunk substrings in order. Boundary decisions are CHAR-based (Java
+  * String / DuckDB substr semantics agree on chars; md5 hashes the
+  * gram's UTF-8 bytes on both engines), so the oracle replays the rule
+  * with `substr` + `md5` verbatim. One fused pass per row — the
+  * production stand-in for a rolling Rabin hash, kept md5-based so the
+  * boundary rule is engine-replayable rather than implementation-
+  * defined. */
+case class CdcChunkList(child: Expression, w: Int, d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CdcChunkList.compute(input.asInstanceOf[UTF8String], w, d)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.CdcChunkList$$.MODULE$$.compute($input, $w, $d);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CdcChunkList {
+  /** Static body shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, w: Int, d: Int): GenericArrayData = {
+    val s = text.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = Md5.get()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var p = w
+    while (p <= n) {
+      val dig = md.digest(s.substring(p - w, p)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex digits of the md5 = the first 4 bytes as an
+      // unsigned 32-bit int — identical to the oracle's
+      // CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      if (h % d == 0) {
+        out += UTF8String.fromString(s.substring(start, p))
+        start = p
+      }
+      p += 1
+    }
+    if (start < n) out += UTF8String.fromString(s.substring(start, n))
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object textnative {
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def e(col: Column): Expression = GraftBridge.expression(col)
@@ -521,4 +574,6 @@ object textnative {
   def text_repetition(text: Column): Column = c(TextRepetition(e(text)))
   def shingle_md5_keys(text: Column, n: Int): Column = c(ShingleMd5Keys(e(text), n))
   def hamming_bits(a: Column, b: Column): Column = c(HammingBits(e(a), e(b)))
+  def cdc_chunks(text: Column, w: Int, d: Int): Column =
+    c(CdcChunkList(e(text), w, d))
 }

@@ -570,6 +570,37 @@ object Dedup {
         (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Content-defined chunk dedup (the rsync/FastCDC/CDC family): split
+    * every document at content-derived boundaries (see
+    * [[graft.functions.CdcChunkList]] — md5-of-w-gram % d == 0), hash
+    * each chunk, and report every chunk that occurs more than once
+    * across the corpus. Because boundaries derive from CONTENT, an
+    * insertion early in a document shifts only the chunk it lands in —
+    * the chunks after the next boundary re-align and still dedupe,
+    * which fixed-offset blocking can never do. This is the storage-side
+    * twin of span dedup: it finds shared byte ranges for chunk-level
+    * storage/transfer dedup rather than training-set scrubbing.
+    *
+    * Plan shape: chunking is one fused codegen'd projection (no
+    * per-position explode — the expression walks the string once per
+    * row), then one explode (narrow) and ONE keyed aggregate on the
+    * chunk hash. At 100 TB the only exchange is chunk-hash-keyed rows,
+    * map-side combined; expected chunk length is d chars so the
+    * exchange carries ~|corpus|/d · (hash, len) rows, never text.
+    *
+    * Returns (chunk_hash, chunk_len, n_occ, n_docs), n_occ ≥ 2. */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8, d: Int = 16): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.textnative.cdc_chunks(col(textCol), w, d))
+          .as("chunk"))
+      .filter(length(col("chunk")) >= 1)
+      .groupBy(md5(col("chunk")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+
   /** Token-window rows for span-level dedup: one row per n-token window
     * of each document, windows overlapping (stride 1). Docs shorter than
     * n tokens contribute nothing (the pre-filter also keeps

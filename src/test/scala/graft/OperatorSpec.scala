@@ -2601,6 +2601,30 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("cdc chunking: lossless reassembly; a front insertion shifts at most one chunk") {
+    import graft.functions.textnative.cdc_chunks
+    // reassembly: chunks concatenate back to the exact text, every doc
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val bad = docs.select($"text",
+        array_join(cdc_chunks($"text", 8, 16), "").as("re"))
+      .filter($"text" =!= $"re").count()
+    assert(bad == 0, s"$bad docs failed chunk reassembly")
+
+    // content-defined resilience: inserting 3 chars at the FRONT may
+    // change only the chunks before the first post-insertion boundary —
+    // every later boundary derives from an unchanged 8-gram, so all of
+    // A's chunks except the first survive verbatim in B
+    val rnd = new scala.util.Random(11)
+    val a = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val pair = Seq(("A", a), ("B", "XY!" + a)).toDF("id", "text")
+      .select($"id", cdc_chunks($"text", 8, 16).as("ch"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(pair("A").size >= 5, s"fixture too short to chunk: ${pair("A").size}")
+    val lost = pair("A").toSet -- pair("B").toSet
+    assert(lost.subsetOf(Set(pair("A").head)),
+      s"only the first chunk may be disturbed, lost: $lost")
+  }
+
   test("louvain local move: two triangles + bridge closed form, gain tie → lowest id") {
     // triangles {1,2,3}, {4,5,6}, bridge 3-4; m=7, 2m=14
     // gains g(i,j) = 14 − d_i·d_j: node 1 → 2 (g=10 beats 8); node 3 has
