@@ -2428,6 +2428,22 @@ object SparkEntry {
         "src", "dst", iters = 3, damping = 0.85, redistributeDangling = true)
     },
 
+    // Bounded SCC coloring over the directed trade graph: customers buy
+    // from suppliers (c → su), returns flow back (su → c on 'R'
+    // lineitems), so cycles exist exactly where a pair trades in both
+    // directions. f/b min-label rounds = 3; {f=b} groups are true SCC
+    // subsets, the unresolved remainder rides as a constant column.
+    "graph_scc_bounded" -> { (s, dir) =>
+      val j = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val fwd = j.select(col("o_custkey").as("src"),
+        (-col("l_suppkey") - 1).as("dst")).distinct()
+      val rev = j.filter(col("l_returnflag") === "R")
+        .select((-col("l_suppkey") - 1).as("src"),
+          col("o_custkey").as("dst")).distinct()
+      Graph.sccBounded(fwd.unionAll(rev), "src", "dst", rounds = 3)
+    },
+
     // HITS hubs/authorities over the directed customer→supplier graph
     // (customers only buy, suppliers only sell — pure hub and pure
     // authority sides make the scores interpretable). 3 unrolled
@@ -4175,6 +4191,41 @@ object SparkEntry {
     "graph_ppr" -> pprOracleSql,
 
     "graph_pagerank_directed" -> pagerankDirectedOracleSql,
+
+    // Forward/backward 3-round min-label coloring, both recurrences
+    // unrolled; f=b groups only, unresolved count as a constant column.
+    "graph_scc_bounded" -> {
+      def rounds(pre: String, push: (String, String) => String): String =
+        (1 to 3).map { i =>
+          val prev = s"$pre${i - 1}"
+          s"""$pre$i AS (SELECT node, min(lbl) AS lbl FROM (
+             |  SELECT node, lbl FROM $prev
+             |  UNION ALL ${push(prev, "ed")})
+             | GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+      val fwd = rounds("f", (l, e) =>
+        s"SELECT $e.dst AS node, $l.lbl AS lbl FROM $l JOIN $e ON $l.node = $e.src")
+      val bwd = rounds("b", (l, e) =>
+        s"SELECT $e.src AS node, $l.lbl AS lbl FROM $l JOIN $e ON $l.node = $e.dst")
+      s"""WITH $tradePairsCte,
+         |r AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+         |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |      WHERE l_returnflag = 'R'),
+         |ed AS (SELECT c AS src, -su - 1 AS dst FROM e
+         |       UNION ALL SELECT -su - 1 AS src, c AS dst FROM r),
+         |nd AS (SELECT DISTINCT node FROM
+         |       (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |f0 AS (SELECT node, node AS lbl FROM nd),
+         |b0 AS (SELECT node, node AS lbl FROM nd),
+         |$fwd,
+         |$bwd,
+         |j AS (SELECT f3.node, f3.lbl AS f, b3.lbl AS b
+         |      FROM f3 JOIN b3 ON f3.node = b3.node),
+         |un AS (SELECT count(*) AS n_unresolved FROM j WHERE f <> b)
+         |SELECT f AS scc, CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(max(node) AS BIGINT) AS max_node, un.n_unresolved
+         |FROM j, un WHERE f = b GROUP BY f, un.n_unresolved""".stripMargin
+    },
     "graph_hits" -> hitsOracleSql,
 
     // The SAME degree-ordered orientation (tie-break by id), replicated

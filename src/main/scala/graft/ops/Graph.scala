@@ -489,13 +489,23 @@ object Graph {
     * assignment [[labelPropagation]] aggregates and [[modularity]]
     * scores. */
   def labelPropagationNodes(edges: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 10, "rounds in [1,10] (plan grows per round)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(lvl)
-    val init = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    val nodes = sym.select(col("src").as("node")).distinct()
+    minLabelRounds(sym, nodes, rounds)
+  }
+
+  /** `rounds` of synchronous min-label propagation ALONG edge direction
+    * (label pushes src → dst; every node also keeps its own label). On a
+    * symmetrized frame this is the [[labelPropagationNodes]] recurrence;
+    * on a directed frame it computes "min id with a ≤ rounds-hop path TO
+    * each node" — the forward half of the [[sccBounded]] coloring. */
+  private def minLabelRounds(adj: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10] (plan grows per round)")
+    val init = nodes.select(col("node"), col("node").as("lbl"))
     // each round reads the PREVIOUS label frame twice (self ∪ neighbor
     // push): checkpoint per round keeps both recompute AND the logical
     // plan linear in rounds (see checkpointRound)
@@ -504,11 +514,49 @@ object Graph {
         val (l, ids) = checkpointRound(lbls)
         freeRound(l, prevIds)
         (l.unionAll(
-            l.join(sym, col("node") === col("src"))
+            l.join(adj, col("node") === col("src"))
               .select(col("dst").as("node"), col("lbl")))
           .groupBy(col("node")).agg(min(col("lbl")).as("lbl")), ids)
     }
     fin
+  }
+
+  /** Bounded-round strongly-connected-component coloring over a DIRECTED
+    * edge set — the forward/backward min-label trick: f(v) = min id with
+    * a ≤ rounds-hop path to v, b(v) = min id v reaches in ≤ rounds hops.
+    * A node with f(v) = b(v) = m sits on a cycle through m, so the
+    * {f = b = m} groups are true subsets of strongly connected
+    * components, exact for every SCC whose members are within `rounds`
+    * hops of its minimum id in both directions (fixed rounds keep the
+    * recurrence oracle-replayable, the [[labelPropagation]] convention).
+    * Nodes not yet resolved (f ≠ b — trivial SCCs and cycles longer than
+    * the bound) are counted in the `n_unresolved` constant column rather
+    * than dropped, so the output is self-auditing.
+    *
+    * Plan: two independent min-label recurrences over the same persisted
+    * edge frame (each round one keyed join + one grouped min, per-round
+    * checkpointed), one node-keyed join of the two label frames, one
+    * grouped rollup. Everything is node- or edge-keyed — no global
+    * window, no driver state. */
+  def sccBounded(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(lvl)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct().persist(lvl)
+    val f = minLabelRounds(e, nodes, rounds)
+      .select(col("node"), col("lbl").as("f"))
+    val b = minLabelRounds(
+      e.select(col("dst").as("src"), col("src").as("dst")), nodes, rounds)
+      .select(col("node"), col("lbl").as("b"))
+    val joined = f.join(b, Seq("node")).persist(lvl)
+    val unresolved = broadcast(joined.filter(col("f") =!= col("b"))
+      .agg(count(lit(1)).as("n_unresolved")))
+    joined.filter(col("f") === col("b"))
+      .groupBy(col("f").as("scc"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+      .crossJoin(unresolved)
   }
 
   /** Newman modularity of a node partition over an undirected edge set:

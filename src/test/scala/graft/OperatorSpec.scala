@@ -2601,6 +2601,29 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("scc bounded: cycles resolve, chains don't, and the round bound is sharp") {
+    // 2-cycle {1,2}, 3-cycle {3,4,5}, chain 6→7→8
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (6L, 7L), (7L, 8L)).toDF("src", "dst")
+    val got = Graph.sccBounded(e, "src", "dst", rounds = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // 6 resolves as a true singleton SCC (it is its own min both ways);
+    // 7 and 8 stay unresolved (reached by 6 but never reaching it)
+    assert(got == Set((1L, 2L, 2L, 2L), (3L, 3L, 5L, 2L), (6L, 1L, 6L, 2L)),
+      s"got $got")
+
+    // a 5-cycle at rounds=2: only the min id has both labels meet; at
+    // rounds=4 the whole cycle resolves
+    val c5 = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 10L))
+      .toDF("src", "dst")
+    val r2 = Graph.sccBounded(c5, "src", "dst", rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r2 == Set((10L, 1L, 10L, 4L)), s"rounds=2: $r2")
+    val r4 = Graph.sccBounded(c5, "src", "dst", rounds = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r4 == Set((10L, 5L, 14L, 0L)), s"rounds=4: $r4")
+  }
+
   test("cdc chunking: lossless reassembly; a front insertion shifts at most one chunk") {
     import graft.functions.textnative.cdc_chunks
     // reassembly: chunks concatenate back to the exact text, every doc
