@@ -1704,6 +1704,14 @@ object SparkEntry {
     // unrolled count→argmax→merge iterations; the oracle replicates the
     // recurrence CTE-for-CTE, so every learned merge and weighted count
     // is hash-gated.
+    // WordPiece-style greedy MaxMatch subword inference against a
+    // corpus-derived vocab (top-24 words + top-16 4-grams + all chars):
+    // the longest vocab token wins at every position. Runs over the
+    // DISTINCT-word frame only — the corpus contributes one grouped
+    // count.
+    "text_maxmatch" -> ((s, dir) =>
+      TextAnalysis.maxMatchTokenize(t(s, dir, "documents"))),
+
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), iterations = 5)),
 
@@ -5840,6 +5848,48 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "text_bpe_merges" -> bpeOracleSql(5),
+
+    // Same derived vocab, best-match table, and a recursive pointer
+    // walk capped at the same 16 rounds as the Spark loop.
+    "text_maxmatch" ->
+      """WITH RECURSIVE
+        |tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |       FROM documents),
+        |wf AS (SELECT word, count(*) AS freq FROM tk
+        |       WHERE length(word) > 0 GROUP BY word),
+        |wtop AS (SELECT word AS tok FROM wf ORDER BY freq DESC, word LIMIT 24),
+        |gtop AS (SELECT tok FROM (
+        |          SELECT substr(word, CAST(i AS INT), 4) AS tok,
+        |                 sum(freq) AS gfreq
+        |          FROM wf, unnest(range(1, length(word) - 2)) AS u(i)
+        |          WHERE length(word) >= 4 GROUP BY 1)
+        |         ORDER BY gfreq DESC, tok LIMIT 16),
+        |ch AS (SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS tok
+        |       FROM wf, unnest(range(1, length(word) + 1)) AS u(i)),
+        |vocab AS (SELECT DISTINCT tok FROM (
+        |           SELECT tok FROM wtop UNION ALL SELECT tok FROM gtop
+        |           UNION ALL SELECT tok FROM ch)
+        |          WHERE length(tok) <= 12),
+        |cand AS (SELECT wf.word, p.pos, length(v.tok) AS tl, v.tok
+        |         FROM wf, unnest(range(0, length(wf.word))) AS p(pos), vocab v
+        |         WHERE length(v.tok) <= length(wf.word) - p.pos
+        |           AND v.tok = substr(wf.word, CAST(p.pos + 1 AS INT), length(v.tok))),
+        |bm AS (SELECT word, pos, tok, tl FROM (
+        |        SELECT word, pos, tok, tl,
+        |               row_number() OVER (PARTITION BY word, pos ORDER BY tl DESC) AS rk
+        |        FROM cand) WHERE rk = 1),
+        |st(word, len, pos, r) AS (
+        |  SELECT word, length(word), 0, 1 FROM wf
+        |  UNION ALL
+        |  SELECT st.word, st.len, st.pos + bm.tl, st.r + 1
+        |  FROM st JOIN bm ON st.word = bm.word AND st.pos = bm.pos
+        |  WHERE st.pos + bm.tl < st.len AND st.r < 16)
+        |SELECT bm.tok AS token, CAST(length(bm.tok) AS BIGINT) AS tok_len,
+        |       CAST(count(DISTINCT st.word) AS BIGINT) AS n_words,
+        |       CAST(sum(wf.freq) AS BIGINT) AS corpus_occ
+        |FROM st JOIN bm ON st.word = bm.word AND st.pos = bm.pos
+        |JOIN wf ON wf.word = st.word
+        |GROUP BY bm.tok""".stripMargin,
     "text_bpe_encode" -> bpeEncodeOracleSql(5),
     "text_bpe_tokens" ->
       s"""WITH ${bpeCtes(5)},

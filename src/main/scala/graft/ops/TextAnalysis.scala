@@ -754,6 +754,91 @@ object TextAnalysis {
     (outs.result(), toks)
   }
 
+  /** WordPiece-style greedy longest-match (MaxMatch) subword
+    * tokenization — the inference algorithm BERT-family tokenizers run,
+    * against a vocab DERIVED from the corpus itself: the top `topWords`
+    * whole words, the top `topGrams` character `gramLen`-grams (corpus-
+    * frequency-weighted), and every single character, so every position
+    * always matches and no word is ever lost to an [UNK] dead end. At
+    * each position the LONGEST vocab token wins (the MaxMatch rule);
+    * unknown words decompose through grams down to characters.
+    *
+    * The scale trick is the one real pipelines use: the greedy walk runs
+    * over the DISTINCT-WORD frame, never the corpus — at 100 TB the
+    * corpus contributes one grouped count (word frequencies) and
+    * everything after is vocab-scale. The walk itself is `rounds` joins
+    * of a ≤|distinct words| state frame against the precomputed
+    * best-match-per-(word,pos) frame; each round is localCheckpoint'ed
+    * (every state frame is read twice: once as the next round's input,
+    * once in the final token union) and ALL rounds stay cached — total
+    * state is rounds × |distinct words| rows, vocab-scale by
+    * construction. Words needing more than `rounds` tokens truncate
+    * identically on both engines (the oracle's recursion carries the
+    * same round counter).
+    *
+    * Returns (token, tok_len, n_words, corpus_occ): every emitted vocab
+    * token with how many distinct words use it and its total occurrence
+    * count across the corpus. */
+  def maxMatchTokenize(docs: DataFrame, textCol: String = "text",
+      topWords: Int = 24, topGrams: Int = 16, gramLen: Int = 4,
+      maxTokLen: Int = 12, rounds: Int = 16): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wf = docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .persist(lvl)
+    val wtop = wf.orderBy(col("freq").desc, col("word")).limit(topWords)
+      .select(col("word").as("tok"))
+    val gtop = wf.filter(length(col("word")) >= gramLen)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")) - (gramLen - 1))).as("i"))
+      .select(col("word").substr(col("i"), lit(gramLen)).as("tok"), col("freq"))
+      .groupBy(col("tok")).agg(sum(col("freq")).as("gfreq"))
+      .orderBy(col("gfreq").desc, col("tok")).limit(topGrams)
+      .select(col("tok"))
+    val chars = wf
+      .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word").substr(col("i"), lit(1)).as("tok")).distinct()
+    val vocab = wtop.unionAll(gtop).unionAll(chars).distinct()
+      .filter(length(col("tok")) <= maxTokLen)
+    // best (longest) vocab match per (word, consumed-prefix) position —
+    // candidates explode bounded by maxTokLen, vocab rides broadcast
+    val cand = wf.select(col("word"))
+      .select(col("word"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+      .select(col("word"), col("pos"),
+        explode(sequence(lit(1),
+          least(lit(maxTokLen), length(col("word")) - col("pos")))).as("tl"))
+      .select(col("word"), col("pos"), col("tl"),
+        col("word").substr(col("pos") + 1, col("tl")).as("sub"))
+    val bm = cand.join(broadcast(vocab), col("sub") === col("tok"))
+      .groupBy(col("word"), col("pos"))
+      .agg(max(struct(col("tl"), col("tok"))).as("m"))
+      .select(col("word"), col("pos"), col("m.tok").as("tok"),
+        col("m.tl").as("tl"))
+      .persist(lvl)
+    // the greedy walk: one state row per not-yet-finished word
+    var st = wf.select(col("word"), length(col("word")).as("len"),
+      lit(0).as("pos")).localCheckpoint()
+    val reached = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to rounds) {
+      reached += st
+      st = st.join(bm, Seq("word", "pos"))
+        .filter(col("pos") + col("tl") < col("len"))
+        .select(col("word"), col("len"), (col("pos") + col("tl")).as("pos"))
+        .localCheckpoint()
+    }
+    reached.result().reduce(_.unionAll(_))
+      .join(bm, Seq("word", "pos"))
+      .join(wf, Seq("word"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("word")).as("n_words"),
+        sum(col("freq")).as("corpus_occ"))
+      .select(col("tok").as("token"),
+        length(col("tok")).cast("long").as("tok_len"),
+        col("n_words"), col("corpus_occ"))
+  }
+
   /** Hashed-feature linear quality classifier — the feature-hashing trick
     * (hash each token into one of `buckets` feature slots, score = mean
     * slot weight) that backs fastText-style corpus filters. The weight

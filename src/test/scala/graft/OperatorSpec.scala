@@ -2601,6 +2601,26 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("maxmatch: longest vocab token wins, OOV words decompose, rounds truncate") {
+    // corpus: abc×3, ab×2, abx×1; vocab = top-2 words {abc, ab} + chars.
+    // "abx" must take the LONGEST match ab at pos 0 (never a), then x.
+    val docs = Seq("abc abc ab", "abc ab abx").toDF("text")
+    val got = TextAnalysis.maxMatchTokenize(docs,
+        topWords = 2, topGrams = 0, gramLen = 4, maxTokLen = 12, rounds = 16)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("abc", 3L, 1L, 3L),
+      ("ab", 2L, 2L, 3L),   // the word ab (×2) and abx's prefix (×1)
+      ("x", 1L, 1L, 1L)), s"got $got")
+
+    // the round cap truncates identically to the oracle's recursion
+    // bound: "aaaa" against a char-only vocab at rounds=2 emits 2 tokens
+    val trunc = TextAnalysis.maxMatchTokenize(Seq("aaaa").toDF("text"),
+        topWords = 0, topGrams = 0, gramLen = 4, maxTokLen = 12, rounds = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(trunc == Set(("a", 1L, 1L, 2L)), s"got $trunc")
+  }
+
   test("scc bounded: cycles resolve, chains don't, and the round bound is sharp") {
     // 2-cycle {1,2}, 3-cycle {3,4,5}, chain 6→7→8
     val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 5L), (5L, 3L),
