@@ -1891,6 +1891,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_ngrams"), col("n_hits"), col("contaminated"))
     },
 
+    // Fuzzy decontamination: planted bench copies are PERTURBED (a
+    // prepended token), so exact n-gram probes weaken but MinHash
+    // signatures still collide — LSH candidates against the bench side
+    // only, then exact shingle-Jaccard ≥ 0.5 verification.
+    "decon_fuzzy" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(bench.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("zq "), col("text")).as("text")))
+      Training.decontaminateFuzzy(corpus, bench, "doc_id", "text")
+    },
+
     // Bloom-prefiltered twin of decon_ngram, same planted fixture: the
     // bench key set rides a fixed-memory bloom instead of a broadcast
     // (the 100 TB eval-suite path); exact verify removes false
@@ -6167,6 +6181,35 @@ object SparkEntry {
         |       count(b.k) > 0 AS contaminated
         |FROM corp c LEFT JOIN bench b ON c.k = b.k
         |GROUP BY c.doc_id""".stripMargin,
+
+    // The shared md5 LSH chain over the sign-combined frame (bench as
+    // negative ids), cross pairs only, exact string-set Jaccard verify.
+    "decon_fuzzy" ->
+      s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |comb AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+         |         UNION ALL SELECT doc_id + 1000000, 'zq ' || text FROM bench0
+         |         UNION ALL SELECT -doc_id - 1, text FROM bench0),
+         |${md5LshCandCtes("comb")},
+         |cx AS (SELECT right_id AS doc_id, left_id AS bench_id FROM cand
+         |       WHERE left_id < 0 AND right_id >= 0),
+         |sets AS (SELECT doc_id, list_distinct(list_transform(
+         |           range(0, greatest(len(toks) - 2, 0)),
+         |           i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))) AS sh
+         |         FROM tk),
+         |ver AS (SELECT c.doc_id,
+         |          CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE) /
+         |          len(list_distinct(list_concat(d.sh, b.sh))) AS j
+         |        FROM cx c JOIN sets d ON d.doc_id = c.doc_id
+         |        JOIN sets b ON b.doc_id = c.bench_id),
+         |agg AS (SELECT doc_id, count(*) AS n_candidates,
+         |         CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |        FROM ver GROUP BY doc_id)
+         |SELECT c0.doc_id,
+         |       coalesce(a.n_candidates, 0) AS n_candidates,
+         |       coalesce(a.n_hits, 0) AS n_hits,
+         |       coalesce(a.n_hits, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM comb WHERE doc_id >= 0) c0
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // Same raw-vector cosine replay as ann_range_search, aggregated to
     // per-corpus-vector (count, max) over hits against the bench block.

@@ -170,6 +170,64 @@ object Training {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Fuzzy (near-duplicate) decontamination — the variant real training
+    * pipelines run alongside exact n-gram probes: a benchmark document
+    * that was paraphrased, truncated, or lightly edited before landing
+    * in the corpus shares no long exact n-gram, but its MinHash
+    * signature still collides. Candidates come from an LSH band join of
+    * corpus signatures against BENCH signatures only (never corpus ×
+    * corpus — this is not a dedup pass), then every candidate is
+    * exact-verified by shingle-set Jaccard ≥ `threshold`.
+    *
+    * Scale shape: the bench side (band keys AND shingle sets) rides
+    * broadcast — eval suites are small by nature; the corpus side is
+    * one fused signature pass + a narrow band projection, and the only
+    * keyed exchanges are sized by the CANDIDATES, not the corpus. The
+    * md5-based signature keeps the whole pipeline oracle-replayable
+    * (docs under `shingleSize` tokens have no signature and can never
+    * pair — both engines agree).
+    *
+    * Output: one row per corpus doc —
+    * (doc_id, n_candidates, n_hits, contaminated). */
+  def decontaminateFuzzy(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.textnative
+    val prime = (1L << 31) - 1 // the Dedup.mersennePrime convention
+    def sigsOf(df: DataFrame): DataFrame = df
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= shingleSize)
+      .select(col(idCol).as("id"),
+        textnative.text_minhash(col(textCol), shingleSize,
+          graft.ops.Dedup.hashFamily(bands * rowsPerBand), prime,
+          md5Base = true).as("sig"))
+    def bandsOf(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(col("id"), col("pos").as("band_id"), col("col").as("bkey"))
+    val cand = bandsOf(sigsOf(corpus))
+      .join(broadcast(bandsOf(sigsOf(bench))
+        .select(col("band_id"), col("bkey"), col("id").as("bench_id"))),
+        Seq("band_id", "bkey"))
+      .select(col("id").as("doc_id"), col("bench_id")).distinct()
+    val csh = corpus.select(col(idCol).as("doc_id"),
+      textnative.shingle_hashes(col(textCol), shingleSize).as("csh"))
+    val bsh = bench.select(col(idCol).as("bench_id"),
+      textnative.shingle_hashes(col(textCol), shingleSize).as("bsh"))
+    val agg = cand.join(csh, Seq("doc_id")).join(broadcast(bsh), Seq("bench_id"))
+      .select(col("doc_id"),
+        textnative.jaccard_sorted(col("csh"), col("bsh")).as("j"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("j") >= threshold, 1L).otherwise(0L)).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Bloom-prefiltered decontamination — the 100 TB shape of
     * [[decontaminate]] for when the benchmark n-gram key set is too
     * large to broadcast (a full eval-suite union runs to billions of

@@ -2601,6 +2601,24 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("fuzzy decon: perturbed bench copy flagged, unrelated doc clean, no corpus self-pairs") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val bench = Seq((0L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "zq " + benchText),                      // near-dup of bench
+      (11L, "one two three four five six seven eight nine ten " * 4),
+      (12L, "one two three four five six seven eight nine ten " * 4))
+      .toDF("doc_id", "text")                         // 11/12 duplicate EACH OTHER
+    val got = Training.decontaminateFuzzy(corpus, bench, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, c, h, f) => (id, (c, h, f)) }.toMap
+    assert(got(10L)._3, s"perturbed copy must flag: $got")
+    // 11 and 12 collide with each other but NOT with bench — a decon
+    // pass must never surface corpus-internal duplicates
+    assert(got(11L) == ((0L, 0L, false)) && got(12L) == ((0L, 0L, false)),
+      s"corpus self-dups must stay clean: $got")
+  }
+
   test("maxmatch: longest vocab token wins, OOV words decompose, rounds truncate") {
     // corpus: abc×3, ab×2, abx×1; vocab = top-2 words {abc, ab} + chars.
     // "abx" must take the LONGEST match ab at pos 0 (never a), then x.
