@@ -2601,6 +2601,45 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("plan sweep: every partition-less window sits above a collapsing aggregate") {
+    // The r6/r7 scale-killer class (rel_key_skew, sample_length_bucket):
+    // a Window with no partition key serializes its whole input through
+    // one task. A global window is legitimate ONLY over a frame some
+    // aggregation has already collapsed (per-community rollups, 1-row
+    // totals). This sweep asserts the structural form for EVERY query's
+    // final plan: each partition-less (or constant-partitioned) window
+    // must see an aggregate/limit on every path from every scan leaf.
+    // Loop internals truncated behind localCheckpoint leaves are out of
+    // view here — those recurrences carry their own dedicated guards.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+      ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    def collapsed(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: SortAggregateExec |
+           _: ObjectHashAggregateExec => true
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      // a literal range spine (psiDrift's 16-bucket frame) is bounded by
+      // construction — constant-sized at any corpus scale
+      case r: org.apache.spark.sql.execution.RangeExec
+        if r.numElements <= BigInt(4096) => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(collapsed)
+    }
+    withoutAqe {
+      val offenders =
+        try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+          fn(spark, sfDir).queryExecution.executedPlan.collect {
+            case w: WindowExec if w.partitionSpec.forall(_.foldable) &&
+                !collapsed(w.child) =>
+              s"$name: partition-less window over a non-collapsed input"
+          }
+        } finally spark.catalog.clearCache()
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    }
+  }
+
   test("fuzzy decon: perturbed bench copy flagged, unrelated doc clean, no corpus self-pairs") {
     val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
     val bench = Seq((0L, benchText)).toDF("doc_id", "text")
