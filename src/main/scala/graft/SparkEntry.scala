@@ -2204,6 +2204,14 @@ object SparkEntry {
       TimeSeries.levelShift(t(s, dir, "events"), keyCol = "event_type",
         tsCol = "ts", bucketSec = 3600L, w = 6, threshold = 3.0)),
 
+    // Two-sided CUSUM drift monitor per event type: hourly counts
+    // against the first 24 buckets' baseline, slack 2/bucket, alarm at
+    // 8 bucket-units of accumulated drift. Exact-integer (b-scaled)
+    // prefix-sum-minus-running-min — no recurrence loop.
+    "ts_cusum" -> ((s, dir) =>
+      TimeSeries.cusum(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, base = 24, slack = 2L, h = 8L)),
+
     // Benford first-digit audit over order totals — the classic
     // data-quality screen for fabricated numeric columns. Digits come
     // from the INTEGER cents string (never from double formatting, which
@@ -3667,6 +3675,34 @@ object SparkEntry {
         |       round(post, 6) AS post_mean, round(post - pre, 6) AS shift,
         |       abs(round(post - pre, 6)) >= 3.0 AS is_shift
         |FROM w WHERE npre = 6 AND npost = 6""".stripMargin,
+
+    // The same b-scaled integer CUSUM trace: prefix sums and running
+    // minima over per-key ordered windows.
+    "ts_cusum" ->
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, bucket, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |       FROM c),
+        |ba AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s1,
+        |        CAST(count(*) AS BIGINT) AS b
+        |       FROM rk WHERE rn <= 24 GROUP BY event_type),
+        |p AS (SELECT rk.event_type, rk.bucket, rk.n, ba.b,
+        |       sum(ba.b * rk.n - ba.s1 - 2 * ba.b) OVER w AS pup,
+        |       sum(ba.s1 - 2 * ba.b - ba.b * rk.n) OVER w AS pdn
+        |      FROM rk JOIN ba USING (event_type) WHERE rn > 24
+        |      WINDOW w AS (PARTITION BY rk.event_type ORDER BY rk.bucket
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT event_type, bucket, n, b,
+        |       CAST(pup - least(0, min(pup) OVER w) AS BIGINT) AS cusum_up_scaled,
+        |       CAST(pdn - least(0, min(pdn) OVER w) AS BIGINT) AS cusum_dn_scaled
+        |      FROM p WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, n, b, cusum_up_scaled, cusum_dn_scaled,
+        |       cusum_up_scaled >= 8 * b AS alarm_up,
+        |       cusum_dn_scaled >= 8 * b AS alarm_dn
+        |FROM f""".stripMargin,
 
     // Digits from the integer cents string, never double formatting.
     "rel_benford" ->

@@ -267,6 +267,61 @@ object TimeSeries {
     * per-key frame windows over the collapsed (key, bucket) rows; the
     * frame aggregation folds in sorted bucket order on both engines, so
     * the means are deterministic. */
+  /** Two-sided CUSUM (Page 1954) drift detection per key — the
+    * change-point monitor for SMALL PERSISTENT shifts that
+    * [[levelShift]]'s windowed before/after contrast misses: each
+    * bucket's deviation from the key's baseline mean accumulates, and an
+    * alarm fires when the cumulative drift clears the decision
+    * threshold `h`.
+    *
+    * The recurrence S⁺_t = max(0, S⁺_{t−1} + dev_t) is re-expressed
+    * relationally as S⁺_t = P_t − min(0, min_{j≤t} P_j) (prefix sum
+    * minus running minimum) — two per-key ordered windows, no loop. To
+    * stay exact-integer, every term is scaled by the baseline bucket
+    * count b: dev = b·x_t − S1 ∓ slack·b where S1 = Σ baseline counts,
+    * so the whole trace is BIGINT arithmetic and hash-gates. The
+    * baseline is the key's first `base` buckets; monitoring starts
+    * after it.
+    *
+    * All windows are PARTITIONED BY key (bucket counts per key are
+    * bounded by the time range, not the corpus), the baseline is one
+    * keyed aggregate joined back — nothing corpus-scale crosses a
+    * single task. Returns (key, bucket, n, b, cusum_up_scaled,
+    * cusum_dn_scaled, alarm_up, alarm_dn); the scaled values divide by
+    * b for the conventional units. */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, bucketSec: Long,
+      base: Int, slack: Long, h: Long): DataFrame = {
+    require(base >= 1, "base >= 1")
+    val c = df
+      .select(col(keyCol),
+        floor(unix_micros(col(tsCol)) / (bucketSec * 1000000L))
+          .cast("long").as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val ranked = c.select(col(keyCol), col("bucket"), col("n"),
+      row_number().over(byKey).as("__rn"))
+    val baseAgg = ranked.filter(col("__rn") <= base)
+      .groupBy(col(keyCol))
+      .agg(sum(col("n")).as("__s1"), count(lit(1)).as("b"))
+    val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = ranked.filter(col("__rn") > base)
+      .join(baseAgg, Seq(keyCol))
+      .select(col(keyCol), col("bucket"), col("n"), col("b"),
+        (col("b") * col("n") - col("__s1") - lit(slack) * col("b")).as("__dup"),
+        (col("__s1") - lit(slack) * col("b") - col("b") * col("n")).as("__ddn"))
+      .select(col(keyCol), col("bucket"), col("n"), col("b"),
+        sum(col("__dup")).over(run).as("__pup"),
+        sum(col("__ddn")).over(run).as("__pdn"))
+    p.select(col(keyCol), col("bucket"), col("n"), col("b"),
+        (col("__pup") - least(lit(0L), min(col("__pup")).over(run)))
+          .as("cusum_up_scaled"),
+        (col("__pdn") - least(lit(0L), min(col("__pdn")).over(run)))
+          .as("cusum_dn_scaled"))
+      .withColumn("alarm_up", col("cusum_up_scaled") >= lit(h) * col("b"))
+      .withColumn("alarm_dn", col("cusum_dn_scaled") >= lit(h) * col("b"))
+  }
+
   def levelShift(df: DataFrame, keyCol: String, tsCol: String,
       bucketSec: Long, w: Int, threshold: Double): DataFrame = {
     require(w >= 1, "w >= 1")

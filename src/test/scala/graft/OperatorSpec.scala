@@ -2601,6 +2601,30 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("cusum: hand trace matches the max(0, S+dev) recurrence, both sides") {
+    // one key, hourly buckets with counts [2,2 | 2,3,4,1]; base=2 →
+    // S1=4, b=2, slack=0: dev_up = 2n−4 = [0,2,4,−2], P = [0,2,6,4],
+    // S⁺ = P − min(0, runmin P) = [0,2,6,4]; dev_dn flips sign:
+    // Q = [0,−2,−6,−4], runmin = [0,−2,−6,−6], S⁻ = [0,0,0,2]
+    val rows = Seq(0 -> 2, 1 -> 2, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 1).flatMap {
+      case (hr, cnt) => Seq.fill(cnt)(("k", s"2024-01-01 0$hr:30:00"))
+    }
+    val df = rows.toDF("event_type", "s")
+      .select($"event_type", to_timestamp($"s").as("ts"))
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond / 3600
+    val got = TimeSeries.cusum(df, "event_type", "ts", bucketSec = 3600L,
+        base = 2, slack = 0L, h = 3L)
+      .as[(String, Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().sortBy(_._2)
+      .map { case (k, b, n, bb, up, dn, au, ad) => (b - base, n, bb, up, dn, au, ad) }
+    assert(got.toSeq == Seq(
+      (2L, 2L, 2L, 0L, 0L, false, false),
+      (3L, 3L, 2L, 2L, 0L, false, false),
+      (4L, 4L, 2L, 6L, 0L, true, false),   // 6 ≥ h·b = 6 → alarm
+      (5L, 1L, 2L, 4L, 2L, false, false)), s"got ${got.toSeq}")
+  }
+
   test("plan sweep: every partition-less window sits above a collapsing aggregate") {
     // The r6/r7 scale-killer class (rel_key_skew, sample_length_bucket):
     // a Window with no partition key serializes its whole input through
