@@ -1982,6 +1982,21 @@ object SparkEntry {
           col("frame_len"), md5(hex(col("frame_bytes"))).as("frame_hex_md5"))
     }),
 
+    // Byte-delta scene cuts over a planted frame stream (two 16-byte
+    // scenes, three frames each): ≥4 differing bytes vs the previous
+    // frame opens a new scene. Per-media windows only; the hex-level
+    // comparison replays verbatim in the oracle.
+    "mm_scene_detect" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(length(col("text")) >= 32)
+      val a = encode(substring(col("text"), 1, 16), "UTF-8")
+      val b = encode(substring(col("text"), 17, 16), "UTF-8")
+      Multimodal.sceneDetect(
+        Multimodal.asMedia(
+          d.select(col("doc_id"), concat(a, a, a, b, b, b).as("payload")),
+          "doc_id", "payload"),
+        chunkBytes = 16, minDiffBytes = 4)
+    }),
+
     // Overlapping windows (audio framing: window 48, hop 16) — the
     // window > hop shape frameSample's tumbling chunks can't express.
     "mm_audio_windows" -> ((s, dir) =>
@@ -6325,6 +6340,37 @@ object SparkEntry {
         |       CAST(least(16, nb - i * 16) AS BIGINT) AS frame_len,
         |       md5(substr(hx, CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_hex_md5
         |FROM f""".stripMargin,
+
+    // Frames from the same planted hex stream; the cut rule compares
+    // 16 hex byte-pairs, scene_id is a per-media running sum.
+    "mm_scene_detect" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 32),
+        |h AS (SELECT doc_id AS media_id,
+        |        repeat(substr(hex(text::BLOB), 1, 32), 3) ||
+        |        repeat(substr(hex(text::BLOB), 33, 32), 3) AS hx
+        |      FROM d),
+        |f AS (SELECT media_id, i AS frame_id,
+        |        substr(hx, CAST(i * 32 + 1 AS BIGINT), 32) AS fh
+        |      FROM h, unnest(range(0, 6)) AS u(i)),
+        |l AS (SELECT media_id, frame_id, fh,
+        |        lag(fh) OVER (PARTITION BY media_id ORDER BY frame_id) AS fp
+        |      FROM f),
+        |c AS (SELECT media_id, frame_id, fh,
+        |        CASE WHEN fp IS NULL THEN 1
+        |             WHEN len(list_filter(range(0, 16),
+        |               i -> substr(fh, CAST(i*2+1 AS INT), 2) <>
+        |                    substr(fp, CAST(i*2+1 AS INT), 2))) >= 4 THEN 1
+        |             ELSE 0 END AS chg
+        |      FROM l),
+        |s AS (SELECT media_id, frame_id, fh,
+        |        sum(chg) OVER (PARTITION BY media_id ORDER BY frame_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+        |      FROM c)
+        |SELECT media_id, CAST(scene_id AS BIGINT) AS scene_id,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(min(frame_id) AS BIGINT) AS first_frame,
+        |       md5(arg_min(fh, frame_id)) AS rep_md5
+        |FROM s GROUP BY media_id, scene_id""".stripMargin,
 
     "mm_audio_windows" ->
       """WITH f AS (SELECT doc_id, text,

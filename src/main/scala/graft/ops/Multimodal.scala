@@ -59,6 +59,46 @@ object Multimodal {
         octet_length(col("col")).cast("long").as("frame_len"))
   }
 
+  /** Scene-change detection over the frame stream: a frame opens a new
+    * scene when ≥ `minDiffBytes` of its bytes differ from the previous
+    * frame (the classic pixel/byte-delta cut detector; the first frame
+    * always opens scene 1). Byte comparison runs on the hex rendering so
+    * the DuckDB oracle replays it character-for-character; frames of
+    * unequal length count the unmatched tail as differing. scene_id is a
+    * per-media running sum of cut flags — every window here is
+    * PARTITIONED BY media (frames per clip are bounded by clip length,
+    * never corpus-scale), and the rollup is one keyed aggregate.
+    *
+    * Returns (media_id, scene_id, n_frames, first_frame, rep_md5) —
+    * rep_md5 fingerprints each scene's opening frame. */
+  def sceneDetect(media: DataFrame, chunkBytes: Int,
+      minDiffBytes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byMedia = Window.partitionBy(col("media_id")).orderBy(col("frame_id"))
+    val run = byMedia.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPrev = frameSample(media, chunkBytes)
+      .select(col("media_id"), col("frame_id"),
+        hex(col("frame_bytes")).as("h"))
+      .select(col("media_id"), col("frame_id"), col("h"),
+        lag(col("h"), 1).over(byMedia).as("hp"))
+    val nb = (greatest(length(col("h")), length(col("hp"))) / lit(2)).cast("int")
+    val nDiff = size(filter(sequence(lit(0), nb - 1),
+      i => !(col("h").substr(i * 2 + 1, lit(2)) <=>
+        col("hp").substr(i * 2 + 1, lit(2)))))
+    val flagged = withPrev.select(col("media_id"), col("frame_id"), col("h"),
+      when(col("hp").isNull, lit(1L))
+        .when(nDiff >= minDiffBytes, lit(1L)).otherwise(lit(0L)).as("chg"))
+    flagged
+      .select(col("media_id"), col("frame_id"), col("h"),
+        sum(col("chg")).over(run).as("scene_id"))
+      .groupBy(col("media_id"), col("scene_id"))
+      .agg(count(lit(1)).as("n_frames"), min(col("frame_id")).as("first_frame"),
+        min(struct(col("frame_id"), col("h"))).as("m"))
+      .select(col("media_id"), col("scene_id"), col("n_frames"),
+        col("first_frame").cast("long").as("first_frame"),
+        md5(col("m.h")).as("rep_md5"))
+  }
+
   /** Overlapping-window sampling of the payload — the audio shape
     * (window > hop ⇒ consecutive windows share bytes, e.g. STFT input
     * framing), where [[frameSample]] is the non-overlapping video shape.

@@ -2601,6 +2601,25 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("scene detect: sub-threshold deltas merge, cuts split, short tails count as diff") {
+    def bytes(c: Char, n: Int): Array[Byte] = Array.fill(n)(c.toByte)
+    // media 1: frame0 = 16×A; frame1 = 13×A + 3×X (3 diffs < 4 → same
+    // scene); frame2 = 16×B (cut)
+    val m1 = bytes('A', 16) ++ (bytes('A', 13) ++ bytes('X', 3)) ++ bytes('B', 16)
+    // media 2: a 8-byte tail frame that PREFIXES its predecessor — the
+    // 8 unmatched positions count as differing → cut
+    val m2 = bytes('C', 16) ++ bytes('C', 8)
+    val media = Seq((1L, m1), (2L, m2)).toDF("doc_id", "payload")
+    val got = Multimodal.sceneDetect(
+        Multimodal.asMedia(media, "doc_id", "payload"),
+        chunkBytes = 16, minDiffBytes = 4)
+      .select($"media_id", $"scene_id", $"n_frames", $"first_frame")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 2L, 0L), (1L, 2L, 1L, 2L),
+      (2L, 1L, 1L, 0L), (2L, 2L, 1L, 1L)), s"got $got")
+  }
+
   test("cusum: hand trace matches the max(0, S+dev) recurrence, both sides") {
     // one key, hourly buckets with counts [2,2 | 2,3,4,1]; base=2 →
     // S1=4, b=2, slack=0: dev_up = 2n−4 = [0,2,4,−2], P = [0,2,6,4],
