@@ -2232,6 +2232,24 @@ object SparkEntry {
     // from the INTEGER cents string (never from double formatting, which
     // engines render differently); expected log10(1+1/d) and the rounded
     // observed fractions absorb libm variance.
+    // Pearson χ² independence audit: market segment × region over the
+    // customer-nation join. Integer counts; e and each cell contrib are
+    // fixed IEEE expressions; χ² total decimal-accumulated.
+    "rel_chi2" -> { (s, dir) =>
+      val c = t(s, dir, "customer").join(t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      Profile.chi2(c.select(col("c_mktsegment").as("a"),
+        col("n_regionkey").as("b")), "a", "b")
+        .select(col("a").as("segment"), col("b").as("region"), col("o"),
+          col("e"), col("contrib"), col("chi2_total"), col("dof"))
+    },
+
+    // Gini concentration of order spend per priority class — ranked-
+    // prefix-sum identity on exact integer cents, one final division.
+    "rel_gini" -> ((s, dir) =>
+      Profile.gini(t(s, dir, "orders"), "o_orderpriority",
+        round(col("o_totalprice") * 100))),
+
     "rel_benford" -> { (s, dir) =>
       val cents = round(col("o_totalprice") * 100).cast("long")
       val d = t(s, dir, "orders")
@@ -3718,6 +3736,44 @@ object SparkEntry {
         |       cusum_up_scaled >= 8 * b AS alarm_up,
         |       cusum_dn_scaled >= 8 * b AS alarm_dn
         |FROM f""".stripMargin,
+
+    // Marginals joined back per cell; both engines true-divide the same
+    // exact integer products, χ² total decimal-summed over all cells.
+    "rel_chi2" ->
+      """WITH p AS (SELECT c_mktsegment AS a, n_regionkey AS b
+        |           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM p GROUP BY a, b),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |        count(DISTINCT a) AS na, count(DISTINCT b) AS nb FROM cells),
+        |y AS (SELECT cells.a, cells.b, cells.o,
+        |        rt.ra * ct.cb / tt.n AS e,
+        |        (cells.o - rt.ra * ct.cb / tt.n) *
+        |        (cells.o - rt.ra * ct.cb / tt.n) /
+        |        (rt.ra * ct.cb / tt.n) AS contrib,
+        |        CAST((tt.na - 1) * (tt.nb - 1) AS BIGINT) AS dof
+        |      FROM cells JOIN rt USING (a) JOIN ct USING (b), tt)
+        |SELECT a AS segment, b AS region, o, e, contrib,
+        |       CAST(sum(CAST(contrib AS DECIMAL(28,12))) OVER () AS DOUBLE)
+        |         AS chi2_total,
+        |       dof
+        |FROM y""".stripMargin,
+
+    // Ranked prefix sums in HUGEINT, the identical one-shot division.
+    "rel_gini" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |           FROM orders),
+        |r AS (SELECT g, x,
+        |        row_number() OVER (PARTITION BY g ORDER BY x) AS i FROM v),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sum_v, sum(i * x) AS s1
+        |      FROM r GROUP BY g)
+        |SELECT g AS o_orderpriority, n, sum_v,
+        |       CAST(2 * s1 - (n + 1) * sum_v AS DOUBLE) /
+        |       CAST(n * sum_v AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
 
     // Digits from the integer cents string, never double formatting.
     "rel_benford" ->

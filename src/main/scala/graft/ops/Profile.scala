@@ -112,6 +112,62 @@ object Profile {
     * map-side-combined aggregate, so the joins and the total-sum window
     * run over nBuckets rows regardless of input size. The total is summed
     * in DECIMAL so it is fold-order-independent. */
+  /** Pearson χ² independence test between two categorical columns — the
+    * data-audit screen for "is this feature correlated with that
+    * label/segment". Observed counts are exact integers; expected
+    * e = row·col/N and each cell's (o−e)²/e are single fixed IEEE
+    * expressions from those integers (identical bits on both engines),
+    * and the χ² total accumulates in DECIMAL before one final cast —
+    * the psiDrift/modularity gating pattern. Plan: one keyed count over
+    * the pair, two broadcast marginal joins, a |cells|-frame window —
+    * everything after the first aggregate is cells-scale.
+    * Returns (a, b, o, e, contrib, chi2_total, dof). */
+  def chi2(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowT = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val colT = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = broadcast(cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("na"), countDistinct(col("b")).as("nb")))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells.join(broadcast(rowT), Seq("a")).join(broadcast(colT), Seq("b"))
+      .crossJoin(tot)
+      .withColumn("e", col("ra") * col("cb") / col("n"))
+      .withColumn("contrib",
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      .withColumn("chi2_total",
+        sum(col("contrib").cast("decimal(28,12)")).over(all).cast("double"))
+      .select(col("a"), col("b"), col("o"), col("e"), col("contrib"),
+        col("chi2_total"),
+        ((col("na") - 1) * (col("nb") - 1)).as("dof"))
+  }
+
+  /** Gini coefficient of a positive numeric column per group — the
+    * concentration/inequality profile (of spend, of tokens, of document
+    * lengths) on the ranked-prefix-sum identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), xᵢ ascending. Everything
+    * before the final division is exact integer arithmetic carried in
+    * DECIMAL(38,0) (Σ i·x grows as n²·max(x) — past int64 at billions
+    * of rows), then ONE cast-and-divide both engines perform on the
+    * same value. The rank window is per-group; tied values permute
+    * consecutive ranks against equal x, so Σ i·x — and G — is
+    * tie-order-independent. Returns (group, n, sum_v, gini). */
+  def gini(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val byGrp = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    df.select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))
+      .select(col("__g"), col("__v"),
+        row_number().over(byGrp).cast("long").as("__i"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("sum_v"),
+        sum((col("__i") * col("__v")).cast("decimal(38,0)")).as("__s1"))
+      .select(col("__g").as(groupCol), col("n"), col("sum_v"),
+        (((lit(2) * col("__s1") - (col("n") + 1) * col("sum_v"))
+            .cast("double")) /
+          (col("n") * col("sum_v")).cast("double")).as("gini"))
+  }
+
   def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       lo: Double, hi: Double, nBuckets: Int): DataFrame = {
     val w = (hi - lo) / nBuckets

@@ -2601,6 +2601,25 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("chi2 and gini: closed forms on hand tables") {
+    // 2×2 contingency: every marginal 3, N=6 → e = 1.5 in each cell,
+    // contrib = 0.25/1.5 per cell, χ² = 2/3, dof = 1
+    val pairs = Seq(("a1", 1L), ("a1", 1L), ("a1", 2L),
+      ("a2", 1L), ("a2", 2L), ("a2", 2L)).toDF("a", "b")
+    val chi = Profile.chi2(pairs, "a", "b")
+      .select($"chi2_total", $"dof").as[(Double, Long)].head()
+    // the χ² total accumulates at DECIMAL(28,12): each cell contributes
+    // rounding at the 12th dp
+    assert(math.abs(chi._1 - 2.0 / 3.0) < 1e-10 && chi._2 == 1L, s"got $chi")
+
+    // uniform group → gini 0; one-holder group of 4 → (n−1)/n = 0.75
+    val v = Seq(("u", 5L), ("u", 5L), ("u", 5L),
+      ("p", 0L), ("p", 0L), ("p", 0L), ("p", 8L)).toDF("g", "x")
+    val gini = Profile.gini(v, "g", col("x"))
+      .select($"g", $"gini").as[(String, Double)].collect().toMap
+    assert(gini("u") == 0.0 && gini("p") == 0.75, s"got $gini")
+  }
+
   test("scene detect: sub-threshold deltas merge, cuts split, short tails count as diff") {
     def bytes(c: Char, n: Int): Array[Byte] = Array.fill(n)(c.toByte)
     // media 1: frame0 = 16×A; frame1 = 13×A + 3×X (3 diffs < 4 → same
