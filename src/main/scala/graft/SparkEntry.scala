@@ -2232,6 +2232,24 @@ object SparkEntry {
     // from the INTEGER cents string (never from double formatting, which
     // engines render differently); expected log10(1+1/d) and the rounded
     // observed fractions absorb libm variance.
+    // Two-sample KS drift test on the same pre/post-1998 split as
+    // rel_drift_psi — binning-free, exact integer CDF cross-products,
+    // prefix ranks two-level (never a global window).
+    "rel_ks_test" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      Profile.ksTest(
+        o.filter(col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        o.filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01"))),
+        round(col("o_totalprice") * 100))
+    },
+
+    // Corpus-wide Spearman rank correlation (price cents × quantity),
+    // tie-corrected via doubled average ranks; the rank prefix rides
+    // the two-level op — no global ORDER BY window anywhere.
+    "rel_spearman" -> ((s, dir) =>
+      Profile.spearman(t(s, dir, "lineitem"),
+        round(col("l_extendedprice") * 100), col("l_quantity"))),
+
     // Pearson χ² independence audit: market segment × region over the
     // customer-nation join. Integer counts; e and each cell contrib are
     // fixed IEEE expressions; χ² total decimal-accumulated.
@@ -3736,6 +3754,59 @@ object SparkEntry {
         |       cusum_up_scaled >= 8 * b AS alarm_up,
         |       cusum_dn_scaled >= 8 * b AS alarm_dn
         |FROM f""".stripMargin,
+
+    // Merged distinct-value CDF steps, integer cross-products, one
+    // division and one critical-value comparison.
+    "rel_ks_test" ->
+      """WITH av AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |bv AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |m AS (SELECT v, CAST(sum(c1) AS BIGINT) AS c1,
+        |        CAST(sum(c2) AS BIGINT) AS c2 FROM (
+        |        SELECT v, count(*) AS c1, 0 AS c2 FROM av GROUP BY v
+        |        UNION ALL SELECT v, 0, count(*) FROM bv GROUP BY v)
+        |      GROUP BY v),
+        |p AS (SELECT v, c1, c2,
+        |        sum(c1) OVER w AS f1, sum(c2) OVER w AS f2 FROM m
+        |      WINDOW w AS (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |        CAST(sum(c2) AS BIGINT) AS n2 FROM m),
+        |d AS (SELECT t.n1, t.n2,
+        |        CAST(max(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT) AS d_num
+        |      FROM p, t GROUP BY t.n1, t.n2)
+        |SELECT n1, n2, d_num,
+        |       CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d,
+        |       CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) >
+        |         1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) /
+        |                      CAST(n1 * n2 AS DOUBLE)) AS reject_05
+        |FROM d""".stripMargin,
+
+    // Doubled average ranks per distinct value (2B + c + 1), exact
+    // HUGEINT moments, one numerator cast and two sqrt's.
+    "rel_spearman" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS vx,
+        |             CAST(l_quantity AS BIGINT) AS vy FROM lineitem),
+        |rx AS (SELECT vx,
+        |        2 * coalesce(sum(c) OVER (ORDER BY vx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          + c + 1 AS dx
+        |       FROM (SELECT vx, count(*) AS c FROM v GROUP BY vx)),
+        |ry AS (SELECT vy,
+        |        2 * coalesce(sum(c) OVER (ORDER BY vy
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          + c + 1 AS dy
+        |       FROM (SELECT vy, count(*) AS c FROM v GROUP BY vy)),
+        |j AS (SELECT rx.dx, ry.dy FROM v JOIN rx USING (vx) JOIN ry USING (vy)),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(dx) AS sx,
+        |        sum(dy) AS sy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+        |        sum(dx * dy) AS sxy FROM j)
+        |SELECT n,
+        |       CAST(n * sxy - sx * sy AS DOUBLE) /
+        |       (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |        sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+        |FROM s""".stripMargin,
 
     // Marginals joined back per cell; both engines true-divide the same
     // exact integer products, χ² total decimal-summed over all cells.

@@ -112,6 +112,89 @@ object Profile {
     * map-side-combined aggregate, so the joins and the total-sum window
     * run over nBuckets rows regardless of input size. The total is summed
     * in DECIMAL so it is fold-order-independent. */
+  /** Two-sample Kolmogorov–Smirnov distance — the distribution-drift
+    * test with NO binning choice (psiDrift's buckets are a tuning knob;
+    * KS compares the full empirical CDFs): D = max over values of
+    * |F₁(v) − F₂(v)|, evaluated exactly as the integer
+    * max |cum₁·n₂ − cum₂·n₁| over the merged distinct-value frame, with
+    * ONE final division (values past int64 row counts would need the
+    * DECIMAL widening — ANSI mode fails loudly, never corrupts). The
+    * cumulative counts ride [[TwoLevelRank.prefixSum]] over the
+    * value-collapsed frame, so no distinct-value-scale frame crosses a
+    * single task. reject_05 applies the large-sample 5% critical value
+    * 1.358·√((n₁+n₂)/(n₁n₂)) — one fixed IEEE tree on both engines.
+    * Returns one row: (n1, n2, d_num, d, reject_05). */
+  def ksTest(a: DataFrame, b: DataFrame, value: Column,
+      stripeWidth: Long = 65536L): DataFrame = {
+    val va = a.select(value.cast("long").as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("c1")).withColumn("c2", lit(0L))
+    val vb = b.select(value.cast("long").as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("c2")).withColumn("c1", lit(0L))
+    val merged = va.unionByName(vb).groupBy(col("v"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+    val st = expr(s"v div $stripeWidth")
+    val p = TwoLevelRank.prefixSum(
+      TwoLevelRank.prefixSum(merged, Seq(), Seq(), st, Seq("v"),
+        col("c1"), "__b1"),
+      Seq(), Seq(), st, Seq("v"), col("c2"), "__b2")
+    val tot = broadcast(merged.agg(sum(col("c1")).as("n1"),
+      sum(col("c2")).as("n2")))
+    p.crossJoin(tot)
+      .select(col("n1"), col("n2"),
+        abs((col("__b1") + col("c1")) * col("n2") -
+          (col("__b2") + col("c2")) * col("n1")).as("sd"))
+      .groupBy(col("n1"), col("n2")).agg(max(col("sd")).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("d"))
+      .withColumn("reject_05",
+        col("d") > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+          (col("n1") * col("n2")).cast("double")))
+  }
+
+  /** Spearman rank correlation between two integer-valued columns, tie-
+    * corrected — Pearson over AVERAGE ranks, carried as exact integers:
+    * a value with c occurrences and B smaller rows has doubled average
+    * rank 2B + c + 1, so ranks never go fractional and every moment sum
+    * is exact (DECIMAL(38,0) once products pass int64; the final ρ is
+    * one numerator cast and two sqrt's — identical IEEE trees on both
+    * engines, HUGEINT on DuckDB's side).
+    *
+    * The rank prefix B comes from [[TwoLevelRank.prefixSum]] over the
+    * VALUE-COLLAPSED frame (one row per distinct value), so no
+    * corpus-scale — and no distinct-value-scale — frame ever crosses a
+    * single task: this is the corpus-wide rank correlation a global
+    * ORDER BY window could not survive at 100 TB. Rank frames rejoin
+    * the rows by value (keyed), then one moment aggregate.
+    * Returns one row: (n, rho). */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column,
+      stripeWidth: Long = 65536L): DataFrame = {
+    def doubledRanks(v: Column): DataFrame = {
+      val vals = df.select(v.cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      TwoLevelRank.prefixSum(vals, Seq(), Seq(),
+          expr(s"v div $stripeWidth"), Seq("v"), col("c"), "__b")
+        .select(col("v"), (lit(2L) * col("__b") + col("c") + 1L).as("dr"))
+    }
+    val rx = doubledRanks(xCol)
+      .select(col("v").as("vx"), col("dr").as("dx"))
+    val ry = doubledRanks(yCol)
+      .select(col("v").as("vy"), col("dr").as("dy"))
+    val d19 = "decimal(19,0)"
+    val s = df.select(xCol.cast("long").as("vx"), yCol.cast("long").as("vy"))
+      .join(rx, Seq("vx")).join(ry, Seq("vy"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx").cast(d19)).as("sx"), sum(col("dy").cast(d19)).as("sy"),
+        sum((col("dx").cast(d19) * col("dx").cast(d19))).as("sxx"),
+        sum((col("dy").cast(d19) * col("dy").cast(d19))).as("syy"),
+        sum((col("dx").cast(d19) * col("dy").cast(d19))).as("sxy"))
+    s.select(col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+         sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("rho"))
+  }
+
   /** Pearson χ² independence test between two categorical columns — the
     * data-audit screen for "is this feature correlated with that
     * label/segment". Observed counts are exact integers; expected

@@ -2601,6 +2601,33 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("spearman: monotone ±1, a permuted triple gives 1/2, ties use average ranks") {
+    def rho(xs: Seq[(Long, Long)]): Double =
+      Profile.spearman(xs.toDF("x", "y"), col("x"), col("y"))
+        .select($"rho").as[Double].head()
+    // sqrt(A)·sqrt(B) reconstructs the denominator to within a ulp —
+    // compare at 1e-12, not bit-exactly
+    def close(a: Double, b: Double): Boolean = math.abs(a - b) < 1e-12
+    assert(close(rho(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))), 1.0))
+    assert(close(rho(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))), -1.0))
+    // ranks x = (1,2,3), y = (2,1,3): Pearson = 1/2
+    assert(close(rho(Seq((1L, 2L), (2L, 1L), (3L, 3L))), 0.5))
+    // ties: (1,1,2) on both sides stays perfectly concordant under
+    // average ranks
+    assert(close(rho(Seq((1L, 5L), (1L, 5L), (2L, 9L))), 1.0))
+  }
+
+  test("ks test: disjoint samples hit D=1, identical hit 0, interleaved 1/2") {
+    def ks(a: Seq[Long], b: Seq[Long]): (Long, Double) = {
+      val r = Profile.ksTest(a.toDF("x"), b.toDF("x"), col("x"))
+        .select($"d_num", $"d").as[(Long, Double)].head()
+      r
+    }
+    assert(ks(Seq(1L, 2L), Seq(3L, 4L)) == ((4L, 1.0)))
+    assert(ks(Seq(1L, 2L), Seq(1L, 2L)) == ((0L, 0.0)))
+    assert(ks(Seq(1L, 3L), Seq(2L, 4L)) == ((2L, 0.5)))
+  }
+
   test("chi2 and gini: closed forms on hand tables") {
     // 2×2 contingency: every marginal 3, N=6 → e = 1.5 in each cell,
     // contrib = 0.25/1.5 per cell, χ² = 2/3, dof = 1
