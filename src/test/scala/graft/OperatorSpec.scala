@@ -2713,6 +2713,10 @@ class OperatorSpec extends SparkSuite {
       // construction — constant-sized at any corpus scale
       case r: org.apache.spark.sql.execution.RangeExec
         if r.numElements <= BigInt(4096) => true
+      // a persisted frame (rel_chi2's cells) hides its plan behind an
+      // InMemoryTableScan leaf — judge the CACHED plan, not the leaf
+      case imts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        collapsed(imts.relation.cachedPlan)
       case leaf if leaf.children.isEmpty => false
       case other => other.children.forall(collapsed)
     }
