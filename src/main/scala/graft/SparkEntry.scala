@@ -2515,14 +2515,18 @@ object SparkEntry {
     // directions. f/b min-label rounds = 3; {f=b} groups are true SCC
     // subsets, the unresolved remainder rides as a constant column.
     "graph_scc_bounded" -> { (s, dir) =>
-      val j = t(s, dir, "orders").join(t(s, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      val fwd = j.select(col("o_custkey").as("src"),
-        (-col("l_suppkey") - 1).as("dst")).distinct()
-      val rev = j.filter(col("l_returnflag") === "R")
-        .select((-col("l_suppkey") - 1).as("src"),
-          col("o_custkey").as("dst")).distinct()
-      Graph.sccBounded(fwd.unionAll(rev), "src", "dst", rounds = 3)
+      // ONE join + ONE keyed aggregate build both edge directions: the
+      // (c, su) pair collapses with a has-return flag, then fwd edges
+      // come from every pair and back-edges from the flagged ones (the
+      // two join+distinct passes this replaces scanned lineitem twice).
+      val pairs = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), (-col("l_suppkey") - 1).as("su"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("r"))
+      val ed = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(pairs.filter(col("r") === 1)
+          .select(col("su").as("src"), col("c").as("dst")))
+      Graph.sccBounded(ed, "src", "dst", rounds = 3)
     },
 
     // HITS hubs/authorities over the directed customer→supplier graph

@@ -501,11 +501,18 @@ object Graph {
     * (label pushes src → dst; every node also keeps its own label). On a
     * symmetrized frame this is the [[labelPropagationNodes]] recurrence;
     * on a directed frame it computes "min id with a ≤ rounds-hop path TO
-    * each node" — the forward half of the [[sccBounded]] coloring. */
+    * each node" — the forward half of the [[sccBounded]] coloring.
+    * `tags` names extra key columns carried by BOTH `adj` and `nodes`:
+    * independent propagation instances (sccBounded's forward and
+    * backward passes) advance in the SAME per-round job/shuffle instead
+    * of doubling the round count. */
   private def minLabelRounds(adj: DataFrame, nodes: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, tags: Seq[String] = Seq.empty): DataFrame = {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10] (plan grows per round)")
-    val init = nodes.select(col("node"), col("node").as("lbl"))
+    val keys = tags :+ "node"
+    val init = nodes.select(
+      (tags.map(col) :+ col("node") :+ col("node").as("lbl")): _*)
+    val pushAdj = adj.withColumnRenamed("src", "node")
     // each round reads the PREVIOUS label frame twice (self ∪ neighbor
     // push): checkpoint per round keeps both recompute AND the logical
     // plan linear in rounds (see checkpointRound)
@@ -514,9 +521,9 @@ object Graph {
         val (l, ids) = checkpointRound(lbls)
         freeRound(l, prevIds)
         (l.unionAll(
-            l.join(adj, col("node") === col("src"))
-              .select(col("dst").as("node"), col("lbl")))
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")), ids)
+            l.join(pushAdj, keys)
+              .select((tags.map(col) :+ col("dst").as("node") :+ col("lbl")): _*))
+          .groupBy(keys.map(col): _*).agg(min(col("lbl")).as("lbl")), ids)
     }
     fin
   }

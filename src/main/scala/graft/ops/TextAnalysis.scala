@@ -821,12 +821,17 @@ object TextAnalysis {
     var st = wf.select(col("word"), length(col("word")).as("len"),
       lit(0).as("pos")).localCheckpoint()
     val reached = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to rounds) {
+    // early exit once every word is fully consumed: emitted tokens are
+    // identical (later rounds of an empty state add nothing), matching
+    // the oracle recursion, which also terminates on the empty frontier
+    var r = 0
+    while (r < rounds && !st.isEmpty) {
       reached += st
       st = st.join(bm, Seq("word", "pos"))
         .filter(col("pos") + col("tl") < col("len"))
         .select(col("word"), col("len"), (col("pos") + col("tl")).as("pos"))
         .localCheckpoint()
+      r += 1
     }
     reached.result().reduce(_.unionAll(_))
       .join(bm, Seq("word", "pos"))
