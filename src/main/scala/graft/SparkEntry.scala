@@ -1435,6 +1435,46 @@ object SparkEntry {
         nCells = 4, nProbe = 2, sampleN = 40)
     },
 
+    // NN-descent k-NN graph on the planted clusters, hash-gated against
+    // the EXACT brute-force graph the oracle computes from the same
+    // vector literals: 40 nodes / 4 tight clusters, so two
+    // neighbor-of-neighbor rounds provably reach every node's true top-5
+    // (the ≤4k² candidate fan-out covers the 39-node corpus) and the
+    // approximate graph EQUALS exact — pinning init, reverse capping,
+    // candidate scoring, and the k-bounded merge, not just a recall
+    // floor. Deterministic: seeded hash init, id tie-breaks.
+    "ann_nndescent_planted" -> { (s, dir) =>
+      import s.implicits._
+      val df = plantedClusterVectors.toDF("vec_id", "embedding")
+      Similarity.nnDescent(df, k = 5, rounds = 2)
+    },
+
+    // NN-descent on the real embedding fixture: per-query recall@10
+    // floor vs the exact brute-force list (the ann_ivf_recall gating
+    // convention — the oracle pins `true` for every query, so a recall
+    // regression turns the gate red). The graph is built at internal
+    // k=20 and queried at 10 — the standard build-wider-than-you-query
+    // trick; this fixture is near-uniform random in 64 dims (the hardest
+    // regime for descent: no neighborhood gradient), and the wider build
+    // holds per-query hits ≥ 7 at BOTH sf0.01 (measured 10/10 every
+    // query) and sf0.1 (min 7) where a k=10 build degraded to 2.
+    // Deterministic end-to-end, so the measured floor is stable.
+    "ann_nndescent_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.nnDescent(emb, k = 20, rounds = 3)
+        .filter(col("node_id") < 8 && col("rank") <= 10)
+        .select(col("node_id").as("q2"), col("neighbor_id").as("n2"))
+      exact.join(approx,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+          "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("query_id"), (col("n_hits") >= 6).as("recall_ok"))
+    },
+
     // Radius search (all neighbors with cosine ≥ 0.2 — the "everything
     // closer than τ" mode top-k can't answer); threshold filtered inside
     // the codegen'd projection, no aggregate at all.
@@ -1987,9 +2027,18 @@ object SparkEntry {
     // frame opens a new scene. Per-media windows only; the hex-level
     // comparison replays verbatim in the oracle.
     "mm_scene_detect" -> ((s, dir) => {
+      // Frames slice the ENCODED bytes (substring over BinaryType is
+      // byte-based), matching the oracle's octet slicing of
+      // hex(text::BLOB) — a multi-byte character in the first 32 chars
+      // no longer shears the frame boundary (the char-based slice would;
+      // the adjacent mm_frames_binary query exists to pin exactly this
+      // byte-vs-char distinction). The length() >= 32 filter is shared
+      // verbatim with the oracle, so membership matches even where
+      // chars ≠ bytes.
       val d = t(s, dir, "documents").filter(length(col("text")) >= 32)
-      val a = encode(substring(col("text"), 1, 16), "UTF-8")
-      val b = encode(substring(col("text"), 17, 16), "UTF-8")
+      val bin = encode(col("text"), "UTF-8")
+      val a = substring(bin, 1, 16)
+      val b = substring(bin, 17, 16)
       Multimodal.sceneDetect(
         Multimodal.asMedia(
           d.select(col("doc_id"), concat(a, a, a, b, b, b).as("payload")),
@@ -2817,6 +2866,25 @@ object SparkEntry {
         (if (j == c) 10.0 else 0.0) + 0.01 * ((id * 8 + j) % 7)
       })
     }
+
+  // Exact brute-force 5-NN graph over ALL planted nodes — what a
+  // converged NN-descent must equal on this fixture (see
+  // ann_nndescent_planted's plan note).
+  private val nnDescentPlantedOracleSql: String = {
+    val rows = plantedClusterVectors
+      .map { case (id, v) => s"($id, ${sqlDoubleArray(v)})" }.mkString(", ")
+    s"""WITH pv(vec_id, v) AS (VALUES $rows),
+       |p2 AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |        list_reduce(list_transform(range(0, len(a.v)), i -> b.v[i+1] * a.v[i+1]), (x,y) -> x + y) /
+       |        (sqrt(list_reduce(list_transform(range(0, len(a.v)), i -> b.v[i+1] * b.v[i+1]), (x,y) -> x + y)) *
+       |         sqrt(list_reduce(list_transform(range(0, len(a.v)), i -> a.v[i+1] * a.v[i+1]), (x,y) -> x + y))) AS sim
+       |      FROM pv a JOIN pv b ON a.vec_id <> b.vec_id)
+       |SELECT CAST(qid AS BIGINT) AS node_id, CAST(nid AS BIGINT) AS neighbor_id,
+       |       CAST(rnk AS INT) AS rank, sim
+       |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, nid) AS rnk FROM p2)
+       |WHERE rnk <= 5""".stripMargin
+  }
 
   private val ivfPlantedOracleSql: String = {
     val rows = plantedClusterVectors
@@ -3781,10 +3849,10 @@ object SparkEntry {
         |        CAST(max(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT) AS d_num
         |      FROM p, t GROUP BY t.n1, t.n2)
         |SELECT n1, n2, d_num,
-        |       CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d,
-        |       CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) >
+        |       CAST(d_num AS DOUBLE) / CAST(n1::HUGEINT * n2 AS DOUBLE) AS d,
+        |       CAST(d_num AS DOUBLE) / CAST(n1::HUGEINT * n2 AS DOUBLE) >
         |         1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) /
-        |                      CAST(n1 * n2 AS DOUBLE)) AS reject_05
+        |                      CAST(n1::HUGEINT * n2 AS DOUBLE)) AS reject_05
         |FROM d""".stripMargin,
 
     // Doubled average ranks per distinct value (2B + c + 1), exact
@@ -3823,10 +3891,10 @@ object SparkEntry {
         |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
         |        count(DISTINCT a) AS na, count(DISTINCT b) AS nb FROM cells),
         |y AS (SELECT cells.a, cells.b, cells.o,
-        |        rt.ra * ct.cb / tt.n AS e,
-        |        (cells.o - rt.ra * ct.cb / tt.n) *
-        |        (cells.o - rt.ra * ct.cb / tt.n) /
-        |        (rt.ra * ct.cb / tt.n) AS contrib,
+        |        CAST(rt.ra::HUGEINT * ct.cb AS DOUBLE) / tt.n AS e,
+        |        (cells.o - CAST(rt.ra::HUGEINT * ct.cb AS DOUBLE) / tt.n) *
+        |        (cells.o - CAST(rt.ra::HUGEINT * ct.cb AS DOUBLE) / tt.n) /
+        |        (CAST(rt.ra::HUGEINT * ct.cb AS DOUBLE) / tt.n) AS contrib,
         |        CAST((tt.na - 1) * (tt.nb - 1) AS BIGINT) AS dof
         |      FROM cells JOIN rt USING (a) JOIN ct USING (b), tt)
         |SELECT a AS segment, b AS region, o, e, contrib,
@@ -3846,8 +3914,8 @@ object SparkEntry {
         |        CAST(sum(x) AS BIGINT) AS sum_v, sum(i * x) AS s1
         |      FROM r GROUP BY g)
         |SELECT g AS o_orderpriority, n, sum_v,
-        |       CAST(2 * s1 - (n + 1) * sum_v AS DOUBLE) /
-        |       CAST(n * sum_v AS DOUBLE) AS gini
+        |       CAST(2 * s1 - (n + 1) * sum_v::HUGEINT AS DOUBLE) /
+        |       CAST(n * sum_v::HUGEINT AS DOUBLE) AS gini
         |FROM a""".stripMargin,
 
     // Digits from the integer cents string, never double formatting.
@@ -5666,7 +5734,12 @@ object SparkEntry {
     "ann_ivf_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8",
 
+    "ann_nndescent_recall" ->
+      "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8",
+
     "ann_ivf_planted" -> ivfPlantedOracleSql,
+
+    "ann_nndescent_planted" -> nnDescentPlantedOracleSql,
 
     "ann_kmeans" -> kmeansOracleSql(2),
     "sample_kcenter" -> kCenterOracleSql(6),

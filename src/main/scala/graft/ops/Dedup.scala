@@ -1,7 +1,30 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Size-bounded `collect_list` over long ids: the buffer stops growing
+  * at `cap` entries, so NO aggregation state — map-side partial, shuffle
+  * row, or final merge buffer — ever exceeds cap longs per key,
+  * regardless of how hot the key is. Callers that drop over-cap groups
+  * (a df cap: `size(ds) <= maxDf` with cap = maxDf+1) read truncation as
+  * "over the cap" — groups at or under the cap are never truncated, so
+  * their lists are complete and results are identical to collect_list +
+  * filter, minus the hot-key OOM (a stopword shingle in half the corpus
+  * would otherwise materialize a corpus-sized list in one buffer). */
+class BoundedCollectAggregator(cap: Int)
+    extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(buf: Seq[Long], a: Long): Seq[Long] =
+    if (buf.size >= cap) buf else buf :+ a
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    if (b1.size >= cap) b1 else (b1 ++ b2).take(cap)
+  override def finish(r: Seq[Long]): Seq[Long] = r
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
 
 /** Deduplication operators for a training-data pipeline, over
   * `documents(doc_id, text, ...)`.
@@ -764,26 +787,32 @@ object Dedup {
     * (the same reason the co-purchase graph mines above a support
     * floor). Both the intersection and the denominator count informative
     * shingles only, so the ratio is internally consistent. Ordered pairs:
-    * (doc_a contained-in doc_b) and the reverse are distinct rows. */
+    * (doc_a contained-in doc_b) and the reverse are distinct rows.
+    * `idCol` must be integral (ids flow through a Long-typed bounded
+    * aggregation buffer). */
   def shingleContainment(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxDf: Long = 50, minShared: Long = 3,
       minContainment: Double = 0.8): DataFrame = {
     // ONE keyed shuffle of the full shingle stream: group each shingle
-    // straight to its doc list (duplicates kept — multiset semantics),
-    // apply the df cap on the grouped list size, and form the ordered
-    // candidate pairs per shingle with the same bounded lambda the
-    // co-purchase edge build uses. The previous form shuffled the
-    // corpus-sized (k, doc) frame three times (df-count groupBy, df-cap
-    // join, self-join legs); this one touches it once, and everything
-    // after the cap is bounded by maxDf·(maxDf−1) pairs per shingle.
-    // Pair counts are IDENTICAL to the k-self-join: per shingle a doc
-    // pair (a,b), a≠b, contributes cnt(a)·cnt(b) ordered row pairs in
-    // both forms, and n_a counts informative rows (duplicates included)
-    // in both.
-    val g = docs.select(col(idCol).as("doc_id"),
+    // straight to its doc list (duplicates kept — multiset semantics)
+    // via the SIZE-BOUNDED collector (cap = maxDf+1, so a
+    // corpus-frequency boilerplate shingle holds at most maxDf+1 ids in
+    // any buffer — never its full document list), apply the df cap on
+    // the grouped list size, and form the ordered candidate pairs per
+    // shingle with the same bounded lambda the co-purchase edge build
+    // uses. The pre-r8 form shuffled the corpus-sized (k, doc) frame
+    // three times (df-count groupBy, df-cap join, self-join legs); this
+    // one touches it once with bounded state, and everything after the
+    // cap is bounded by maxDf·(maxDf−1) pairs per shingle. Pair counts
+    // are IDENTICAL to the k-self-join: per shingle a doc pair (a,b),
+    // a≠b, contributes cnt(a)·cnt(b) ordered row pairs in both forms,
+    // and n_a counts informative rows (duplicates included) in both.
+    require(maxDf < Int.MaxValue, "maxDf must fit an Int buffer cap")
+    val boundedCollect = udaf(new BoundedCollectAggregator((maxDf + 1).toInt))
+    val g = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(graft.functions.textnative
           .shingle_md5_keys(col(textCol), n)).as("k"))
-      .groupBy(col("k")).agg(collect_list(col("doc_id")).as("ds"))
+      .groupBy(col("k")).agg(boundedCollect(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = g.select(explode(col("ds")).as("doc_id"))

@@ -540,11 +540,14 @@ object Graph {
     * the bound) are counted in the `n_unresolved` constant column rather
     * than dropped, so the output is self-auditing.
     *
-    * Plan: two independent min-label recurrences over the same persisted
-    * edge frame (each round one keyed join + one grouped min, per-round
-    * checkpointed), one node-keyed join of the two label frames, one
-    * grouped rollup. Everything is node- or edge-keyed — no global
-    * window, no driver state. */
+    * Plan: ONE tag-keyed min-label recurrence — the forward pass (tag 0,
+    * edges as-is) and the backward pass (tag 1, edges reversed) ride the
+    * same union-tagged frame, so both directions advance in the SAME
+    * per-round join + grouped min (half the round jobs of two separate
+    * recurrences, per-round checkpointed), then one keyed conditional
+    * aggregate folds the two tags back to (node, f, b) — no f⋈b join.
+    * Everything is node- or edge-keyed — no global window, no driver
+    * state. */
   def sccBounded(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -552,12 +555,16 @@ object Graph {
       .persist(lvl)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node"))).distinct().persist(lvl)
-    val f = minLabelRounds(e, nodes, rounds)
-      .select(col("node"), col("lbl").as("f"))
-    val b = minLabelRounds(
-      e.select(col("dst").as("src"), col("src").as("dst")), nodes, rounds)
-      .select(col("node"), col("lbl").as("b"))
-    val joined = f.join(b, Seq("node")).persist(lvl)
+    val adj = e.select(lit(0).as("t"), col("src"), col("dst"))
+      .unionAll(e.select(lit(1).as("t"),
+        col("dst").as("src"), col("src").as("dst")))
+    val tagged = nodes.select(lit(0).as("t"), col("node"))
+      .unionAll(nodes.select(lit(1).as("t"), col("node")))
+    val joined = minLabelRounds(adj, tagged, rounds, tags = Seq("t"))
+      .groupBy(col("node"))
+      .agg(min(when(col("t") === 0, col("lbl"))).as("f"),
+        min(when(col("t") === 1, col("lbl"))).as("b"))
+      .persist(lvl)
     val unresolved = broadcast(joined.filter(col("f") =!= col("b"))
       .agg(count(lit(1)).as("n_unresolved")))
     joined.filter(col("f") === col("b"))

@@ -117,8 +117,11 @@ object Profile {
     * KS compares the full empirical CDFs): D = max over values of
     * |F₁(v) − F₂(v)|, evaluated exactly as the integer
     * max |cum₁·n₂ − cum₂·n₁| over the merged distinct-value frame, with
-    * ONE final division (values past int64 row counts would need the
-    * DECIMAL widening — ANSI mode fails loudly, never corrupts). The
+    * ONE final division. The cum·n products are carried in
+    * DECIMAL(38,0) (cum·n grows as n² — past int64 at ~3·10⁹ rows per
+    * cohort; HUGEINT on the oracle side); only the final d_num output
+    * narrows back to BIGINT, where ANSI mode fails loudly if the max
+    * itself ever exceeds int64. The
     * cumulative counts ride [[TwoLevelRank.prefixSum]] over the
     * value-collapsed frame, so no distinct-value-scale frame crosses a
     * single task. reject_05 applies the large-sample 5% critical value
@@ -139,17 +142,19 @@ object Profile {
       Seq(), Seq(), st, Seq("v"), col("c2"), "__b2")
     val tot = broadcast(merged.agg(sum(col("c1")).as("n1"),
       sum(col("c2")).as("n2")))
+    val d38 = "decimal(38,0)"
+    val n1n2 = (col("n1").cast(d38) * col("n2")).cast("double")
     p.crossJoin(tot)
       .select(col("n1"), col("n2"),
-        abs((col("__b1") + col("c1")) * col("n2") -
-          (col("__b2") + col("c2")) * col("n1")).as("sd"))
-      .groupBy(col("n1"), col("n2")).agg(max(col("sd")).as("d_num"))
+        abs((col("__b1") + col("c1")).cast(d38) * col("n2") -
+          (col("__b2") + col("c2")).cast(d38) * col("n1")).as("sd"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("sd")).cast("long").as("d_num"))
       .select(col("n1"), col("n2"), col("d_num"),
-        (col("d_num").cast("double") /
-          (col("n1") * col("n2")).cast("double")).as("d"))
+        (col("d_num").cast("double") / n1n2).as("d"))
       .withColumn("reject_05",
         col("d") > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
-          (col("n1") * col("n2")).cast("double")))
+          n1n2))
   }
 
   /** Spearman rank correlation between two integer-valued columns, tie-
@@ -217,7 +222,11 @@ object Profile {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cells.join(broadcast(rowT), Seq("a")).join(broadcast(colT), Seq("b"))
       .crossJoin(tot)
-      .withColumn("e", col("ra") * col("cb") / col("n"))
+      // ra·cb grows as N² — exact DECIMAL product, ONE rounding to
+      // double, then the IEEE division (oracle: HUGEINT product).
+      .withColumn("e",
+        (col("ra").cast("decimal(38,0)") * col("cb")).cast("double") /
+          col("n").cast("double"))
       .withColumn("contrib",
         (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
       .withColumn("chi2_total",
@@ -239,6 +248,12 @@ object Profile {
     * tie-order-independent. Returns (group, n, sum_v, gini). */
   def gini(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
     val byGrp = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    // sum_v is widened to DECIMAL(38,0) BEFORE the (n+1)* and n*
+    // products: both grow as n²·x̄ — the same order as Σ i·x, which is
+    // already carried in DECIMAL for exactly that reason. BIGINT
+    // products here would abort (ANSI) at billions of rows; the oracle
+    // mirrors via HUGEINT.
+    val sv = col("sum_v").cast("decimal(38,0)")
     df.select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))
       .select(col("__g"), col("__v"),
         row_number().over(byGrp).cast("long").as("__i"))
@@ -246,9 +261,9 @@ object Profile {
       .agg(count(lit(1)).as("n"), sum(col("__v")).as("sum_v"),
         sum((col("__i") * col("__v")).cast("decimal(38,0)")).as("__s1"))
       .select(col("__g").as(groupCol), col("n"), col("sum_v"),
-        (((lit(2) * col("__s1") - (col("n") + 1) * col("sum_v"))
+        (((lit(2) * col("__s1") - (col("n") + 1) * sv)
             .cast("double")) /
-          (col("n") * col("sum_v")).cast("double")).as("gini"))
+          (col("n") * sv).cast("double")).as("gini"))
   }
 
   def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,

@@ -299,6 +299,102 @@ object Similarity {
         cosine(col("cand_emb"), col("query_emb")).as("sim"))
       .filter(col("sim").isNotNull && col("sim") >= minSim)
 
+  /** NN-descent k-NN-graph construction (Dong et al., "Efficient k-nearest
+    * neighbor graph construction for generic similarity measures", WWW'11):
+    * start from a hash-random k-neighbor graph and improve it round by
+    * round by scoring neighbor-of-neighbor candidates — "a good neighbor's
+    * neighbor is likely a good neighbor". The distributable member of the
+    * graph-ANN family (the cluster-side counterpart of HNSW's build
+    * phase); unlike IVF/LSH it needs no trained index and adapts to local
+    * density.
+    *
+    * Scale shape (the 100 TB-safe one) — every stage is keyed on node id,
+    * no global window, no driver-side vectors:
+    *  - Init gives every node k iid pseudo-random neighbors: nodes are
+    *    ranked in seeded-hash order ([[TwoLevelRank.rank]] — never a
+    *    global-sort window), each node draws k hash-random target ranks,
+    *    and one keyed join maps ranks back to nodes. IID draws matter:
+    *    the obvious "hash nodes into k+1-sized groups, all pairs within"
+    *    init is CLOSED under neighbor-of-neighbor expansion (each
+    *    group's lists point only inside the group, so round 1 generates
+    *    zero new candidates — measured, not hypothetical) and the
+    *    descent never leaves its init cliques.
+    *  - Per round, the reverse edge set is re-capped to k per node by the
+    *    same bounded [[TopKAggregator]] (a hub that is reverse-neighbor of
+    *    millions keeps only its best k — Dong et al.'s reverse sampling),
+    *    so the undirected neighborhood is ≤ 2k and the
+    *    neighbor-of-neighbor fan-out ≤ 4k² per node. Candidate scoring
+    *    attaches vectors via two keyed joins against the persisted
+    *    embedding frame; the merge with the current graph dedupes on
+    *    (node, cand) — a re-scored existing edge's cosine is
+    *    bit-identical, max() collapses it — then re-top-ks k-bounded.
+    *  - The per-round graph is localCheckpoint'ed (the bpeLoop
+    *    discipline), keeping the logical plan linear in rounds.
+    *
+    * One driver-side scalar (count, sizing the init groups) is the only
+    * non-distributed step. Deterministic end-to-end: seeded hash init,
+    * bit-reproducible cosine, id tie-breaks — reruns and both engines of
+    * the gate agree. Returns the full k-NN graph:
+    * (node_id, neighbor_id, rank, sim). */
+  def nnDescent(vectors: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 5, "rounds in [1,5] (jobs grow per round)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val topk = udaf(new TopKAggregator(k))
+    val emb = vectors.select(col("vec_id").cast("long").as("node"),
+      col("embedding").cast("array<double>").as("v")).persist(lvl)
+    // aggregated graph shape: (node, top: array<struct<id,score>>), k-bounded
+    def topkAgg(scored: DataFrame): DataFrame =
+      scored.groupBy(col("node")).agg(topk(col("cand"), col("sim")).as("top"))
+    def edges(agg: DataFrame): DataFrame =
+      agg.select(col("node"), explode(col("top")).as("e"))
+        .select(col("node"), col("e.id").as("cand"), col("e.score").as("sim"))
+    val n = emb.count()
+    // rank nodes in seeded-hash order (stripe = high hash bits: monotone
+    // in the order, so the two-level precondition holds), 0-based
+    val ranked = TwoLevelRank.rank(
+      emb.withColumn("__h", xxhash64(lit("nnd-order"), col("node"))),
+      Seq(), Seq(), expr("__h div 281474976710656"), Seq("__h", "node"), "__r")
+    val byRank = ranked.select((col("__r") - 1).as("__tr"),
+      col("node").as("cand"), col("v").as("cv"))
+    // k iid target-rank draws per node; duplicate draws collapse in the
+    // (node, cand) dedupe below so the aggregator never sees twins
+    val draws = emb.select(col("node"), col("v"),
+        explode(sequence(lit(1), lit(k))).as("__j"))
+      .select(col("node"), col("v"),
+        pmod(xxhash64(lit("nnd-init"), col("node"), col("__j")), lit(n)).as("__tr"))
+    var knn = topkAgg(draws
+        .join(byRank, Seq("__tr"))
+        .filter(col("node") =!= col("cand"))
+        .select(col("node"), col("cand"), cosine(col("v"), col("cv")).as("sim"))
+        .filter(col("sim").isNotNull)
+        .groupBy(col("node"), col("cand")).agg(max(col("sim")).as("sim")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cur = edges(knn)
+      val rev = edges(topkAgg(
+        cur.select(col("cand").as("node"), col("node").as("cand"), col("sim"))))
+      val und = cur.select(col("node"), col("cand"))
+        .unionAll(rev.select(col("node"), col("cand")))
+      val cands = und.select(col("node").as("src"), col("cand").as("mid"))
+        .join(und.select(col("node").as("mid"), col("cand")), Seq("mid"))
+        .select(col("src").as("node"), col("cand"))
+        .filter(col("node") =!= col("cand"))
+        .distinct()
+      val scored = cands
+        .join(emb, Seq("node"))
+        .join(emb.select(col("node").as("cand"), col("v").as("cv")), Seq("cand"))
+        .select(col("node"), col("cand"), cosine(col("v"), col("cv")).as("sim"))
+        .filter(col("sim").isNotNull)
+      knn = topkAgg(
+          cur.unionAll(scored)
+            .groupBy(col("node"), col("cand")).agg(max(col("sim")).as("sim")))
+        .localCheckpoint()
+    }
+    knn.select(col("node").as("node_id"), posexplode(col("top")))
+      .select(col("node_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("col.score").as("sim"))
+  }
+
   /** Product-quantization ANN: the memory-side scale trick IVF/LSH don't
     * give — each vector is stored as `nSub` small codebook ids (here 4
     * codes ≈ 4 bytes) instead of d floats, and queries score candidates

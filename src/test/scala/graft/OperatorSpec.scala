@@ -136,6 +136,32 @@ class OperatorSpec extends SparkSuite {
     assert(p64 < p8 + 500, s"plan grew with nCells: $p8 -> $p64 chars")
   }
 
+  test("nn-descent: high recall on clustered data, monotone across rounds, no duplicate edges") {
+    val dim = 64
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = for (c <- centers.indices; j <- 0 until 40)
+      yield ((c * 40 + j).toLong, centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    val vecs = pts.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" % 40 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, qs, k = 10)
+    def graph(rounds: Int) = Similarity.nnDescent(vecs, k = 10, rounds = rounds)
+      .withColumnRenamed("node_id", "query_id")
+    def minRecall(rounds: Int): Double = Similarity.recallAtK(exact,
+      graph(rounds).join(qs.select($"vec_id".as("query_id")),
+        Seq("query_id"), "left_semi")).values.min
+    val (r1, r3) = (minRecall(1), minRecall(3))
+    // the descent premise: on clustered data, neighbor-of-neighbor rounds
+    // converge to the true neighborhood...
+    assert(r3 >= 0.9, s"rounds=3 min recall $r3")
+    // ...and the k-bounded merge only ever improves a node's list
+    assert(r3 >= r1, s"recall regressed across rounds: $r1 -> $r3")
+    // the (node, cand) dedupe holds: no duplicate neighbor in any list
+    val dup = graph(2).groupBy($"query_id", $"neighbor_id").count()
+      .filter($"count" > 1).count()
+    assert(dup === 0L, s"$dup duplicate edges")
+  }
+
   test("cosine_sim: null (not NaN) on length mismatch and zero norm; top-k unpoisoned") {
     val degenerate = Seq(
       (Array(1.0, 0.0), Array(1.0)),      // length mismatch
