@@ -1752,6 +1752,17 @@ object SparkEntry {
     "text_maxmatch" -> ((s, dir) =>
       TextAnalysis.maxMatchTokenize(t(s, dir, "documents"))),
 
+    // SentencePiece-style unigram LM — the third tokenizer family (BPE
+    // learns merges, WordPiece matches greedily, unigram SEARCHES: each
+    // word takes its max-likelihood Viterbi split under EM-reweighted
+    // piece probabilities). The oracle replays the identical bounded DP
+    // round-for-round (ln-sum scores accumulate in path order — the same
+    // fixed-IEEE-tree convention pmi/psi gate on; ties break on the path
+    // string in both engines).
+    "text_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramTokenize(t(s, dir, "documents"),
+        maxTokLen = 6, topSubs = 24, rounds = 8)),
+
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), iterations = 5)),
 
@@ -2884,6 +2895,87 @@ object SparkEntry {
        |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
        |        ORDER BY sim DESC, nid) AS rnk FROM p2)
        |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Full replay of the unigram-LM tokenizer: candidate vocab, both
+    * Viterbi passes UNROLLED round-for-round (one CTE per relaxation
+    * round — the per-(word,pos) argmax can't live inside a recursive
+    * CTE, which forbids mid-recursion aggregation), the EM usage
+    * re-estimate between them, and the final piece rollup. Scores are
+    * the identical ln-sum trees the engine builds; ties break ORDER BY
+    * score DESC, path DESC = the engine's max(struct(score, path)). */
+  private def unigramLmOracleSql(maxTokLen: Int, topSubs: Int,
+      rounds: Int): String = {
+    def viterbiCtes(tag: String, edges: String): String =
+      (s"""s${tag}_0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS score,
+          |        '' AS path FROM wf)""".stripMargin +:
+        (1 to rounds).map { r =>
+          s"""s${tag}_$r AS MATERIALIZED (SELECT word, pos, score, path FROM (
+             |  SELECT word, pos, score, path,
+             |    row_number() OVER (PARTITION BY word, pos
+             |      ORDER BY score DESC, path DESC) AS rn
+             |  FROM (SELECT word, pos, score, path FROM s${tag}_${r - 1}
+             |        UNION ALL
+             |        SELECT s.word, e.tpos AS pos, s.score + e.lp AS score,
+             |               s.path || chr(31) || e.tok AS path
+             |        FROM s${tag}_${r - 1} s
+             |        JOIN $edges e ON s.word = e.word AND s.pos = e.fpos))
+             |  WHERE rn = 1)""".stripMargin
+        }).mkString(",\n")
+    s"""WITH
+       |tk AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |       FROM documents),
+       |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tk
+       |       WHERE length(word) > 0 GROUP BY word),
+       |ch AS (SELECT substr(word, CAST(i AS INT), 1) AS tok,
+       |              CAST(sum(freq) AS BIGINT) AS sfreq
+       |       FROM wf, unnest(range(1, length(word) + 1)) AS u(i) GROUP BY 1),
+       |sub AS (SELECT tok, sfreq FROM (
+       |         SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS tok,
+       |                CAST(sum(freq) AS BIGINT) AS sfreq
+       |         FROM wf,
+       |              unnest(range(1, length(word))) AS u(i),
+       |              unnest(range(2, $maxTokLen + 1)) AS v(l)
+       |         WHERE length(word) >= 2 AND l <= length(word) - i + 1
+       |         GROUP BY 1)
+       |        ORDER BY sfreq DESC, tok LIMIT $topSubs),
+       |v0 AS MATERIALIZED (SELECT tok, sfreq FROM ch UNION ALL SELECT tok, sfreq FROM sub),
+       |t0 AS (SELECT sum(sfreq) AS tt FROM v0),
+       |lp0 AS (SELECT tok, ln(CAST(sfreq AS DOUBLE)) - ln(CAST(tt AS DOUBLE)) AS lp
+       |        FROM v0, t0),
+       |cand AS MATERIALIZED (SELECT wf.word, CAST(fp AS INT) AS fpos,
+       |                CAST(fp + tl AS INT) AS tpos,
+       |                substr(wf.word, CAST(fp + 1 AS INT), CAST(tl AS INT)) AS sub
+       |         FROM wf,
+       |              unnest(range(0, length(wf.word))) AS p(fp),
+       |              unnest(range(1, $maxTokLen + 1)) AS l(tl)
+       |         WHERE tl <= length(wf.word) - fp),
+       |e0 AS MATERIALIZED (SELECT c.word, c.fpos, c.tpos, lp0.tok, lp0.lp
+       |       FROM cand c JOIN lp0 ON c.sub = lp0.tok),
+       |${viterbiCtes("0", "e0")},
+       |fin0 AS MATERIALIZED (SELECT s.word, wf.freq, substr(s.path, 2) AS path
+       |         FROM s0_$rounds s
+       |         JOIN wf ON s.word = wf.word AND s.pos = length(wf.word)),
+       |us AS (SELECT tok, CAST(sum(freq) AS BIGINT) AS u FROM (
+       |        SELECT unnest(string_split(path, chr(31))) AS tok, freq
+       |        FROM fin0) GROUP BY tok),
+       |v1 AS (SELECT v0.tok, coalesce(us.u, 0) + 1 AS uf
+       |       FROM v0 LEFT JOIN us ON v0.tok = us.tok),
+       |t1 AS (SELECT sum(uf) AS tt FROM v1),
+       |lp1 AS (SELECT tok, ln(CAST(uf AS DOUBLE)) - ln(CAST(tt AS DOUBLE)) AS lp
+       |        FROM v1, t1),
+       |e1 AS MATERIALIZED (SELECT c.word, c.fpos, c.tpos, lp1.tok, lp1.lp
+       |       FROM cand c JOIN lp1 ON c.sub = lp1.tok),
+       |${viterbiCtes("1", "e1")},
+       |fin1 AS (SELECT s.word, wf.freq, substr(s.path, 2) AS path
+       |         FROM s1_$rounds s
+       |         JOIN wf ON s.word = wf.word AND s.pos = length(wf.word))
+       |SELECT tok AS token, CAST(length(tok) AS BIGINT) AS tok_len,
+       |       CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+       |       CAST(sum(freq) AS BIGINT) AS corpus_occ
+       |FROM (SELECT word, freq, unnest(string_split(path, chr(31))) AS tok
+       |      FROM fin1)
+       |GROUP BY tok""".stripMargin
   }
 
   private val ivfPlantedOracleSql: String = {
@@ -6159,6 +6251,7 @@ object SparkEntry {
         |FROM st JOIN bm ON st.word = bm.word AND st.pos = bm.pos
         |JOIN wf ON wf.word = st.word
         |GROUP BY bm.tok""".stripMargin,
+    "text_unigram_lm" -> unigramLmOracleSql(6, 24, 8),
     "text_bpe_encode" -> bpeEncodeOracleSql(5),
     "text_bpe_tokens" ->
       s"""WITH ${bpeCtes(5)},

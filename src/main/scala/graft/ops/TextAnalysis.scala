@@ -844,6 +844,144 @@ object TextAnalysis {
         col("n_words"), col("corpus_occ"))
   }
 
+  /** SentencePiece-style unigram-LM subword tokenizer (Kudo 2018,
+    * "Subword Regularization", arXiv:1804.10959) — the third major
+    * tokenizer family next to [[bpeMerges]] (merge-driven) and
+    * [[maxMatchTokenize]] (greedy longest-match): a vocabulary of
+    * candidate pieces carries unigram log-probabilities, each word is
+    * segmented by VITERBI (the max-likelihood split, not the greedy
+    * longest one), and one EM round re-estimates piece probabilities
+    * from the segmentation usage before the final pass.
+    *
+    * Candidate vocab = every single character (coverage guarantee) +
+    * the top `topSubs` substrings of length 2..maxTokLen by
+    * corpus-occurrence weight. Initial p(tok) ∝ substring weight; after
+    * the first Viterbi pass, p(tok) ∝ usage+1 (Laplace — unused pieces
+    * stay scored rather than dividing by zero).
+    *
+    * Scale shape — the [[maxMatchTokenize]] distinct-word-frame
+    * pattern: the corpus contributes ONE grouped word count; candidate
+    * extraction, vocab scoring, and both Viterbi passes run at
+    * word-frame scale. The DP itself is bounded relaxation, not
+    * recursion-per-path: state holds ONE best (score, path) row per
+    * (word, consumed-prefix) — a keyed max per round, so the
+    * exponential segmentation space never materializes — and `rounds`
+    * ≥ max word length guarantees convergence (every piece consumes ≥1
+    * char). Each round is localCheckpoint'ed and the superseded round's
+    * blocks are freed (the bpeLoop discipline).
+    *
+    * Gate determinism: scores are sums of ln(count)-ln(total) doubles
+    * accumulated strictly in path order — the identical IEEE tree on
+    * both engines (the pmi/psi convention) — and score ties break on
+    * the path string, so the per-(word,pos) argmax replays exactly in
+    * the oracle's ORDER BY score DESC, path DESC. Output columns are
+    * string/int only.
+    *
+    * Returns (token, tok_len, n_words, corpus_occ) — the
+    * [[maxMatchTokenize]] shape. [[unigramWordPaths]] exposes the
+    * per-word segmentation for tests. */
+  def unigramTokenize(docs: DataFrame, textCol: String = "text",
+      maxTokLen: Int = 6, topSubs: Int = 24, rounds: Int = 8): DataFrame = {
+    val fin = unigramWordPaths(docs, textCol, maxTokLen, topSubs, rounds)
+    fin.select(col("word"), col("freq"),
+        explode(split(col("path"), "\u001f")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("word")).as("n_words"),
+        sum(col("freq")).as("corpus_occ"))
+      .select(col("tok").as("token"),
+        length(col("tok")).cast("long").as("tok_len"),
+        col("n_words"), col("corpus_occ"))
+  }
+
+  /** Per-word max-likelihood segmentation under the EM-reweighted
+    * unigram LM: (word, freq, path) with path = pieces joined by
+    * U+001F. See [[unigramTokenize]] for the algorithm and scale
+    * notes. */
+  def unigramWordPaths(docs: DataFrame, textCol: String = "text",
+      maxTokLen: Int = 6, topSubs: Int = 24, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 24, "rounds in [1,24] (jobs grow per round)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sep = "\u001f"
+    val wf = docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .persist(lvl)
+    // candidate pieces: all chars + top multi-char substrings by weight
+    val chars = wf
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word").substr(col("i"), lit(1)).as("tok"), col("freq"))
+      .groupBy(col("tok")).agg(sum(col("freq")).as("sfreq"))
+    val subs = wf.filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word"), col("freq"), col("i"),
+        explode(sequence(lit(2),
+          least(lit(maxTokLen), length(col("word")) - col("i") + 1))).as("l"))
+      .select(col("word").substr(col("i"), col("l")).as("tok"), col("freq"))
+      .groupBy(col("tok")).agg(sum(col("freq")).as("sfreq"))
+      .orderBy(col("sfreq").desc, col("tok")).limit(topSubs)
+    val vocab0 = chars.unionAll(subs)
+      .persist(lvl)
+    // all (word, prefix-consumed, piece) match positions — lp-independent,
+    // shared by both Viterbi passes
+    val cand = wf.select(col("word"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("fpos"))
+      .select(col("word"), col("fpos"),
+        explode(sequence(lit(1),
+          least(lit(maxTokLen), length(col("word")) - col("fpos")))).as("tl"))
+      .select(col("word"), col("fpos"), (col("fpos") + col("tl")).as("tpos"),
+        col("word").substr(col("fpos") + 1, col("tl")).as("sub"))
+      .persist(lvl)
+    def viterbi(lp: DataFrame): DataFrame = {
+      val e = cand.join(broadcast(lp), col("sub") === col("tok"))
+        .select(col("word"), col("fpos").as("pos"), col("tpos"),
+          col("tok"), col("lp"))
+        .persist(lvl)
+      val sc = wf.sparkSession.sparkContext
+      var prevIds = Set.empty[Int]
+      var st = wf.select(col("word"), lit(0).as("pos"),
+        lit(0.0).as("score"), lit("").as("path")).localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val before = sc.getPersistentRDDs.keySet
+        val nxt = st.join(e, Seq("word", "pos"))
+          .select(col("word"), col("tpos").as("pos"),
+            (col("score") + col("lp")).as("score"),
+            concat(col("path"), lit(sep), col("tok")).as("path"))
+        st = st.unionAll(nxt)
+          .groupBy(col("word"), col("pos"))
+          .agg(max(struct(col("score"), col("path"))).as("m"))
+          .select(col("word"), col("pos"), col("m.score").as("score"),
+            col("m.path").as("path"))
+          .localCheckpoint()
+        val newIds = (sc.getPersistentRDDs.keySet -- before).toSet
+        prevIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        prevIds = newIds
+      }
+      st.join(wf, Seq("word"))
+        .filter(col("pos") === length(col("word")))
+        .select(col("word"), col("freq"),
+          substring(col("path"), 2, Int.MaxValue).as("path"))
+    }
+    val t0 = broadcast(vocab0.agg(sum(col("sfreq")).as("tt")))
+    val lp0 = vocab0.crossJoin(t0)
+      .select(col("tok"),
+        (log(col("sfreq").cast("double")) - log(col("tt").cast("double"))).as("lp"))
+    // E-step usage from the first pass; M-step Laplace re-estimate
+    val usage = viterbi(lp0)
+      .select(col("freq"), explode(split(col("path"), sep)).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("freq")).as("u"))
+    val v1 = vocab0.join(usage, Seq("tok"), "left")
+      .select(col("tok"), (coalesce(col("u"), lit(0L)) + 1L).as("uf"))
+      .persist(lvl)
+    val t1 = broadcast(v1.agg(sum(col("uf")).as("tt")))
+    val lp1 = v1.crossJoin(t1)
+      .select(col("tok"),
+        (log(col("uf").cast("double")) - log(col("tt").cast("double"))).as("lp"))
+    viterbi(lp1)
+  }
+
   /** Hashed-feature linear quality classifier — the feature-hashing trick
     * (hash each token into one of `buckets` feature slots, score = mean
     * slot weight) that backs fastText-style corpus filters. The weight

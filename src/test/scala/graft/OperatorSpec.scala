@@ -136,6 +136,22 @@ class OperatorSpec extends SparkSuite {
     assert(p64 < p8 + 500, s"plan grew with nCells: $p8 -> $p64 chars")
   }
 
+  test("unigram LM: Viterbi picks the likely split where greedy longest-match would not") {
+    // vocab weights: "ab" 22, "cd" 21, "abc" 2 — greedy MaxMatch at pos 0
+    // of "abcd" takes the LONGEST piece ("abc", then the rare "d");
+    // unigram search composes the two high-probability pieces instead
+    val docs = (Seq.fill(20)("ab") ++ Seq.fill(20)("cd") ++ Seq("abcd", "abcz"))
+      .map(Tuple1(_)).toDF("text")
+    val paths = TextAnalysis.unigramWordPaths(docs,
+      maxTokLen = 3, topSubs = 8, rounds = 4)
+    val m = paths.select($"word", $"path").as[(String, String)].collect().toMap
+    assert(m("abcd") == "ab\u001fcd", m.toString)
+    // frequent whole words segment as themselves
+    assert(m("ab") == "ab" && m("cd") == "cd", m.toString)
+    // every distinct word gets exactly one complete segmentation
+    assert(m.size == 4, m.toString)
+  }
+
   test("nn-descent: high recall on clustered data, monotone across rounds, no duplicate edges") {
     val dim = 64
     val rnd = new scala.util.Random(23)
