@@ -2722,6 +2722,15 @@ object SparkEntry {
     "graph_louvain_move" -> ((s, dir) =>
       Graph.louvainLocalMove(coPurchaseEdges(s, dir))),
 
+    // The multi-level step that gives Louvain its power: coarsen by the
+    // local-move communities (parallel edges → integer weights, internal
+    // edges → self-loops), rerun the synchronized local move on the
+    // weighted coarse graph, compose back. Gains stay exact integers
+    // (DECIMAL/HUGEINT — weighted terms grow as m²); the oracle replays
+    // both levels.
+    "graph_louvain_multilevel" -> ((s, dir) =>
+      Graph.louvainTwoLevel(coPurchaseEdges(s, dir))),
+
     // Link prediction by neighbor-set Jaccard: candidates only through
     // shared neighbors (the wedge envelope), score a ratio of exact
     // integers via inclusion-exclusion.
@@ -4522,6 +4531,61 @@ object SparkEntry {
          |          CAST(count(*) AS BIGINT) AS internal_edges
          |         FROM ed JOIN lbl la ON ed.a = la.node
          |         JOIN lbl lb ON ed.b = lb.node
+         |         WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+         |SELECT mem.community, mem.n_members, mem.min_node, mem.deg_sum,
+         |       coalesce(intr.internal_edges, 0) AS internal_edges
+         |FROM mem LEFT JOIN intr ON mem.community = intr.community""".stripMargin,
+
+    // Level 1 verbatim, then the weighted coarse pass: community-pair
+    // edge weights (self-loops counted twice into weighted degree),
+    // HUGEINT gains 2m·w − d_i·d_j, same argmax tie-break, composed
+    // rollup over the original edges.
+    "graph_louvain_multilevel" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT a AS i, b AS j FROM ed
+         |        UNION ALL SELECT b AS i, a AS j FROM ed),
+         |deg AS (SELECT i AS node, count(*) AS d FROM sym GROUP BY i),
+         |mm AS (SELECT count(*) AS m FROM ed),
+         |g AS (SELECT sym.i, sym.j, 2 * mm.m - di.d * dj.d AS g
+         |      FROM sym JOIN deg di ON di.node = sym.i
+         |      JOIN deg dj ON dj.node = sym.j, mm),
+         |r AS (SELECT i, j,
+         |        row_number() OVER (PARTITION BY i ORDER BY g DESC, j) AS rk
+         |      FROM g WHERE g > 0),
+         |lbl AS (SELECT deg.node, deg.d, coalesce(r1.j, deg.node) AS lbl
+         |        FROM deg LEFT JOIN (SELECT i, j FROM r WHERE rk = 1) r1
+         |        ON deg.node = r1.i),
+         |ce AS (SELECT least(la.lbl, lb.lbl) AS ca,
+         |         greatest(la.lbl, lb.lbl) AS cb,
+         |         CAST(count(*) AS BIGINT) AS w
+         |       FROM ed JOIN lbl la ON ed.a = la.node
+         |       JOIN lbl lb ON ed.b = lb.node GROUP BY 1, 2),
+         |symw AS (SELECT ca AS i, cb AS j, w FROM ce WHERE ca <> cb
+         |         UNION ALL SELECT cb, ca, w FROM ce WHERE ca <> cb),
+         |degw AS (SELECT i AS snode, CAST(sum(w) AS BIGINT) AS d FROM (
+         |          SELECT i, w FROM symw
+         |          UNION ALL SELECT ca AS i, 2 * w AS w FROM ce WHERE ca = cb)
+         |         GROUP BY 1),
+         |g2 AS (SELECT symw.i, symw.j,
+         |         2 * mm.m::HUGEINT * symw.w - di.d::HUGEINT * dj.d AS g
+         |       FROM symw JOIN degw di ON di.snode = symw.i
+         |       JOIN degw dj ON dj.snode = symw.j, mm),
+         |r2 AS (SELECT i, j,
+         |         row_number() OVER (PARTITION BY i ORDER BY g DESC, j) AS rk
+         |       FROM g2 WHERE g > 0),
+         |lbl2 AS (SELECT degw.snode, coalesce(r1.j, degw.snode) AS l2
+         |         FROM degw LEFT JOIN (SELECT i, j FROM r2 WHERE rk = 1) r1
+         |         ON degw.snode = r1.i),
+         |fl AS (SELECT lbl.node, lbl.d, lbl2.l2 AS lbl
+         |       FROM lbl JOIN lbl2 ON lbl.lbl = lbl2.snode),
+         |mem AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(min(node) AS BIGINT) AS min_node,
+         |         CAST(sum(d) AS BIGINT) AS deg_sum
+         |        FROM fl GROUP BY lbl),
+         |intr AS (SELECT la.lbl AS community,
+         |          CAST(count(*) AS BIGINT) AS internal_edges
+         |         FROM ed JOIN fl la ON ed.a = la.node
+         |         JOIN fl lb ON ed.b = lb.node
          |         WHERE la.lbl = lb.lbl GROUP BY la.lbl)
          |SELECT mem.community, mem.n_members, mem.min_node, mem.deg_sum,
          |       coalesce(intr.internal_edges, 0) AS internal_edges

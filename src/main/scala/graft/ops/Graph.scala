@@ -632,7 +632,14 @@ object Graph {
     *
     * Returns one row per resulting community:
     * (community, n_members, min_node, deg_sum, internal_edges). */
-  def louvainLocalMove(edges: DataFrame): DataFrame = {
+  def louvainLocalMove(edges: DataFrame): DataFrame =
+    louvainRollup(edges, louvainMoveLabels(edges))
+
+  /** The per-node assignment of one synchronized local-move pass — the
+    * raw labels [[louvainLocalMove]] rolls up and [[louvainTwoLevel]]
+    * coarsens by. Returns (node, lbl, d) with d = the node's degree in
+    * the symmetrized graph. */
+  def louvainMoveLabels(edges: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("a").as("i"), col("b").as("j"))
       .unionAll(edges.select(col("b").as("i"), col("a").as("j")))
@@ -652,11 +659,16 @@ object Graph {
       .groupBy(col("i"))
       .agg(max(struct(col("g"), (-col("j")).as("nj"))).as("m"))
       .select(col("i").as("node"), (-col("m.nj")).as("lbl"))
-    val labels = deg.select(col("node"))
-      .join(best, Seq("node"), "left")
-      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    deg.join(best, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"),
+        col("d"))
       .persist(lvl)
-    val members = labels.join(deg, Seq("node"))
+  }
+
+  /** Community rollup of a (node, lbl, d) assignment over the original
+    * edge set — the shared output shape of both Louvain levels. */
+  private[ops] def louvainRollup(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val members = labels
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"),
         sum(col("d")).as("deg_sum"))
@@ -668,6 +680,72 @@ object Graph {
     members.join(internal, Seq("community"), "left")
       .select(col("community"), col("n_members"), col("min_node"),
         col("deg_sum"), coalesce(col("internal_edges"), lit(0L)).as("internal_edges"))
+  }
+
+  /** Two-level Louvain: coarsen by the level-1 local-move communities —
+    * each community becomes a super-node, parallel edges collapse to an
+    * integer weight, within-community edges to self-loops — then run the
+    * same synchronized local-move pass on the WEIGHTED coarse graph and
+    * compose the assignments back onto the original nodes. This is the
+    * aggregation step that gives Louvain its multi-level power: level 1
+    * can only merge a node with a direct neighbor, level 2 merges whole
+    * communities.
+    *
+    * Weighted gain, from singleton super-communities: moving super-node
+    * i into j changes modularity by w_ij/m − d_i·d_j/(2m²) (d = weighted
+    * degree, self-loops counting twice; m unchanged by coarsening since
+    * every original edge lands in exactly one coarse edge or self-loop).
+    * Scaling by 2m² gives g = 2m·w_ij − d_i·d_j, carried in
+    * DECIMAL(38,0): with weights both terms grow as m², past int64 at
+    * ~1.5·10⁹ edges (HUGEINT on the oracle side), and the argmax stays
+    * an exact comparison — no floating point anywhere in the decision.
+    *
+    * Plan shape: the coarse frame is |communities|-scale — one keyed
+    * count over the labeled edges — and everything at level 2 runs at
+    * that scale; the only original-graph-sized work is the level-1 pass
+    * and the final rollup joins, both keyed. Returns the
+    * [[louvainLocalMove]] output shape over the composed communities. */
+  def louvainTwoLevel(edges: DataFrame): DataFrame =
+    louvainRollup(edges, louvainTwoLevelLabels(edges))
+
+  /** The composed (node, lbl, d) assignment of [[louvainTwoLevel]] —
+    * exposed so partition quality is scorable via [[modularity]]. */
+  def louvainTwoLevelLabels(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val d38 = "decimal(38,0)"
+    val l1 = louvainMoveLabels(edges)
+    val le = edges
+      .join(l1.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(l1.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .select(least(col("la"), col("lb")).as("ca"),
+        greatest(col("la"), col("lb")).as("cb"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w"))
+      .persist(lvl)
+    val mRow = broadcast(edges.agg(count(lit(1)).as("__m")))
+    val cross = le.filter(col("ca") =!= col("cb"))
+    val symW = cross.select(col("ca").as("i"), col("cb").as("j"), col("w"))
+      .unionAll(cross.select(col("cb").as("i"), col("ca").as("j"), col("w")))
+    val degW = symW.select(col("i"), col("w"))
+      .unionAll(le.filter(col("ca") === col("cb"))
+        .select(col("ca").as("i"), (col("w") * 2).as("w")))
+      .groupBy(col("i").as("snode")).agg(sum(col("w")).as("d"))
+      .persist(lvl)
+    val gains = symW
+      .join(degW.select(col("snode").as("i"), col("d").as("di")), Seq("i"))
+      .join(degW.select(col("snode").as("j"), col("d").as("dj")), Seq("j"))
+      .crossJoin(mRow)
+      .select(col("i"), col("j"),
+        (lit(2L) * col("__m").cast(d38) * col("w") -
+          col("di").cast(d38) * col("dj")).as("g"))
+    val best = gains.filter(col("g") > 0)
+      .groupBy(col("i"))
+      .agg(max(struct(col("g"), (-col("j")).as("nj"))).as("m"))
+      .select(col("i").as("snode"), (-col("m.nj")).as("lbl2"))
+    val l2 = degW.select(col("snode"))
+      .join(best, Seq("snode"), "left")
+      .select(col("snode"), coalesce(col("lbl2"), col("snode")).as("lbl2"))
+    l1.join(l2.select(col("snode").as("lbl"), col("lbl2")), Seq("lbl"))
+      .select(col("node"), col("lbl2").as("lbl"), col("d"))
   }
 
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,

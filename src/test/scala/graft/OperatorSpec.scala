@@ -2877,6 +2877,38 @@ class OperatorSpec extends SparkSuite {
     assert(got == expect, s"got $got")
   }
 
+  test("louvain two-level: barbell closed form; modularity never drops vs level 1") {
+    // same barbell as the local-move spec: level-1 communities
+    // {2,3}/{1}/{4,6}/{5}; the coarse pass pairs them mutually (the
+    // synchronous swap), so the composed partition is isomorphic — Q
+    // identical — and the rollup closed form pins the full two-level trace
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.louvainTwoLevel(edges)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expect = Set(
+      (1L, 1L, 1L, 2L, 0L),  // {1}
+      (2L, 2L, 2L, 5L, 1L),  // {2,3}
+      (6L, 2L, 4L, 5L, 1L),  // {4,6}
+      (5L, 1L, 5L, 2L, 0L))  // {5}
+    assert(got == expect, s"got $got")
+    // the headline property on a real graph: the second level only ever
+    // coarsens, and partition quality does not regress
+    def q(labels: org.apache.spark.sql.DataFrame): Double = {
+      val ed = SparkEntry.coPurchaseEdges(spark, sfDir)
+      Graph.modularity(ed, labels.select($"node", $"lbl"))
+        .select($"q_total").as[Double].head()
+    }
+    val ed = SparkEntry.coPurchaseEdges(spark, sfDir)
+    val l1 = Graph.louvainMoveLabels(ed)
+    val l2 = Graph.louvainTwoLevelLabels(ed)
+    val (q1, q2) = (q(l1), q(l2))
+    assert(q2 >= q1, s"modularity regressed: $q1 -> $q2")
+    val (n1, n2) = (l1.select($"lbl").distinct().count(),
+      l2.select($"lbl").distinct().count())
+    assert(n2 <= n1, s"level 2 split communities: $n1 -> $n2")
+  }
+
   test("k-center: farthest-first selection trace and cover radius, tie → lowest id") {
     val dim = 64
     def v(xs: (Int, Float)*): Array[Float] = {
