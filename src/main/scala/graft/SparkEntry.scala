@@ -2033,6 +2033,22 @@ object SparkEntry {
           col("frame_len"), md5(hex(col("frame_bytes"))).as("frame_hex_md5"))
     }),
 
+    // REAL ustar-format WebDataset shards, assembled fully in-plan from
+    // non-UTF-8 binary payloads (the mm_frames_binary convention) and
+    // gated on the md5 of each archive's hex rendering — the oracle
+    // rebuilds the byte-exact archives (headers, octal sizes, POSIX
+    // checksums, padding, end blocks) in hex space. `tar tf` lists the
+    // emitted shards; the spec round-trips members back out by offset
+    // slicing.
+    "mm_tar_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(unhex(md5(col("text"))), encode(col("text"), "UTF-8"))
+            .as("payload"))
+      Multimodal.tarShards(
+        Multimodal.asMedia(docs, "doc_id", "payload"), shardBytes = 65536L)
+    }),
+
     // Byte-delta scene cuts over a planted frame stream (two 16-byte
     // scenes, three frames each): ≥4 differing bytes vs the previous
     // frame opens a new scene. Per-media windows only; the hex-level
@@ -2886,6 +2902,64 @@ object SparkEntry {
         (if (j == c) 10.0 else 0.0) + 0.01 * ((id * 8 + j) % 7)
       })
     }
+
+  private def hexOf(s: String): String =
+    s.getBytes("UTF-8").map(b => f"$b%02X").mkString
+
+  /** Byte-exact hex-space replay of [[graft.ops.Multimodal.tarShards]]:
+    * ustar headers (constant fields precomputed as hex literals, octal
+    * size/name per member), the POSIX checksum folded over the header's
+    * 512 hex pairs, NUL padding, ordered member concatenation per shard,
+    * and the 1024-byte end-of-archive marker. */
+  private val mmTarShardsOracleSql: String = {
+    val nul = "\u0000"
+    val midHex = hexOf("0000644" + nul + "0000000" + nul + "0000000" + nul)
+    val mtimeHex = hexOf("00000000000" + nul)
+    val spacesHex = hexOf("        ")
+    val magicHex = hexOf("0" + (nul * 100) + "ustar" + nul + "00")
+    val tailZeros = 32 + 32 + 8 + 8 + 155 + 12
+    s"""WITH d AS (SELECT doc_id AS media_id,
+       |        upper(md5(text)) || hex(text) AS phex,
+       |        16 + octet_length(text::BLOB) AS n_bytes
+       |      FROM documents),
+       |h AS (SELECT media_id, phex, n_bytes,
+       |        hex(lpad(CAST(media_id AS VARCHAR), 12, '0') || '.bin')
+       |          || repeat('00', 84) AS name_hex,
+       |        hex(lpad(to_base(n_bytes, 8), 11, '0')) || '00' AS size_hex,
+       |        512 + ((n_bytes + 511) // 512) * 512 AS padded,
+       |        ((n_bytes + 511) // 512) * 512 - n_bytes AS pad
+       |      FROM d),
+       |hh AS (SELECT media_id, phex, n_bytes, padded, pad,
+       |        name_hex || '$midHex' || size_hex || '$mtimeHex'
+       |          || '$spacesHex' || '$magicHex'
+       |          || repeat('00', $tailZeros) AS hsp,
+       |        name_hex, size_hex
+       |       FROM h),
+       |ck AS (SELECT *, list_sum(list_transform(range(0, 512),
+       |          i -> CAST('0x' || substr(hsp, CAST(i * 2 + 1 AS INT), 2)
+       |                 AS INT))) AS chk
+       |       FROM hh),
+       |mem AS (SELECT media_id, padded,
+       |         name_hex || '$midHex' || size_hex || '$mtimeHex'
+       |           || hex(lpad(to_base(CAST(chk AS BIGINT), 8), 6, '0')) || '0020'
+       |           || '$magicHex' || repeat('00', $tailZeros)
+       |           || phex || repeat('00', CAST(pad AS INT)) AS mhex
+       |        FROM ck),
+       |asg AS (SELECT media_id, mhex,
+       |         coalesce(sum(padded) OVER (ORDER BY media_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           // 65536 AS shard_id
+       |        FROM mem),
+       |sh AS (SELECT shard_id,
+       |         CAST(count(*) AS BIGINT) AS n_members,
+       |         string_agg(mhex, '' ORDER BY media_id)
+       |           || repeat('00', 1024) AS thex
+       |       FROM asg GROUP BY shard_id)
+       |SELECT CAST(shard_id AS BIGINT) AS shard_id, n_members,
+       |       CAST(length(thex) // 2 AS BIGINT) AS tar_len,
+       |       md5(thex) AS tar_hex_md5
+       |FROM sh""".stripMargin
+  }
 
   // Exact brute-force 5-NN graph over ALL planted nodes — what a
   // converged NN-descent must equal on this fixture (see
@@ -5896,6 +5970,8 @@ object SparkEntry {
     "ann_ivf_planted" -> ivfPlantedOracleSql,
 
     "ann_nndescent_planted" -> nnDescentPlantedOracleSql,
+
+    "mm_tar_shards" -> mmTarShardsOracleSql,
 
     "ann_kmeans" -> kmeansOracleSql(2),
     "sample_kcenter" -> kCenterOracleSql(6),

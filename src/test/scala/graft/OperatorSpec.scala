@@ -2877,6 +2877,37 @@ class OperatorSpec extends SparkSuite {
     assert(got == expect, s"got $got")
   }
 
+  test("tar shards: real ustar archives, members round-trip by offset slicing") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        concat(unhex(md5($"text")), encode($"text", "UTF-8")).as("payload"))
+    val media = Multimodal.asMedia(docs, "doc_id", "payload")
+    val tars = Multimodal.tarShardBytes(media, shardBytes = 16384L).cache()
+    // structure: 512-aligned archives closed by two zero blocks
+    assert(tars.filter(octet_length($"tar") % 512 =!= 0).count() == 0L)
+    assert(tars.filter(
+      hex(substring($"tar", -1024, 1024)) =!= lit("00" * 1024)).count() == 0L)
+    // every payload comes back byte-identical from offset slicing (binary
+    // payloads: the md5 prefix spans non-UTF-8 bytes)
+    val back = Multimodal.tarMemberSlices(tars)
+      .select(expr("cast(split(name, '\\\\.')[0] as long)").as("media_id"),
+        $"payload")
+    val joined = media.select($"media_id", $"media")
+      .join(back, Seq("media_id"), "full")
+    assert(joined.filter(!($"media" <=> $"payload")).count() == 0L,
+      "member payloads diverged or went missing")
+    // the first header is spec-conformant: magic, and the POSIX checksum
+    // (header bytes summed with the checksum field as spaces) recomputes
+    val tar0 = tars.orderBy("shard_id").select($"tar")
+      .as[Array[Byte]].head()
+    val hdr = tar0.take(512)
+    assert(new String(hdr.slice(257, 262), "US-ASCII") == "ustar")
+    val stored = Integer.parseInt(new String(hdr.slice(148, 154), "US-ASCII"), 8)
+    val withSpaces = hdr.clone()
+    (148 until 156).foreach(i => withSpaces(i) = ' '.toByte)
+    assert(stored == withSpaces.map(_ & 0xff).sum, "checksum mismatch")
+  }
+
   test("louvain two-level: barbell closed form; modularity never drops vs level 1") {
     // same barbell as the local-move spec: level-1 communities
     // {2,3}/{1}/{4,6}/{5}; the coarse pass pairs them mutually (the
