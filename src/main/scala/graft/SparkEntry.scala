@@ -1346,6 +1346,38 @@ object SparkEntry {
             .otherwise(lit(1.0) / col("first_rel_rank")).as("rr"))
     },
 
+    // NDCG@20 retrieval eval next to ann_mrr: binary same-label gains,
+    // DCG and the ideal DCG (one window over each query's 20 rows —
+    // re-rank by gain desc) accumulated as DECIMAL so the sums are
+    // fold-order-free, ONE final division. Integer gains + fixed IEEE
+    // log2 terms = the psi/chi2 gating pattern.
+    "ann_ndcg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val qlab = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      val nn = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 20)
+        .join(broadcast(qlab), Seq("query_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nbr_label")), Seq("neighbor_id"))
+      val g = nn.withColumn("gain",
+        when(col("nbr_label") === col("qlabel"), 1L).otherwise(0L))
+      val ideal = Window.partitionBy(col("query_id"))
+        .orderBy(col("gain").desc, col("rank"))
+      val d28 = "decimal(28,18)"
+      g.withColumn("irank", row_number().over(ideal))
+        .groupBy(col("query_id"), col("qlabel"))
+        .agg(sum(col("gain")).as("n_rel"),
+          sum((col("gain").cast("double") / log2(col("rank") + 1))
+            .cast(d28)).as("dcg"),
+          sum((col("gain").cast("double") / log2(col("irank") + 1))
+            .cast(d28)).as("idcg"))
+        .select(col("query_id"), col("qlabel").as("label"), col("n_rel"),
+          when(col("idcg") === 0, lit(0.0))
+            .otherwise(col("dcg").cast("double") / col("idcg").cast("double"))
+            .as("ndcg"))
+    },
+
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(
         t(s, dir, "embeddings"),
@@ -2603,6 +2635,23 @@ object SparkEntry {
         .unionAll(pairs.filter(col("r") === 1)
           .select(col("su").as("src"), col("c").as("dst")))
       Graph.sccBounded(ed, "src", "dst", rounds = 3)
+    },
+
+    // The same trade graph decomposed to CONVERGENCE: FW-BW coloring
+    // peels exact SCCs until no node is unresolved — the honest-partial
+    // caveat of graph_scc_bounded closed. The oracle computes the TRUE
+    // decomposition independently via recursive transitive closure
+    // (mutual-reachability representatives), so the gate proves the
+    // peeling loop lands on the exact answer, not just a fixpoint.
+    "graph_scc_converged" -> { (s, dir) =>
+      val pairs = t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), (-col("l_suppkey") - 1).as("su"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("r"))
+      val ed = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(pairs.filter(col("r") === 1)
+          .select(col("su").as("src"), col("c").as("dst")))
+      Graph.sccConverge(ed, "src", "dst")
     },
 
     // HITS hubs/authorities over the directed customer→supplier graph
@@ -4728,6 +4777,34 @@ object SparkEntry {
          |       CAST(max(node) AS BIGINT) AS max_node, un.n_unresolved
          |FROM j, un WHERE f = b GROUP BY f, un.n_unresolved""".stripMargin
     },
+
+    // Independent ground truth: full transitive closure (recursive CTE
+    // to fixpoint), SCC representative = min over mutual-reachability
+    // partners — no peeling, no coloring, a different algorithm
+    // entirely, so agreement is evidence of correctness rather than of
+    // shared bugs.
+    "graph_scc_converged" ->
+      s"""WITH RECURSIVE $tradePairsCte,
+         |rr AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+         |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |      WHERE l_returnflag = 'R'),
+         |ed AS (SELECT c AS src, -su - 1 AS dst FROM e
+         |       UNION ALL SELECT -su - 1 AS src, c AS dst FROM rr),
+         |nd AS (SELECT DISTINCT node FROM
+         |       (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM ed
+         |  UNION
+         |  SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src),
+         |mut AS (SELECT a.src AS node, a.dst AS u
+         |        FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+         |rep AS (SELECT nd.node,
+         |          least(nd.node, coalesce(min(mut.u), nd.node)) AS scc
+         |        FROM nd LEFT JOIN mut ON nd.node = mut.node
+         |        GROUP BY nd.node)
+         |SELECT scc, CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(max(node) AS BIGINT) AS max_node
+         |FROM rep GROUP BY scc""".stripMargin,
     "graph_hits" -> hitsOracleSql,
 
     // The SAME degree-ordered orientation (tie-break by id), replicated
@@ -5925,6 +6002,34 @@ object SparkEntry {
         |       CAST(coalesce(f.frank, 0) AS BIGINT) AS first_rel_rank,
         |       CASE WHEN f.frank IS NULL THEN 0.0 ELSE 1.0 / f.frank END AS rr
         |FROM q LEFT JOIN f ON q.qid = f.qid""".stripMargin,
+
+    // Same ranked CTE chain as ann_mrr; binary gains, decimal-summed
+    // DCG/IDCG, one division.
+    "ann_ndcg" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id < 8),
+        |p AS (SELECT qid, qlabel, e.vec_id AS nid, e.label AS nlabel,
+        |        list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * e.v[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM q, e WHERE e.vec_id <> qid),
+        |r AS (SELECT qid, qlabel, nid, nlabel,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        |      FROM p),
+        |g AS (SELECT qid, qlabel, rnk,
+        |        CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS gain
+        |      FROM r WHERE rnk <= 20),
+        |i AS (SELECT qid, qlabel, rnk, gain,
+        |        row_number() OVER (PARTITION BY qid ORDER BY gain DESC, rnk) AS irnk
+        |      FROM g),
+        |a AS (SELECT qid, qlabel, CAST(sum(gain) AS BIGINT) AS n_rel,
+        |        sum(CAST(CAST(gain AS DOUBLE) / log2(rnk + 1) AS DECIMAL(28,18))) AS dcg,
+        |        sum(CAST(CAST(gain AS DOUBLE) / log2(irnk + 1) AS DECIMAL(28,18))) AS idcg
+        |      FROM i GROUP BY qid, qlabel)
+        |SELECT qid AS query_id, qlabel AS label, n_rel,
+        |       CASE WHEN idcg = 0 THEN 0.0
+        |            ELSE CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END AS ndcg
+        |FROM a""".stripMargin,
 
     "ann_mean_pool" ->
       """WITH x AS (SELECT vec_id % 4 AS grp, i AS pos,

@@ -2836,6 +2836,26 @@ class OperatorSpec extends SparkSuite {
     assert(r4 == Set((10L, 5L, 14L, 0L)), s"rounds=4: $r4")
   }
 
+  test("scc converge: planted cycles + chain fully resolve across multiple peels") {
+    // cycles {1,2,3} and {4,5}, a bridge, and a DESCENDING chain 10→9→8 —
+    // the chain is the multi-peel shape: b(9) stays 8 until node 8 peels,
+    // so convergence takes three peels, each resolving a frontier
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L),
+      (3L, 4L), (10L, 9L), (9L, 8L)).toDF("src", "dst")
+    val got = Graph.sccConverge(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = Set(
+      (1L, 3L, 3L),   // the 3-cycle
+      (4L, 2L, 5L),   // the 2-cycle
+      (8L, 1L, 8L), (9L, 1L, 9L), (10L, 1L, 10L)) // chain singletons
+    assert(got == expect, s"got $got")
+    // the bounded twin on the same graph leaves the chain unresolved at
+    // rounds=1 — converge is strictly stronger, not a re-labeling
+    val bounded = Graph.sccBounded(edges, "src", "dst", rounds = 1)
+      .select($"n_unresolved").as[Long].head()
+    assert(bounded > 0L, "expected the 1-round bound to leave a remainder")
+  }
+
   test("cdc chunking: lossless reassembly; a front insertion shifts at most one chunk") {
     import graft.functions.textnative.cdc_chunks
     // reassembly: chunks concatenate back to the exact text, every doc
