@@ -2836,6 +2836,47 @@ class OperatorSpec extends SparkSuite {
     assert(r4 == Set((10L, 5L, 14L, 0L)), s"rounds=4: $r4")
   }
 
+  test("AQE skew join: a planted hot key splits at runtime into multiple tasks") {
+    // Complements Skew.saltedJoin: AQE's skew handling is the right tool
+    // when skew shows up at RUNTIME in a shuffle join (it splits oversized
+    // partitions after seeing map output sizes — no plan rewrite, exact
+    // results); explicit salting remains necessary where AQE can't reach —
+    // skewed AGGREGATIONS (saltedCountSum) and skew known in advance on
+    // joins AQE won't split (e.g. under another operator's partitioning
+    // contract).
+    val knobs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // fixture-sized thresholds so a local[4] test trips the real code path
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      // force the sort-merge path: broadcast would hide the skew entirely
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // hot key 0 carries 50k of 55k rows — one shuffle partition would
+      // hold ~2 MB against a 64 KB threshold
+      val big = spark.range(0, 55000).select(
+        when($"id" < 50000, 0L).otherwise($"id").as("k"),
+        md5($"id".cast("string")).as("payload"))
+      val small = spark.range(0, 55000).select($"id".as("k"),
+        ($"id" * 2).as("v"))
+      val joined = big.join(small, Seq("k"))
+      // run THIS queryExecution (count() would plan a separate query and
+      // leave this adaptive plan unexecuted/unfinalized)
+      assert(joined.collect().length === 55000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("scc converge: planted cycles + chain fully resolve across multiple peels") {
     // cycles {1,2,3} and {4,5}, a bridge, and a DESCENDING chain 10→9→8 —
     // the chain is the multi-peel shape: b(9) stays 8 until node 8 peels,

@@ -242,6 +242,36 @@ class StreamingSpec extends SparkSuite {
       s"${fileSink.cityMetrics} vs ${memSink.cityMetrics}")
   }
 
+  test("Trigger.AvailableNow: backlog drains in bounded batches, results equal ProcessingTime") {
+    // the backfill mode every production pipeline of this shape runs:
+    // catch up on a file backlog in rate-limited batches, then STOP on
+    // its own — same plan, row-identical output to the live trigger
+    val events = Seq(
+      rideJson("nyc", t0 + 10, 10.0, "a"), rideJson("nyc", t0 + 50, 30.0, "b"),
+      rideJson("sf", t0 + 70, 20.0, "c"), rideJson("nyc", t0 + 130, 40.0, "d"),
+      rideJson("sf", t0 + 190, 25.0, "e"))
+    val live = runBatches(Seq(events))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    // several input files + maxFilesPerTrigger=1 ⇒ the backlog MUST drain
+    // across multiple bounded micro-batches, not one catch-all batch
+    events.zipWithIndex.foreach { case (e, i) =>
+      Seq(e).toDF("value").write.parquet(s"$dir/in/part$i")
+    }
+    val src = spark.readStream.schema("value STRING")
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/part*")
+    val sink = new InMemoryUpsertSink
+    val q = RidePipeline.start(RidePipeline.metricsPlan(src, streaming = true),
+      sink, s"$dir/ckpt", Trigger.AvailableNow())
+    // AvailableNow terminates itself once the backlog is consumed — no
+    // stop() needed; a hang here (wrong trigger semantics) fails the test
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches > 1, s"expected a multi-batch drain, got $batches")
+    assert(sink.cityMetrics == live.cityMetrics,
+      s"${sink.cityMetrics} vs ${live.cityMetrics}")
+  }
+
   test("checkpoint restart: windows are neither lost nor reprocessed") {
     import graft.streaming.UpsertSink
     import org.apache.spark.sql.DataFrame
