@@ -1795,6 +1795,42 @@ object SparkEntry {
       TextAnalysis.unigramTokenize(t(s, dir, "documents"),
         maxTokLen = 6, topSubs = 24, rounds = 8)),
 
+    // The apply half of the unigram tokenizer (mirrors text_bpe_tokens):
+    // per-doc word and piece counts — segment once per DISTINCT word,
+    // the corpus joins on word.
+    "text_unigram_encode" -> { (s, dir) =>
+      val paths = TextAnalysis.unigramWordPaths(t(s, dir, "documents"),
+          maxTokLen = 6, topSubs = 24, rounds = 8)
+        .select(col("word"),
+          size(split(col("path"), "\u001f")).cast("long").as("n_tokens"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(paths, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_tokens")).as("n_unigram_tokens"))
+    },
+
+    // Unicode NFC canonical composition over a planted decomposed
+    // suffix ("élève" spelled with combining acutes composes to the
+    // 2-byte form; precomposed "é" and the NFC-invariant ligature "ffi"
+    // pin the no-op cases). Engine: native codegen'd expression over the
+    // JVM Normalizer; oracle: DuckDB's utf8proc nfc_normalize — two
+    // independent Unicode implementations agreeing byte-for-byte. The
+    // canonicalization every byte-level dedup/content-hash needs first:
+    // composed and decomposed spellings of the same text are different
+    // bytes.
+    "text_nfc_planted" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" e\u0301le\u0301ve \u00e9 \ufb03"))
+      val n = graft.functions.textnative.nfc_normalize(planted)
+      t(s, dir, "documents").select(col("doc_id"),
+        octet_length(encode(planted, "UTF-8")).cast("long").as("bytes_before"),
+        octet_length(encode(n, "UTF-8")).cast("long").as("bytes_after"),
+        md5(encode(n, "UTF-8")).as("nfc_md5"))
+    }),
+
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), iterations = 5)),
 
@@ -3036,7 +3072,7 @@ object SparkEntry {
     * re-estimate between them, and the final piece rollup. Scores are
     * the identical ln-sum trees the engine builds; ties break ORDER BY
     * score DESC, path DESC = the engine's max(struct(score, path)). */
-  private def unigramLmOracleSql(maxTokLen: Int, topSubs: Int,
+  private def unigramCtes(maxTokLen: Int, topSubs: Int,
       rounds: Int): String = {
     def viterbiCtes(tag: String, edges: String): String =
       (s"""s${tag}_0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS score,
@@ -3099,16 +3135,36 @@ object SparkEntry {
        |e1 AS MATERIALIZED (SELECT c.word, c.fpos, c.tpos, lp1.tok, lp1.lp
        |       FROM cand c JOIN lp1 ON c.sub = lp1.tok),
        |${viterbiCtes("1", "e1")},
-       |fin1 AS (SELECT s.word, wf.freq, substr(s.path, 2) AS path
+       |fin1 AS MATERIALIZED (SELECT s.word, wf.freq, substr(s.path, 2) AS path
        |         FROM s1_$rounds s
-       |         JOIN wf ON s.word = wf.word AND s.pos = length(wf.word))
+       |         JOIN wf ON s.word = wf.word AND s.pos = length(wf.word))""".stripMargin
+  }
+
+  private def unigramLmOracleSql(maxTokLen: Int, topSubs: Int,
+      rounds: Int): String =
+    s"""${unigramCtes(maxTokLen, topSubs, rounds)}
        |SELECT tok AS token, CAST(length(tok) AS BIGINT) AS tok_len,
        |       CAST(count(DISTINCT word) AS BIGINT) AS n_words,
        |       CAST(sum(freq) AS BIGINT) AS corpus_occ
        |FROM (SELECT word, freq, unnest(string_split(path, chr(31))) AS tok
        |      FROM fin1)
        |GROUP BY tok""".stripMargin
-  }
+
+  // The apply half: per-word piece counts from the SAME converged
+  // segmentation, joined back to the corpus word stream.
+  private def unigramEncodeOracleSql(maxTokLen: Int, topSubs: Int,
+      rounds: Int): String =
+    s"""${unigramCtes(maxTokLen, topSubs, rounds)},
+       |wt AS (SELECT word,
+       |         1 + length(path) - length(replace(path, chr(31), '')) AS n_tokens
+       |       FROM fin1),
+       |dw AS (SELECT doc_id,
+       |         unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |       FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_unigram_tokens
+       |FROM dw JOIN wt USING (word)
+       |WHERE length(word) > 0 GROUP BY doc_id""".stripMargin
 
   private val ivfPlantedOracleSql: String = {
     val rows = plantedClusterVectors
@@ -6497,6 +6553,22 @@ object SparkEntry {
         |JOIN wf ON wf.word = st.word
         |GROUP BY bm.tok""".stripMargin,
     "text_unigram_lm" -> unigramLmOracleSql(6, 24, 8),
+    "text_unigram_encode" -> unigramEncodeOracleSql(6, 24, 8),
+
+    // Two independent Unicode NFC implementations (utf8proc here, the
+    // JVM Normalizer in the engine) must agree byte-for-byte on the
+    // planted decomposed/precomposed/ligature suffix.
+    "text_nfc_planted" ->
+      """WITH p AS (SELECT doc_id,
+        |        text || ' e' || chr(769) || 'le' || chr(769) || 've ' ||
+        |          chr(233) || ' ' || chr(64259) AS t
+        |      FROM documents)
+        |SELECT doc_id,
+        |       CAST(octet_length(encode(t)) AS BIGINT) AS bytes_before,
+        |       CAST(octet_length(encode(nfc_normalize(t))) AS BIGINT) AS bytes_after,
+        |       md5(nfc_normalize(t)) AS nfc_md5
+        |FROM p""".stripMargin,
+
     "text_bpe_encode" -> bpeEncodeOracleSql(5),
     "text_bpe_tokens" ->
       s"""WITH ${bpeCtes(5)},

@@ -558,9 +558,44 @@ object CdcChunkList {
   }
 }
 
+/** Unicode NFC (canonical composition) helper behind [[NfcNormalize]].
+  * The JVM's `java.text.Normalizer` implements the same Unicode
+  * canonical composition DuckDB's utf8proc `nfc_normalize` does, so the
+  * gate pits two independent Unicode implementations against each
+  * other. `isNormalized` short-circuits the common case (ASCII and
+  * already-composed text) without allocating. */
+private[functions] object NfcHelper {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC normalization — the canonicalization every exact-dedup /
+  * content-hash pass needs up front (composed "é" and decomposed
+  * "e"+U+0301 are different bytes for the same text and would evade
+  * byte-level dedup). Spark has no builtin; this is a codegen'd native
+  * expression rather than a UDF so it stays inside whole-stage codegen. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NfcHelper.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.NfcHelper$$.MODULE$$.nfc($input);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object textnative {
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def e(col: Column): Expression = GraftBridge.expression(col)
+
+  def nfc_normalize(text: Column): Column = c(NfcNormalize(e(text)))
 
   def shingle_hashes(text: Column, n: Int): Column = c(ShingleHashes(e(text), n))
   def jaccard_sorted(a: Column, b: Column): Column = c(JaccardSorted(e(a), e(b)))

@@ -136,6 +136,27 @@ class OperatorSpec extends SparkSuite {
     assert(p64 < p8 + 500, s"plan grew with nCells: $p8 -> $p64 chars")
   }
 
+  test("nfc normalize: decomposed text composes; composed and ligatures unchanged; null-safe") {
+    val nfc = graft.functions.textnative.nfc_normalize _
+    val df = Seq(Some("é"), Some("é"), Some("ﬃx"), Some("plain"), None)
+      .toDF("t")
+      .select($"t", nfc($"t").as("n"))
+      .select($"t", $"n", octet_length(encode($"n", "UTF-8")).as("nb"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.get(2)).map(_.toString.toInt)))
+    assert(df.contains((Some("é"), Some("é"), Some(2))),
+      "combining acute did not compose")
+    assert(df.contains((Some("é"), Some("é"), Some(2))))
+    assert(df.contains((Some("ﬃx"), Some("ﬃx"), Some(4))),
+      "NFC must not decompose compatibility ligatures")
+    assert(df.contains((None, None, None)), "null must pass through")
+    // the dedup motivation: both spellings of the same text hash equal
+    // only AFTER normalization
+    val two = Seq("café", "café").toDF("t")
+    assert(two.select(md5(encode($"t", "UTF-8"))).distinct().count() == 2L)
+    assert(two.select(md5(encode(nfc($"t"), "UTF-8"))).distinct().count() == 1L)
+  }
+
   test("unigram LM: Viterbi picks the likely split where greedy longest-match would not") {
     // vocab weights: "ab" 22, "cd" 21, "abc" 2 — greedy MaxMatch at pos 0
     // of "abcd" takes the LONGEST piece ("abc", then the rare "d");
