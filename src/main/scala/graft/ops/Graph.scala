@@ -826,8 +826,12 @@ object Graph {
     val l2 = degW.select(col("snode"))
       .join(best, Seq("snode"), "left")
       .select(col("snode"), coalesce(col("lbl2"), col("snode")).as("lbl2"))
+    // persisted: the rollup reads this frame three times (member agg +
+    // both internal-edge label attaches); the composed chain stays
+    // materialized once per action instead of re-deriving per reference
     l1.join(l2.select(col("snode").as("lbl"), col("lbl2")), Seq("lbl"))
       .select(col("node"), col("lbl2").as("lbl"), col("d"))
+      .persist(lvl)
   }
 
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
