@@ -1378,6 +1378,36 @@ object SparkEntry {
             .as("ndcg"))
     },
 
+    // Hard-negative mining (contrastive training data prep): top-10
+    // most-similar DIFFERENT-label candidates per query — the negatives
+    // just across the decision boundary. Label test fused into the
+    // codegen'd projection before the k-bounded aggregation.
+    "ann_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 8), k = 10)),
+
+    // Matryoshka-style dimension-truncation eval: recall@10 of the
+    // 16-dim-prefix cosine ranking against the full 64-dim exact list —
+    // the cheap-index-quality question every embedding pipeline asks
+    // before storing truncated vectors. Both rankings are exact, so the
+    // per-query hit count itself hash-gates (no ok-flag indirection).
+    "ann_truncated_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val full = Similarity.bruteForceTopK(emb, qs, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val tr = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val trunc = Similarity.bruteForceTopK(tr, tr.filter(col("vec_id") < 8), k = 10)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      full.join(trunc,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("n2")).as("n_hits"))
+    },
+
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(
         t(s, dir, "embeddings"),
@@ -2115,6 +2145,24 @@ object SparkEntry {
             .as("payload"))
       Multimodal.tarShards(
         Multimodal.asMedia(docs, "doc_id", "payload"), shardBytes = 65536L)
+    }),
+
+    // The READ path of the tar shards, gated end-to-end: write real
+    // archives in-plan, slice every member back out by 512-aligned
+    // offsets, parse names and octal sizes from the headers — and the
+    // recovered payloads must md5-match ground truth the oracle computes
+    // directly from the source rows (it never sees the archives, so any
+    // write- OR read-side byte error turns the gate red).
+    "src_tar_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(unhex(md5(col("text"))), encode(col("text"), "UTF-8"))
+            .as("payload"))
+      val tars = Multimodal.tarShardBytes(
+        Multimodal.asMedia(docs, "doc_id", "payload"), shardBytes = 65536L)
+      Multimodal.tarMemberSlices(tars)
+        .select(expr("cast(split(name, '\\\\.')[0] as long)").as("media_id"),
+          col("size"), md5(hex(col("payload"))).as("payload_hex_md5"))
     }),
 
     // Byte-delta scene cuts over a planted frame stream (two 16-byte
@@ -6133,6 +6181,56 @@ object SparkEntry {
     "ann_nndescent_planted" -> nnDescentPlantedOracleSql,
 
     "mm_tar_shards" -> mmTarShardsOracleSql,
+
+    // Ground truth straight from the source rows — the oracle never sees
+    // the archives the engine wrote and re-sliced.
+    "src_tar_roundtrip" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(16 + octet_length(text::BLOB) AS BIGINT) AS size,
+        |       md5(upper(md5(text)) || hex(text)) AS payload_hex_md5
+        |FROM documents""".stripMargin,
+
+    // Same ranked chain as ann_mrr with the different-label filter.
+    "ann_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id < 8),
+        |p AS (SELECT qid, qlabel, e.vec_id AS nid,
+        |        list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * e.v[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM q, e WHERE e.vec_id <> qid AND e.label <> qlabel)
+        |SELECT qid AS query_id, qlabel AS query_label, nid AS neighbor_id,
+        |       CAST(rnk AS INT) AS rank, sim
+        |FROM (SELECT qid, qlabel, nid, sim, row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid) AS rnk FROM p)
+        |WHERE rnk <= 10""".stripMargin,
+
+    // Both rankings exact (full-dim vs 16-dim prefix), per-query overlap.
+    "ann_truncated_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |pf AS (SELECT qid, e.vec_id AS nid,
+        |        list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * e.v[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM q, e WHERE e.vec_id <> qid),
+        |rf AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |         ORDER BY sim DESC, nid) AS rnk FROM pf),
+        |et AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |qt AS (SELECT vec_id AS qid, v AS qv FROM et WHERE vec_id < 8),
+        |pt AS (SELECT qid, et.vec_id AS nid,
+        |        list_reduce(list_transform(range(0, len(qv)), i -> et.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> et.v[i+1] * et.v[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM qt, et WHERE et.vec_id <> qid),
+        |rt AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |         ORDER BY sim DESC, nid) AS rnk FROM pt)
+        |SELECT rf.qid AS query_id,
+        |       CAST(count(rt.nid) AS BIGINT) AS n_hits
+        |FROM (SELECT qid, nid FROM rf WHERE rnk <= 10) rf
+        |LEFT JOIN (SELECT qid, nid FROM rt WHERE rnk <= 10) rt
+        |  ON rf.qid = rt.qid AND rf.nid = rt.nid
+        |GROUP BY rf.qid""".stripMargin,
 
     "ann_kmeans" -> kmeansOracleSql(2),
     "sample_kcenter" -> kCenterOracleSql(6),

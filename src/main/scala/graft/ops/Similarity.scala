@@ -299,6 +299,36 @@ object Similarity {
         cosine(col("cand_emb"), col("query_emb")).as("sim"))
       .filter(col("sim").isNotNull && col("sim") >= minSim)
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar candidates with a DIFFERENT label — the highest-value
+    * negatives (easy negatives teach nothing; these sit just across the
+    * decision boundary). Same broadcast-fan + k-bounded aggregation shape
+    * as [[bruteForceTopK]], with the label test fused into the codegen'd
+    * projection so non-candidates never reach the aggregator. Swap the
+    * candidate side for [[ivfTopK]]/[[lshTopK]] routing at corpus scale.
+    * Output: (query_id, query_label, neighbor_id, rank, sim). */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    val cand = candidates.select(
+      col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+      col("embedding").cast("array<double>").as("cand_emb"))
+    val qry = queries.select(
+      col("vec_id").as("query_id"), col("label").as("query_label"),
+      col("embedding").cast("array<double>").as("query_emb"))
+    cand
+      .join(broadcast(qry), col("neighbor_id") =!= col("query_id") &&
+        col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        cosine(col("cand_emb"), col("query_emb")).as("sim"))
+      .filter(col("sim").isNotNull)
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), col("query_label"), posexplode(col("top")))
+      .select(col("query_id"), col("query_label"),
+        col("col.id").as("neighbor_id"), (col("pos") + 1).as("rank"),
+        col("col.score").as("sim"))
+  }
+
   /** NN-descent k-NN-graph construction (Dong et al., "Efficient k-nearest
     * neighbor graph construction for generic similarity measures", WWW'11):
     * start from a hash-random k-neighbor graph and improve it round by
