@@ -1105,6 +1105,16 @@ object SparkEntry {
 
     // Asymmetric shingle containment (doc-in-doc / quotation detection —
     // the relation Jaccard misses). df-capped candidates bound the join.
+    // EXACT near-dup pairs by prefix filtering (SSJoin/PPJoin family) —
+    // the deterministic complement to MinHash-LSH: candidates key on
+    // each doc's RAREST tokens under the global df order (a pair with
+    // Jaccard ≥ t provably shares a prefix token), then the sorted-hash
+    // merge walk verifies. No recall knob, no bands: every qualifying
+    // pair is generated.
+    "dedup_prefix_filter" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text",
+        minJaccard = 0.5)),
+
     "dedup_containment" -> ((s, dir) =>
       Dedup.shingleContainment(t(s, dir, "documents"), "doc_id", "text",
         n = 3, maxDf = 50, minShared = 3, minContainment = 0.8)),
@@ -2459,6 +2469,16 @@ object SparkEntry {
     "rel_gini" -> ((s, dir) =>
       Profile.gini(t(s, dir, "orders"), "o_orderpriority",
         round(col("o_totalprice") * 100))),
+
+    // EXACT per-group median by distributed rank-select (two-level rank
+    // + middle-rank filter) — no global sort, no percentile sketch; the
+    // even-n midpoint is one IEEE division over exact integer cents.
+    "rel_exact_median" -> ((s, dir) =>
+      Profile.exactMedian(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_orderkey"), col("l_linenumber")),
+        "l_returnflag", col("cents"), Seq("l_orderkey", "l_linenumber"))),
 
     "rel_benford" -> { (s, dir) =>
       val cents = round(col("o_totalprice") * 100).cast("long")
@@ -4245,6 +4265,24 @@ object SparkEntry {
         |       CAST(2 * s1 - (n + 1) * sum_v::HUGEINT AS DOUBLE) /
         |       CAST(n * sum_v::HUGEINT AS DOUBLE) AS gini
         |FROM a""".stripMargin,
+
+    // Middle-rank selection replayed with a plain partitioned window
+    // (the fixture groups are small; the engine's two-level form exists
+    // for the corpus-scale group the window can't survive).
+    "rel_exact_median" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |         l_orderkey, l_linenumber FROM lineitem),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g
+        |        ORDER BY v, l_orderkey, l_linenumber) AS r FROM v),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY g)
+        |SELECT r.g AS l_returnflag, n.n,
+        |       CAST(min(v) AS BIGINT) AS median_lo,
+        |       CAST(max(v) AS BIGINT) AS median_hi,
+        |       CAST(min(v) + max(v) AS DOUBLE) / 2 AS median
+        |FROM r JOIN n USING (g)
+        |WHERE r = (n + 1) // 2 OR r = n // 2 + 1
+        |GROUP BY r.g, n.n""".stripMargin,
 
     // Digits from the integer cents string, never double formatting.
     "rel_benford" ->
@@ -6370,6 +6408,46 @@ object SparkEntry {
 
     // Same distinct-3-gram md5 keys as the decon oracle (n=3: len−2
     // windows), df-capped, then ordered-pair containment.
+    // Same prefix scheme relationally over the 3-shingle sets: df order
+    // (the oracle's token order differs from the engine's hashed one —
+    // ANY total order generates every qualifying pair, and only verified
+    // pairs leave), prefix equi-join, exact list-op Jaccard (string
+    // sets — the engine's 64-bit hash counts equal them, the ngram
+    // convention).
+    "dedup_prefix_filter" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents),
+        |ng AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(
+        |          range(0, greatest(len(toks) - 2, 0)),
+        |          i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))))
+        |          AS tok
+        |      FROM tk),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ng GROUP BY tok),
+        |szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ng GROUP BY doc_id),
+        |r AS (SELECT ng.doc_id, ng.tok, szs.sz,
+        |        row_number() OVER (PARTITION BY ng.doc_id
+        |          ORDER BY dfq.df, ng.tok) AS rnk
+        |      FROM ng JOIN dfq USING (tok) JOIN szs USING (doc_id)),
+        |p AS (SELECT doc_id, tok FROM r
+        |      WHERE rnk <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |         FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |s AS (SELECT doc_id,
+        |        list_distinct(list_transform(
+        |          range(0, greatest(len(toks) - 2, 0)),
+        |          i -> array_to_string(toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')))
+        |          AS ts
+        |      FROM tk),
+        |j AS (SELECT da AS doc_a, db AS doc_b,
+        |        CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE) /
+        |        (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
+        |          AS jaccard
+        |      FROM cand
+        |      JOIN s sa ON cand.da = sa.doc_id
+        |      JOIN s sb ON cand.db = sb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
     "dedup_containment" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
         |ngl AS (SELECT doc_id,

@@ -832,6 +832,67 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** EXACT set-similarity self-join by PREFIX FILTERING (the
+    * SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08): two token sets with Jaccard ≥ t must share a token among
+    * each set's first p = |T| − ⌈t·|T|⌉ + 1 tokens under ANY global
+    * token order (fewer than p prefix tokens shared ⇒ the overlap
+    * bound ⌈t·max(|A|,|B|)⌉ is unreachable). Ordering by ASCENDING
+    * document frequency makes the prefix the RAREST tokens, so the
+    * candidate join keys on cold keys by construction — the exact
+    * complement to MinHash-LSH: no probabilistic recall (every
+    * qualifying pair IS generated), at the cost of fan-out bounded by
+    * df(prefix token) rather than a band-bucket size. Corpus-hot
+    * boilerplate tokens land at the END of every order and enter a
+    * prefix only for docs made almost entirely of them.
+    *
+    * Plan: token df is one grouped count; per-doc rank/size windows are
+    * PARTITIONED by doc (bounded by doc length); candidates are one
+    * equi-join on prefix tokens; the verify walks the two sorted
+    * 64-bit token-hash arrays per candidate pair (codegen'd
+    * [[graft.functions.JaccardSorted]] merge — hash-count Jaccard
+    * equals string-set Jaccard, the dedup_ngram_jaccard convention).
+    * Sets are the DISTINCT word n-shingles (the dedup-family
+    * granularity; unigram sets degenerate on small vocabularies). The
+    * prefix order itself need not match the oracle's: ANY total token
+    * order yields every qualifying pair, and only verified pairs leave
+    * the operator. Returns (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(graft.functions.textnative
+          .shingle_md5_keys(col(textCol), n))).as("tok"))
+      .persist(lvl)
+    val dfq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tok"))
+    val whole = Window.partitionBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pfx = toks.join(dfq, Seq("tok"))
+      .withColumn("sz", count(lit(1)).over(whole))
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <=
+        col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .select(col("tok"), col("doc_id"))
+    val cand = pfx.select(col("tok"), col("doc_id").as("a"))
+      .join(pfx.select(col("tok"), col("doc_id").as("b")), Seq("tok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sigs = docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.textnative.shingle_hashes(col(textCol), n).as("sh"))
+      .persist(lvl)
+    cand
+      .join(sigs.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        graft.functions.textnative.jaccard_sorted(col("sha"), col("shb"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
     val planes = Similarity.hyperplanes(nPlanes, dim)

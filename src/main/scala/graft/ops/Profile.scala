@@ -266,6 +266,34 @@ object Profile {
           (col("n") * sv).cast("double")).as("gini"))
   }
 
+  /** EXACT per-group median by distributed rank-select — no global
+    * sort, no approximation: order statistics come from
+    * [[TwoLevelRank.rank]] (per-group two-level prefix rank over value
+    * stripes), only the ≤ 2 middle-ranked rows per group survive the
+    * selection filter, and the even-n midpoint is ONE IEEE division
+    * over exact integers. This is the scale-correct form of the
+    * textbook `row_number() OVER (PARTITION BY g ORDER BY v)` median,
+    * whose hot group is a single-task sort at corpus scale. `tieCols`
+    * must uniquely identify rows within a group (they only fix the
+    * rank's total order; any middle-tie permutation selects the same
+    * values). Returns (group, n, median_lo, median_hi, median). */
+  def exactMedian(df: DataFrame, groupCol: String, valueCol: Column,
+      tieCols: Seq[String], stripeWidth: Long = 65536L): DataFrame = {
+    val base = df.select(col(groupCol).as("__mg") +:
+      valueCol.cast("long").as("__mv") +: tieCols.map(col): _*)
+    val ranked = TwoLevelRank.rank(base, Seq("__mg"), Seq(),
+      expr(s"__mv div $stripeWidth"), "__mv" +: tieCols, "__mr")
+    val nPer = base.groupBy(col("__mg")).agg(count(lit(1)).as("n"))
+    ranked.join(nPer, Seq("__mg"))
+      .filter(col("__mr") === expr("(n + 1) div 2") ||
+        col("__mr") === expr("n div 2 + 1"))
+      .groupBy(col("__mg"), col("n"))
+      .agg(min(col("__mv")).as("median_lo"), max(col("__mv")).as("median_hi"))
+      .select(col("__mg").as(groupCol), col("n"), col("median_lo"),
+        col("median_hi"),
+        ((col("median_lo") + col("median_hi")).cast("double") / 2).as("median"))
+  }
+
   def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       lo: Double, hi: Double, nBuckets: Int): DataFrame = {
     val w = (hi - lo) / nBuckets

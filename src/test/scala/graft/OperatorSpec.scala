@@ -136,6 +136,23 @@ class OperatorSpec extends SparkSuite {
     assert(p64 < p8 + 500, s"plan grew with nCells: $p8 -> $p64 chars")
   }
 
+  test("prefix filter: equals brute-force all-pairs Jaccard — exact, no recall knob") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // ground truth: every pair, no filtering tricks
+    val sigs = docs.select($"doc_id",
+      graft.functions.textnative.shingle_hashes($"text", 3).as("sh"))
+    val brute = sigs.select($"doc_id".as("a"), $"sh".as("sha"))
+      .crossJoin(sigs.select($"doc_id".as("b"), $"sh".as("shb")))
+      .filter($"a" < $"b")
+      .filter(graft.functions.textnative.jaccard_sorted($"sha", $"shb") >= 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.nonEmpty, "fixture has no qualifying pairs — vacuous test")
+  }
+
   test("nfc normalize: decomposed text composes; composed and ligatures unchanged; null-safe") {
     val nfc = graft.functions.textnative.nfc_normalize _
     val df = Seq(Some("é"), Some("é"), Some("ﬃx"), Some("plain"), None)
@@ -2892,6 +2909,37 @@ class OperatorSpec extends SparkSuite {
       val finalPlan = joined.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
         s"AQE did not mark the join skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime bloom-filter join pruning: a selective dim filter reaches the fact side") {
+    // the row-level runtime filter: a selective filter on the join's
+    // build side is turned into a bloom filter applied to the probe side
+    // BEFORE its shuffle — at 100 TB this is what keeps a fact-table
+    // shuffle proportional to the matched keys, not the table
+    val knobs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // fixture-sized thresholds so the injection fires at test scale
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.range(0, 200000).select($"id".as("k"),
+        md5($"id".cast("string")).as("payload"))
+      val dim = spark.range(0, 10000)
+        .select($"id".as("k"), ($"id" % 100).as("cat"))
+        .filter($"cat" === 7)
+      val joined = fact.join(dim, Seq("k"))
+      assert(joined.collect().length === 100)
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
