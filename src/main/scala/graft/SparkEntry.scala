@@ -903,6 +903,39 @@ object SparkEntry {
           substring(md5(col("c_name")), 1, 12).as("pseudonym"),
           col("c_mktsegment"))),
 
+    // k-anonymity / l-diversity audit over (nation, $1000 balance band)
+    // quasi-identifiers with the market segment as the sensitive
+    // attribute: one grouped aggregate, classes under k=5 or without
+    // 3-diverse segments are the release blockers.
+    // Bands run over the +$1000-shifted balance so the integer division
+    // never sees a negative operand (Spark `div` truncates toward zero,
+    // DuckDB `//` floors — they agree only on non-negatives).
+    "rel_k_anonymity" -> ((s, dir) =>
+      Profile.kAnonymity(
+        t(s, dir, "customer").select(col("c_nationkey"),
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000")
+            .as("bal_band"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment", k = 5, l = 3)),
+
+    // Fellegi–Sunter probabilistic record linkage: sorted-neighborhood
+    // candidates ($50 balance blocks, 3 neighbors), u-odds estimated
+    // exactly from the corpus and reduced to ppm, match/non-match
+    // decided by exact integer cross-multiplication (threshold odds
+    // 10:1). Every output cell is integer/string/boolean.
+    "dedup_er_pairs" -> { (s, dir) =>
+      val prep = t(s, dir, "customer").select(
+        col("c_custkey").as("rid"),
+        col("c_nationkey"), col("c_mktsegment"),
+        substring(col("c_name"), -2, 2).as("suffix2"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) + 100000").as("cents"))
+        .withColumn("bal_wide", expr("cents div 100000"))
+        .withColumn("block", expr("cents div 5000"))
+      Dedup.erScoredPairs(prep, "rid", "block", "cents",
+        Seq("c_nationkey", "c_mktsegment", "suffix2", "bal_wide"),
+        window = 3, thresholdNum = 10L, thresholdDen = 1L)
+    },
+
     // Key-skew profile of orders-per-customer — the operational report
     // behind salting/AQE decisions: Gini concentration of the key load
     // histogram plus the 5 heaviest keys with their load share. The
@@ -2914,6 +2947,15 @@ object SparkEntry {
     "graph_components_lp" -> ((s, dir) =>
       Graph.labelPropagation(coPurchaseEdges(s, dir), rounds = 3)),
 
+    // TRUE connected components by alternating large-star/small-star
+    // contraction (SoCC'14) — O(log² n) rounds regardless of component
+    // diameter, where min-label propagation pays one shuffle per hop.
+    // The oracle is an INDEPENDENT algorithm (recursive transitive
+    // closure to a fixpoint), so the gate checks the answer, not the
+    // round structure.
+    "graph_cc_twostars" -> ((s, dir) =>
+      Graph.ccTwoStars(coPurchaseEdges(s, dir))),
+
     // CDC changelog apply: events as an I/U/D log keyed by user; latest
     // op by (ts, event_id) wins, terminal deletes drop the key.
     "rel_cdc_apply" -> { (s, dir) =>
@@ -4856,6 +4898,22 @@ object SparkEntry {
          |       coalesce(intr.internal_edges, 0) AS internal_edges
          |FROM mem LEFT JOIN intr ON mem.community = intr.community""".stripMargin,
 
+    // Independent of the engine's star-contraction rounds: min-reachable
+    // id per node via a recursive transitive closure to the fixpoint.
+    "graph_cc_twostars" ->
+      s"""WITH RECURSIVE $coPurchaseCte,
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b AS src, a AS dst FROM ed),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM (SELECT DISTINCT src FROM sym)
+         |  UNION
+         |  SELECT s.src AS node, p.r AS r
+         |  FROM sym s JOIN reach p ON s.dst = p.node),
+         |lbl AS (SELECT node, min(r) AS lbl FROM reach GROUP BY node)
+         |SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(max(node) AS BIGINT) AS max_node
+         |FROM lbl GROUP BY lbl""".stripMargin,
+
     // The identical 3-round min-label recurrence, unrolled: closed
     // neighborhood = self ∪ in-neighbors over the symmetrized edges.
     "graph_components_lp" ->
@@ -5413,6 +5471,81 @@ object SparkEntry {
         |       substr(md5(c_name), 1, 12) AS pseudonym,
         |       c_mktsegment
         |FROM customer""".stripMargin,
+
+    "rel_k_anonymity" ->
+      """SELECT c_nationkey,
+        |       (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_band,
+        |       CAST(count(*) AS BIGINT) AS class_size,
+        |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+        |       count(*) >= 5 AS k_anonymous,
+        |       count(DISTINCT c_mktsegment) >= 3 AS l_diverse
+        |FROM customer
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The full FS pipeline replayed: same SNM leads, same exact-ppm u
+    // odds (HUGEINT, true floor //), same cross-multiplied 10:1 verdict.
+    "dedup_er_pairs" ->
+      """WITH prep AS (SELECT c_custkey AS rid, c_nationkey, c_mktsegment,
+        |        substr(c_name, length(c_name) - 1, 2) AS suffix2,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS cents
+        |      FROM customer),
+        |p2 AS (SELECT *, cents // 100000 AS bal_wide, cents // 5000 AS block
+        |       FROM prep),
+        |u1 AS (SELECT (sum(CAST(c AS HUGEINT) * (c - 1)) * 1000000) //
+        |              (CAST(sum(c) AS HUGEINT) * (sum(c) - 1)) AS ppm
+        |       FROM (SELECT count(*) AS c FROM p2 GROUP BY c_nationkey)),
+        |u2 AS (SELECT (sum(CAST(c AS HUGEINT) * (c - 1)) * 1000000) //
+        |              (CAST(sum(c) AS HUGEINT) * (sum(c) - 1)) AS ppm
+        |       FROM (SELECT count(*) AS c FROM p2 GROUP BY c_mktsegment)),
+        |u3 AS (SELECT (sum(CAST(c AS HUGEINT) * (c - 1)) * 1000000) //
+        |              (CAST(sum(c) AS HUGEINT) * (sum(c) - 1)) AS ppm
+        |       FROM (SELECT count(*) AS c FROM p2 GROUP BY suffix2)),
+        |u4 AS (SELECT (sum(CAST(c AS HUGEINT) * (c - 1)) * 1000000) //
+        |              (CAST(sum(c) AS HUGEINT) * (sum(c) - 1)) AS ppm
+        |       FROM (SELECT count(*) AS c FROM p2 GROUP BY bal_wide)),
+        |ld AS (SELECT rid AS left_id, c_nationkey AS l1, c_mktsegment AS l2,
+        |         suffix2 AS l3, bal_wide AS l4, j,
+        |         CASE j WHEN 1 THEN lead(rid, 1) OVER w
+        |                WHEN 2 THEN lead(rid, 2) OVER w
+        |                ELSE lead(rid, 3) OVER w END AS right_id,
+        |         CASE j WHEN 1 THEN lead(c_nationkey, 1) OVER w
+        |                WHEN 2 THEN lead(c_nationkey, 2) OVER w
+        |                ELSE lead(c_nationkey, 3) OVER w END AS r1,
+        |         CASE j WHEN 1 THEN lead(c_mktsegment, 1) OVER w
+        |                WHEN 2 THEN lead(c_mktsegment, 2) OVER w
+        |                ELSE lead(c_mktsegment, 3) OVER w END AS r2,
+        |         CASE j WHEN 1 THEN lead(suffix2, 1) OVER w
+        |                WHEN 2 THEN lead(suffix2, 2) OVER w
+        |                ELSE lead(suffix2, 3) OVER w END AS r3,
+        |         CASE j WHEN 1 THEN lead(bal_wide, 1) OVER w
+        |                WHEN 2 THEN lead(bal_wide, 2) OVER w
+        |                ELSE lead(bal_wide, 3) OVER w END AS r4
+        |       FROM p2 CROSS JOIN (SELECT unnest([1, 2, 3]) AS j)
+        |       WINDOW w AS (PARTITION BY block, j ORDER BY cents, rid)),
+        |ag AS (SELECT left_id, right_id,
+        |         l1 IS NOT DISTINCT FROM r1 AS a1,
+        |         l2 IS NOT DISTINCT FROM r2 AS a2,
+        |         l3 IS NOT DISTINCT FROM r3 AS a3,
+        |         l4 IS NOT DISTINCT FROM r4 AS a4
+        |       FROM ld WHERE right_id IS NOT NULL)
+        |SELECT left_id, right_id,
+        |  concat(CASE WHEN a1 THEN '1' ELSE '0' END,
+        |         CASE WHEN a2 THEN '1' ELSE '0' END,
+        |         CASE WHEN a3 THEN '1' ELSE '0' END,
+        |         CASE WHEN a4 THEN '1' ELSE '0' END) AS pattern,
+        |  CAST((CASE WHEN a1 THEN 1 ELSE 0 END) + (CASE WHEN a2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN a3 THEN 1 ELSE 0 END) + (CASE WHEN a4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_agree,
+        |  (CASE WHEN a1 THEN CAST(9000000 AS HUGEINT) ELSE 1000000 END *
+        |   CASE WHEN a2 THEN 9000000 ELSE 1000000 END *
+        |   CASE WHEN a3 THEN 9000000 ELSE 1000000 END *
+        |   CASE WHEN a4 THEN 9000000 ELSE 1000000 END) * 1 >=
+        |  (10 * CASE WHEN a1 THEN u1.ppm ELSE 1000000 - u1.ppm END *
+        |   10 * CASE WHEN a2 THEN u2.ppm ELSE 1000000 - u2.ppm END *
+        |   10 * CASE WHEN a3 THEN u3.ppm ELSE 1000000 - u3.ppm END *
+        |   10 * CASE WHEN a4 THEN u4.ppm ELSE 1000000 - u4.ppm END) * 10
+        |    AS is_match
+        |FROM ag, u1, u2, u3, u4""".stripMargin,
 
     "sample_balance" ->
       """WITH tgt AS (SELECT min(n) AS k FROM (

@@ -1030,4 +1030,97 @@ object Dedup {
         .select(col("ida"), col("idb"))
     }
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter,
+    * JASA 1969 — the model behind Splink/dedupe-style entity
+    * resolution): candidate pairs from SORTED-NEIGHBORHOOD blocking,
+    * scored by per-field agreement odds, classified by an EXACT rational
+    * threshold comparison.
+    *
+    * Blocking: records sort by (`ordCol`, id) WITHIN `blockCol`
+    * partitions and each record pairs with its next `window` neighbors —
+    * one partitioned window (never a global sort), O(n·window) candidate
+    * pairs at any scale, the classic SNM bound. All `window` leads ride
+    * one WindowExec.
+    *
+    * Scoring: the u-probability of field i (chance agreement between two
+    * RANDOM records) is estimated exactly from the corpus as
+    * u_i = Σ_v c_v(c_v−1) / n(n−1), then reduced to parts-per-million by
+    * a floor division made exact by an off-by-one correction (decimal
+    * division rounds at scale 6; the correction re-anchors to the true
+    * floor, so both engines of the gate compute the identical integer).
+    * The m-probability is the caller's `mNum/mDen` prior (one value for
+    * every field — the standard starting point before EM refinement).
+    * The match-odds ratio R = Π_i agree? (m/u_i) : ((1−m)/(1−u_i)) is
+    * then compared to `thresholdNum/thresholdDen` by integer
+    * cross-multiplication in DECIMAL(38,0): with ppm-reduced u the
+    * products are bounded by (mDen·10⁶)^k·threshold — INDEPENDENT of
+    * corpus size, so the exact form never overflows at scale (the naïve
+    * n(n−1)-denominator form grows as n^(2k) and dies at sf0.1 with 4
+    * fields). A field that never (ppm 0) or always (ppm 10⁶) agrees by
+    * chance makes the corresponding factor's denominator 0 = infinite
+    * evidence; the cross-multiplied comparison handles that without
+    * special cases because nothing ever divides.
+    *
+    * u estimation is one small groupBy per field (k bounded scans);
+    * each result is a 1-row broadcast joined onto the pair stream.
+    * Output per candidate pair: (left_id, right_id, pattern, n_agree,
+    * is_match) — all integer/string/boolean, fully hash-gateable. */
+  def erScoredPairs(records: DataFrame, idCol: String, blockCol: String,
+      ordCol: String, fieldCols: Seq[String], window: Int = 3,
+      thresholdNum: Long = 10L, thresholdDen: Long = 1L,
+      mNum: Long = 9L, mDen: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fieldCols.nonEmpty && fieldCols.size <= 6, "1..6 comparison fields")
+    require(window >= 1 && window <= 16, "window in [1,16]")
+    require(mNum > 0 && mNum < mDen, "0 < m < 1")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val SCALE = 1000000L
+    // exact ppm of u_i: floor(Σc(c−1)·10⁶ / n(n−1)), floor-corrected
+    val uFrames = fieldCols.map { f =>
+      val sums = records.groupBy(col(f)).agg(count(lit(1)).as("c"))
+        .agg(
+          coalesce(sum((col("c").cast(dec) * (col("c") - lit(1)).cast(dec))),
+            lit(0).cast(dec)).as("un"),
+          (sum(col("c")).cast(dec) * (sum(col("c")) - lit(1)).cast(dec)).as("ud"))
+      val qRaw = floor(col("un") * lit(SCALE) / col("ud")).cast(dec)
+      val scaled = col("un") * lit(SCALE)
+      val q = when(qRaw * col("ud") > scaled, qRaw - 1)
+        .when((qRaw + 1) * col("ud") <= scaled, qRaw + 1)
+        .otherwise(qRaw)
+      sums.select(q.cast("long").as(s"__ppm_$f"))
+    }
+    // one window pass: all `window` leads of (id, fields) as one array
+    val w = Window.partitionBy(col(blockCol)).orderBy(col(ordCol), col(idCol))
+    val leadStruct = (j: Int) => struct(
+      lead(col(idCol), j).over(w).as("rid") +:
+        fieldCols.map(f => lead(col(f), j).over(w).as(f)): _*)
+    val pairs = records
+      .select(col(idCol).as("left_id") +:
+        fieldCols.map(f => col(f).as(s"__l_$f")) :+
+        array((1 to window).map(leadStruct): _*).as("__cands"): _*)
+      .select(col("left_id") +: fieldCols.map(f => col(s"__l_$f")) :+
+        explode(col("__cands")).as("__r"): _*)
+      .filter(col("__r.rid").isNotNull)
+    val withU = uFrames.foldLeft(pairs)((df, u) => df.crossJoin(broadcast(u)))
+    val agrees = fieldCols.map(f => col(s"__l_$f") <=> col(s"__r.$f"))
+    // R's numerator factors are constants (agree → m·10⁶, else (1−m)·10⁶);
+    // the denominator carries the ppm odds. Bounded ≤ (mDen·10⁶)^k.
+    val rNum = agrees.map(ag =>
+        when(ag, lit(mNum * SCALE)).otherwise(lit((mDen - mNum) * SCALE)).cast(dec))
+      .reduce((x, y) => (x * y).cast(dec))
+    val rDen = fieldCols.zip(agrees).map { case (f, ag) =>
+        (lit(mDen).cast(dec) *
+          when(ag, col(s"__ppm_$f")).otherwise(lit(SCALE) - col(s"__ppm_$f")).cast(dec))
+          .cast(dec)
+      }
+      .reduce((x, y) => (x * y).cast(dec))
+    withU.select(
+      col("left_id"),
+      col("__r.rid").as("right_id"),
+      concat(agrees.map(ag => when(ag, lit("1")).otherwise(lit("0"))): _*).as("pattern"),
+      agrees.map(ag => when(ag, lit(1L)).otherwise(lit(0L))).reduce(_ + _).as("n_agree"),
+      (rNum * lit(thresholdDen).cast(dec) >=
+        rDen * lit(thresholdNum).cast(dec)).as("is_match"))
+  }
 }

@@ -497,6 +497,120 @@ object Graph {
     minLabelRounds(sym, nodes, rounds)
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    * Components in MapReduce and Beyond", ACM SoCC'14). Min-label
+    * propagation ([[labelPropagation]], [[Dedup.duplicateGroups]]) needs
+    * O(component diameter) rounds — fine for the shallow clique/star
+    * components LSH dedup produces, fatal for long-chain graphs (a
+    * 10⁶-hop path = 10⁶ shuffles). Two-star rounds contract the graph
+    * toward per-component stars in O(log² n) rounds REGARDLESS of
+    * diameter, which is why this is the canonical web-scale CC
+    * algorithm. Per round:
+    *
+    *  - large-star: key every edge on BOTH endpoints; for node u with
+    *    neighborhood Γ(u), every strictly-larger neighbor w > u re-points
+    *    to m = min(Γ(u) ∪ {u}). Each input edge is emitted exactly once
+    *    (under its smaller endpoint), so |E| never grows.
+    *  - small-star: key each edge on its LARGER endpoint; u and all its
+    *    smaller neighbors re-point to m = min(Γ₋(u) ∪ {u}) = min Γ₋(u).
+    *
+    * Both halves preserve connectivity (the paper's invariant: every
+    * emitted edge connects two nodes of the same original component, and
+    * the union keeps each component connected); at the fixpoint the edge
+    * set is a disjoint union of stars whose centers are the component
+    * minima. Each half is one grouped min + one equi-join — two narrow
+    * shuffles on (node, node) rows, the same envelope as a pagerank
+    * iteration. Rounds are `localCheckpoint`ed (lineage O(1), superseded
+    * blocks freed — the [[checkpointRound]] discipline), and convergence
+    * is read as (count, xxhash64-sum) of the round's already-materialized
+    * edge frame — a scan, not an extra shuffle. Throws if `maxRounds`
+    * passes without a fixpoint: silently-partial stars would be wrong
+    * components.
+    *
+    * Returns per-node labels (node, lbl); lbl = the component's minimum
+    * node id — identical to what converged min-label produces, in
+    * logarithmically many rounds instead of linearly many. */
+  def ccTwoStarsNodes(edges: DataFrame, maxRounds: Int = 24): DataFrame = {
+    val canon = edges.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var (e, eIds) = checkpointRound(canon)
+    def stats(df: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: a sum of random 64-bit hashes overflows ANSI
+      // BIGINT; xor is order-independent and never overflows
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = stats(e)
+    var converged = prev._1 == 0L
+    var i = 0
+    while (!converged && i < maxRounds) {
+      // Large-star. m ≤ u < w strictly, so (m, w) is already canonical
+      // and never a self-loop.
+      val sym = e.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("w")))
+      val minsL = sym.groupBy(col("u")).agg(least(min(col("w")), col("u")).as("m"))
+      val large = sym.join(minsL, "u").filter(col("w") > col("u"))
+        .select(col("m").as("a"), col("w").as("b"))
+        .distinct()
+      // Small-star over edges keyed on their larger endpoint: u and all
+      // its smaller neighbors re-point to the smallest of them. m ≤ w < u
+      // for the neighbor rows; the center's own (m, m) row is the one
+      // possible self-loop and is dropped.
+      val oriented = large.select(col("b").as("u"), col("a").as("w"))
+      val minsS = oriented.groupBy(col("u")).agg(min(col("w")).as("m"))
+      val small = oriented.join(minsS, "u")
+        .select(col("m").as("a"), col("w").as("b"))
+        .unionAll(minsS.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val (next, nextIds) = checkpointRound(small)
+      freeRound(next, eIds)
+      e = next; eIds = nextIds
+      val cur = stats(e)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    if (!converged) {
+      freeRound(e, eIds)
+      throw new IllegalStateException(
+        s"ccTwoStarsNodes did not converge within $maxRounds rounds")
+    }
+    // The fixpoint of alternating star rounds is provably a disjoint
+    // union of stars; verify that shape loudly (leaves unique, no node
+    // on both sides) so a (count, hash-sum) probe collision — the one
+    // way the loop could exit early with a non-fixpoint — cannot return
+    // silently wrong components.
+    val shape = e.agg(
+      (count(lit(1)) - countDistinct(col("b"))).as("dupLeaves"),
+      coalesce(sum(when(col("a") > col("b"), 1L).otherwise(0L)), lit(0L))
+        .as("misoriented")).head()
+    val centerAsLeaf = e.select(col("a")).distinct()
+      .join(e.select(col("b").as("a")).distinct(), Seq("a"), "left_semi")
+      .limit(1).count()
+    if (shape.getLong(0) != 0L || shape.getLong(1) != 0L || centerAsLeaf != 0L)
+      throw new IllegalStateException(
+        "ccTwoStarsNodes converged to a non-star edge set " +
+          s"(dupLeaves=${shape.getLong(0)}, misoriented=${shape.getLong(1)}, " +
+          s"centerAsLeaf=$centerAsLeaf)")
+    // Converged edge set = disjoint stars (center a = component min).
+    e.select(col("b").as("node"), col("a").as("lbl"))
+      .unionAll(e.select(col("a").as("node"), col("a").as("lbl")))
+      .distinct()
+  }
+
+  /** [[ccTwoStarsNodes]] aggregated to one row per component —
+    * (component, n_nodes, max_node), the [[labelPropagation]] output
+    * shape with TRUE component minima as labels (not k-hop minima). */
+  def ccTwoStars(edges: DataFrame, maxRounds: Int = 24): DataFrame =
+    ccTwoStarsNodes(edges, maxRounds)
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+      .select(col("lbl").as("component"), col("n_nodes"), col("max_node"))
+
   /** `rounds` of synchronous min-label propagation ALONG edge direction
     * (label pushes src → dst; every node also keeps its own label). On a
     * symmetrized frame this is the [[labelPropagationNodes]] recurrence;

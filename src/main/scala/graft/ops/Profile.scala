@@ -344,6 +344,29 @@ object Profile {
         sum(col("clipped").cast("decimal(18,2)")).as("sum_winsorized"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007) — the privacy gate a dataset passes before release: every
+    * combination of quasi-identifier values (an "equivalence class")
+    * must cover ≥ k records, and the sensitive attribute must take ≥ l
+    * distinct values inside the class (k alone still leaks when a class
+    * is sensitive-homogeneous). One grouped aggregate over the
+    * quasi-identifier key — hash-partitions at any scale, no joins, no
+    * windows. Returns one row per equivalence class:
+    * (quasi columns…, class_size, n_sensitive, k_anonymous, l_diverse);
+    * rows with `k_anonymous = false` are the classes a release must
+    * suppress or generalize. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, "k and l are positive")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(quasiCols.map(col) ++ Seq(col("class_size"), col("n_sensitive"),
+        (col("class_size") >= k).as("k_anonymous"),
+        (col("n_sensitive") >= l).as("l_diverse")): _*)
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),

@@ -2020,6 +2020,44 @@ class OperatorSpec extends SparkSuite {
     assert(r6 == Set((1L, 7L, 7L), (10L, 2L, 11L)), s"converged: $r6")
   }
 
+  test("two-star CC: long chain converges in O(log) rounds to true components") {
+    // a 32-node path has diameter 31 — min-label needs 31 rounds, the
+    // alternating star contraction must finish in far fewer
+    val chain = (1L until 32L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("a", "b")
+    val nodes = Graph.ccTwoStarsNodes(edges, maxRounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(nodes.size == 35, nodes.toString)
+    assert((1L to 32L).forall(nodes(_) == 1L), nodes.toString)
+    assert((100L to 102L).forall(nodes(_) == 100L), nodes.toString)
+    // aggregated shape matches labelPropagation's converged output
+    val comps = Graph.ccTwoStars(edges).as[(Long, Long, Long)].collect().toSet
+    assert(comps == Set((1L, 32L, 32L), (100L, 3L, 102L)), comps.toString)
+    // the round guard fails loudly rather than returning partial stars
+    intercept[IllegalStateException] {
+      Graph.ccTwoStarsNodes(edges, maxRounds = 1).count()
+    }
+    // checkpoint blocks from superseded rounds are freed
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Graph.ccTwoStarsNodes(edges).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 2, s"leaked checkpoint blocks: $before -> $after")
+  }
+
+  test("two-star CC: agrees with min-label duplicateGroups on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 160).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = pairs.toDF("a", "b")
+    val twoStar = Graph.ccTwoStarsNodes(edges).as[(Long, Long)].collect().toMap
+    val minLabel = Dedup.duplicateGroups(
+        edges.select($"a".as("left_id"), $"b".as("right_id")))
+      .as[(Long, Long)].collect().toMap
+    assert(twoStar == minLabel,
+      s"diff: ${(twoStar.toSet -- minLabel.toSet).take(5)}")
+  }
+
   test("PQ: an exact duplicate shares the query's codes and ranks first") {
     val dim = 64
     val rnd = new scala.util.Random(7)
@@ -3100,5 +3138,61 @@ class OperatorSpec extends SparkSuite {
     val second = Similarity.kCenterQuantized(tie, k = 2)
       .filter($"sel_order" === 2).select($"center_id").as[Long].head()
     assert(second == 1L, s"tie must break to the lower id, got $second")
+  }
+
+  test("FS record linkage: hand-computed u odds, patterns, and 10:1 verdicts") {
+    // one block, ordered 1..4; fields: city [A,A,A,B] → u = 6/12 = 0.5
+    // (ppm 500000), zip [X,Y,X,Y] → u = 4/12 = 1/3 (ppm 333333)
+    val recs = Seq(
+      (1L, 0L, 1L, "A", "X"),
+      (2L, 0L, 2L, "A", "Y"),
+      (3L, 0L, 3L, "A", "X"),
+      (4L, 0L, 4L, "B", "Y")).toDF("rid", "block", "ord", "city", "zip")
+    val out = Dedup.erScoredPairs(recs, "rid", "block", "ord",
+        Seq("city", "zip"), window = 2, thresholdNum = 10L, thresholdDen = 1L)
+      .as[(Long, Long, String, Long, Boolean)].collect().toSet
+    // agree-city factor: 9e6/(10·500000) = 9/5; disagree-city: 1e6/(10·500000) = 1/5
+    // agree-zip: 9e6/(10·333333) = 2.70…; disagree-zip: 1e6/(10·666667) = 0.1499…
+    // "11" → 4.86, "10" → 0.269…, "01" → 0.54, "00" → 0.0299… — all < 10
+    assert(out == Set(
+      (1L, 2L, "10", 1L, false), (1L, 3L, "11", 2L, false),
+      (2L, 3L, "10", 1L, false), (2L, 4L, "01", 1L, false),
+      (3L, 4L, "00", 0L, false)), out.toString)
+    // exact rational boundary: tags [u1,u1,u3,u4] → u ppm = 2e6/12 =
+    // 166666 (floored), agree odds 9e6/1666660 = 5.40000648… — a 5:1
+    // threshold matches, 6:1 does not; the verdict flips on the exact
+    // cross-multiplied integers, not a float rounding
+    val uniq = Seq(
+      (1L, 0L, 1L, "u1"), (2L, 0L, 2L, "u1"), (3L, 0L, 3L, "u3"),
+      (4L, 0L, 4L, "u4")).toDF("rid", "block", "ord", "tag")
+    def verdicts(tn: Long) = Dedup.erScoredPairs(uniq, "rid", "block", "ord",
+        Seq("tag"), window = 1, thresholdNum = tn, thresholdDen = 1L)
+      .as[(Long, Long, String, Long, Boolean)].collect().toSet
+    val at5 = verdicts(5L)
+    assert(at5.contains((1L, 2L, "1", 1L, true)), at5.toString)
+    assert(at5.contains((2L, 3L, "0", 0L, false)), at5.toString)
+    assert(verdicts(6L).contains((1L, 2L, "1", 1L, false)), "6:1 must reject")
+    // pairs never cross blocks
+    val blocked = Seq(
+      (1L, 0L, 1L, "A"), (2L, 0L, 2L, "A"),
+      (3L, 1L, 3L, "A"), (4L, 1L, 4L, "A")).toDF("rid", "block", "ord", "f")
+    val bp = Dedup.erScoredPairs(blocked, "rid", "block", "ord", Seq("f"),
+        window = 3).select($"left_id", $"right_id")
+      .as[(Long, Long)].collect().toSet
+    assert(bp == Set((1L, 2L), (3L, 4L)), bp.toString)
+  }
+
+  test("k-anonymity: class sizes, l-diversity, and the under-k release blockers") {
+    val df = Seq(
+      ("n1", 1L, "s1"), ("n1", 1L, "s2"), ("n1", 1L, "s1"),
+      ("n1", 2L, "s1"), ("n2", 1L, "s1"), ("n2", 1L, "s1"))
+      .toDF("nat", "band", "seg")
+    val out = Profile.kAnonymity(df, Seq("nat", "band"), "seg", k = 3, l = 2)
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect().toSet
+    assert(out == Set(
+      ("n1", 1L, 3L, 2L, true, true),   // big enough, diverse
+      ("n1", 2L, 1L, 1L, false, false), // singleton: re-identifiable
+      ("n2", 1L, 2L, 1L, false, false)  // homogeneous: attribute leak
+    ), out.toString)
   }
 }
