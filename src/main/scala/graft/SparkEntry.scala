@@ -936,6 +936,36 @@ object SparkEntry {
         window = 3, thresholdNum = 10L, thresholdDen = 1L)
     },
 
+    // Deequ-style release gate over orders: six constraints in ONE
+    // aggregation pass (row floor, key-uniqueness deficit, completeness,
+    // value domain, bound, format), plus referential containment of
+    // custkeys as a second single-pass suite over the anti-join — the
+    // whole audit is two scans regardless of how many checks ride.
+    "rel_quality_checks" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val base = Profile.qualityChecks(orders, Seq(
+        ("row_count_min", count(lit(1)), (m: Column) => m >= 1000L),
+        ("orderkey_unique",
+          count(lit(1)) - countDistinct(col("o_orderkey")),
+          (m: Column) => m === 0L),
+        ("custkey_complete",
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)),
+          (m: Column) => m === 0L),
+        ("status_domain",
+          sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L)),
+          (m: Column) => m === 0L),
+        ("price_positive",
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)),
+          (m: Column) => m === 0L),
+        ("priority_format",
+          sum(when(col("o_orderpriority").like("_-%"), 0L).otherwise(1L)),
+          (m: Column) => m === 0L)))
+      val orphans = orders.join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      base.unionAll(Profile.qualityChecks(orphans, Seq(
+        ("custkey_referential", count(lit(1)), (m: Column) => m === 0L))))
+    },
+
     // Key-skew profile of orders-per-customer — the operational report
     // behind salting/AQE decisions: Gini concentration of the key load
     // histogram plus the 5 heaviest keys with their load share. The
@@ -2875,6 +2905,22 @@ object SparkEntry {
       Graph.bfsDistances(ed, seeds, rounds = 3)
     },
 
+    // Weighted shortest paths (3-round Bellman-Ford min-plus) over the
+    // customer<->supplier trade graph, edge weight = lineitem count per
+    // pair: the weighted generalization of graph_bfs, exact integer
+    // distances over <=3-hop paths from the %97 seed customers.
+    "graph_sssp_weighted" -> { (s, dir) =>
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+        .agg(count(lit(1)).as("w"))
+      val adj = e.select(col("c").as("src"), (-col("su") - 1).as("dst"), col("w"))
+        .unionAll(e.select((-col("su") - 1).as("src"), col("c").as("dst"), col("w")))
+      val seeds = e.select(col("c").as("node")).distinct()
+        .filter(col("node") % 97 === 0)
+      Graph.ssspBounded(adj, seeds, rounds = 3)
+    },
+
     // Diameter lower bound by double-sweep BFS: sweep 1 from the
     // smallest node, sweep 2 from the farthest node it reaches (tie →
     // smallest id); one exact-integer row. Two bounded single-source
@@ -4634,6 +4680,30 @@ object SparkEntry {
          |        FROM d2 d JOIN sym s ON d.node = s.src) GROUP BY node)
          |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
 
+    // The identical 3-round min-plus recurrence with weights, unrolled.
+    "graph_sssp_weighted" ->
+      """WITH tw AS (SELECT o_custkey AS c, l_suppkey AS su,
+        |        CAST(count(*) AS BIGINT) AS w
+        |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |      GROUP BY 1, 2),
+        |adj AS (SELECT c AS src, -su - 1 AS dst, w FROM tw
+        |        UNION ALL SELECT -su - 1 AS src, c AS dst, w FROM tw),
+        |seeds AS (SELECT DISTINCT c AS node FROM tw WHERE c % 97 = 0),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |        SELECT node, dist FROM d0 UNION ALL
+        |        SELECT a.dst AS node, d.dist + a.w AS dist
+        |        FROM d0 d JOIN adj a ON d.node = a.src) GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |        SELECT node, dist FROM d1 UNION ALL
+        |        SELECT a.dst AS node, d.dist + a.w AS dist
+        |        FROM d1 d JOIN adj a ON d.node = a.src) GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |        SELECT node, dist FROM d2 UNION ALL
+        |        SELECT a.dst AS node, d.dist + a.w AS dist
+        |        FROM d2 d JOIN adj a ON d.node = a.src) GROUP BY node)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+
     // Double-sweep replay: both bounded BFS recurrences unrolled, the
     // pivot (farthest node, tie smallest id) as ORDER BY ... LIMIT 1.
     "graph_diameter" ->
@@ -5464,6 +5534,33 @@ object SparkEntry {
         |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
         |       min(day) AS min_day, max(day) AS max_day
         |FROM c GROUP BY 1""".stripMargin,
+
+    "rel_quality_checks" ->
+      """WITH m AS (SELECT count(*) AS row_cnt,
+        |        count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+        |        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+        |        sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+        |          AS bad_status,
+        |        sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+        |        sum(CASE WHEN o_orderpriority LIKE '_-%' THEN 0 ELSE 1 END)
+        |          AS bad_prio
+        |      FROM orders),
+        |orph AS (SELECT count(*) AS c FROM orders o
+        |         ANTI JOIN customer ON o.o_custkey = c_custkey)
+        |SELECT 'row_count_min' AS check_name, CAST(row_cnt AS BIGINT) AS metric,
+        |       row_cnt >= 1000 AS passed FROM m
+        |UNION ALL SELECT 'orderkey_unique', CAST(dup_keys AS BIGINT),
+        |       dup_keys = 0 FROM m
+        |UNION ALL SELECT 'custkey_complete', CAST(null_cust AS BIGINT),
+        |       null_cust = 0 FROM m
+        |UNION ALL SELECT 'status_domain', CAST(bad_status AS BIGINT),
+        |       bad_status = 0 FROM m
+        |UNION ALL SELECT 'price_positive', CAST(bad_price AS BIGINT),
+        |       bad_price = 0 FROM m
+        |UNION ALL SELECT 'priority_format', CAST(bad_prio AS BIGINT),
+        |       bad_prio = 0 FROM m
+        |UNION ALL SELECT 'custkey_referential', CAST(c AS BIGINT),
+        |       c = 0 FROM orph""".stripMargin,
 
     "rel_masking" ->
       """SELECT c_custkey,

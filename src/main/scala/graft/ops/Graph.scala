@@ -258,6 +258,34 @@ object Graph {
     fin
   }
 
+  /** Bounded-round single-source shortest paths over a WEIGHTED directed
+    * adjacency frame `adj(src, dst, w)` — the Bellman–Ford min-plus
+    * relaxation, generalizing [[bfsOverSym]] from hop counts to weighted
+    * distances. After k rounds every node holds the EXACT minimum-weight
+    * distance over paths of ≤ k hops from the nearest seed (the
+    * fixed-round, oracle-replayable form; weighted shortest paths have
+    * no better distributed primitive — delta-stepping batches the same
+    * relaxation by distance range). Each round is one equi-join on the
+    * frontier + one keyed min — two narrow shuffles over (node, BIGINT)
+    * rows — with the [[checkpointRound]] lineage discipline. Weights
+    * must be non-negative integers (exact min-plus arithmetic; a
+    * negative weight would need the full n−1 rounds to be meaningful).
+    * Callers pass a symmetrized frame for undirected semantics. */
+  def ssspBounded(adj: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    val init = seeds.select(col("node"), lit(0L).as("dist"))
+    val (fin, _) = (1 to rounds).foldLeft((init, Set.empty[Int])) {
+      case ((dist, prevIds), _) =>
+        val (d, ids) = checkpointRound(dist)
+        freeRound(d, prevIds)
+        (d.unionAll(
+            d.join(adj, col("node") === col("src"))
+              .select(col("dst").as("node"), (col("dist") + col("w")).as("dist")))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")), ids)
+    }
+    fin
+  }
+
   /** Diameter lower bound by the classic double-sweep: BFS from the
     * smallest node id, take the farthest reached node (tie → smallest
     * id), BFS again from there — the second sweep's eccentricity is the

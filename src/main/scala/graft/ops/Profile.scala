@@ -367,6 +367,34 @@ object Profile {
         (col("n_sensitive") >= l).as("l_diverse")): _*)
   }
 
+  /** Deequ-style data-quality verification (Schelter et al., VLDB'18
+    * "Automating Large-Scale Data Quality Verification"): a suite of
+    * named constraints — each an integer aggregate metric plus a pass
+    * predicate over it — evaluated in ONE aggregation pass over the
+    * frame, however many checks ride along (completeness, uniqueness
+    * deficit, domain violations, bound violations all reduce to counts).
+    * This is the shape that scales: k checks cost one scan + one 1-row
+    * aggregate, not k jobs, and the single result row pivots to one
+    * (check_name, metric, passed) row per constraint — the audit table a
+    * pipeline gates a release on. Metrics must be integer-valued
+    * aggregate expressions (counts/sums — exact at any scale); checks
+    * needing a second table (referential containment) run the same way
+    * over the pre-joined frame and union in. */
+  def qualityChecks(df: DataFrame,
+      checks: Seq[(String, Column, Column => Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val aggs = checks.zipWithIndex.map {
+      case ((_, m, _), i) => m.cast("long").as(s"__m_$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = checks.zipWithIndex.flatMap { case ((n, _, p), i) =>
+      Seq(lit(n), struct(col(s"__m_$i").as("metric"),
+        p(col(s"__m_$i")).as("passed")))
+    }
+    one.select(explode(map(pairs: _*)).as(Seq("check_name", "s")))
+      .select(col("check_name"), col("s.metric"), col("s.passed"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),

@@ -3140,6 +3140,20 @@ class OperatorSpec extends SparkSuite {
     assert(second == 1L, s"tie must break to the lower id, got $second")
   }
 
+  test("weighted SSSP: a cheap 2-hop detour beats the direct edge; hop bound holds") {
+    // 1→2 costs 10 direct, but 1→3→2 costs 3; node 4 hangs off 2
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L), (2L, 4L, 1L))
+    val adj = (edges ++ edges.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r1 = Graph.ssspBounded(adj, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 10L, 3L -> 1L), r1.toString)
+    val r3 = Graph.ssspBounded(adj, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 4L), r3.toString)
+  }
+
   test("FS record linkage: hand-computed u odds, patterns, and 10:1 verdicts") {
     // one block, ordered 1..4; fields: city [A,A,A,B] → u = 6/12 = 0.5
     // (ppm 500000), zip [X,Y,X,Y] → u = 4/12 = 1/3 (ppm 333333)
@@ -3180,6 +3194,23 @@ class OperatorSpec extends SparkSuite {
         window = 3).select($"left_id", $"right_id")
       .as[(Long, Long)].collect().toSet
     assert(bp == Set((1L, 2L), (3L, 4L)), bp.toString)
+  }
+
+  test("quality checks: one-pass suite reports exact metrics and verdicts") {
+    val df = Seq(
+      (1L, Some("A"), 10.0), (2L, Some("A"), -5.0), (2L, None, 3.0))
+      .toDF("k", "v", "x")
+    val out = Profile.qualityChecks(df, Seq(
+        ("rows", count(lit(1)), (m: org.apache.spark.sql.Column) => m >= 3L),
+        ("k_unique", count(lit(1)) - countDistinct($"k"), (m: org.apache.spark.sql.Column) => m === 0L),
+        ("v_complete", sum(when($"v".isNull, 1L).otherwise(0L)),
+          (m: org.apache.spark.sql.Column) => m === 0L),
+        ("x_positive", sum(when($"x" <= 0, 1L).otherwise(0L)),
+          (m: org.apache.spark.sql.Column) => m === 0L)))
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      ("rows", 3L, true), ("k_unique", 1L, false),
+      ("v_complete", 1L, false), ("x_positive", 1L, false)), out.toString)
   }
 
   test("k-anonymity: class sizes, l-diversity, and the under-k release blockers") {
