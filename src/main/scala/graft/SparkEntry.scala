@@ -1390,6 +1390,22 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 8),
         k = 10)),
 
+    // Hybrid retrieval: RRF-fuse the lexical (integer-scaled-idf term
+    // overlap, top-50) and vector (brute-force cosine, top-50) rankings
+    // for the same 8-query panel; doc_id and vec_id index the same
+    // corpus. The fusion itself touches only Q x K rows.
+    "ann_hybrid_rrf" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val lex = TextAnalysis.idfOverlapRanks(docs,
+        docs.filter(col("doc_id") < 8), "doc_id", "text", topK = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val vec = Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 8), k = 50)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.rrfFuse(lex, vec, c = 60, topK = 10)
+    },
+
     // Retrieval-quality MRR@20: per labeled query, the reciprocal rank
     // of the FIRST same-label candidate under exact brute-force cosine
     // ranking (rank > 20 ⇒ miss, rr = 0 — the standard @k convention).
@@ -6353,6 +6369,49 @@ object SparkEntry {
         |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
         |        ORDER BY sim DESC, nid) AS rnk FROM p)
         |WHERE rnk <= 10""".stripMargin,
+
+    // Both source rankings replayed (scaled-idf overlap; the
+    // ann_cosine_topk cosine), then the same two-division RRF fold.
+    "ann_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id,
+        |        unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+        |      FROM documents),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tok),
+        |idf AS (SELECT term, CAST(round(ln(1.0 +
+        |          (n.n_docs - CAST(count(*) AS DOUBLE) + 0.5) /
+        |          (CAST(count(*) AS DOUBLE) + 0.5)) * 1000000) AS BIGINT) AS idfs
+        |        FROM tok, n GROUP BY term, n.n_docs),
+        |qt AS (SELECT doc_id AS qid, term FROM tok WHERE doc_id < 8),
+        |lexsc AS (SELECT qt.qid, tok.doc_id AS nid, sum(idf.idfs) AS s
+        |          FROM qt JOIN tok ON qt.term = tok.term
+        |                  JOIN idf ON idf.term = qt.term
+        |          WHERE tok.doc_id <> qt.qid GROUP BY 1, 2),
+        |lex AS (SELECT qid, nid, ra FROM (
+        |          SELECT qid, nid, CAST(row_number() OVER (
+        |            PARTITION BY qid ORDER BY s DESC, nid) AS INT) AS ra
+        |          FROM lexsc) WHERE ra <= 50),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |p AS (SELECT qid, e.vec_id AS nid,
+        |        list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * qv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(qv)), i -> e.v[i+1] * e.v[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(qv)), i -> qv[i+1] * qv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM q, e WHERE e.vec_id <> qid),
+        |vec AS (SELECT qid, nid, rb FROM (
+        |          SELECT qid, nid, CAST(row_number() OVER (
+        |            PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rb
+        |          FROM p) WHERE rb <= 50),
+        |f AS (SELECT coalesce(l.qid, v.qid) AS query_id,
+        |        coalesce(l.nid, v.nid) AS neighbor_id,
+        |        coalesce(l.ra, 0) AS rank_a, coalesce(v.rb, 0) AS rank_b,
+        |        coalesce(CAST(1 AS DOUBLE) / (60 + l.ra), CAST(0 AS DOUBLE)) +
+        |        coalesce(CAST(1 AS DOUBLE) / (60 + v.rb), CAST(0 AS DOUBLE)) AS rrf
+        |      FROM lex l FULL JOIN vec v ON l.qid = v.qid AND l.nid = v.nid)
+        |SELECT query_id, neighbor_id, rank_a, rank_b, rrf,
+        |       CAST(fr AS INT) AS fused_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf DESC, neighbor_id) AS fr FROM f)
+        |WHERE fr <= 10""".stripMargin,
 
     // Same cosine expression and (sim DESC, nid) tie-break as
     // ann_cosine_topk; first relevant = min rank among same-label rows

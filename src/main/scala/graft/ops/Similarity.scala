@@ -79,6 +79,38 @@ object Similarity {
         col("col.score").as("sim"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) of two
+    * per-query rankings — the standard way hybrid retrieval merges a
+    * lexical (BM25-class) list with a vector (cosine) list without score
+    * calibration: rrf(d) = Σ_lists 1/(c + rank_list(d)), missing-from-a-
+    * list contributes 0. Both inputs are (query_id, neighbor_id, rank)
+    * frames already truncated to their own top-K, so the fusion is a
+    * full outer join on tiny Q×K frames plus one partitioned window —
+    * nothing corpus-sized moves here regardless of corpus scale. The
+    * rrf value is two fixed IEEE divisions and one add (bit-identical
+    * across engines); ties break by neighbor id. Missing ranks surface
+    * as 0 (integer, gate-friendly) next to the fused rank. */
+  def rrfFuse(a: DataFrame, b: DataFrame, c: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(c >= 1 && topK >= 1, "c and topK are positive")
+    val fa = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("int").as("rank_a"))
+    val fb = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("int").as("rank_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fa.join(fb, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        coalesce(col("rank_a"), lit(0)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0)).as("rank_b"),
+        col("rrf"), col("fused_rank"))
+  }
+
   /** kNN label propagation (weak supervision): each unlabeled query vector
     * takes the majority label of its k nearest labeled neighbors by cosine
     * — the standard way a training pipeline extends a small labeled seed

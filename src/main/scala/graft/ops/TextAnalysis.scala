@@ -269,6 +269,52 @@ object TextAnalysis {
         col("tf"), col("df"), col("dl"), col("score"))
   }
 
+  /** Per-query lexical retrieval ranks by summed term-overlap idf — the
+    * sparse half of a hybrid (BM25-class + vector) retrieval stack. Each
+    * query ranks corpus documents by Σ idf(t) over SHARED DISTINCT terms
+    * t, idf = the BM25 idf ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Determinism at the gate boundary: idf is scaled to an integer
+    * (×10⁶, rounded ONCE per term — a single ln per term is
+    * bit-identical across engines), so the per-(query, doc) score is an
+    * exact BIGINT sum and no accumulated-double fold order can reorder
+    * ranks.
+    *
+    * Scale shape: candidates come from the inverted-index join (query
+    * term → posting list), so per-query work is bounded by Σ_t df(t)
+    * over the query's terms, never corpus-quadratic; the distinct-term
+    * frame is materialized once and feeds df, N, and the join. For
+    * corpus-wide query sets, df-cap stopword-class terms upstream (the
+    * [[graft.ops.Dedup]] maxDf discipline) — here queries are a bounded
+    * panel. Self-matches are excluded (retrieval convention, matching
+    * [[Similarity.bruteForceTopK]]). */
+  def idfOverlapRanks(df: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK >= 1")
+    val dt = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = dt.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val dfreq = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfScaled = round(log(lit(1.0) +
+        (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) * lit(1000000.0))
+      .cast("long").as("idfs")
+    val idf = dfreq.crossJoin(broadcast(corpus)).select(col("term"), idfScaled)
+    val qt = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_score").desc, col("neighbor_id"))
+    dt.join(broadcast(qt.join(idf, Seq("term"))), Seq("term"))
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(col("idfs")).as("lex_score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("lex_score"))
+  }
+
   /** Corpus vocabulary build + id encoding — the word-level tokenizer
     * step: rank terms by (corpus tf desc, term asc), keep the top
     * `vocabSize` as ids 0..V-1, and rewrite every document as its token-id

@@ -3196,6 +3196,34 @@ class OperatorSpec extends SparkSuite {
     assert(bp == Set((1L, 2L), (3L, 4L)), bp.toString)
   }
 
+  test("RRF fusion: consensus beats single-list wins; missing ranks contribute 0") {
+    // doc 30 is 2nd on both lists; docs 10/20 top exactly one list each:
+    // rrf(30) = 2/62 = 0.0322… > rrf(10) = rrf(20) = 1/61 = 0.0163…
+    val lex = Seq((1L, 10L, 1), (1L, 30L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val vec = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(lex, vec, c = 60, topK = 10)
+      .select($"neighbor_id", $"rank_a", $"rank_b", $"fused_rank")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._4)
+    assert(out.map(_._1).toSeq == Seq(30L, 10L, 20L), out.mkString(","))
+    assert(out.head == ((30L, 2, 2, 1)), out.head.toString)
+    // single-list docs: missing rank surfaces as 0, tie breaks by id
+    assert(out(1) == ((10L, 1, 0, 2)) && out(2) == ((20L, 0, 1, 3)), out.mkString(","))
+  }
+
+  test("idf overlap ranks: rare shared terms outrank common ones; self excluded") {
+    // q0 shares rare 'zebra' with d1, common 'the' with d2 (and d1)
+    val docs = Seq(
+      (0L, "zebra the alpha"), (1L, "zebra the beta"),
+      (2L, "the gamma delta"), (3L, "the epsilon eta"),
+      (4L, "the theta iota")).toDF("doc_id", "text")
+    val out = TextAnalysis.idfOverlapRanks(docs, docs.filter($"doc_id" === 0),
+        "doc_id", "text", topK = 10)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 1, s"zebra+the match must rank first: $out")
+    assert(!out.contains(0L), s"self excluded: $out")
+    assert(Set(2L, 3L, 4L).forall(out.contains), s"'the' matches present: $out")
+  }
+
   test("quality checks: one-pass suite reports exact metrics and verdicts") {
     val df = Seq(
       (1L, Some("A"), 10.0), (2L, Some("A"), -5.0), (2L, None, 3.0))
