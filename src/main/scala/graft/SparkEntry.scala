@@ -2047,6 +2047,17 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(t(s, dir, "documents"))),
 
+    // Hashing-trick featurization: terms -> 1024 stable md5 buckets,
+    // exact per-doc bucket counts; no vocabulary pass, no broadcast.
+    "text_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(t(s, dir, "documents"), "doc_id", "text",
+        dim = 1024)),
+
+    // Deterministic 15% MLM masking over (doc_id, position) md5 draws;
+    // md5 of the rebuilt sequence pins every mask position and survivor.
+    "pack_mlm_mask" -> ((s, dir) =>
+      Training.mlmMask(t(s, dir, "documents"), "doc_id", "text", pct = 15)),
+
     // ── training-data preparation ─────────────────────────────────────
     "pack_chunks" -> ((s, dir) =>
       Training.chunkDocuments(t(s, dir, "documents"), "doc_id", "text", chunkTokens = 32)
@@ -2921,6 +2932,21 @@ object SparkEntry {
       Graph.bfsDistances(ed, seeds, rounds = 3)
     },
 
+    // Item-item CF recommendations: per part, top-5 co-purchased parts
+    // by true cosine over per-order count vectors (support = the exact
+    // inner product the edge build already sums; norms = per-part
+    // sum of squared order counts). Edge frame and norms only - nothing
+    // basket-sized moves.
+    "graph_item_cf" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val norms = li.groupBy(col("ok"), col("pk")).agg(count(lit(1)).as("c"))
+        .groupBy(col("pk").as("node")).agg(sum(col("c") * col("c")).as("ssq"))
+      Graph.itemItemCosine(
+        coPurchaseWeighted(s, dir).select(col("a"), col("b"), col("__n").as("w")),
+        norms, topK = 5)
+    },
+
     // Weighted shortest paths (3-round Bellman-Ford min-plus) over the
     // customer<->supplier trade graph, edge weight = lineitem count per
     // pair: the weighted generalization of graph_bfs, exact integer
@@ -3053,7 +3079,11 @@ object SparkEntry {
     // already collapses via exchange reuse. Measured: the extra cache
     // layer cost hits/ppr 0.4-0.6 s and won nothing.)
 
-  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  /** [[coPurchaseEdges]] with the support count kept — the weighted edge
+    * frame item-item CF scores over (⟨v_a, v_b⟩ = Σ_orders cnt_a·cnt_b,
+    * exactly the pair count this build sums). One-shot, unpersisted:
+    * its single consumer aggregates it immediately. */
+  private def coPurchaseWeighted(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     // Pair formation is PER ORDER over the sorted raw part list — ONE
@@ -3081,6 +3111,10 @@ object SparkEntry {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
+  }
+
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchaseWeighted(s, dir)
       .select(col("a"), col("b"))
       // Persisted at the edge frame itself (not only the symmetrized
       // copies the Graph ops persist internally): every graph_* query
@@ -3090,7 +3124,6 @@ object SparkEntry {
       // support-2 edge list is the frame the docstring argues stays
       // small at any scale, so the cache is a few thousand rows.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
 
   private def bigSpenders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").filter(col("o_totalprice") > 400000)
@@ -4696,6 +4729,28 @@ object SparkEntry {
          |        FROM d2 d JOIN sym s ON d.node = s.src) GROUP BY node)
          |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
 
+    // Same weighted pair build (support kept), per-item squared-count
+    // norms, one cosine division, (score DESC, rec) top-5 window.
+    "graph_item_cf" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |edw AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+         |        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+         |        GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+         |ssq AS (SELECT pk AS node, CAST(sum(c * c) AS BIGINT) AS ssq FROM
+         |        (SELECT ok, pk, count(*) AS c FROM li GROUP BY 1, 2)
+         |        GROUP BY pk),
+         |sym AS (SELECT a AS item, b AS rec, w FROM edw
+         |        UNION ALL SELECT b AS item, a AS rec, w FROM edw),
+         |sc AS (SELECT s.item, s.rec, s.w AS support,
+         |         CAST(s.w AS DOUBLE) /
+         |           sqrt(CAST(na.ssq * nb.ssq AS DOUBLE)) AS score
+         |       FROM sym s JOIN ssq na ON na.node = s.item
+         |                  JOIN ssq nb ON nb.node = s.rec)
+         |SELECT item, rec, support, score, CAST(rnk AS INT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY item
+         |        ORDER BY score DESC, rec) AS rnk FROM sc)
+         |WHERE rnk <= 5""".stripMargin,
+
     // The identical 3-round min-plus recurrence with weights, unrolled.
     "graph_sssp_weighted" ->
       """WITH tw AS (SELECT o_custkey AS c, l_suppkey AS su,
@@ -5467,6 +5522,30 @@ object SparkEntry {
     // Literal-for-literal the same double arithmetic as TextAnalysis.bm25
     // (left-associative, identical constant folds), rounded to 6 decimals
     // on both engines.
+    "text_feature_hash" ->
+      """SELECT doc_id,
+        |       CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 1024 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The identical (doc_id, position) md5 draw, mask rebuild ordered by
+    // position, counts exact.
+    "pack_mlm_mask" ->
+      """WITH w AS (SELECT doc_id,
+        |        string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM w),
+        |m AS (SELECT doc_id, i,
+        |        CASE WHEN CAST('0x' || substr(md5(doc_id || ':' || i), 1, 15)
+        |               AS BIGINT) % 100 < 15 THEN 1 ELSE 0 END AS f,
+        |        ws[i + 1] AS tok FROM p)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(f) AS BIGINT) AS n_masked,
+        |       md5(string_agg(CASE WHEN f = 1 THEN '[MASK]' ELSE tok END,
+        |         ' ' ORDER BY i)) AS masked_md5
+        |FROM m GROUP BY doc_id""".stripMargin,
+
     "text_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
         |            FROM documents),

@@ -258,6 +258,35 @@ object Graph {
     fin
   }
 
+  /** Item-item collaborative filtering (Sarwar et al., WWW'01) over a
+    * weighted co-occurrence edge list: similarity(a, b) is the TRUE
+    * cosine between the items' per-basket count vectors — ⟨v_a, v_b⟩ is
+    * the co-occurrence support `w` the edge already carries, |v_a|² the
+    * per-item sum of squared basket counts in `norms(node, ssq)` — so
+    * the recommender costs one symmetrize + two keyed joins on the
+    * (already support-thresholded, hence sparse) edge frame and one
+    * per-item window for the top-`topK` cut. score = w / √(ssq_a·ssq_b)
+    * is one fixed IEEE tree (integer product → sqrt → divide), exact at
+    * the gate. Nothing basket-sized is rebuilt here: at any scale the
+    * frames in motion are |E| edges and |V| norms. */
+  def itemItemCosine(edges: DataFrame, norms: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK >= 1")
+    val sym = edges.select(col("a").as("item"), col("b").as("rec"), col("w"))
+      .unionAll(edges.select(col("b").as("item"), col("a").as("rec"), col("w")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("score").desc, col("rec"))
+    sym
+      .join(norms.select(col("node").as("item"), col("ssq").as("__sa")), Seq("item"))
+      .join(norms.select(col("node").as("rec"), col("ssq").as("__sb")), Seq("rec"))
+      .withColumn("score",
+        col("w").cast("double") / sqrt((col("__sa") * col("__sb")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("item"), col("rec"), col("w").as("support"),
+        col("score"), col("rank"))
+  }
+
   /** Bounded-round single-source shortest paths over a WEIGHTED directed
     * adjacency frame `adj(src, dst, w)` — the Bellman–Ford min-plus
     * relaxation, generalizing [[bfsOverSym]] from hop counts to weighted

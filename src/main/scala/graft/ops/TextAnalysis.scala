@@ -269,6 +269,25 @@ object TextAnalysis {
         col("tf"), col("df"), col("dl"), col("score"))
   }
 
+  /** Feature hashing — "the hashing trick" (Weinberger et al.,
+    * ICML'09): project the unbounded term space onto `dim` fixed buckets
+    * by a stable 60-bit md5 hash, the sparse featurization ML training
+    * uses when a vocabulary build would be unbounded state or an
+    * oversized broadcast. No vocabulary, no second pass, no driver
+    * state: one explode + one map-side-combined keyed count, the output
+    * bounded by `dim` buckets per document. Exact integers throughout
+    * (md5 is the cross-engine-stable hash of the gate; collisions are
+    * the method's documented tradeoff, identical on every engine). */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 2, "dim >= 2")
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"),
+        pmod(conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Per-query lexical retrieval ranks by summed term-overlap idf — the
     * sparse half of a hybrid (BM25-class + vector) retrieval stack. Each
     * query ranks corpus documents by Σ idf(t) over SHARED DISTINCT terms

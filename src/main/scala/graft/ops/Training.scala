@@ -314,6 +314,30 @@ object Training {
     * the global rank): per-bucket windows run in parallel and only 256
     * bucket counts cross the ordered window. Output: input columns plus
     * `shuffle_pos`. */
+  /** BERT-style MLM masking (Devlin et al. 2019 §3.1), made reproducible:
+    * each token position masks iff a stable 60-bit md5 draw over
+    * (doc id, position) lands under `pct`% — the deterministic stand-in
+    * for the RNG a training loader would use, so the masking is
+    * identical on every engine, rerun, and partitioning (the epochShuffle
+    * determinism argument applied to corruption). Entirely per-row
+    * expression work over the token array (transform with index — no
+    * explode, no shuffle, no state); emits the masked sequence as an
+    * order-pinning md5 plus exact mask counts. */
+  def mlmMask(df: DataFrame, idCol: String, textCol: String,
+      pct: Int = 15, maskTok: String = "[MASK]"): DataFrame = {
+    require(pct >= 1 && pct < 100, "pct in [1,100)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    def draw(i: Column): Column =
+      pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        i.cast("string"))), 1, 15), 16, 10).cast("long"), lit(100L))
+    val flags = transform(toks, (_, i) => (draw(i) < pct).cast("long"))
+    val masked = transform(toks, (x, i) => when(draw(i) < pct, lit(maskTok)).otherwise(x))
+    df.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(flags, lit(0L), (acc, x) => acc + x).as("n_masked"),
+      md5(array_join(masked, " ")).as("masked_md5"))
+  }
+
   def epochShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
     val withKey = df.withColumn("__key",
       md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))

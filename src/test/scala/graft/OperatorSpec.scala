@@ -3196,6 +3196,53 @@ class OperatorSpec extends SparkSuite {
     assert(bp == Set((1L, 2L), (3L, 4L)), bp.toString)
   }
 
+  test("item-item CF: closed-form cosine over basket count vectors") {
+    // baskets: {1,2} twice, {1,3} once-with-double-3 → edge supports
+    // w(1,2)=2, w(1,3)=2 (1·2 cnt product); ssq: 1→1+1+1=3, 2→2, 3→4
+    val edges = Seq((1L, 2L, 2L), (1L, 3L, 2L)).toDF("a", "b", "w")
+    val norms = Seq((1L, 3L), (2L, 2L), (3L, 4L)).toDF("node", "ssq")
+    val out = Graph.itemItemCosine(edges, norms, topK = 5)
+      .select($"item", $"rec", $"score", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(math.abs(out((1L, 2L))._1 - 2.0 / math.sqrt(6.0)) < 1e-12)
+    assert(math.abs(out((1L, 3L))._1 - 2.0 / math.sqrt(12.0)) < 1e-12)
+    // per-item ranking: for item 1, rec 2 (0.816) outranks rec 3 (0.577)
+    assert(out((1L, 2L))._2 == 1 && out((1L, 3L))._2 == 2, out.toString)
+    // symmetrized: 2 and 3 each recommend 1 at rank 1
+    assert(out((2L, 1L))._2 == 1 && out((3L, 1L))._2 == 1, out.toString)
+  }
+
+  test("MLM mask: deterministic across partitionings, ~pct masked, md5 pins positions") {
+    val docs = (0L until 50L).map(i => (i, (1 to 40).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Training.mlmMask(docs, "doc_id", "text", pct = 15)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val b = Training.mlmMask(docs.repartition(7), "doc_id", "text", pct = 15)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(a == b, "masking must not depend on partitioning")
+    val totalMasked = a.toSeq.map(_._3).sum.toDouble / a.toSeq.map(_._2).sum
+    assert(totalMasked > 0.10 && totalMasked < 0.20, s"mask rate $totalMasked")
+    // same text, different doc → different draws → different masked_md5
+    val twoDocs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val md = Training.mlmMask(twoDocs, "doc_id", "text", pct = 50)
+      .select($"masked_md5").as[String].collect()
+    assert(md.distinct.length == 2, "per-doc draws must differ")
+  }
+
+  test("feature hash: buckets bounded by dim, counts exact, collisions merge") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(docs, "doc_id", "text", dim = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8), out.mkString(","))
+    assert(out.map(_._3).sum == 5, s"total tf must be 5: ${out.mkString(",")}")
+    // same term hashes to the same bucket in both docs
+    val yBuckets = out.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(out.filter(_._1 == 2L).map(_._2).toSet)
+    assert(yBuckets.nonEmpty, "shared term must share a bucket")
+  }
+
   test("RRF fusion: consensus beats single-list wins; missing ranks contribute 0") {
     // doc 30 is 2nd on both lists; docs 10/20 top exactly one list each:
     // rrf(30) = 2/62 = 0.0322… > rrf(10) = rrf(20) = 1/61 = 0.0163…
