@@ -2947,6 +2947,14 @@ object SparkEntry {
         norms, topK = 5)
     },
 
+    // Minimum spanning forest (Boruvka rounds) of the weighted
+    // co-purchase graph under the strict (w, a, b) order - the unique
+    // MSF, so the oracle's independent unrolled replay must produce the
+    // identical edge set.
+    "graph_mst_boruvka" -> ((s, dir) =>
+      Graph.mstBoruvka(
+        coPurchaseWeighted(s, dir).select(col("a"), col("b"), col("__n").as("w")))),
+
     // Weighted shortest paths (3-round Bellman-Ford min-plus) over the
     // customer<->supplier trade graph, edge weight = lineitem count per
     // pair: the weighted generalization of graph_bfs, exact integer
@@ -3841,6 +3849,53 @@ object SparkEntry {
 
   /** Shared CTE prefix: the canonical co-purchase edge set (distinct part
     * pairs sharing an order, a < b). */
+  /** Unrolled-Borůvka MSF oracle: `rounds` blocks of (per-component min
+    * edge under (w, oa, ob)) → (recursive reachability over the selected
+    * pseudoforest) → (contract + per-pair lightest prune) — the same
+    * recurrence Graph.mstBoruvka runs, with the per-round component
+    * merge done by an independent transitive closure instead of star
+    * contraction. Rounds beyond convergence are empty no-ops, so the
+    * unroll count only needs to EXCEED the true round count (components
+    * at least halve per round: 10 covers 1024-component forests). */
+  private def boruvkaOracleSql(rounds: Int): String = {
+    val blocks = (1 to rounds).map { k =>
+      val p = s"e${k - 1}"
+      s"""s$k AS MATERIALIZED (SELECT DISTINCT ca, cb, w, oa, ob FROM (
+         |        SELECT ca, cb, w, oa, ob,
+         |          row_number() OVER (PARTITION BY comp ORDER BY w, oa, ob) AS rn
+         |        FROM (SELECT ca AS comp, ca, cb, w, oa, ob FROM $p
+         |              UNION ALL SELECT cb AS comp, ca, cb, w, oa, ob FROM $p))
+         |       WHERE rn = 1),
+         |r$k AS (
+         |  SELECT node, node AS r FROM
+         |    (SELECT ca AS node FROM s$k UNION SELECT cb FROM s$k)
+         |  UNION
+         |  SELECT sy.src, p.r FROM (SELECT ca AS src, cb AS dst FROM s$k
+         |        UNION ALL SELECT cb AS src, ca AS dst FROM s$k) sy
+         |        JOIN r$k p ON sy.dst = p.node),
+         |m$k AS MATERIALIZED (SELECT node, min(r) AS nc FROM r$k GROUP BY node),
+         |e$k AS MATERIALIZED (SELECT ca, cb, w, oa, ob FROM (
+         |        SELECT least(xa, xb) AS ca, greatest(xa, xb) AS cb, w, oa, ob,
+         |          row_number() OVER (PARTITION BY least(xa, xb), greatest(xa, xb)
+         |            ORDER BY w, oa, ob) AS rn
+         |        FROM (SELECT coalesce(ma.nc, e.ca) AS xa,
+         |                coalesce(mb.nc, e.cb) AS xb, e.w, e.oa, e.ob
+         |              FROM $p e LEFT JOIN m$k ma ON e.ca = ma.node
+         |                        LEFT JOIN m$k mb ON e.cb = mb.node)
+         |        WHERE xa <> xb)
+         |       WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val forest = (1 to rounds)
+      .map(k => s"SELECT oa, ob, w FROM s$k").mkString(" UNION ")
+    s"""WITH RECURSIVE li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |edw AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+       |        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+       |        GROUP BY x.pk, y.pk HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT a AS ca, b AS cb, w, a AS oa, b AS ob FROM edw),
+       |$blocks
+       |SELECT oa AS a, ob AS b, w FROM ($forest)""".stripMargin
+  }
+
   private val coPurchaseCte: String =
     """li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |ed AS (SELECT x.pk AS a, y.pk AS b
@@ -4728,6 +4783,8 @@ object SparkEntry {
          |        SELECT s.dst AS node, d.dist + 1 AS dist
          |        FROM d2 d JOIN sym s ON d.node = s.src) GROUP BY node)
          |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+
+    "graph_mst_boruvka" -> boruvkaOracleSql(10),
 
     // Same weighted pair build (support kept), per-item squared-count
     // norms, one cosine division, (score DESC, rec) top-5 window.

@@ -258,6 +258,84 @@ object Graph {
     fin
   }
 
+  /** Minimum spanning forest by Borůvka rounds — the distributable MST
+    * algorithm (each round is bulk-parallel; Prim/Kruskal are inherently
+    * sequential): every component selects its minimum incident edge
+    * under the strict total order (w, a, b), selected edges join the
+    * forest, touched components contract (via [[ccTwoStarsNodes]] on the
+    * selection pseudoforest), and the contracted multigraph is pruned to
+    * the minimum edge per component pair (the only edge a future round
+    * could ever select). Components at least halve per round, so
+    * convergence is ≤ log₂ |V| rounds regardless of weighting; with the
+    * composite tie-break the forest is UNIQUE, which is what lets an
+    * independent replay gate it. Per round: one per-endpoint min, one
+    * label contraction, two label joins, one per-pair min — all keyed
+    * shuffles on edge-sized frames that only shrink. Parallel input
+    * edges collapse to their lightest copy up front. Throws past
+    * `maxRounds` (a silently partial forest would be wrong). */
+  def mstBoruvka(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val canon = edges.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("ca"),
+        greatest(col("a"), col("b")).as("cb"), col("w"))
+      .groupBy(col("ca"), col("cb"))
+      .agg(min(col("w")).as("w"))
+      .select(col("ca"), col("cb"), col("w"),
+        col("ca").as("oa"), col("cb").as("ob"))
+    var (ce, ceIds) = checkpointRound(canon)
+    val forest = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var i = 0
+    var done = ce.limit(1).count() == 0L
+    while (!done && i < maxRounds) {
+      // per-component minimum incident edge under (w, oa, ob)
+      val sym = ce.select(col("ca").as("comp"), col("ca"), col("cb"),
+          col("w"), col("oa"), col("ob"))
+        .unionAll(ce.select(col("cb").as("comp"), col("ca"), col("cb"),
+          col("w"), col("oa"), col("ob")))
+      val sel = sym.groupBy(col("comp"))
+        .agg(min_by(struct(col("ca"), col("cb"), col("w"), col("oa"), col("ob")),
+          struct(col("w"), col("oa"), col("ob"))).as("e"))
+        .select(col("e.ca"), col("e.cb"), col("e.w"), col("e.oa"), col("e.ob"))
+        .distinct()
+      val (selC, _) = checkpointRound(sel)
+      forest += selC.select(col("oa").as("a"), col("ob").as("b"), col("w"))
+      // contract: new component label per touched old component
+      val mapping = ccTwoStarsNodes(selC.select(col("ca").as("a"), col("cb").as("b")))
+        .withColumnRenamed("lbl", "ncomp")
+      val projected = ce
+        .join(mapping.select(col("node").as("ca"), col("ncomp").as("na")),
+          Seq("ca"), "left")
+        .join(mapping.select(col("node").as("cb"), col("ncomp").as("nb")),
+          Seq("cb"), "left")
+        .select(coalesce(col("na"), col("ca")).as("xa"),
+          coalesce(col("nb"), col("cb")).as("xb"),
+          col("w"), col("oa"), col("ob"))
+        .filter(col("xa") =!= col("xb"))
+        .select(least(col("xa"), col("xb")).as("ca"),
+          greatest(col("xa"), col("xb")).as("cb"),
+          col("w"), col("oa"), col("ob"))
+        // prune the contracted multigraph to the lightest edge per pair
+        .groupBy(col("ca"), col("cb"))
+        .agg(min_by(struct(col("w"), col("oa"), col("ob")),
+          struct(col("w"), col("oa"), col("ob"))).as("e"))
+        .select(col("ca"), col("cb"), col("e.w"), col("e.oa"), col("e.ob"))
+      val (next, nextIds) = checkpointRound(projected)
+      // sel's checkpoint blocks stay live: the returned forest reads
+      // them (≤ maxRounds small frames); only superseded ce rounds free
+      freeRound(next, ceIds)
+      ce = next; ceIds = nextIds
+      done = ce.limit(1).count() == 0L
+      i += 1
+    }
+    if (!done) {
+      freeRound(ce, ceIds)
+      throw new IllegalStateException(
+        s"mstBoruvka did not converge within $maxRounds rounds")
+    }
+    if (forest.isEmpty)
+      canon.select(col("oa").as("a"), col("ob").as("b"), col("w")).limit(0)
+    else forest.reduce(_ unionAll _).distinct()
+  }
+
   /** Item-item collaborative filtering (Sarwar et al., WWW'01) over a
     * weighted co-occurrence edge list: similarity(a, b) is the TRUE
     * cosine between the items' per-basket count vectors — ⟨v_a, v_b⟩ is

@@ -3196,6 +3196,46 @@ class OperatorSpec extends SparkSuite {
     assert(bp == Set((1L, 2L), (3L, 4L)), bp.toString)
   }
 
+  test("Boruvka MSF: cycles drop their heaviest edge; forest spans every component") {
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 5L),       // triangle: drop 1-3
+      (10L, 11L, 9L), (11L, 12L, 8L), (12L, 13L, 7L), // path: keep all
+      (20L, 21L, 3L), (21L, 22L, 4L), (20L, 22L, 6L)  // triangle: drop 20-22
+    ).toDF("a", "b", "w")
+    val mst = Graph.mstBoruvka(edges).as[(Long, Long, Long)].collect().toSet
+    assert(mst == Set((1L, 2L, 1L), (2L, 3L, 2L),
+      (10L, 11L, 9L), (11L, 12L, 8L), (12L, 13L, 7L),
+      (20L, 21L, 3L), (21L, 22L, 4L)), mst.toString)
+  }
+
+  test("Boruvka MSF: equals Prim on a random connected graph with distinct weights") {
+    val rnd = new scala.util.Random(23)
+    val n = 40
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+    val extra = (1 to 60).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val all = (ring ++ extra)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val weights = rnd.shuffle((1 to all.size).toList)
+    val wedges = all.zip(weights).map { case ((a, b), w) => (a, b, w.toLong) }
+    val mst = Graph.mstBoruvka(wedges.toDF("a", "b", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    // reference Prim over the same graph
+    val adj = wedges.flatMap { case (a, b, w) =>
+      Seq(a -> ((b, w, (a, b))), b -> ((a, w, (a, b)))) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val inTree = scala.collection.mutable.Set(0L)
+    val picked = scala.collection.mutable.Set.empty[(Long, Long)]
+    while (inTree.size < n) {
+      val cands = inTree.toSeq.flatMap(u => adj(u).filter(e => !inTree(e._1)))
+      val best = cands.minBy(e => (e._2, e._3._1, e._3._2))
+      inTree += best._1; picked += best._3
+    }
+    assert(mst.map(e => (e._1, e._2)) == picked.toSet,
+      s"diff: ${mst.map(e => (e._1, e._2)) -- picked} / ${picked.toSet -- mst.map(e => (e._1, e._2))}")
+    assert(mst.size == n - 1, s"tree must have n-1 edges, got ${mst.size}")
+  }
+
   test("item-item CF: closed-form cosine over basket count vectors") {
     // baskets: {1,2} twice, {1,3} once-with-double-3 → edge supports
     // w(1,2)=2, w(1,3)=2 (1·2 cnt product); ssq: 1→1+1+1=3, 2→2, 3→4
