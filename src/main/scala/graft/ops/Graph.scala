@@ -262,8 +262,9 @@ object Graph {
     * algorithm (each round is bulk-parallel; Prim/Kruskal are inherently
     * sequential): every component selects its minimum incident edge
     * under the strict total order (w, a, b), selected edges join the
-    * forest, touched components contract (via [[ccTwoStarsNodes]] on the
-    * selection pseudoforest), and the contracted multigraph is pruned to
+    * forest, touched components contract (pointer doubling over the
+    * selection pseudoforest — see the in-loop comment), and the
+    * contracted multigraph is pruned to
     * the minimum edge per component pair (the only edge a future round
     * could ever select). Components at least halve per round, so
     * convergence is ≤ log₂ |V| rounds regardless of weighting; with the
@@ -286,21 +287,58 @@ object Graph {
     var i = 0
     var done = ce.limit(1).count() == 0L
     while (!done && i < maxRounds) {
-      // per-component minimum incident edge under (w, oa, ob)
+      // per-component minimum incident edge under (w, oa, ob); one
+      // grouped agg yields BOTH the forest edges and the selection
+      // pointer parent(comp) = the far endpoint of comp's chosen edge
       val sym = ce.select(col("ca").as("comp"), col("ca"), col("cb"),
           col("w"), col("oa"), col("ob"))
         .unionAll(ce.select(col("cb").as("comp"), col("ca"), col("cb"),
           col("w"), col("oa"), col("ob")))
-      val sel = sym.groupBy(col("comp"))
+      val (grouped, _) = checkpointRound(sym.groupBy(col("comp"))
         .agg(min_by(struct(col("ca"), col("cb"), col("w"), col("oa"), col("ob")),
-          struct(col("w"), col("oa"), col("ob"))).as("e"))
-        .select(col("e.ca"), col("e.cb"), col("e.w"), col("e.oa"), col("e.ob"))
+          struct(col("w"), col("oa"), col("ob"))).as("e")))
+      forest += grouped
+        .select(col("e.oa").as("a"), col("e.ob").as("b"), col("e.w").as("w"))
         .distinct()
-      val (selC, _) = checkpointRound(sel)
-      forest += selC.select(col("oa").as("a"), col("ob").as("b"), col("w"))
-      // contract: new component label per touched old component
-      val mapping = ccTwoStarsNodes(selC.select(col("ca").as("a"), col("cb").as("b")))
-        .withColumnRenamed("lbl", "ncomp")
+      // Contract by pointer doubling on the selection FUNCTIONAL graph:
+      // its only cycles are mutual-selection 2-cycles (each merge tree's
+      // lightest edge is the minimum for BOTH endpoints, so they pick
+      // each other). Root each 2-cycle at its smaller id, then double
+      // parent ← parent(parent) to a fixpoint: log₂(tree depth) rounds,
+      // each a self-join on a frame with ONE ROW PER TOUCHED COMPONENT —
+      // strictly cheaper than running an edge-frame contraction
+      // ([[ccTwoStarsNodes]]) inside every Borůvka round.
+      val par0 = grouped.select(col("comp"),
+        when(col("e.ca") === col("comp"), col("e.cb")).otherwise(col("e.ca"))
+          .as("parent"))
+      val rooted = par0.alias("p")
+        .join(par0.select(col("comp").as("pc"), col("parent").as("pp")).alias("q"),
+          col("p.parent") === col("q.pc"))
+        .select(col("p.comp").as("comp"),
+          when(col("q.pp") === col("p.comp"),
+            least(col("p.comp"), col("p.parent"))).otherwise(col("p.parent"))
+            .as("parent"))
+      var (par, parIds) = checkpointRound(rooted)
+      var stable = false
+      var j = 0
+      while (!stable && j < maxRounds) {
+        val hop = par.alias("x")
+          .join(par.select(col("comp").as("hc"), col("parent").as("hp")).alias("y"),
+            col("x.parent") === col("y.hc"))
+          .select(col("x.comp").as("comp"), col("hp").as("parent"),
+            (col("hp") =!= col("x.parent")).as("__moved"))
+        val (nextPar, nextParIds) = checkpointRound(hop)
+        stable = nextPar.filter(col("__moved")).limit(1).count() == 0L
+        freeRound(nextPar, parIds)
+        par = nextPar.drop("__moved"); parIds = nextParIds
+        j += 1
+      }
+      if (!stable) {
+        freeRound(par, parIds)
+        throw new IllegalStateException(
+          s"mstBoruvka contraction did not converge within $maxRounds doublings")
+      }
+      val mapping = par.select(col("comp").as("node"), col("parent").as("ncomp"))
       val projected = ce
         .join(mapping.select(col("node").as("ca"), col("ncomp").as("na")),
           Seq("ca"), "left")
