@@ -2964,10 +2964,14 @@ object SparkEntry {
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("su"))
         .agg(count(lit(1)).as("w"))
+      // persisted: the relaxation joins this frame once per round (and
+      // the seed set derives from it) — without the cache each round
+      // re-runs the orders⋈lineitem build (the bfsDistances discipline)
       val adj = e.select(col("c").as("src"), (-col("su") - 1).as("dst"), col("w"))
         .unionAll(e.select((-col("su") - 1).as("src"), col("c").as("dst"), col("w")))
-      val seeds = e.select(col("c").as("node")).distinct()
-        .filter(col("node") % 97 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = adj.select(col("src").as("node")).distinct()
+        .filter(col("node") >= 0 && col("node") % 97 === 0)
       Graph.ssspBounded(adj, seeds, rounds = 3)
     },
 
