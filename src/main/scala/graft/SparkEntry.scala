@@ -2053,6 +2053,18 @@ object SparkEntry {
       TextAnalysis.featureHash(t(s, dir, "documents"), "doc_id", "text",
         dim = 1024)),
 
+    // ROUGE-1/2 generation-eval metric over a deterministic (i, i+1)
+    // pairing — the fixture's stand-in for a (model-output, reference)
+    // eval manifest; clipped match counts are exact integers, P/R/F1
+    // three IEEE divisions the oracle reproduces bit-for-bit.
+    "text_rouge" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("cand_id"))
+        .join(d.select(col("doc_id").as("ref_id")),
+          col("ref_id") === col("cand_id") + 1)
+      TextAnalysis.rougeN(d, pairs, "doc_id", "text", ns = Seq(1, 2))
+    },
+
     // Deterministic 15% MLM masking over (doc_id, position) md5 draws;
     // md5 of the rebuilt sequence pins every mask position and survivor.
     "pack_mlm_mask" -> ((s, dir) =>
@@ -5590,6 +5602,53 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
         |      FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+
+    // Clipped n-gram overlap (ROUGE-N): counts exact integers; the p/r
+    // divisions and the F1 composed from the p/r columns are the same
+    // IEEE double expression tree the engine builds.
+    "text_rouge" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, 1 AS n, unnest(w) AS g FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n,
+        |         unnest(list_transform(range(0, len(w) - 1),
+        |           i -> array_to_string(w[i+1:i+2], ' '))) AS g
+        |  FROM tok WHERE len(w) >= 2),
+        |cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, n, sum(c) AS tot FROM cnt GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1.doc_id AS cand_id, d2.doc_id AS ref_id
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+        |base AS (SELECT cand_id, ref_id, v.n
+        |         FROM pairs, (VALUES (1), (2)) v(n)),
+        |m AS (SELECT p.cand_id, p.ref_id, cl.n,
+        |             sum(least(cl.c, cr.c)) AS mm
+        |      FROM pairs p
+        |      JOIN cnt cl ON cl.doc_id = p.cand_id
+        |      JOIN cnt cr ON cr.doc_id = p.ref_id
+        |        AND cr.n = cl.n AND cr.g = cl.g
+        |      GROUP BY 1, 2, 3),
+        |pr AS (
+        |  SELECT b.cand_id, b.ref_id, CAST(b.n AS INTEGER) AS n,
+        |         CAST(coalesce(m.mm, 0) AS BIGINT) AS match_n,
+        |         CAST(tc.tot AS BIGINT) AS cand_total,
+        |         CAST(tr.tot AS BIGINT) AS ref_total,
+        |         CAST(coalesce(m.mm, 0) AS DOUBLE) / CAST(tc.tot AS DOUBLE) AS rouge_p,
+        |         CAST(coalesce(m.mm, 0) AS DOUBLE) / CAST(tr.tot AS DOUBLE) AS rouge_r
+        |  FROM base b
+        |  JOIN tot tc ON tc.doc_id = b.cand_id AND tc.n = b.n
+        |  JOIN tot tr ON tr.doc_id = b.ref_id AND tr.n = b.n
+        |  LEFT JOIN m ON m.cand_id = b.cand_id AND m.ref_id = b.ref_id
+        |    AND m.n = b.n)
+        |SELECT cand_id, ref_id, n, match_n, cand_total, ref_total,
+        |       rouge_p, rouge_r,
+        |       CASE WHEN rouge_p + rouge_r = 0.0 THEN 0.0
+        |            ELSE 2.0 * rouge_p * rouge_r / (rouge_p + rouge_r)
+        |       END AS rouge_f1
+        |FROM pr""".stripMargin,
 
     // The identical (doc_id, position) md5 draw, mask rebuild ordered by
     // position, counts exact.

@@ -1169,4 +1169,65 @@ object TextAnalysis {
           .otherwise("pass"))
       .withColumn("keep", col("reason") === "pass")
   }
+
+  /** ROUGE-N generation-eval metric (Lin 2004): clipped n-gram overlap
+    * between a candidate and a reference text, reported as
+    * precision / recall / F1 per (pair, n). `match_n` is the multiset
+    * intersection Σ_g min(count_cand(g), count_ref(g)) — the "clipped"
+    * count that stops a candidate from farming recall by repeating one
+    * reference gram.
+    *
+    * `pairs` is any (cand_id, ref_id) frame — a model-output↔reference
+    * eval manifest in production; callers supply the pairing so the
+    * metric composes with whatever produced it (dedup candidates, eval
+    * sets, adjacent-doc stand-ins).
+    *
+    * Scale shape: gram counts are one explode + one (id, n, gram)
+    * aggregation over the corpus — linear, map-side-combinable. The
+    * match join keys on (doc, n, gram) against the pair frame, so work
+    * is linear in Σ grams × pair-degree, never corpus-quadratic. All
+    * counts are exact integers; the only doubles are the three final
+    * IEEE divisions (and F1 from p/r), which DuckDB reproduces
+    * bit-for-bit. Pairs where either side has no n-gram of a given n
+    * (doc shorter than n tokens) are dropped for that n — ROUGE-N is
+    * undefined there.
+    */
+  def rougeN(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = ns.map { n =>
+      docs.select(col(idCol).as("id"), lit(n).as("n"),
+        explode(shingles(toks, n)).as("g"))
+    }.reduce(_ unionAll _)
+    val counts = grams.groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("id", "n").agg(sum(col("c")).as("tot"))
+    val p = pairs.select(col("cand_id"), col("ref_id"))
+    val cl = counts.select(col("id").as("cand_id"), col("n"), col("g"),
+      col("c").as("cc"))
+    val cr = counts.select(col("id").as("ref_id"), col("n"), col("g"),
+      col("c").as("rc"))
+    val m = p.join(cl, Seq("cand_id"))
+      .join(cr, Seq("ref_id", "n", "g"))
+      .groupBy("cand_id", "ref_id", "n")
+      .agg(sum(least(col("cc"), col("rc"))).as("match_n"))
+    val tc = totals.select(col("id").as("cand_id"), col("n"),
+      col("tot").as("cand_total"))
+    val tr = totals.select(col("id").as("ref_id"), col("n"),
+      col("tot").as("ref_total"))
+    val base = p.withColumn("n", explode(array(ns.map(n => lit(n)): _*)))
+    base.join(m, Seq("cand_id", "ref_id", "n"), "left")
+      .join(tc, Seq("cand_id", "n"))
+      .join(tr, Seq("ref_id", "n"))
+      .select(col("cand_id"), col("ref_id"), col("n"),
+        coalesce(col("match_n"), lit(0L)).as("match_n"),
+        col("cand_total"), col("ref_total"))
+      .withColumn("rouge_p",
+        col("match_n").cast("double") / col("cand_total").cast("double"))
+      .withColumn("rouge_r",
+        col("match_n").cast("double") / col("ref_total").cast("double"))
+      .withColumn("rouge_f1",
+        when(col("rouge_p") + col("rouge_r") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("rouge_p") * col("rouge_r") /
+            (col("rouge_p") + col("rouge_r"))))
+  }
 }

@@ -3341,4 +3341,34 @@ class OperatorSpec extends SparkSuite {
       ("n2", 1L, 2L, 1L, false, false)  // homogeneous: attribute leak
     ), out.toString)
   }
+
+  test("ROUGE-1/2: clipped counts, hand-computed P/R/F1, repeat farming capped") {
+    // cand "the cat sat" vs ref "the cat the dog":
+    //   R1 clipped: the→min(1,2)=1, cat→1, sat→0 ⇒ match 2; P=2/3 R=2/4
+    //   R2: cand {the cat, cat sat} ∩ ref {the cat, cat the, the dog}
+    //       ⇒ match 1; P=1/2 R=1/3
+    // pair (3,4) plants the clipping case: cand repeats "a" 4×, ref has 2
+    //   ⇒ R1 match = min(4,2)=2, NOT 4 — the un-clipped metric would
+    //   reward repetition.
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat the dog"),
+      (3L, "a a a a"), (4L, "a b a")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("cand_id", "ref_id")
+    val out = TextAnalysis.rougeN(docs, pairs, "doc_id", "text", Seq(1, 2))
+      .as[(Long, Long, Int, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._3) -> r).toMap
+    val r1 = out((1L, 1))
+    assert((r1._4, r1._5, r1._6) == ((2L, 3L, 4L)), r1.toString)
+    assert(math.abs(r1._7 - 2.0 / 3) < 1e-15 && math.abs(r1._8 - 0.5) < 1e-15)
+    assert(math.abs(r1._9 - 2.0 * (2.0 / 3) * 0.5 / (2.0 / 3 + 0.5)) < 1e-15)
+    val r2 = out((1L, 2))
+    assert((r2._4, r2._5, r2._6) == ((1L, 2L, 3L)), r2.toString)
+    // clipping: repeated cand gram counts only up to the ref multiplicity
+    val c1 = out((3L, 1))
+    assert((c1._4, c1._5, c1._6) == ((2L, 4L, 3L)), c1.toString)
+    assert(c1._7 == 0.5 && math.abs(c1._8 - 2.0 / 3) < 1e-15)
+    // bigrams share nothing: match 0 ⇒ F1 guard returns exactly 0
+    val c2 = out((3L, 2))
+    assert(c2._4 == 0L && c2._9 == 0.0, c2.toString)
+  }
 }
