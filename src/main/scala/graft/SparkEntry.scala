@@ -3022,6 +3022,13 @@ object SparkEntry {
     "graph_kcore" -> ((s, dir) =>
       Graph.kCorePeel(coPurchaseEdges(s, dir), k = 2, rounds = 2)),
 
+    // 2 rounds of 3-truss peeling (drop edges in no triangle, recount on
+    // the induced subgraph) — the edge-level densification one notch
+    // above graph_kcore; fixed-round for oracle replay, support
+    // recomputed on the final subgraph (0 marks a further round's prey).
+    "graph_ktruss" -> ((s, dir) =>
+      Graph.kTrussPeel(coPurchaseEdges(s, dir), k = 3, rounds = 2)),
+
     // Partition quality of the 3-round label-prop communities: Newman
     // modularity from integer counts, total decimal-summed.
     "graph_modularity" -> { (s, dir) =>
@@ -4979,6 +4986,43 @@ object SparkEntry {
          |       JOIN k2 x ON s.n = x.n JOIN k2 y ON s.m = y.n)
          |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
          |FROM s2 GROUP BY n""".stripMargin,
+
+    // Two unrolled 3-truss rounds: triangles enumerated u<v<w over the
+    // canonical edge list, three sides per triangle → per-edge support,
+    // inner-join (support ≥ k−2 = 1) filter, then the final-subgraph
+    // support recount with coalesce-0 for triangle-less survivors.
+    "graph_ktruss" ->
+      s"""WITH $coPurchaseCte,
+         |t1 AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |       FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+         |                  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |s1 AS (SELECT a, b, count(*) AS s FROM (
+         |         SELECT u AS a, v AS b FROM t1
+         |         UNION ALL SELECT u AS a, w AS b FROM t1
+         |         UNION ALL SELECT v AS a, w AS b FROM t1)
+         |       GROUP BY a, b),
+         |r1 AS (SELECT e.a, e.b FROM ed e
+         |       JOIN s1 ON s1.a = e.a AND s1.b = e.b AND s1.s >= 1),
+         |t2 AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |       FROM r1 e1 JOIN r1 e2 ON e2.a = e1.b
+         |                  JOIN r1 e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |s2 AS (SELECT a, b, count(*) AS s FROM (
+         |         SELECT u AS a, v AS b FROM t2
+         |         UNION ALL SELECT u AS a, w AS b FROM t2
+         |         UNION ALL SELECT v AS a, w AS b FROM t2)
+         |       GROUP BY a, b),
+         |r2 AS (SELECT e.a, e.b FROM r1 e
+         |       JOIN s2 ON s2.a = e.a AND s2.b = e.b AND s2.s >= 1),
+         |t3 AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |       FROM r2 e1 JOIN r2 e2 ON e2.a = e1.b
+         |                  JOIN r2 e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |s3 AS (SELECT a, b, count(*) AS s FROM (
+         |         SELECT u AS a, v AS b FROM t3
+         |         UNION ALL SELECT u AS a, w AS b FROM t3
+         |         UNION ALL SELECT v AS a, w AS b FROM t3)
+         |       GROUP BY a, b)
+         |SELECT e.a, e.b, CAST(coalesce(s3.s, 0) AS BIGINT) AS support
+         |FROM r2 e LEFT JOIN s3 ON s3.a = e.a AND s3.b = e.b""".stripMargin,
 
     "graph_jaccard_neighbors" ->
       s"""WITH $coPurchaseCte,

@@ -607,6 +607,58 @@ object Graph {
       .select(col("n").as("node"), col("degree"))
   }
 
+  /** Bounded k-truss peeling — the edge-level densest-subgraph filter one
+    * notch above [[kCorePeel]]: each round drops every edge whose support
+    * (number of triangles through it in the CURRENT subgraph) is below
+    * k−2, then recounts on the induced subgraph. Fixed `rounds` keeps the
+    * trace deterministic and oracle-replayable (the kCorePeel
+    * discipline); returns the surviving canonical (a < b) edges with
+    * support recomputed on the final subgraph — the edge analogue of
+    * kCorePeel's induced degrees (0 support marks edges a further round
+    * would peel).
+    *
+    * Scale shape: support comes from full triangle enumeration over the
+    * degree-ordered orientation ([[triangleCountByDegree]]'s hub-safe
+    * wedge bound — wedges fan out from the LOW-degree endpoint), three
+    * canonical sides per triangle, one (a, b) count aggregate. Each round
+    * is that enumeration plus one left-join filter, localCheckpoint'ed so
+    * the plan stays linear in `rounds` instead of exponential. */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && k <= 16, "k in [3,16]")
+    require(rounds >= 1 && rounds <= 8, "rounds in [1,8]")
+    def support(e: DataFrame): DataFrame = {
+      val o = orientByDegree(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e1 = o.select(col("x"), col("y").as("u"), col("dy").as("du"))
+      val e2 = o.select(col("x"), col("y").as("v"), col("dy").as("dv"))
+      val tri = e1.join(e2, "x")
+        .filter(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")))
+        .join(o.select(col("x").as("u"), col("y").as("v")), Seq("u", "v"))
+        .select(col("x"), col("u"), col("v"))
+      tri.select(least(col("x"), col("u")).as("a"),
+          greatest(col("x"), col("u")).as("b"))
+        .unionAll(tri.select(least(col("x"), col("v")).as("a"),
+          greatest(col("x"), col("v")).as("b")))
+        .unionAll(tri.select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var (e, eIds) = checkpointRound(edges.select(col("a"), col("b")))
+    for (_ <- 1 to rounds) {
+      val (next, ids) = checkpointRound(
+        e.join(support(e), Seq("a", "b"), "left")
+          .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+          .select(col("a"), col("b")))
+      freeRound(next, eIds)
+      e = next
+      eIds = ids
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Neighbor-set Jaccard similarity for link prediction: for every node
     * pair sharing at least one neighbor, J = |N(a)∩N(b)| / |N(a)∪N(b)|
     * with the union by inclusion–exclusion (da + db − common), so the

@@ -3371,4 +3371,30 @@ class OperatorSpec extends SparkSuite {
     val c2 = out((3L, 2))
     assert(c2._4 == 0L && c2._9 == 0.0, c2.toString)
   }
+
+  test("k-truss: K4 survives 4-truss, diamond cascades away, pendant edge drops") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L),  // triangle + pendant edge
+      (9L, 10L), (9L, 11L), (10L, 11L), (10L, 12L), (11L, 12L) // diamond
+    ).toDF("a", "b")
+    // k=4 (support ≥ 2): K4 edges sit in 2 triangles each and survive;
+    // the diamond's outer edges die round 1, which orphans the shared
+    // edge (10,11) — the CASCADE round 2 exists to catch (round 1 alone
+    // would keep it).
+    val t4 = Graph.kTrussPeel(edges, k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4 == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), t4.toString)
+    val t4r1 = Graph.kTrussPeel(edges, k = 4, rounds = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4r1.contains((10L, 11L, 0L)), t4r1.toString)
+    // k=3 (support ≥ 1): only the triangle-less pendant edge drops
+    val t3 = Graph.kTrussPeel(edges, k = 3, rounds = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!t3.exists(e => e._1 == 7L && e._2 == 8L), t3.toString)
+    assert(t3.contains((5L, 6L, 1L)) && t3.contains((10L, 11L, 2L)),
+      t3.toString)
+    assert(t3.size == 14, t3.toString)
+  }
 }
