@@ -75,7 +75,7 @@ object ScaleProbe {
     val embS = () => s.read.parquet(s"$sfDir/embeddings.parquet")
     val embB = () => s.read.parquet(emb10)
 
-    def edges(li: DataFrame): Long = {
+    def wedges(li: DataFrame): DataFrame = {
       val ps = col("ps")
       val pairs = flatten(transform(sequence(lit(1), size(ps) - 1), i =>
         transform(slice(ps, lit(1), i), x =>
@@ -86,7 +86,7 @@ object ScaleProbe {
         .select(explode(pairs).as("p"))
         .filter(col("p.a") < col("p.b"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2).count()
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
     }
     report("q1-style agg")(
       liS().groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -95,7 +95,16 @@ object ScaleProbe {
       liB().groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")), avg(col("l_extendedprice")),
           count(lit(1))).count())
-    report("co-purchase edge build")(edges(liS()))(edges(liB()))
+    report("co-purchase edge build")(wedges(liS()).count())(wedges(liB()).count())
+    // Converged (round-count-adaptive) graph closures: replicas are
+    // DISJOINT copies, so round counts stay flat while per-round frames
+    // grow 10x - the intended scaling regime for both algorithms.
+    report("two-star CC (converged)")(
+      graft.ops.Graph.ccTwoStars(wedges(liS()).select(col("a"), col("b"))).count())(
+      graft.ops.Graph.ccTwoStars(wedges(liB()).select(col("a"), col("b"))).count())
+    report("Boruvka MSF")(
+      graft.ops.Graph.mstBoruvka(wedges(liS())).count())(
+      graft.ops.Graph.mstBoruvka(wedges(liB())).count())
     report("minhash LSH pairs")(
       graft.ops.Dedup.minhashLshPairs(docS(), "doc_id", "text").count())(
       graft.ops.Dedup.minhashLshPairs(docB(), "doc_id", "text").count())
