@@ -3879,7 +3879,11 @@ object SparkEntry {
     * merge done by an independent transitive closure instead of star
     * contraction. Rounds beyond convergence are empty no-ops, so the
     * unroll count only needs to EXCEED the true round count (components
-    * at least halve per round: 10 covers 1024-component forests). */
+    * at least halve per round: 20 covers ~10⁶-component forests, the
+    * same bound Graph.mstBoruvka's maxRounds default allows) — and a
+    * convergence assertion makes a too-small unroll FAIL the oracle run
+    * loudly instead of emitting a silently partial forest: if any edge
+    * survives the final contraction, the last CTE raises via error(). */
   private def boruvkaOracleSql(rounds: Int): String = {
     val blocks = (1 to rounds).map { k =>
       val p = s"e${k - 1}"
@@ -3915,8 +3919,12 @@ object SparkEntry {
        |        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
        |        GROUP BY x.pk, y.pk HAVING count(*) >= 2),
        |e0 AS MATERIALIZED (SELECT a AS ca, b AS cb, w, a AS oa, b AS ob FROM edw),
-       |$blocks
-       |SELECT oa AS a, ob AS b, w FROM ($forest)""".stripMargin
+       |$blocks,
+       |conv_chk AS (SELECT CASE WHEN count(*) > 0 THEN error(
+       |    'boruvka oracle: e$rounds non-empty - $rounds unrolled rounds did ' ||
+       |    'not converge; raise the unroll') ELSE 0 END AS ok FROM e$rounds)
+       |SELECT oa AS a, ob AS b, w FROM ($forest)
+       |WHERE (SELECT ok FROM conv_chk) = 0""".stripMargin
   }
 
   private val coPurchaseCte: String =
@@ -4807,7 +4815,7 @@ object SparkEntry {
          |        FROM d2 d JOIN sym s ON d.node = s.src) GROUP BY node)
          |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
 
-    "graph_mst_boruvka" -> boruvkaOracleSql(10),
+    "graph_mst_boruvka" -> boruvkaOracleSql(20),
 
     // Same weighted pair build (support kept), per-item squared-count
     // norms, one cosine division, (score DESC, rec) top-5 window.

@@ -1055,9 +1055,14 @@ object Dedup {
     * then compared to `thresholdNum/thresholdDen` by integer
     * cross-multiplication in DECIMAL(38,0): with ppm-reduced u the
     * products are bounded by (mDen·10⁶)^k·threshold — INDEPENDENT of
-    * corpus size, so the exact form never overflows at scale (the naïve
+    * corpus size, so the exact form never overflows at scale FOR ANY
+    * (k, mDen, threshold) the guard below admits (the naïve
     * n(n−1)-denominator form grows as n^(2k) and dies at sf0.1 with 4
-    * fields). A field that never (ppm 0) or always (ppm 10⁶) agrees by
+    * fields). The guard is the exact bound itself: a require rejects
+    * any call where (mDen·10⁶)^k·max(thresholdNum, thresholdDen)
+    * reaches 10³⁸ — at the defaults that admits k ≤ 5 comparison
+    * fields (k = 6 reaches ~5.3·10⁴¹ and would overflow DECIMAL(38,0)
+    * mid-product). A field that never (ppm 0) or always (ppm 10⁶) agrees by
     * chance makes the corresponding factor's denominator 0 = infinite
     * evidence; the cross-multiplied comparison handles that without
     * special cases because nothing ever divides.
@@ -1071,11 +1076,26 @@ object Dedup {
       thresholdNum: Long = 10L, thresholdDen: Long = 1L,
       mNum: Long = 9L, mDen: Long = 10L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(fieldCols.nonEmpty && fieldCols.size <= 6, "1..6 comparison fields")
     require(window >= 1 && window <= 16, "window in [1,16]")
     require(mNum > 0 && mNum < mDen, "0 < m < 1")
+    require(thresholdNum > 0 && thresholdDen > 0, "threshold > 0")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val SCALE = 1000000L
+    // Exact DECIMAL(38,0) headroom guard: each cross-multiplied side is a
+    // product of k per-field factors, every factor ≤ mDen·SCALE (numerator
+    // factors are m·10⁶ or (1−m)·10⁶ < mDen·10⁶; denominator factors are
+    // mDen·ppm with ppm ≤ 10⁶), times one threshold term — so the largest
+    // intermediate is (mDen·10⁶)^k·max(tNum, tDen) and must stay < 10³⁸.
+    require(fieldCols.nonEmpty &&
+        ((BigInt(mDen) * SCALE).pow(fieldCols.size) *
+          BigInt(thresholdNum max thresholdDen)) < BigInt(10).pow(38),
+      s"DECIMAL(38,0) overflow: (mDen*1e6)^k * max(thresholdNum, thresholdDen)" +
+        s" must stay under 1e38 — with mDen=$mDen, threshold " +
+        s"$thresholdNum/$thresholdDen that caps k at " +
+        s"${Iterator.from(1).takeWhile(k => (BigInt(mDen) * SCALE).pow(k) *
+            BigInt(thresholdNum max thresholdDen) < BigInt(10).pow(38))
+            .toSeq.lastOption.getOrElse(0)} comparison fields " +
+        s"(got ${fieldCols.size})")
     // exact ppm of u_i: floor(Σc(c−1)·10⁶ / n(n−1)), floor-corrected
     val uFrames = fieldCols.map { f =>
       val sums = records.groupBy(col(f)).agg(count(lit(1)).as("c"))

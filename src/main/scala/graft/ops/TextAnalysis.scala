@@ -1024,10 +1024,25 @@ object TextAnalysis {
           sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
         prevIds = newIds
       }
-      st.join(wf, Seq("word"))
+      val segged = st.join(wf, Seq("word"))
         .filter(col("pos") === length(col("word")))
         .select(col("word"), col("freq"),
           substring(col("path"), 2, Int.MaxValue).as("path"))
+      // Loud completeness gate: a word whose best segmentation needs more
+      // than `rounds` pieces never reaches pos == length and would SILENTLY
+      // vanish from the token stream (and the oracle, replaying the same
+      // truncation, would stay green over the loss). Both frames are
+      // word-vocabulary scale and already materialized (wf persisted, st
+      // localCheckpoint'ed), so the two counts are cheap driver probes.
+      val nWords = wf.count()
+      val nSegged = segged.count()
+      require(nSegged == nWords,
+        s"unigram segmentation dropped ${nWords - nSegged} of $nWords " +
+          s"distinct words: some word needs more than rounds=$rounds pieces " +
+          "— raise `rounds` toward the maximum word length (every piece " +
+          "consumes at least one character, so rounds >= max word length " +
+          "always suffices)")
+      segged
     }
     val t0 = broadcast(vocab0.agg(sum(col("sfreq")).as("tt")))
     val lp0 = vocab0.crossJoin(t0)

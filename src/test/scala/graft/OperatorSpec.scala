@@ -3397,4 +3397,86 @@ class OperatorSpec extends SparkSuite {
       t3.toString)
     assert(t3.size == 14, t3.toString)
   }
+
+  test("FS linkage: decimal headroom guard rejects k=6 at defaults, admits k=5") {
+    // (mDen·10⁶)^k·threshold for mDen=10, threshold=10: k=5 → 10³⁶ (fits
+    // DECIMAL(38,0)); k=6 → 10⁴³ (would overflow MID-PRODUCT and either
+    // null out or mis-compare) — the guard must reject before any plan runs
+    val recs = Seq(
+      (1L, 0L, 1L, "a", "b", "c", "d", "e", "f"),
+      (2L, 0L, 2L, "a", "b", "c", "d", "e", "g"))
+      .toDF("rid", "block", "ord", "f1", "f2", "f3", "f4", "f5", "f6")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.erScoredPairs(recs, "rid", "block", "ord",
+        Seq("f1", "f2", "f3", "f4", "f5", "f6"), window = 1)
+    }
+    assert(ex.getMessage.contains("caps k at 5"), ex.getMessage)
+    // k=5 at the same defaults runs and scores the pair (u=1 on every
+    // field — agreement carries no evidence, odds 0.9⁵ < 10 → no match)
+    val ok = Dedup.erScoredPairs(recs, "rid", "block", "ord",
+        Seq("f1", "f2", "f3", "f4", "f5"), window = 1)
+      .as[(Long, Long, String, Long, Boolean)].collect()
+    assert(ok.toSeq == Seq((1L, 2L, "11111", 5L, false)), ok.mkString(","))
+    // a tighter threshold denominator re-opens headroom the guard honors:
+    // same k=6 with mDen=2 → (2·10⁶)⁶·10 ≈ 6.4·10³⁸ still rejected, mNum=1
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.erScoredPairs(recs, "rid", "block", "ord",
+        Seq("f1", "f2", "f3", "f4", "f5", "f6"), window = 1,
+        mNum = 1L, mDen = 2L)
+    }
+    assert(ex2.getMessage.contains("overflow"), ex2.getMessage)
+  }
+
+  test("unigram LM: a word unreachable within `rounds` fails loudly, not silently") {
+    // maxTokLen=1 forces pure char pieces: "abcdef" needs 6 rounds; at
+    // rounds=3 the old code dropped the word from the output (and the
+    // oracle replayed the same truncation) — now it must throw
+    val docs = Seq("ab ab abcdef").toDF("text")
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramWordPaths(docs, maxTokLen = 1, topSubs = 4,
+        rounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("dropped 1 of 2 distinct words"),
+      ex.getMessage)
+    // with rounds >= max word length every word segments
+    val full = TextAnalysis.unigramWordPaths(docs, maxTokLen = 1, topSubs = 4,
+      rounds = 6).select($"word", $"path").as[(String, String)].collect().toMap
+    assert(full("abcdef") == "abcdef",
+      full.toString)
+  }
+
+  test("tar read: a payload forging the ustar magic is rejected by the POSIX checksum") {
+    // 512 zero bytes with "ustar" spelled at offset 257 — lands 512-aligned
+    // in the archive (payloads start on block boundaries), passes the magic
+    // nomination, but its stored checksum (NULs) cannot match the byte sum:
+    // pre-fix this block was parsed as a bogus extra member (empty name,
+    // size 0); post-fix only the true members come back
+    val forged = Array.fill[Byte](512)(0)
+    "ustar".getBytes("US-ASCII").copyToArray(forged, 257)
+    val honest = Array.tabulate[Byte](300)(i => (i % 251).toByte)
+    val media = Multimodal.asMedia(
+      Seq((1L, forged), (2L, honest)).toDF("doc_id", "payload"),
+      "doc_id", "payload")
+    val tars = Multimodal.tarShardBytes(media, shardBytes = 65536L)
+    val back = Multimodal.tarMemberSlices(tars)
+      .select($"name", $"size", $"payload")
+      .as[(String, Long, Array[Byte])].collect()
+    assert(back.length == 2, back.map(_._1).mkString(","))
+    assert(back.forall(_._1.matches("\\d{12}\\.bin")),
+      back.map(_._1).mkString(","))
+    // and the forged payload itself still round-trips byte-exact
+    val m = back.map(r => (r._1, r._3)).toMap
+    assert(java.util.Arrays.equals(m("000000000001.bin"), forged))
+    assert(java.util.Arrays.equals(m("000000000002.bin"), honest))
+  }
+
+  test("boruvka oracle: unrolled to the engine's 20-round bound with a loud convergence assert") {
+    // the oracle is DuckDB-side (driver-run); pin its structure here — a
+    // 10-round unroll silently emitted a partial forest past ~2¹⁰-node
+    // components, and nothing flagged non-convergence
+    val sql = SparkEntry.oracleSql("graph_mst_boruvka")
+    assert(sql.contains("e20"), "unroll must reach 20 rounds")
+    assert(sql.contains("error("), "must carry the convergence assert")
+    assert(sql.contains("FROM e20)"), "the assert must probe the FINAL round's edges")
+  }
 }
