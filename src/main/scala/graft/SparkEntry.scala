@@ -1285,6 +1285,17 @@ object SparkEntry {
       Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
         n = 8, minDocs = 2)),
 
+    // Maximal-repeat (ExactSubstr-class) dictionary: every ≥32-token span
+    // occurring ≥2 times that is left- AND right-maximal — the
+    // suffix-tree-internal-node set, so nested duplicates report ONCE at
+    // full length (never their sub-windows), found by hash-doubling group
+    // refinement in log(cap) rounds over the duplicated-region subset
+    // only. cap=128 exceeds the fixture's max doc length, so the loud
+    // cap guard cannot fire here.
+    "dedup_max_repeats" -> ((s, dir) =>
+      Dedup.maxRepeats(t(s, dir, "documents"), "doc_id", "text",
+        minLen = 32, cap = 128)),
+
     // ...and the per-doc duplicated-window ratio built on it — exchanges
     // carry 60-bit md5 keys, never span text; dup_ratio is one IEEE
     // division of exact integers so it hash-gates.
@@ -6549,6 +6560,37 @@ object SparkEntry {
         |SELECT span, CAST(count(*) AS BIGINT) AS n_occurrences,
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    // Brute force over the pruned candidate space: windows of EVERY length
+    // 32..128 from positions whose 32-window recurs (a longer repeat's
+    // start is always such a position — the same pruning theorem the
+    // engine uses), grouped per (length, content), then the identical
+    // left/right maximality predicate the engine's divergence semantics
+    // implement (doc start/end count as unextendable).
+    "dedup_max_repeats" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |w0 AS (SELECT doc_id, unnest(range(0, len(tk) - 31)) AS pos, tk,
+        |         len(tk) AS n FROM d WHERE len(tk) >= 32),
+        |k0 AS (SELECT doc_id, pos, tk, n,
+        |         md5(array_to_string(tk[pos+1:pos+32], ' ')) AS k FROM w0),
+        |rep0 AS (SELECT k FROM k0 GROUP BY k HAVING count(*) >= 2),
+        |p AS (SELECT k0.* FROM k0 SEMI JOIN rep0 USING (k)),
+        |wins AS (SELECT doc_id, pos, tk, n,
+        |           unnest(generate_series(32, least(128, n - pos))) AS l FROM p),
+        |kw AS (SELECT doc_id, pos, n, l,
+        |         md5(array_to_string(tk[pos+1:pos+l], ' ')) AS k,
+        |         CASE WHEN pos + l < n THEN tk[pos+l+1] END AS nxt,
+        |         CASE WHEN pos > 0 THEN tk[pos] END AS prv,
+        |         (pos + l = n) AS at_end, (pos = 0) AS at_start
+        |       FROM wins),
+        |grp AS (SELECT l, k, CAST(count(*) AS BIGINT) AS n_occ,
+        |          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |          bool_or(at_end) AS r_end, count(DISTINCT nxt) AS ndn,
+        |          bool_or(at_start) AS l_end, count(DISTINCT prv) AS ndp
+        |        FROM kw GROUP BY l, k HAVING count(*) >= 2)
+        |SELECT CAST(l AS BIGINT) AS rep_len, n_occ, n_docs, k AS span_md5
+        |FROM grp WHERE (r_end OR ndn >= 2) AND (l_end OR ndp >= 2)""".stripMargin,
 
     "dedup_span_ratio" ->
       """WITH w AS (SELECT doc_id,

@@ -1143,4 +1143,210 @@ object Dedup {
       (rNum * lit(thresholdDen).cast(dec) >=
         rDen * lit(thresholdNum).cast(dec)).as("is_match"))
   }
+
+  /** Maximal-repeat enumeration — the suffix-array-equivalent
+    * (ExactSubstr-class) exact-substring dedup pass: every token span of
+    * length >= `minLen` that occurs at least twice in the corpus
+    * (occurrences counted with multiplicity, within- and cross-document)
+    * AND is maximal in the stringology sense — LEFT-maximal (not every
+    * occurrence is preceded by the same token; a document-start
+    * occurrence is never extendable) and RIGHT-maximal (symmetrically on
+    * the following token / document end). Maximality is what separates
+    * this from [[repeatedSpans]]' fixed-n window dictionary: a 64-token
+    * duplicated passage reports ONCE at length 64, never as its 33
+    * embedded 32-token sub-windows (each sub-window's occurrences all
+    * extend identically, so none is maximal). These are exactly the
+    * internal nodes of depth >= minLen of the corpus suffix tree — the
+    * repeat dictionary "Deduplicating Training Data" builds with a
+    * suffix array; this is the distributed formulation.
+    *
+    * Algorithm (hash-doubling group refinement, never a corpus suffix
+    * sort):
+    *   1. PRUNE: a repeat of length >= minLen contains a repeated
+    *      minLen-window at its start, so only positions whose
+    *      minLen-window recurs (and only their documents) enter the
+    *      machinery — at corpus scale a small duplicated-region subset.
+    *   2. RANK TABLES: ceil(log2(cap)) prefix-doubling rounds give every
+    *      candidate position an identity for its 2^k-token window
+    *      (md5-combined, doc-end sentinel encodes the remaining length),
+    *      after which the identity of ANY l-token window is O(1): two
+    *      overlapping 2^floor(log2 l) windows determine it (the
+    *      sparse-table LCP trick).
+    *   3. REFINE: level-0 groups are the occurrence sets of repeated
+    *      minLen-windows. Each group binary-searches its divergence
+    *      depth l* (the largest l where all members' l-windows still
+    *      agree) in ceil(log2(cap-minLen+1)) rounds shared by ALL groups
+    *      — the group's string at l* is a right-maximal repeat (members
+    *      part ways at l*+1, or end there) and is emitted; classes of
+    *      >= 2 members at l*+1 recurse as the next level's groups.
+    *      Every frame is localCheckpoint'ed and the superseded round
+    *      freed (the bpeLoop discipline); levels are bounded LOUDLY by
+    *      `maxLevels` (nested-repeat chain depth; pathological
+    *      periodicity — "x x x x ..." — nests linearly and must raise,
+    *      not spin).
+    *   4. FILTER: left-maximality is one keyed aggregate over each
+    *      emitted group's preceding tokens.
+    *
+    * Scale shape: no all-pairs join and no global sort anywhere; every
+    * exchange is keyed on (doc, pos) or a group id, and every frame
+    * after step 1 is bounded by the corpus' DUPLICATED-region footprint,
+    * not the corpus. A repeat reaching `cap` tokens raises loudly
+    * (partial output is never emitted silently).
+    *
+    * Returns one row per maximal repeat: (rep_len, n_occ, n_docs,
+    * span_md5) with span_md5 = md5 of the space-joined token span. */
+  def maxRepeats(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 32, cap: Int = 128, maxLevels: Int = 16): DataFrame = {
+    require(minLen >= 2, "minLen >= 2")
+    require(cap >= minLen, "cap >= minLen")
+    require(maxLevels >= 1 && maxLevels <= 64, "maxLevels in [1,64]")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = docs.sparkSession.sparkContext
+    // checkpoint-and-free: localCheckpoint the new round, drop the blocks
+    // of the round it supersedes
+    var prevIds = Set.empty[Int]
+    def cycle(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      val newIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      prevIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = newIds
+      out
+    }
+    val K = math.max(1, 32 - Integer.numberOfLeadingZeros(cap - 1)) // ceil(log2 cap)
+    // 1. prune to positions whose minLen-window recurs, and their docs
+    val wins = posSpanWindows(docs, idCol, textCol, minLen)
+      .select(col(idCol).as("doc"), col("wpos").as("pos"),
+        spanKey(col("span")).as("__h"))
+      .persist(lvl)
+    val heavy = wins.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select(col("__h"))
+    val p0 = wins.join(heavy, Seq("__h"), "left_semi")
+      .select(col("doc"), col("pos")).localCheckpoint()
+    wins.unpersist(blocking = false)
+    val candDocs = p0.select(col("doc")).distinct()
+    val tk = docs
+      .select(col(idCol).as("doc"), split(trim(col(textCol)), "\\s+").as("tk"))
+      .join(candDocs, Seq("doc"), "left_semi")
+      .select(col("doc"), col("tk"), size(col("tk")).as("len"))
+      .persist(lvl)
+    val toks = tk.select(col("doc"), col("len"),
+      posexplode(col("tk")).as(Seq("pos", "tok")))
+    // 2. rank tables: rks(k+1) identifies tokens [pos, pos+2^k), END-coded
+    var ranks = toks.select(col("doc"), col("pos"), col("len"),
+      array(md5(col("tok"))).as("rks"))
+    ranks = cycle(ranks)
+    for (k <- 1 to K) {
+      val off = 1 << (k - 1)
+      val right = ranks.select(col("doc"), (col("pos") - off).as("pos"),
+        element_at(col("rks"), k).as("__rr"))
+      ranks = cycle(ranks.join(right, Seq("doc", "pos"), "left")
+        .select(col("doc"), col("pos"), col("len"),
+          concat(col("rks"), array(md5(concat(
+            element_at(col("rks"), k), lit("|"),
+            coalesce(col("__rr"), lit("E")))))).as("rks")))
+    }
+    // ranks must outlive the loops below: pin it out of the cycle chain
+    val rankT = ranks.persist(lvl)
+    prevIds = Set.empty
+    // identity of the tl-token window at (doc, pos): two overlapping
+    // 2^floor(log2 tl) ranks when the window fits, the END-coded top rank
+    // (remaining content + remaining length) when it does not
+    def withId(m: DataFrame, tl: Column, out: String): DataFrame = {
+      var kE: Column = lit(0)
+      var p2: Column = lit(1)
+      for (kk <- 1 to K) {
+        kE = when(tl >= (1 << kk), lit(kk)).otherwise(kE)
+        p2 = when(tl >= (1 << kk), lit(1 << kk)).otherwise(p2)
+      }
+      val bpos = col("pos") + tl - p2
+      m.join(rankT.select(col("doc"), col("pos"), col("rks").as("__ra")),
+          Seq("doc", "pos"))
+        .withColumn("__bpos", bpos)
+        .join(rankT.select(col("doc"), col("pos").as("__bpos"),
+          col("rks").as("__rb")), Seq("doc", "__bpos"), "left")
+        .withColumn(out,
+          when(col("len") - col("pos") >= tl,
+            md5(concat(element_at(col("__ra"), kE.cast("int") + 1), lit("|"),
+              element_at(col("__rb"), kE.cast("int") + 1), lit("|"),
+              tl.cast("string"))))
+          .otherwise(concat(lit("E|"), element_at(col("__ra"), lit(K + 1)))))
+        .drop("__ra", "__rb", "__bpos")
+    }
+    // 3. level-0 groups: occurrence sets of repeated minLen-windows
+    var g = withId(p0.join(tk.select(col("doc"), col("len")), Seq("doc")),
+        lit(minLen), "__id0")
+      .select(md5(concat(col("__id0"), lit("#"), lit(minLen))).as("gid"),
+        col("doc"), col("pos"), col("len"),
+        lit(minLen).as("lo"), lit(cap + 1).as("hi"))
+    g = cycle(g)
+    val steps = 32 - Integer.numberOfLeadingZeros(cap + 1 - minLen)
+    val emittedLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var level = 0
+    while (!g.isEmpty) {
+      require(level < maxLevels,
+        s"maxRepeats: nested-repeat chain exceeds maxLevels=$maxLevels " +
+          "(periodic text nests one level per period step) — raise maxLevels")
+      // binary search all groups' divergence depths in lockstep; resolved
+      // groups (hi == lo+1) test mid == lo, agree, and stay fixed
+      for (_ <- 1 to steps) {
+        val mid = floor((col("lo") + col("hi")) / 2).cast("int")
+        val tested = withId(g.withColumn("__mid", mid), col("__mid"), "__idm")
+        val verdict = tested.groupBy(col("gid"))
+          .agg((countDistinct(col("__idm")) === 1).as("__agree"))
+        g = cycle(tested.join(verdict, Seq("gid"))
+          .select(col("gid"), col("doc"), col("pos"), col("len"),
+            when(col("__agree"), col("__mid")).otherwise(col("lo")).as("lo"),
+            when(col("__agree"), col("hi")).otherwise(col("__mid")).as("hi")))
+      }
+      // resolved: divergence depth l* = lo; lo == cap means "never diverged
+      // below cap" — legitimate only when all members end together (same
+      // remaining length R <= cap: the repeat IS the common suffix)
+      val stats = g.groupBy(col("gid")).agg(
+        min(col("len") - col("pos")).as("__minR"),
+        max(col("len") - col("pos")).as("__maxR"))
+      val atCapOver = g.join(stats, Seq("gid"))
+        .filter(col("lo") === cap && col("__maxR") > cap).take(1)
+      require(atCapOver.isEmpty,
+        s"maxRepeats: a repeat reaches cap=$cap tokens without diverging — " +
+          "raise cap (output would otherwise be silently truncated)")
+      val emitted = g.join(stats, Seq("gid"))
+        .select(col("gid"), col("doc"), col("pos"), col("len"), col("lo"),
+          when(col("lo") === cap, least(col("__minR"), lit(cap)))
+            .otherwise(col("lo")).as("rep_len"))
+      emittedLevels += emitted.localCheckpoint()
+      // children: classes of >= 2 members at l*+1 (only where a true
+      // divergence exists below cap)
+      val kids = withId(emitted.filter(col("lo") < cap), col("lo") + 1, "__idc")
+      val bigEnough = kids.groupBy(col("gid"), col("__idc"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+        .select(col("gid"), col("__idc"))
+      g = cycle(kids.join(bigEnough, Seq("gid", "__idc"), "left_semi")
+        .select(md5(concat(col("__idc"), lit("#"),
+            (col("lo") + 1).cast("string"))).as("gid"),
+          col("doc"), col("pos"), col("len"),
+          (col("lo") + 1).as("lo"), lit(cap + 1).as("hi")))
+      level += 1
+    }
+    // 4. left-maximality + stats + span fingerprint from a witness member
+    val emitAll = emittedLevels.reduceOption(_ unionAll _)
+      .getOrElse(g.select(col("gid"), col("doc"), col("pos"), col("len"),
+        col("lo"), col("lo").as("rep_len")))
+    val prevT = toks.select(col("doc"), (col("pos") + 1).as("pos"),
+      col("tok").as("__prev"))
+    val gstats = emitAll.join(prevT, Seq("doc", "pos"), "left")
+      .groupBy(col("gid"), col("rep_len"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc")).as("n_docs"),
+        max(col("pos") === 0).as("__atStart"),
+        countDistinct(col("__prev")).as("__ndp"),
+        min(struct(col("doc"), col("pos"))).as("__w"))
+    gstats.filter(col("__atStart") || col("__ndp") >= 2)
+      .join(tk.select(col("doc").as("__wdoc"), col("tk")),
+        col("__w.doc") === col("__wdoc"))
+      .select(col("rep_len").cast("long").as("rep_len"),
+        col("n_occ"), col("n_docs"),
+        md5(concat_ws(" ",
+          slice(col("tk"), col("__w.pos") + 1, col("rep_len")))).as("span_md5"))
+  }
 }

@@ -3479,4 +3479,102 @@ class OperatorSpec extends SparkSuite {
     assert(sql.contains("error("), "must carry the convergence assert")
     assert(sql.contains("FROM e20)"), "the assert must probe the FINAL round's edges")
   }
+
+  test("maximal repeats: nested spans report once at full length; wa/wb splits; doc-end; self-repeat") {
+    // independent brute force over every (position, length) — the spec-side
+    // twin of the DuckDB oracle, on planted cases
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def brute(docs: Seq[(Long, String)], minLen: Int): Set[(Long, Long, Long, String)] = {
+      val tks = docs.map { case (id, t) => (id, t.trim.split("\\s+")) }
+      val byId = tks.toMap
+      val occ = scala.collection.mutable.Map.empty[(Int, String), List[(Long, Int)]]
+      for ((id, w) <- tks; l <- minLen to w.length; p <- 0 to w.length - l) {
+        val s = w.slice(p, p + l).mkString(" ")
+        occ((l, s)) = (id, p) :: occ.getOrElse((l, s), Nil)
+      }
+      occ.iterator.filter(_._2.size >= 2).flatMap { case ((l, s), os) =>
+        val nxt = os.map { case (d, p) =>
+          val w = byId(d); if (p + l < w.length) Some(w(p + l)) else None }
+        val prv = os.map { case (d, p) =>
+          val w = byId(d); if (p > 0) Some(w(p - 1)) else None }
+        val rMax = nxt.contains(None) || nxt.flatten.distinct.size >= 2
+        val lMax = prv.contains(None) || prv.flatten.distinct.size >= 2
+        if (rMax && lMax)
+          Some((l.toLong, os.size.toLong, os.map(_._1).distinct.size.toLong, md5hex(s)))
+        else None
+      }.toSet
+    }
+    val w8 = (1 to 8).map(i => s"W$i").mkString(" ")
+    val n12 = (1 to 12).map(i => s"N$i").mkString(" ")
+    val e6 = (1 to 6).map(i => s"E$i").mkString(" ")
+    val docs = Seq(
+      // 4-way repeat w8 with two 2-way extensions "w8 a" / "w8 b"
+      (1L, s"p1 p2 $w8 a q1 q2"),
+      (2L, s"r1 $w8 a s1"),
+      (3L, s"t1 $w8 b u1"),
+      (4L, s"v1 $w8 b x1 y1"),
+      // nested: a 12-token repeat must NOT also report 4..11-token subs
+      (5L, s"c1 c2 $n12 c3"),
+      (6L, s"d1 $n12 d2"),
+      // doc-end repeat (right-maximal via both documents ending)
+      (7L, s"e1 e2 $e6"),
+      (8L, s"f1 $e6"),
+      // within-document self-repeat (n_docs = 1, n_occ = 2)
+      (9L, "g1 S1 S2 S3 S4 g2 S1 S2 S3 S4 g3"))
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.maxRepeats(df, "doc_id", "text", minLen = 4, cap = 32)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val want = brute(docs, minLen = 4)
+    assert(got == want,
+      s"missing=${want -- got} ; extra=${got -- want}")
+    // the planted spans themselves are in the output at FULL length only
+    assert(got.contains((8L, 4L, 4L, md5hex(w8))), "w8 missing")
+    assert(got.contains((9L, 2L, 2L, md5hex(s"$w8 a"))), "w8+a missing")
+    assert(got.contains((9L, 2L, 2L, md5hex(s"$w8 b"))), "w8+b missing")
+    assert(got.contains((12L, 2L, 2L, md5hex(n12))), "n12 missing")
+    assert(!got.exists(r => r._4 == md5hex((1 to 11).map(i => s"N$i").mkString(" "))),
+      "an 11-token prefix of the 12-token repeat leaked out")
+    assert(got.contains((6L, 2L, 2L, md5hex(e6))), "doc-end repeat missing")
+    assert(got.contains((4L, 2L, 1L, md5hex("S1 S2 S3 S4"))), "self-repeat missing")
+  }
+
+  test("maximal repeats: periodic text nests linearly — loud maxLevels, exact at a high bound") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val per = Seq((1L, Seq.fill(12)("x").mkString(" "))).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.maxRepeats(per, "doc_id", "text", minLen = 4, cap = 16,
+        maxLevels = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxLevels"), ex.getMessage)
+    // x^l for l in 4..11 each recurs (12-l+1 times), every one maximal
+    // (an occurrence starts at pos 0 and another ends at doc end)
+    val got = Dedup.maxRepeats(per, "doc_id", "text", minLen = 4, cap = 16,
+        maxLevels = 12)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val want = (4 to 11).map(l =>
+      (l.toLong, (13 - l).toLong, 1L, md5hex(Seq.fill(l)("x").mkString(" ")))).toSet
+    assert(got == want, s"missing=${want -- got} ; extra=${got -- want}")
+  }
+
+  test("maximal repeats: a repeat reaching cap raises instead of truncating; no repeats -> empty") {
+    val twin = Seq(
+      (1L, (1 to 10).map(i => s"T$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"T$i").mkString(" "))).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.maxRepeats(twin, "doc_id", "text", minLen = 4, cap = 8).collect()
+    }
+    assert(ex.getMessage.contains("cap=8"), ex.getMessage)
+    // at cap >= the repeat length the identical-twin pair IS the repeat
+    val ok = Dedup.maxRepeats(twin, "doc_id", "text", minLen = 4, cap = 16)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(ok.map(r => (r._1, r._2, r._3)) == Set((10L, 2L, 2L)), ok.toString)
+    val none = Dedup.maxRepeats(
+      Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 4, cap = 16)
+    assert(none.count() == 0L)
+  }
 }
