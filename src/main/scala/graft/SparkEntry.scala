@@ -1988,6 +1988,24 @@ object SparkEntry {
           sum(col("n_tokens")).as("n_bpe_tokens"))
     },
 
+    // Byte-level (GPT-2-class) BPE: merges learned over UTF-8 BYTES in
+    // hex space — base vocabulary is the 256 byte values, so nothing is
+    // ever out-of-vocabulary (multi-byte scripts decompose to bytes) and
+    // the oracle replays every merge in the same uppercase-hex rendering
+    // both engines share.
+    "text_bpe_bytes" -> ((s, dir) =>
+      TextAnalysis.bpeBytesMerges(t(s, dir, "documents"), iterations = 5)),
+
+    // The apply half at byte level, plus the round-trip the design
+    // guarantees: unhex(concat(tokens)) decodes back to the word —
+    // asserted as a gated boolean column on BOTH engines.
+    "text_bpe_bytes_encode" -> ((s, dir) =>
+      TextAnalysis.bpeBytesEncodeWords(t(s, dir, "documents"), iterations = 5)
+        .withColumn("tokens", array_join(col("tokens"), " "))
+        .withColumn("roundtrip",
+          decode(unhex(regexp_replace(col("tokens"), " ", "")), "UTF-8")
+            === col("word"))),
+
     // Packing-efficiency report over the pack_sequences layout: per
     // sequence, how many docs START in it and how many of their tokens
     // it anchors — the utilization metric every packing pipeline
@@ -3652,8 +3670,8 @@ object SparkEntry {
     * k count/argmax/merge rounds ending in token state t{k}) — composed
     * by both the learn oracle (reads m1..mk) and the encode oracle
     * (reads t{k}), mirroring TextAnalysis.bpeLoop. */
-  private def bpeCtes(iterations: Int): String = {
-    val iterCtes = (1 to iterations).map { i =>
+  private def bpeIterCtes(iterations: Int): String =
+    (1 to iterations).map { i =>
       val j = i - 1
       s"""p$i AS (SELECT tok AS a, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS b, freq FROM t$j),
          |c$i AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i
@@ -3671,6 +3689,8 @@ object SparkEntry {
          |         CASE WHEN coalesce(sel, false) THEN tok || (SELECT b FROM m$i) ELSE tok END AS tok
          |       FROM s${i}b WHERE NOT coalesce(prev_sel, false))""".stripMargin
     }.mkString(",\n")
+
+  private def bpeCtes(iterations: Int): String =
     s"""vocab AS (
        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
@@ -3678,8 +3698,38 @@ object SparkEntry {
        |t0 AS (
        |  SELECT word, freq, i AS pos, word[i] AS tok
        |  FROM vocab, unnest(range(1, len(word) + 1)) AS u(i)),
-       |$iterCtes""".stripMargin
+       |${bpeIterCtes(iterations)}""".stripMargin
+
+  /** Byte-level twin: identical iteration CTEs, but t0 symbolizes each
+    * word's UTF-8 BYTES as 2-hex-char symbols (DuckDB hex(VARCHAR) and
+    * Spark hex(encode(.,'UTF-8')) agree byte-for-byte, both uppercase). */
+  private def bpeBytesCtes(iterations: Int): String =
+    s"""vocab AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
+       |  GROUP BY tok HAVING len(tok) > 0),
+       |t0 AS (
+       |  SELECT word, freq, i AS pos, substr(hex(word), 2*i - 1, 2) AS tok
+       |  FROM vocab, unnest(range(1, len(hex(word)) // 2 + 1)) AS u(i)),
+       |${bpeIterCtes(iterations)}""".stripMargin
+
+  private def bpeBytesOracleSql(iterations: Int): String = {
+    val unions = (1 to iterations).map { i =>
+      if (i == 1) s"SELECT CAST(1 AS BIGINT) AS iter, a || ' ' || b AS pair, cnt FROM m1"
+      else s"SELECT $i, a || ' ' || b, cnt FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeBytesCtes(iterations)}
+       |SELECT * FROM (
+       |$unions)""".stripMargin
   }
+
+  private def bpeBytesEncodeOracleSql(iterations: Int): String =
+    s"""WITH ${bpeBytesCtes(iterations)}
+       |SELECT word, freq, string_agg(tok, ' ' ORDER BY pos) AS tokens,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       decode(from_hex(replace(string_agg(tok, ' ' ORDER BY pos),
+       |         ' ', ''))) = word AS roundtrip
+       |FROM t$iterations GROUP BY word, freq""".stripMargin
 
   private def bpeOracleSql(iterations: Int): String = {
     val unions = (1 to iterations).map { i =>
@@ -7268,6 +7318,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "text_bpe_merges" -> bpeOracleSql(5),
+    "text_bpe_bytes" -> bpeBytesOracleSql(5),
+    "text_bpe_bytes_encode" -> bpeBytesEncodeOracleSql(5),
 
     // Same derived vocab, best-match table, and a recursive pointer
     // walk capped at the same 16 rounds as the Spark loop.

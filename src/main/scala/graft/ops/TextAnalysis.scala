@@ -744,12 +744,72 @@ object TextAnalysis {
     * CTE-for-CTE. */
   def bpeEncodeWords(docs: DataFrame, textCol: String = "text",
       iterations: Int = 5): DataFrame =
-    bpeLoop(docs, textCol, iterations)._2
-      .groupBy(col("word"), col("freq"))
+    encodeTokenState(bpeLoop(docs, textCol, iterations)._2)
+
+  /** Byte-level BPE learn — the GPT-2-class byte-fallback variant of
+    * [[bpeMerges]] (Radford et al. 2019 tokenize UTF-8 BYTES, so the
+    * base vocabulary is the 256 byte values and NOTHING can ever be
+    * out-of-vocabulary — multi-byte scripts, emoji, and raw binary all
+    * decompose to bytes). Symbols live in HEX space (each initial symbol
+    * is one byte's 2-hex-char rendering, merges concatenate hex strings):
+    * Spark and DuckDB render hex identically (both uppercase — the
+    * mm_frames_binary convention), so the oracle replays every merge
+    * byte-for-byte without any UTF-8 round-trip hazard. Same recurrence,
+    * same self-pair exclusion, same word-frequency scale shape as the
+    * char-level loop. Returns (iter, pair, cnt) with pair = the two hex
+    * symbols space-joined. */
+  def bpeBytesMerges(docs: DataFrame, textCol: String = "text",
+      iterations: Int = 5): DataFrame =
+    bpeBytesLoop(docs, textCol, iterations)._1.reduce(_ unionByName _)
+
+  /** The apply half of the byte-level tokenizer: each distinct word's
+    * byte segmentation after the learned merges, as hex-space tokens.
+    * unhex(concat(tokens)) is the word's exact UTF-8 bytes — the
+    * round-trip the byte-level design guarantees by construction. */
+  def bpeBytesEncodeWords(docs: DataFrame, textCol: String = "text",
+      iterations: Int = 5): DataFrame =
+    encodeTokenState(bpeBytesLoop(docs, textCol, iterations)._2)
+
+  /** Byte-level BPE over ARBITRARY binary units — the entry point for
+    * the multimodal columns: `units` is (word, freq, hx) where `word` is
+    * any unit key and `hx` the EVEN-length hex rendering of the unit's
+    * bytes (hex(media) for a binary column). Bytes need not be valid
+    * UTF-8 — symbols never leave hex space. */
+  def bpeBytesMergesOnHex(units: DataFrame, iterations: Int = 5): DataFrame =
+    bpeHexCore(units, iterations)._1.reduce(_ unionByName _)
+
+  /** Encode twin of [[bpeBytesMergesOnHex]]: (word, freq, tokens,
+    * n_tokens) with hex-space tokens whose concatenation is `hx`. */
+  def bpeBytesEncodeOnHex(units: DataFrame, iterations: Int = 5): DataFrame =
+    encodeTokenState(bpeHexCore(units, iterations)._2)
+
+  /** Final-token-state → (word, freq, tokens, n_tokens) rollup shared by
+    * the char- and byte-level encoders. */
+  private def encodeTokenState(state: DataFrame): DataFrame =
+    state.groupBy(col("word"), col("freq"))
       .agg(
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x("tok")).as("tokens"),
         count(lit(1)).as("n_tokens"))
+
+  private def bpeBytesLoop(docs: DataFrame, textCol: String,
+      iterations: Int): (Seq[DataFrame], DataFrame) =
+    bpeHexCore(docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        hex(encode(col("word"), "UTF-8")).as("hx")), iterations)
+
+  /** Hex symbolization (one 2-hex-char symbol per byte) → shared merge
+    * recurrence. */
+  private def bpeHexCore(units: DataFrame,
+      iterations: Int): (Seq[DataFrame], DataFrame) =
+    bpeCore(units.select(col("word"), col("freq"),
+      posexplode(transform(
+        sequence(lit(1), (length(col("hx")) / 2).cast("int")),
+        i => col("hx").substr(i * 2 - 1, lit(2)))).as(Seq("pos", "tok"))),
+      iterations)
 
   /** Shared BPE recurrence: k rounds of count→argmax→non-overlapping
     * merge over the per-word character/token state. Returns the per-round
@@ -757,16 +817,25 @@ object TextAnalysis {
     * and encode (bpeEncodeWords) stay one implementation. */
   private def bpeLoop(docs: DataFrame, textCol: String,
       iterations: Int): (Seq[DataFrame], DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
-    val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
     val vocab = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    var toks = vocab.select(col("word"), col("freq"),
-        posexplode(transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1)))).as(Seq("pos", "tok")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    bpeCore(vocab.select(col("word"), col("freq"),
+      posexplode(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as(Seq("pos", "tok"))),
+      iterations)
+  }
+
+  /** The k count→argmax→merge rounds over an initial (word, freq, pos,
+    * tok) symbol frame — char symbols (bpeLoop) and hex byte symbols
+    * (bpeHexCore) share it verbatim, so the two tokenizer levels cannot
+    * drift. */
+  private def bpeCore(toks0: DataFrame,
+      iterations: Int): (Seq[DataFrame], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var toks = toks0.persist(StorageLevel.MEMORY_AND_DISK)
     // ids of the PREVIOUS round's checkpointed blocks — superseded once
     // the next round materializes, freed so executor storage stays O(1)
     // in iterations (the Graph.checkpointRound/freeRound discipline)

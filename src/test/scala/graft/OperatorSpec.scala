@@ -3480,6 +3480,49 @@ class OperatorSpec extends SparkSuite {
     assert(sql.contains("FROM e20)"), "the assert must probe the FINAL round's edges")
   }
 
+  test("byte-level BPE: hex-space merges on mixed scripts, non-ASCII round-trip, binary units") {
+    // café=63 61 66 C3 A9 (x3), naïve=6E 61 C3 AF 76 65 (x1),
+    // 東京=E6 9D B1 E4 BA AC (x2): top pair count is 3 (café's four
+    // adjacent byte pairs); the (cnt DESC, a, b) tiebreak picks hex-least
+    // a — ("61","66")
+    val docs = Seq("café café naïve", "東京 東京 café").toDF("text")
+    val merges = TextAnalysis.bpeBytesMerges(docs, iterations = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(merges.head == ((1L, "61 66", 3L)), merges.mkString(","))
+    // every word round-trips: unhex(concat(tokens)) = its UTF-8 bytes
+    val enc = TextAnalysis.bpeBytesEncodeWords(docs, iterations = 3)
+      .select($"word", array_join($"tokens", "").as("hx"))
+      .as[(String, String)].collect()
+    assert(enc.length == 3)
+    enc.foreach { case (w, hx) =>
+      val bytes = (0 until hx.length / 2)
+        .map(i => Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16).toByte)
+      assert(new String(bytes.toArray, "UTF-8") == w, s"$w -> $hx")
+    }
+    // multi-byte symbols never split a codepoint ACROSS a merge? they may —
+    // byte level merges bytes regardless of codepoint boundaries (the
+    // GPT-2 behavior); what IS guaranteed is byte-exact reassembly, which
+    // the loop above pins for 2- and 3-byte scripts
+    // true non-UTF-8 binary units through the OnHex entry: NUL runs and
+    // invalid continuation bytes
+    val raw = Seq(
+      ("u1", 2L, Array[Byte](0, -1, -2, 0, -1, -2, 0x41)),
+      ("u2", 1L, Array[Byte](-1, -2, 0x41, 0x41, 0, 0))).toDF("word", "freq", "bin")
+      .select($"word", $"freq", hex($"bin").as("hx"))
+    val m2 = TextAnalysis.bpeBytesMergesOnHex(raw, iterations = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // pairs: (00,FF)x2w -> cnt 2*2=4... weighted by freq: u1 has (00,FF)x2,
+    // (FF,FE)x2, (FE,00)x1, (FE,41)x1 at freq 2; u2 has (FF,FE),(FE,41),
+    // (41,41),(41,00) at freq 1 (self-pair 00,00 excluded) ->
+    // (00,FF)=4, (FF,FE)=5, (FE,41)=3, (FE,00)=2, (41,41)=1, (41,00)=1
+    assert(m2.head == ((1L, "FF FE", 5L)), m2.mkString(","))
+    val enc2 = TextAnalysis.bpeBytesEncodeOnHex(raw, iterations = 2)
+      .select($"word", array_join($"tokens", "").as("out"))
+      .as[(String, String)].collect().toMap
+    assert(enc2("u1") == "00FFFE00FFFE41" && enc2("u2") == "FFFE41410000",
+      enc2.toString)
+  }
+
   test("maximal repeats: nested spans report once at full length; wa/wb splits; doc-end; self-repeat") {
     // independent brute force over every (position, length) — the spec-side
     // twin of the DuckDB oracle, on planted cases
