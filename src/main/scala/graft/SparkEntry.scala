@@ -3081,6 +3081,15 @@ object SparkEntry {
     "graph_louvain_multilevel" -> ((s, dir) =>
       Graph.louvainTwoLevel(coPurchaseEdges(s, dir))),
 
+    // Leiden-style connectivity refinement over the two-level Louvain
+    // partition: every community split into the connected components of
+    // its induced subgraph, so the Leiden guarantee (no disconnected
+    // community) holds; modularity can only rise. The oracle replays the
+    // identical Louvain chain, then closes components with an independent
+    // recursive transitive closure.
+    "graph_leiden" -> ((s, dir) =>
+      Graph.leidenRefine(coPurchaseEdges(s, dir))),
+
     // Link prediction by neighbor-set Jaccard: candidates only through
     // shared neighbors (the wedge envelope), score a ratio of exact
     // integers via inclusion-exclusion.
@@ -3987,6 +3996,62 @@ object SparkEntry {
        |SELECT oa AS a, ob AS b, w FROM ($forest)
        |WHERE (SELECT ok FROM conv_chk) = 0""".stripMargin
   }
+
+  /** Two-level Louvain replay ending in fl(node, d, lbl) — shared by the
+    * multilevel oracle and the Leiden refinement oracle so the base
+    * partition cannot drift between them. */
+  private val louvainMlCtes: String =
+    """sym AS (SELECT a AS i, b AS j FROM ed
+      |        UNION ALL SELECT b AS i, a AS j FROM ed),
+      |deg AS (SELECT i AS node, count(*) AS d FROM sym GROUP BY i),
+      |mm AS (SELECT count(*) AS m FROM ed),
+      |g AS (SELECT sym.i, sym.j, 2 * mm.m - di.d * dj.d AS g
+      |      FROM sym JOIN deg di ON di.node = sym.i
+      |      JOIN deg dj ON dj.node = sym.j, mm),
+      |r AS (SELECT i, j,
+      |        row_number() OVER (PARTITION BY i ORDER BY g DESC, j) AS rk
+      |      FROM g WHERE g > 0),
+      |lbl AS (SELECT deg.node, deg.d, coalesce(r1.j, deg.node) AS lbl
+      |        FROM deg LEFT JOIN (SELECT i, j FROM r WHERE rk = 1) r1
+      |        ON deg.node = r1.i),
+      |ce AS (SELECT least(la.lbl, lb.lbl) AS ca,
+      |         greatest(la.lbl, lb.lbl) AS cb,
+      |         CAST(count(*) AS BIGINT) AS w
+      |       FROM ed JOIN lbl la ON ed.a = la.node
+      |       JOIN lbl lb ON ed.b = lb.node GROUP BY 1, 2),
+      |symw AS (SELECT ca AS i, cb AS j, w FROM ce WHERE ca <> cb
+      |         UNION ALL SELECT cb, ca, w FROM ce WHERE ca <> cb),
+      |degw AS (SELECT i AS snode, CAST(sum(w) AS BIGINT) AS d FROM (
+      |          SELECT i, w FROM symw
+      |          UNION ALL SELECT ca AS i, 2 * w AS w FROM ce WHERE ca = cb)
+      |         GROUP BY 1),
+      |g2 AS (SELECT symw.i, symw.j,
+      |         2 * mm.m::HUGEINT * symw.w - di.d::HUGEINT * dj.d AS g
+      |       FROM symw JOIN degw di ON di.snode = symw.i
+      |       JOIN degw dj ON dj.snode = symw.j, mm),
+      |r2 AS (SELECT i, j,
+      |         row_number() OVER (PARTITION BY i ORDER BY g DESC, j) AS rk
+      |       FROM g2 WHERE g > 0),
+      |lbl2 AS (SELECT degw.snode, coalesce(r1.j, degw.snode) AS l2
+      |         FROM degw LEFT JOIN (SELECT i, j FROM r2 WHERE rk = 1) r1
+      |         ON degw.snode = r1.i),
+      |fl AS (SELECT lbl.node, lbl.d, lbl2.l2 AS lbl
+      |       FROM lbl JOIN lbl2 ON lbl.lbl = lbl2.snode)""".stripMargin
+
+  /** louvainRollup replay over a (node, d, lbl) CTE `frame`. */
+  private def communityRollupSql(frame: String): String =
+    s""",mem AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(min(node) AS BIGINT) AS min_node,
+       |         CAST(sum(d) AS BIGINT) AS deg_sum
+       |        FROM $frame GROUP BY lbl),
+       |intr AS (SELECT la.lbl AS community,
+       |          CAST(count(*) AS BIGINT) AS internal_edges
+       |         FROM ed JOIN $frame la ON ed.a = la.node
+       |         JOIN $frame lb ON ed.b = lb.node
+       |         WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+       |SELECT mem.community, mem.n_members, mem.min_node, mem.deg_sum,
+       |       coalesce(intr.internal_edges, 0) AS internal_edges
+       |FROM mem LEFT JOIN intr ON mem.community = intr.community""".stripMargin
 
   private val coPurchaseCte: String =
     """li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -5176,54 +5241,32 @@ object SparkEntry {
     // rollup over the original edges.
     "graph_louvain_multilevel" ->
       s"""WITH $coPurchaseCte,
-         |sym AS (SELECT a AS i, b AS j FROM ed
-         |        UNION ALL SELECT b AS i, a AS j FROM ed),
-         |deg AS (SELECT i AS node, count(*) AS d FROM sym GROUP BY i),
-         |mm AS (SELECT count(*) AS m FROM ed),
-         |g AS (SELECT sym.i, sym.j, 2 * mm.m - di.d * dj.d AS g
-         |      FROM sym JOIN deg di ON di.node = sym.i
-         |      JOIN deg dj ON dj.node = sym.j, mm),
-         |r AS (SELECT i, j,
-         |        row_number() OVER (PARTITION BY i ORDER BY g DESC, j) AS rk
-         |      FROM g WHERE g > 0),
-         |lbl AS (SELECT deg.node, deg.d, coalesce(r1.j, deg.node) AS lbl
-         |        FROM deg LEFT JOIN (SELECT i, j FROM r WHERE rk = 1) r1
-         |        ON deg.node = r1.i),
-         |ce AS (SELECT least(la.lbl, lb.lbl) AS ca,
-         |         greatest(la.lbl, lb.lbl) AS cb,
-         |         CAST(count(*) AS BIGINT) AS w
-         |       FROM ed JOIN lbl la ON ed.a = la.node
-         |       JOIN lbl lb ON ed.b = lb.node GROUP BY 1, 2),
-         |symw AS (SELECT ca AS i, cb AS j, w FROM ce WHERE ca <> cb
-         |         UNION ALL SELECT cb, ca, w FROM ce WHERE ca <> cb),
-         |degw AS (SELECT i AS snode, CAST(sum(w) AS BIGINT) AS d FROM (
-         |          SELECT i, w FROM symw
-         |          UNION ALL SELECT ca AS i, 2 * w AS w FROM ce WHERE ca = cb)
-         |         GROUP BY 1),
-         |g2 AS (SELECT symw.i, symw.j,
-         |         2 * mm.m::HUGEINT * symw.w - di.d::HUGEINT * dj.d AS g
-         |       FROM symw JOIN degw di ON di.snode = symw.i
-         |       JOIN degw dj ON dj.snode = symw.j, mm),
-         |r2 AS (SELECT i, j,
-         |         row_number() OVER (PARTITION BY i ORDER BY g DESC, j) AS rk
-         |       FROM g2 WHERE g > 0),
-         |lbl2 AS (SELECT degw.snode, coalesce(r1.j, degw.snode) AS l2
-         |         FROM degw LEFT JOIN (SELECT i, j FROM r2 WHERE rk = 1) r1
-         |         ON degw.snode = r1.i),
-         |fl AS (SELECT lbl.node, lbl.d, lbl2.l2 AS lbl
-         |       FROM lbl JOIN lbl2 ON lbl.lbl = lbl2.snode),
-         |mem AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
-         |         CAST(min(node) AS BIGINT) AS min_node,
-         |         CAST(sum(d) AS BIGINT) AS deg_sum
-         |        FROM fl GROUP BY lbl),
-         |intr AS (SELECT la.lbl AS community,
-         |          CAST(count(*) AS BIGINT) AS internal_edges
-         |         FROM ed JOIN fl la ON ed.a = la.node
-         |         JOIN fl lb ON ed.b = lb.node
-         |         WHERE la.lbl = lb.lbl GROUP BY la.lbl)
-         |SELECT mem.community, mem.n_members, mem.min_node, mem.deg_sum,
-         |       coalesce(intr.internal_edges, 0) AS internal_edges
-         |FROM mem LEFT JOIN intr ON mem.community = intr.community""".stripMargin,
+         |$louvainMlCtes
+         |${communityRollupSql("fl")}""".stripMargin,
+
+    // Leiden-style connectivity refinement: replay the identical
+    // two-level Louvain chain, then split each community into the
+    // connected components of its OWN induced subgraph (recursive
+    // transitive closure over within-community edges only — an
+    // independent algorithm from the engine's star contraction), and
+    // roll up the refined labels.
+    "graph_leiden" ->
+      s"""WITH RECURSIVE $coPurchaseCte,
+         |$louvainMlCtes,
+         |wce AS MATERIALIZED (SELECT ed.a, ed.b FROM ed
+         |        JOIN fl la ON ed.a = la.node
+         |        JOIN fl lb ON ed.b = lb.node WHERE la.lbl = lb.lbl),
+         |wsym AS MATERIALIZED (SELECT a AS src, b AS dst FROM wce
+         |         UNION ALL SELECT b AS src, a AS dst FROM wce),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM (SELECT DISTINCT src FROM wsym)
+         |  UNION
+         |  SELECT s.src AS node, p.r AS r
+         |  FROM wsym s JOIN reach p ON s.dst = p.node),
+         |cmp AS (SELECT node, min(r) AS c FROM reach GROUP BY node),
+         |fl2 AS (SELECT fl.node, fl.d, coalesce(cmp.c, fl.node) AS lbl
+         |        FROM fl LEFT JOIN cmp ON fl.node = cmp.node)
+         |${communityRollupSql("fl2")}""".stripMargin,
 
     // Independent of the engine's star-contraction rounds: min-reachable
     // id per node via a recursive transitive closure to the fixpoint.

@@ -1173,6 +1173,49 @@ object Graph {
       .persist(lvl)
   }
 
+  /** Leiden-style refinement of the two-level Louvain partition (Traag,
+    * Waltman & van Eck 2019, "From Louvain to Leiden", public knowledge):
+    * the refinement phase's GUARANTEE — every community internally
+    * connected — applied as a deterministic connectivity repair. Each
+    * Louvain community splits into the connected components of its own
+    * induced subgraph (new label = component-minimum node id; a member
+    * with no within-community edge becomes a singleton). Louvain's
+    * documented defect (the paper's headline figure) is that local moves
+    * can hollow out a community until a bridge node is all that held it
+    * together, leaving a DISCONNECTED node set under one label.
+    * Splitting a disconnected community into its components never
+    * decreases modularity: internal edge counts are preserved exactly
+    * (no internal edge crosses components, by definition of components)
+    * while the −Σd_c²/(4m²) penalty strictly shrinks whenever a degree
+    * sum splits. This implements the refinement guarantee, not the full
+    * randomized Leiden pipeline — Leiden's sequential randomized local
+    * moves are not reproducible across engines, the connectivity
+    * invariant is.
+    *
+    * Plan shape: two label joins restrict the edge list to
+    * within-community edges (a strictly smaller set), the component
+    * closure is [[ccTwoStarsNodes]]' log-round star contraction over it,
+    * and one left join relabels. Returns (node, lbl, d) — the
+    * [[louvainTwoLevelLabels]] shape, so [[louvainRollup]] and
+    * [[modularity]] compose unchanged. */
+  def leidenRefineLabels(edges: DataFrame, maxRounds: Int = 24): DataFrame = {
+    val l = louvainTwoLevelLabels(edges)
+    val within = edges
+      .join(l.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(l.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .select(col("a"), col("b"))
+    val comp = ccTwoStarsNodes(within, maxRounds)
+    l.join(comp.select(col("node"), col("lbl").as("__c")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__c"), col("node")).as("lbl"),
+        col("d"))
+  }
+
+  /** [[leidenRefineLabels]] rolled up to the [[louvainTwoLevel]] output
+    * shape: (community, n_members, min_node, deg_sum, internal_edges). */
+  def leidenRefine(edges: DataFrame, maxRounds: Int = 24): DataFrame =
+    louvainRollup(edges, leidenRefineLabels(edges, maxRounds))
+
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double,
       redistributeDangling: Boolean = false): DataFrame = {

@@ -3480,6 +3480,51 @@ class OperatorSpec extends SparkSuite {
     assert(sql.contains("FROM e20)"), "the assert must probe the FINAL round's edges")
   }
 
+  test("leiden refinement: a bridge-hollowed community splits into components; modularity never drops") {
+    // Hub 5 carries leaves 1 and 9 and hangs off anchor node 0's K6
+    // clique. Synchronized local moves: 1, 9, AND 0 all pick hub 5 (their
+    // best gain) while 5 itself defects to leaf 1 (highest gain, lowest
+    // id) — so the label-5 community is {1, 9, 0}, three MUTUALLY
+    // NON-ADJACENT nodes whose only connection ran through the departed
+    // hub: the Louvain disconnected-community defect from the Leiden
+    // paper, planted. (Level 2 swaps labels between {1,9,0} and {5} but
+    // merges nothing, so the defect survives composition.)
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    val edges = (clique(Seq(0L, 21L, 22L, 23L, 24L, 25L)) ++
+      Seq((1L, 5L), (9L, 5L), (0L, 5L))).toDF("a", "b")
+    val lou = Graph.louvainTwoLevelLabels(edges)
+      .select($"node", $"lbl").as[(Long, Long)].collect().toMap
+    val lei = Graph.leidenRefineLabels(edges)
+      .select($"node", $"lbl").as[(Long, Long)].collect().toMap
+    // louvain: {1, 9, 0} share a label, hub 5 is elsewhere
+    assert(lou(1L) == lou(9L) && lou(9L) == lou(0L) && lou(5L) != lou(1L),
+      s"fixture no longer plants the defect: $lou")
+    // leiden: the disconnected trio splits into three singletons
+    assert(Set(lei(1L), lei(9L), lei(0L)).size == 3,
+      s"disconnected community not split: $lei")
+    // every refined community is internally connected: per community, the
+    // within-community subgraph has exactly one component
+    val lbls = Graph.leidenRefineLabels(edges)
+    val wce = edges
+      .join(lbls.select($"node".as("a"), $"lbl".as("la")), Seq("a"))
+      .join(lbls.select($"node".as("b"), $"lbl".as("lb")), Seq("b"))
+      .filter($"la" === $"lb").select($"a", $"b")
+    val perComm = Graph.ccTwoStarsNodes(wce)
+      .withColumnRenamed("lbl", "comp")
+      .join(lbls.select($"node", $"lbl"), Seq("node"))
+      .groupBy($"lbl").agg(countDistinct($"comp").as("nc"))
+    assert(perComm.filter($"nc" > 1).count() == 0L,
+      "a refined community is still disconnected")
+    // modularity non-decrease, exactly
+    def q(nl: org.apache.spark.sql.DataFrame) =
+      Graph.modularity(edges, nl).select($"q_total").as[Double].head()
+    val qLou = q(Graph.louvainTwoLevelLabels(edges).select($"node", $"lbl"))
+    val qLei = q(lbls.select($"node", $"lbl"))
+    assert(qLei >= qLou, s"modularity dropped: $qLou -> $qLei")
+    assert(qLei > qLou, "splitting a disconnected community must strictly raise Q")
+  }
+
   test("byte-level BPE: hex-space merges on mixed scripts, non-ASCII round-trip, binary units") {
     // café=63 61 66 C3 A9 (x3), naïve=6E 61 C3 AF 76 65 (x1),
     // 東京=E6 9D B1 E4 BA AC (x2): top pair count is 3 (café's four
