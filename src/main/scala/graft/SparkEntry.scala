@@ -1552,6 +1552,24 @@ object SparkEntry {
 
     // Int8 scalar quantization: scales cancel in cosine, integer dots are
     // exact in double, and round-half-away-from-zero matches DuckDB's
+    // Density clustering: grid-bucketed DBSCAN over the first two
+    // embedding dims on a fixed integer grid (round(x·1000) — the shared
+    // half-away-from-zero round). eps=30/minPts=4 sits where the fixture
+    // splits ~393 core / ~24 border / ~83 noise, so all three kinds and
+    // the min-label border rule are exercised; the oracle brute-forces
+    // ALL pairs + a recursive component closure — an independent
+    // algorithm from the engine's 3x3-cell probe + star contraction.
+    "ann_dbscan" -> { (s, dir) =>
+      val pts = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        round(element_at(col("embedding"), 1).cast("double") * 1000)
+          .cast("long").as("x"),
+        round(element_at(col("embedding"), 2).cast("double") * 1000)
+          .cast("long").as("y"))
+      Similarity.dbscanGrid(pts, eps = 30L, minPts = 4)
+        .select(col("id").as("vec_id"), col("x"), col("y"),
+          col("kind"), col("cluster"))
+    },
+
     // round() — so the oracle replicates the quantized ranking bit-exactly.
     "ann_quantized_topk" -> ((s, dir) =>
       Similarity.quantizedTopK(
@@ -6859,6 +6877,39 @@ object SparkEntry {
     // Quantized twin: q_i = round(v_i / (max|v|/127)) — integer-valued
     // doubles, so the dot folds are exact and the ranking reproduces
     // bit-for-bit. DuckDB round() = half away from zero = the engine's.
+    // All-pairs eps-join (the oracle may brute-force; the engine may not)
+    // + recursive closure over core-core adjacency; border = min adjacent
+    // core cluster; noise = -1.
+    "ann_dbscan" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT vec_id AS id, CAST(round(embedding[1]::DOUBLE * 1000) AS BIGINT) AS x,
+        |         CAST(round(embedding[2]::DOUBLE * 1000) AS BIGINT) AS y
+        |  FROM embeddings),
+        |pr AS MATERIALIZED (
+        |  SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
+        |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 900),
+        |core AS MATERIALIZED (SELECT ia AS id FROM pr GROUP BY ia HAVING count(*) >= 4),
+        |ce AS MATERIALIZED (
+        |  SELECT pr.ia AS src, pr.ib AS dst FROM pr
+        |  SEMI JOIN core ca ON pr.ia = ca.id
+        |  SEMI JOIN core cb ON pr.ib = cb.id
+        |  WHERE pr.ia <> pr.ib),
+        |reach AS (
+        |  SELECT id AS node, id AS r FROM core
+        |  UNION
+        |  SELECT s.src AS node, pp.r AS r FROM ce s JOIN reach pp ON s.dst = pp.node),
+        |cl AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY node),
+        |bd AS (SELECT pr.ia AS id, min(cl.cluster) AS cluster FROM pr
+        |       JOIN cl ON pr.ib = cl.id
+        |       ANTI JOIN core ON pr.ia = core.id
+        |       WHERE pr.ia <> pr.ib GROUP BY pr.ia)
+        |SELECT p.id AS vec_id, p.x, p.y,
+        |       CASE WHEN cl.id IS NOT NULL THEN 'core'
+        |            WHEN bd.id IS NOT NULL THEN 'border'
+        |            ELSE 'noise' END AS kind,
+        |       coalesce(cl.cluster, bd.cluster, -1) AS cluster
+        |FROM p LEFT JOIN cl ON p.id = cl.id LEFT JOIN bd ON p.id = bd.id""".stripMargin,
+
     "ann_quantized_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -982,4 +982,83 @@ object Similarity {
         (col("pos") + 1).as("rank"),
         round(col("col.score"), 6).as("score"))
   }
+
+  /** Grid-bucketed DBSCAN (Ester et al. 1996) over 2-D INTEGER
+    * coordinates — the density-clustering primitive next to k-means:
+    * core points (>= minPts neighbors within eps, self included),
+    * clusters = connected components of the core-core eps-adjacency
+    * graph, border points attach to their MINIMUM-labeled adjacent core
+    * cluster (the deterministic tie rule — textbook DBSCAN assigns
+    * shared border points by scan order, which no distributed engine
+    * can reproduce), and noise stays labeled noise (cluster −1), never
+    * forced into a cluster.
+    *
+    * Scale shape: the eps-neighborhood join is GRID-BUCKETED — each
+    * point homes in an (eps x eps) cell and probes its 3x3 cell
+    * neighborhood, so candidate pairs are bounded by cell occupancy,
+    * never all-pairs (two points within eps always differ by at most
+    * one cell per axis). Cell keys use exact integer floor division
+    * (pmod), so negative coordinates bucket correctly. The component
+    * closure is [[Graph.ccTwoStarsNodes]]' log-round star contraction
+    * over the (strictly sparser) core-core edge set. A pathological eps
+    * (cells holding a large fraction of the corpus) degrades the
+    * in-cell join quadratically — pick eps near the density scale, the
+    * standard spatial-DBSCAN contract.
+    *
+    * Input: (id, x, y) integer points. Returns (id, x, y, kind, cluster)
+    * with kind in {core, border, noise} and cluster = the component-
+    * minimum core id (−1 for noise). */
+  def dbscanGrid(points: DataFrame, eps: Long, minPts: Int,
+      maxRounds: Int = 24): DataFrame = {
+    require(eps >= 1, "eps >= 1")
+    require(minPts >= 1, "minPts >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = points.select(col("id"),
+      col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+      .persist(lvl)
+    def cell(c: Column): Column = (c - pmod(c, lit(eps))) / lit(eps)
+    val offs = array((-1L to 1L).map(lit): _*)
+    val probes = p
+      .select(col("id").as("ia"), col("x").as("xa"), col("y").as("ya"))
+      .withColumn("__dx", explode(offs))
+      .withColumn("__dy", explode(offs))
+      .select(col("ia"), col("xa"), col("ya"),
+        (cell(col("xa")) + col("__dx")).as("cx"),
+        (cell(col("ya")) + col("__dy")).as("cy"))
+    val home = p.select(col("id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"), cell(col("x")).as("cx"), cell(col("y")).as("cy"))
+    // each (a, b) pair lands exactly once: b's home cell is unique and a
+    // probes it iff the cells differ by <= 1 per axis, which any pair
+    // within eps satisfies; the self pair (dx = dy = 0) stays IN so the
+    // neighbor count includes the point itself (the standard convention)
+    val pairs = probes.join(home, Seq("cx", "cy"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(eps * eps))
+      .select(col("ia"), col("ib"))
+      .persist(lvl)
+    val core = pairs.groupBy(col("ia").as("id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minPts).select(col("id"))
+      .persist(lvl)
+    val ccEdges = pairs.filter(col("ia") < col("ib"))
+      .join(core.select(col("id").as("ia")), Seq("ia"), "left_semi")
+      .join(core.select(col("id").as("ib")), Seq("ib"), "left_semi")
+      .select(col("ia").as("a"), col("ib").as("b"))
+    val comp = Graph.ccTwoStarsNodes(ccEdges, maxRounds)
+    val coreLbl = core
+      .join(comp.select(col("node").as("id"), col("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster"))
+      .persist(lvl)
+    val border = pairs.filter(col("ia") =!= col("ib"))
+      .join(coreLbl.select(col("id").as("ib"), col("cluster")), Seq("ib"))
+      .join(core.select(col("id").as("ia")), Seq("ia"), "left_anti")
+      .groupBy(col("ia").as("id")).agg(min(col("cluster")).as("cluster"))
+    p.join(coreLbl.withColumn("kind", lit("core")), Seq("id"), "left")
+      .join(border.select(col("id"), col("cluster").as("__bc")), Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"),
+        when(col("kind").isNotNull, col("kind"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("kind"),
+        coalesce(col("cluster"), col("__bc"), lit(-1L)).as("cluster"))
+  }
 }

@@ -3480,6 +3480,57 @@ class OperatorSpec extends SparkSuite {
     assert(sql.contains("FROM e20)"), "the assert must probe the FINAL round's edges")
   }
 
+  test("dbscan: planted lines cluster apart, shared border takes min cluster, noise stays noise") {
+    // two dense integer lines 16 apart (eps=10 keeps them separate), a
+    // point eps-adjacent to BOTH clusters' end cores (the shared-border
+    // min rule), and far noise; negative coordinates exercise the pmod
+    // cell floor
+    val pts = ((0 to 10).map(i => (1L + i, 5L * i, 0L)) ++
+      (0 to 10).map(i => (21L + i, 5L * i, -16L)) ++
+      Seq((40L, 55L, -8L), (50L, 300L, 300L), (51L, -200L, -150L)))
+    val eps = 10L; val minPts = 4
+    // in-test brute force: the independent ground truth
+    val byId = pts.map(p => p._1 -> (p._2, p._3)).toMap
+    def d2(a: Long, b: Long) = {
+      val (xa, ya) = byId(a); val (xb, yb) = byId(b)
+      (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+    }
+    val ids = pts.map(_._1)
+    val neigh = ids.map(a => a -> ids.filter(b => d2(a, b) <= eps * eps)).toMap
+    val core = ids.filter(a => neigh(a).size >= minPts).toSet
+    // components of core-core adjacency by label flooding to the min id
+    var lbl = core.map(c => c -> c).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (a <- core; b <- neigh(a) if core(b) && lbl(b) < lbl(a)) {
+        lbl += a -> lbl(b); changed = true
+      }
+    }
+    val want = ids.map { a =>
+      if (core(a)) (a, "core", lbl(a))
+      else {
+        val adjCore = neigh(a).filter(b => b != a && core(b))
+        if (adjCore.nonEmpty) (a, "border", adjCore.map(lbl).min)
+        else (a, "noise", -1L)
+      }
+    }.toSet
+    val got = Similarity.dbscanGrid(pts.toDF("id", "x", "y"), eps, minPts)
+      .select($"id", $"kind", $"cluster")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want, s"missing=${want -- got} ; extra=${got -- want}")
+    // the planted facts hold: interiors of the two lines carry two
+    // DIFFERENT cluster labels, the shared border picked the smaller one,
+    // far points are noise
+    val m = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(6L)._1 == "core" && m(26L)._1 == "core" && m(6L)._2 != m(26L)._2)
+    assert(m(40L)._1 == "border" && m(40L)._2 == math.min(m(11L)._2, m(31L)._2))
+    assert(m(50L) == (("noise", -1L)) && m(51L) == (("noise", -1L)))
+    // line ENDPOINTS have only 3 eps-neighbors (self + 2) at minPts=4:
+    // border, not core — density, not connectivity, defines the core set
+    assert(m(1L)._1 == "border" && m(21L)._1 == "border", m.toString)
+  }
+
   test("leiden refinement: a bridge-hollowed community splits into components; modularity never drops") {
     // Hub 5 carries leaves 1 and 9 and hangs off anchor node 0's K6
     // clique. Synchronized local moves: 1, 9, AND 0 all pick hub 5 (their
