@@ -859,6 +859,37 @@ object SparkEntry {
     // approx-quantile row: exact global distinct + a within-2% flag on
     // the merged estimate (sketch internals are engine-specific; the
     // MERGEABILITY and accuracy contract are what the gate pins).
+    // Mergeable quantile sketch (q-digest-grid family): three per-shard
+    // sketches built independently (one per returnflag), merged by pure
+    // count addition — exactly associative, so the oracle may replay the
+    // merge as one global aggregate — then six rank quantiles answered
+    // from the merged state. The exact side reuses the same machinery at
+    // width 1 (rank selection over the distinct-value frame), and the
+    // within-width boolean is the sketch's unconditional guarantee, not
+    // a distribution-dependent hope.
+    "rel_quantile_merge" -> { (s, dir) =>
+      val width = 4096L
+      val li = t(s, dir, "lineitem").select(
+        // round, not cast: the DOUBLE price x 100 sits one ulp under the
+        // integer and a truncating cast loses a cent vs DuckDB's rounding
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_returnflag"))
+      val shards = Seq("A", "N", "R").map(f =>
+        Profile.quantileSketch(li.filter(col("l_returnflag") === f),
+          col("cents"), width))
+      val qs = Seq(10, 25, 50, 75, 90, 99)
+      val est = Profile.quantilesFromSketch(
+        Profile.mergeQuantileSketches(shards), width, qs)
+      val exact = Profile.quantilesFromSketch(
+        Profile.quantileSketch(li, col("cents"), 1L), 1L, qs)
+        .select(col("q_pct"), col("estimate").as("exact_v"))
+      est.join(exact, Seq("q_pct"))
+        .select(col("q_pct"), col("n"), col("est_bucket"), col("estimate"),
+          col("exact_v"),
+          (col("exact_v") - col("estimate") >= 0 &&
+            col("exact_v") - col("estimate") < width).as("within_width"))
+    },
+
     "rel_hll_merge" -> { (s, dir) =>
       val c = t(s, dir, "customer")
       val per = c.groupBy(col("c_mktsegment"))
@@ -5912,6 +5943,29 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact,
         |       TRUE AS merge_within_2pct
         |FROM customer""".stripMargin,
+
+    // The merge of the three shard sketches equals one global bucket
+    // aggregate BY ASSOCIATIVITY — the oracle exploits exactly that; the
+    // exact side is the identical rank walk at width 1.
+    "rel_quantile_merge" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |            FROM lineitem),
+        |sk AS (SELECT cents // 4096 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM li GROUP BY 1),
+        |cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+        |nn AS (SELECT max(cum) AS n FROM cum),
+        |qs(q_pct) AS (VALUES (10),(25),(50),(75),(90),(99)),
+        |est AS (SELECT q_pct, nn.n, min(bucket) AS est_bucket FROM cum, nn, qs
+        |        WHERE cum >= (nn.n * q_pct + 99) // 100 GROUP BY q_pct, nn.n),
+        |dv AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+        |cv AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM dv),
+        |ex AS (SELECT q_pct, min(v) AS exact_v FROM cv, nn, qs
+        |       WHERE cum >= (nn.n * q_pct + 99) // 100 GROUP BY q_pct)
+        |SELECT CAST(est.q_pct AS BIGINT) AS q_pct, est.n, est.est_bucket,
+        |       est.est_bucket * 4096 AS estimate, ex.exact_v,
+        |       ex.exact_v - est.est_bucket * 4096 >= 0 AND
+        |       ex.exact_v - est.est_bucket * 4096 < 4096 AS within_width
+        |FROM est JOIN ex USING (q_pct)""".stripMargin,
 
     "rel_compaction_plan" ->
       """WITH f AS (SELECT o_orderdate AS day, CAST(count(*) * 100 AS BIGINT) AS bytes

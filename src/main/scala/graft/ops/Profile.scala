@@ -408,4 +408,71 @@ object Profile {
       .select(col("column_name"), col("s.n_rows"), col("s.n_nulls"),
         col("s.n_distinct"))
   }
+
+  /** Mergeable quantile sketch — the quantile analog of the HLL-union
+    * distinct-count path (rel_hll_merge): per-shard sketches built
+    * independently, merged ASSOCIATIVELY, quantiles answered from the
+    * merged state without ever seeing the raw rows again.
+    *
+    * The sketch is a fixed-grid dyadic histogram (the q-digest family,
+    * Shrivastava et al. 2004, at a single fixed leaf resolution): bucket
+    * = exact integer floor(value / width), state = (bucket, cnt). Chosen
+    * over KLL/t-digest deliberately: count addition makes the merge
+    * EXACTLY associative and commutative (merge-of-merges equals any
+    * other grouping, state-for-state — KLL's compaction coins and
+    * t-digest's centroid drift are merge-order-dependent), the state is
+    * deterministic so the DuckDB oracle replays the WHOLE sketch and the
+    * estimates hash-gate exactly (not just a within-eps boolean), and
+    * the guarantee is unconditional: the rank-r element lies inside the
+    * bucket the cumulative walk selects, so |estimate − exact| < width
+    * for EVERY quantile and distribution. The trade is a value-space
+    * (not rank-space) error bound and a bounded-universe requirement —
+    * state size is universe/width, independent of row count, which at
+    * 100 TB is the property that matters.
+    *
+    * [[quantileSketch]] builds (bucket, cnt) per group; merging is a
+    * plain `groupBy(bucket).sum` over unioned states ([[mergeQuantileSketches]]);
+    * [[quantilesFromSketch]] answers rank quantiles r = ceil(q·n) with
+    * one cumulative window over the SKETCH-sized frame (collapsed by the
+    * bucket aggregate — never row-scale). */
+  def quantileSketch(df: DataFrame, value: Column, width: Long): DataFrame = {
+    require(width >= 1, "width >= 1")
+    df.select(value.cast("long").as("__v"))
+      .select(((col("__v") - pmod(col("__v"), lit(width))) / lit(width))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Associative union of (bucket, cnt) sketch states. */
+  def mergeQuantileSketches(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_ unionAll _)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Rank quantiles from a sketch state: for each q = num/100, the
+    * bucket holding the rank-ceil(q·n) element (exact integer rank
+    * arithmetic), estimate = bucket·width (the bucket's lower edge —
+    * within `width` of the exact quantile value by construction).
+    * Returns (q_pct, n, est_bucket, estimate). */
+  def quantilesFromSketch(sketch: DataFrame, width: Long,
+      qPcts: Seq[Int]): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(p => p >= 1 && p <= 100),
+      "q percentages in [1,100]")
+    val byBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch
+      .select(col("bucket"), col("cnt"), sum(col("cnt")).over(byBucket).as("cum"))
+    val tot = cum.agg(max(col("cum")).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("cum"), col("n"),
+        explode(typedLit(qPcts.sorted)).as("q_pct"))
+      // rank = ceil(q·n) in exact integers (div, not /: Spark's / on
+      // longs is a double division — the rel_compaction_plan lesson);
+      // the FIRST bucket whose cumulative count reaches it holds the
+      // rank-r element
+      .filter(col("cum") >= expr("(n * q_pct + 99) div 100"))
+      .groupBy(col("q_pct"), col("n"))
+      .agg(min(col("bucket")).as("est_bucket"))
+      .select(col("q_pct").cast("long").as("q_pct"), col("n"),
+        col("est_bucket"), (col("est_bucket") * width).as("estimate"))
+  }
 }

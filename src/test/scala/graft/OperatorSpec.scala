@@ -3480,6 +3480,38 @@ class OperatorSpec extends SparkSuite {
     assert(sql.contains("FROM e20)"), "the assert must probe the FINAL round's edges")
   }
 
+  test("quantile sketch: merge-of-merges is state-identical in any grouping; estimate within width always") {
+    val w = 8L
+    val a = Seq(1L, 5L, 9L, 100L).toDF("v")
+    val b = Seq(2L, 9L, 63L, 64L, -17L).toDF("v")
+    val c = Seq(900L, 901L, -1L).toDF("v")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Profile.quantileSketch(df, $"v", w)
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val ab_c = state(Profile.mergeQuantileSketches(Seq(
+      Profile.mergeQuantileSketches(Seq(sk(a), sk(b))), sk(c))))
+    val a_bc = state(Profile.mergeQuantileSketches(Seq(
+      sk(a), Profile.mergeQuantileSketches(Seq(sk(b), sk(c))))))
+    val all = state(sk(a.unionAll(b).unionAll(c)))
+    assert(ab_c == a_bc && a_bc == all, s"$ab_c / $a_bc / $all")
+    // negative values floor-bucket (not truncate-toward-zero):
+    // -17 -> bucket -3 (covers [-24,-16)), -1 -> bucket -1
+    assert(all(-3L) == 1L && all(-1L) == 1L, all.toString)
+    // unconditional guarantee: every percentile's estimate is the lower
+    // edge of the bucket HOLDING the exact rank element, on skewed data
+    val skew = (Seq.fill(90)(3L) ++ (1L to 10L).map(_ * 1000L)).toDF("v")
+    val est = Profile.quantilesFromSketch(sk(skew), w,
+        Seq(1, 10, 50, 89, 90, 91, 95, 100))
+      .select($"q_pct", $"estimate").as[(Long, Long)].collect().toMap
+    val sorted = (Seq.fill(90)(3L) ++ (1L to 10L).map(_ * 1000L)).sorted
+    for ((q, e) <- est) {
+      val exact = sorted(((sorted.size * q + 99) / 100 - 1).toInt)
+      assert(exact >= e && exact < e + w, s"q=$q est=$e exact=$exact")
+    }
+    assert(est(50L) == 0L && est(95L) == 5000L, est.toString)
+  }
+
   test("dbscan: planted lines cluster apart, shared border takes min cluster, noise stays noise") {
     // two dense integer lines 16 apart (eps=10 keeps them separate), a
     // point eps-adjacent to BOTH clusters' end cores (the shared-border
