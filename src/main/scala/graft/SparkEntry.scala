@@ -3173,6 +3173,23 @@ object SparkEntry {
         col("ts"), col("event_id"), col("value"))
       Profile.cdcApply(log, "user_id", "op", Seq("ts", "event_id"), Seq("value"))
     },
+
+    // Snapshot read / time travel: the same I/U/D log viewed as an
+    // append-only commit log (version = day of month), read AT version 15
+    // — per key the latest (version, ts, event_id) commit <= 15 wins, a
+    // terminal delete hides the key. One keyed argmax; cdc_apply above is
+    // the v = latest special case of this read.
+    "rel_snapshot_read" -> { (s, dir) =>
+      val log = t(s, dir, "events").select(
+        col("user_id"),
+        dayofmonth(col("ts")).as("v"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        col("ts"), col("event_id"), col("value"))
+      Profile.snapshotAt(log, "user_id", "v", Seq("ts", "event_id"), "op",
+        Seq("value"), v = 15L)
+    },
   )
 
   /** Part pairs co-occurring in ≥ 2 orders, canonically oriented (a < b)
@@ -5518,6 +5535,20 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY user_id) AS n_ops
         |      FROM log)
         |SELECT user_id, op AS last_op, value, CAST(n_ops AS BIGINT) AS n_ops
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // The same log read at version 15: only commits with day(ts) <= 15
+    // participate; latest (v, ts, event_id) per key wins.
+    "rel_snapshot_read" ->
+      """WITH log AS (SELECT user_id, day(ts) AS v,
+        |         CASE event_type WHEN 'signup' THEN 'I'
+        |              WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+        |         ts, event_id, value FROM events WHERE day(ts) <= 15),
+        |r AS (SELECT user_id, v, op, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |            ORDER BY v DESC, ts DESC, event_id DESC) AS rn
+        |      FROM log)
+        |SELECT user_id, CAST(v AS BIGINT) AS last_version, op AS last_op, value
         |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     "rel_percentiles" ->

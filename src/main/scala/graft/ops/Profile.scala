@@ -475,4 +475,57 @@ object Profile {
       .select(col("q_pct").cast("long").as("q_pct"), col("n"),
         col("est_bucket"), (col("est_bucket") * width).as("estimate"))
   }
+
+  /** Snapshot read / time travel over an APPEND-ONLY commit log — the
+    * unifier of the warehouse family: the log is (key, version, seq...,
+    * op I/U/D, attrs), and the state AT version v is, per key, the
+    * latest (version, seq) row with version <= v — absent if that row
+    * is a delete. [[cdcApply]] is the v = latest special case, [[scd2]]
+    * intervals are this log's full history, [[snapshotDiff]] over two
+    * snapshotAt reads is the version-to-version changelog, and
+    * [[compactLog]] rewrites history below a horizon WITHOUT changing
+    * any read at or above it.
+    *
+    * One keyed argmax aggregate (max over a (version, seq..., op,
+    * attrs) struct — map-side combinable, no window, no join), so a
+    * time-travel read costs the same one exchange at any corpus size.
+    * (version, seq) must totally order each key's commits — ties would
+    * fall through to comparing op/attr bytes, which is no order at all.
+    *
+    * Returns (key, last_version, last_op, attrs...) for keys alive at v. */
+  def snapshotAt(log: DataFrame, keyCol: String, versionCol: String,
+      seqCols: Seq[String], opCol: String, attrCols: Seq[String],
+      v: Long): DataFrame = {
+    val ordered = (versionCol +: seqCols) ++ (opCol +: attrCols)
+    log.filter(col(versionCol) <= v)
+      .groupBy(col(keyCol))
+      .agg(max(struct(ordered.map(col): _*)).as("__last"))
+      .filter(col(s"__last.$opCol") =!= "D")
+      .select(col(keyCol) +:
+        col(s"__last.$versionCol").cast("long").as("last_version") +:
+        col(s"__last.$opCol").as("last_op") +:
+        attrCols.map(a => col(s"__last.$a").as(a)): _*)
+  }
+
+  /** Log compaction below a version horizon: keep, per key, ONLY its
+    * latest surviving (non-delete-terminal) row among commits <=
+    * horizon, plus every commit above the horizon untouched. Every
+    * snapshotAt(v >= horizon) over the compacted log equals the read
+    * over the full log (the kept row IS each key's state at the
+    * horizon, and later commits out-version it identically); reads
+    * BELOW the horizon are forfeited — the documented time-travel-floor
+    * trade every table service makes. */
+  def compactLog(log: DataFrame, keyCol: String, versionCol: String,
+      seqCols: Seq[String], opCol: String, attrCols: Seq[String],
+      horizon: Long): DataFrame = {
+    val cols = (keyCol +: versionCol +: seqCols) ++ (opCol +: attrCols)
+    val ordered = (versionCol +: seqCols) ++ (opCol +: attrCols)
+    val kept = log.filter(col(versionCol) <= horizon)
+      .groupBy(col(keyCol))
+      .agg(max(struct(ordered.map(col): _*)).as("__last"))
+      .filter(col(s"__last.$opCol") =!= "D")
+      .select(col(keyCol) +: ordered.map(c => col(s"__last.$c").as(c)): _*)
+      .select(cols.map(col): _*)
+    kept.unionByName(log.filter(col(versionCol) > horizon).select(cols.map(col): _*))
+  }
 }

@@ -3480,6 +3480,49 @@ class OperatorSpec extends SparkSuite {
     assert(sql.contains("FROM e20)"), "the assert must probe the FINAL round's edges")
   }
 
+  test("snapshot log: read-your-writes, version isolation, replay equality, compaction horizon") {
+    // one key's life: insert @1, update @2, delete @3, re-insert @4 —
+    // plus a second key that never changes after @1
+    val log = Seq(
+      (7L, 1L, 10L, "I", 1.0), (7L, 2L, 20L, "U", 2.0),
+      (7L, 3L, 30L, "D", 0.0), (7L, 4L, 40L, "I", 4.0),
+      (8L, 1L, 11L, "I", 8.0)).toDF("k", "v", "seq", "op", "value")
+    def read(v: Long) =
+      Profile.snapshotAt(log, "k", "v", Seq("seq"), "op", Seq("value"), v)
+        .select($"k", $"last_version", $"value")
+        .as[(Long, Long, Double)].collect().toSet
+    // read-your-writes at each version; a commit at v+1 is INVISIBLE at v
+    assert(read(1L) == Set((7L, 1L, 1.0), (8L, 1L, 8.0)))
+    assert(read(2L) == Set((7L, 2L, 2.0), (8L, 1L, 8.0)))
+    assert(read(3L) == Set((8L, 1L, 8.0)), "delete must hide the key")
+    assert(read(4L) == Set((7L, 4L, 4.0), (8L, 1L, 8.0)))
+    // replay equality: snapshotAt(v) == a test-side fold of commits 1..v
+    val rows = Seq(
+      (7L, 1L, 10L, "I", 1.0), (7L, 2L, 20L, "U", 2.0),
+      (7L, 3L, 30L, "D", 0.0), (7L, 4L, 40L, "I", 4.0),
+      (8L, 1L, 11L, "I", 8.0))
+    for (v <- 1L to 4L) {
+      val folded = rows.filter(_._2 <= v).sortBy(r => (r._2, r._3))
+        .foldLeft(Map.empty[Long, (Long, Double)]) { (st, r) =>
+          if (r._4 == "D") st - r._1 else st + (r._1 -> ((r._2, r._5)))
+        }
+      val want = folded.map { case (k, (lv, x)) => (k, lv, x) }.toSet
+      assert(read(v) == want, s"replay mismatch at v=$v")
+    }
+    // compaction at horizon 3: reads at v >= 3 identical, log shrinks,
+    // the pre-horizon history (key 7's insert/update) is forfeited
+    val compacted = Profile.compactLog(log, "k", "v", Seq("seq"), "op",
+      Seq("value"), horizon = 3L)
+    def readC(v: Long) =
+      Profile.snapshotAt(compacted, "k", "v", Seq("seq"), "op",
+        Seq("value"), v)
+        .select($"k", $"last_version", $"value")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(readC(3L) == read(3L) && readC(4L) == read(4L))
+    assert(compacted.count() == 2L, // key 8's state + key 7's re-insert @4
+      compacted.collect().mkString(","))
+  }
+
   test("quantile sketch: merge-of-merges is state-identical in any grouping; estimate within width always") {
     val w = 8L
     val a = Seq(1L, 5L, 9L, 100L).toDF("v")
