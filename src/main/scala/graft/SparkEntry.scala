@@ -2143,6 +2143,20 @@ object SparkEntry {
       TextAnalysis.rougeN(d, pairs, "doc_id", "text", ns = Seq(1, 2))
     },
 
+    // ROUGE-L over a sampled eval manifest (every 7th doc vs its
+    // neighbor): LCS-based P/R/F1 — order-aware where ROUGE-1/2's
+    // clipped bags are not. The LCS runs as a codegen'd per-pair DP; the
+    // oracle computes the same LCS by a longest-chain recursion over the
+    // match-position set (an independent formulation of the same value).
+    "text_rouge_l" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("cand_id"))
+        .filter(col("cand_id") % 7 === 0)
+        .join(d.select(col("doc_id").as("ref_id")),
+          col("ref_id") === col("cand_id") + 1)
+      TextAnalysis.rougeL(d, pairs)
+    },
+
     // Deterministic 15% MLM masking over (doc_id, position) md5 draws;
     // md5 of the rebuilt sequence pins every mask position and survivor.
     "pack_mlm_mask" -> ((s, dir) =>
@@ -5842,6 +5856,50 @@ object SparkEntry {
     // Clipped n-gram overlap (ROUGE-N): counts exact integers; the p/r
     // divisions and the F1 composed from the p/r columns are the same
     // IEEE double expression tree the engine builds.
+    // Independent LCS formulation: longest chain over the match-position
+    // set (i ascending, j ascending) via a deduplicating recursion —
+    // max(k) per pair IS the LCS length the engine's per-pair DP computes.
+    "text_rouge_l" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT d1.doc_id AS cand_id, d2.doc_id AS ref_id
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |  WHERE d1.doc_id % 7 = 0),
+        |ca AS MATERIALIZED (
+        |  SELECT doc_id, i, w[i] AS t
+        |  FROM (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM tok)),
+        |m AS MATERIALIZED (
+        |  SELECT p.cand_id, p.ref_id, a.i AS i, b.i AS j
+        |  FROM pairs p JOIN ca a ON a.doc_id = p.cand_id
+        |               JOIN ca b ON b.doc_id = p.ref_id AND b.t = a.t),
+        |ch AS (
+        |  SELECT cand_id, ref_id, i, j, 1 AS k FROM m
+        |  UNION
+        |  SELECT m.cand_id, m.ref_id, m.i, m.j, ch.k + 1
+        |  FROM ch JOIN m ON m.cand_id = ch.cand_id AND m.ref_id = ch.ref_id
+        |                AND m.i > ch.i AND m.j > ch.j),
+        |lcs AS (SELECT cand_id, ref_id, max(k) AS l FROM ch GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, len(w) AS n FROM tok),
+        |pr AS (
+        |  SELECT p.cand_id, p.ref_id,
+        |         CAST(coalesce(lcs.l, 0) AS BIGINT) AS lcs_len,
+        |         CAST(la.n AS BIGINT) AS cand_total,
+        |         CAST(lb.n AS BIGINT) AS ref_total,
+        |         CAST(coalesce(lcs.l, 0) AS DOUBLE) / la.n AS rouge_p,
+        |         CAST(coalesce(lcs.l, 0) AS DOUBLE) / lb.n AS rouge_r
+        |  FROM pairs p
+        |  JOIN lens la ON la.doc_id = p.cand_id
+        |  JOIN lens lb ON lb.doc_id = p.ref_id
+        |  LEFT JOIN lcs ON lcs.cand_id = p.cand_id AND lcs.ref_id = p.ref_id)
+        |SELECT cand_id, ref_id, lcs_len, cand_total, ref_total,
+        |       rouge_p, rouge_r,
+        |       CASE WHEN rouge_p + rouge_r = 0.0 THEN 0.0
+        |            ELSE 2.0 * rouge_p * rouge_r / (rouge_p + rouge_r)
+        |       END AS rouge_f1
+        |FROM pr""".stripMargin,
+
     "text_rouge" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -591,6 +591,69 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+
+/** Token-level longest-common-subsequence statistics for ROUGE-L: one
+  * codegen'd pass computing (lcs_len, n_left, n_right) over the two
+  * texts' whitespace tokens. The classic two-row DP — O(m·n) time, O(n)
+  * space — runs LOCALLY per row pair: the distributed unit is the eval
+  * PAIR (millions of pairs in parallel), never the DP cell, which is the
+  * shape every published ROUGE evaluator uses. Tokens are interned to
+  * int ids first so the inner loop compares ints, not strings. */
+case class LcsTokens(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lcs_len", LongType, nullable = false),
+    StructField("n_left", LongType, nullable = false),
+    StructField("n_right", LongType, nullable = false)))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LcsTokens.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LcsTokens$$.MODULE$$.compute($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object LcsTokens {
+  /** Static body shared by interpreted eval and generated code. */
+  def compute(a: UTF8String, b: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val ta = Shingling.tokens(a)
+    val tb = Shingling.tokens(b)
+    val ids = new java.util.HashMap[String, Integer]()
+    def intern(ts: Array[String]): Array[Int] = {
+      val out = new Array[Int](ts.length)
+      var i = 0
+      while (i < ts.length) {
+        var id = ids.get(ts(i))
+        if (id == null) { id = ids.size(); ids.put(ts(i), id) }
+        out(i) = id
+        i += 1
+      }
+      out
+    }
+    val xa = intern(ta); val xb = intern(tb)
+    var prev = new Array[Int](xb.length + 1)
+    var cur = new Array[Int](xb.length + 1)
+    var i = 0
+    while (i < xa.length) {
+      var j = 0
+      while (j < xb.length) {
+        cur(j + 1) =
+          if (xa(i) == xb(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      prev(xb.length).toLong, xa.length.toLong, xb.length.toLong)
+  }
+}
+
 object textnative {
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def e(col: Column): Expression = GraftBridge.expression(col)
@@ -611,4 +674,5 @@ object textnative {
   def hamming_bits(a: Column, b: Column): Column = c(HammingBits(e(a), e(b)))
   def cdc_chunks(text: Column, w: Int, d: Int): Column =
     c(CdcChunkList(e(text), w, d))
+  def lcs_tokens(a: Column, b: Column): Column = c(LcsTokens(e(a), e(b)))
 }

@@ -1314,4 +1314,39 @@ object TextAnalysis {
           .otherwise(lit(2.0) * col("rouge_p") * col("rouge_r") /
             (col("rouge_p") + col("rouge_r"))))
   }
+
+  /** ROUGE-L — the LCS member of the generation-eval family next to
+    * [[rougeN]]: P = LCS/|cand|, R = LCS/|ref|, F1 harmonic, over
+    * whitespace tokens. Unlike the clipped n-gram counts, LCS rewards
+    * ORDER: "a b" vs "b a" scores 2 matched unigrams but an LCS of 1.
+    * The LCS itself is [[graft.functions.LcsTokens]] — a codegen'd
+    * two-row DP local to each (cand, ref) pair, so the distributed unit
+    * is the eval pair (the manifest parallelism every published ROUGE
+    * evaluator uses) and nothing DP-shaped ever crosses an exchange.
+    * Returns (cand_id, ref_id, lcs_len, cand_total, ref_total, rouge_p,
+    * rouge_r, rouge_f1) — the [[rougeN]] column shape with lcs_len in
+    * the match slot. */
+  def rougeL(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val txt = docs.select(col(idCol), col(textCol))
+    pairs.select(col("cand_id"), col("ref_id"))
+      .join(txt.select(col(idCol).as("cand_id"), col(textCol).as("__a")),
+        Seq("cand_id"))
+      .join(txt.select(col(idCol).as("ref_id"), col(textCol).as("__b")),
+        Seq("ref_id"))
+      .withColumn("__s",
+        graft.functions.textnative.lcs_tokens(col("__a"), col("__b")))
+      .select(col("cand_id"), col("ref_id"),
+        col("__s.lcs_len").as("lcs_len"),
+        col("__s.n_left").as("cand_total"),
+        col("__s.n_right").as("ref_total"))
+      .withColumn("rouge_p",
+        col("lcs_len").cast("double") / col("cand_total").cast("double"))
+      .withColumn("rouge_r",
+        col("lcs_len").cast("double") / col("ref_total").cast("double"))
+      .withColumn("rouge_f1",
+        when(col("rouge_p") + col("rouge_r") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("rouge_p") * col("rouge_r") /
+            (col("rouge_p") + col("rouge_r"))))
+  }
 }

@@ -3480,6 +3480,31 @@ class OperatorSpec extends SparkSuite {
     assert(sql.contains("FROM e20)"), "the assert must probe the FINAL round's edges")
   }
 
+  test("rouge-l: LCS rewards order where the n-gram bags cannot; hand-computed P/R/F1") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "b x c y e"),   // LCS "b c e" = 3
+      (3L, "a b"), (4L, "b a"),               // bag match 2, LCS 1
+      (5L, "p q r"), (6L, "p q r"),           // identical: LCS 3, F1 1
+      (7L, "u v"), (8L, "w z")                // disjoint: LCS 0, F1 0
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("cand_id", "ref_id")
+    val got = TextAnalysis.rougeL(docs, pairs)
+      .select($"cand_id", $"lcs_len", $"cand_total", $"ref_total", $"rouge_f1")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 5L, 5L, 0.6)), got.toString)
+    assert(got(3L)._2 == 1L, "LCS of reversed bigram must be 1, not 2")
+    assert(got(5L) == ((5L, 3L, 3L, 3L, 1.0)), got.toString)
+    assert(got(7L) == ((7L, 0L, 2L, 2L, 0.0)), got.toString)
+    // the order-sensitivity CONTRAST: rougeN(1) on the reversed pair
+    // counts both unigrams as matched
+    val n1 = TextAnalysis.rougeN(docs, pairs.filter($"cand_id" === 3L),
+        ns = Seq(1))
+      .select($"match_n").as[Long].head()
+    assert(n1 == 2L, s"rouge-1 clipped match should be 2, got $n1")
+  }
+
   test("snapshot log: read-your-writes, version isolation, replay equality, compaction horizon") {
     // one key's life: insert @1, update @2, delete @3, re-insert @4 —
     // plus a second key that never changes after @1
