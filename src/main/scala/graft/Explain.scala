@@ -22,11 +22,26 @@ object Explain {
     val sb = new StringBuilder
     sb.append(s"# Physical plans (sf dir: $sfDir)\n\n")
     sb.append("Audit artifact — regenerate with `sbt \"runMain graft.Explain\"`.\n")
+    // One query's construction-time caches must not leak into the NEXT
+    // query's printed plan: a later plan that matches a live cached
+    // fragment prints the InMemoryRelation's full child tree at every
+    // reference, and the textual expansion compounds — graph_leiden's
+    // caches once inflated graph_louvain_multilevel's section to 1.2M
+    // lines. Clear between queries (the gate-boundary behavior), and cap
+    // any still-pathological section loudly instead of flooding the file.
+    val maxLines = 4000
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan =
         try fn(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("formatted"))
         catch { case e: Throwable => s"ERROR: ${e.getMessage}" }
-      sb.append(s"\n## $name\n\n```\n$plan```\n")
+        finally spark.catalog.clearCache()
+      val lines = plan.linesIterator.toSeq
+      val capped =
+        if (lines.size <= maxLines) plan
+        else lines.take(maxLines).mkString("", "\n",
+          s"\n... TRUNCATED: ${lines.size - maxLines} more lines " +
+            "(pathological textual expansion — audit interactively)\n")
+      sb.append(s"\n## $name\n\n```\n$capped```\n")
     }
     // Scale audit: headline plans re-derived at sf0.1, where table sizes are
     // big enough for Catalyst's size estimates to matter (at sf0.001 every
