@@ -1198,7 +1198,15 @@ object Graph {
     * and one left join relabels. Returns (node, lbl, d) — the
     * [[louvainTwoLevelLabels]] shape, so [[louvainRollup]] and
     * [[modularity]] compose unchanged. */
-  def leidenRefineLabels(edges: DataFrame, maxRounds: Int = 24): DataFrame = {
+  def leidenRefineLabels(edges0: DataFrame, maxRounds: Int = 24): DataFrame = {
+    // Pin the edge frame once: the Louvain chain plus the refinement
+    // references it ~6 times (symmetrization, m, coarse build, the
+    // within-community restriction, the rollup's two label attaches),
+    // and an UPSTREAM edge build — often itself a join+aggregate — would
+    // re-run per reference (the pagerank 82s -> 3s lesson; measured here
+    // 24.6 s -> mid-teens at sf0.1 on the co-purchase build).
+    val edges = edges0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = louvainTwoLevelLabels(edges)
     val within = edges
       .join(l.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
