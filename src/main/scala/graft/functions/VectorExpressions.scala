@@ -215,9 +215,59 @@ object QuantizeInt8 {
 
 /** Column-API entry points. Matrices are passed as Seq[Seq[Double]] rows
   * and flattened once here. */
+
+/** POSIX ustar header-checksum validation over one 512-byte block:
+  * byte-sum of the block with the checksum field (bytes 148..155) read
+  * as 8 spaces, compared to that field's stored octal value. A compiled
+  * loop — the interpreted-HOF formulation (a 512-step aggregate() per
+  * nominated block) measured 0.96 s -> 9.2 s on the sf0.1 tar round-trip
+  * before this expression replaced it. */
+case class TarChecksumOk(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    TarChecksumOk.compute(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.TarChecksumOk$$.MODULE$$.compute($b);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TarChecksumOk {
+  /** Static body shared by interpreted eval and generated code. */
+  def compute(hdr: Array[Byte]): Boolean = {
+    if (hdr.length != 512) return false
+    var sum = 0L
+    var i = 0
+    while (i < 512) {
+      sum += (if (i >= 148 && i < 156) 32L else (hdr(i) & 0xff).toLong)
+      i += 1
+    }
+    // stored checksum: leading octal digits of the 8-byte field (NUL- or
+    // space-terminated per the spec; junk bytes parse to no digits -> -1)
+    var stored = -1L
+    var j = 148
+    var sawDigit = false
+    while (j < 156) {
+      val c = hdr(j) & 0xff
+      if (c >= '0' && c <= '7') {
+        stored = (if (sawDigit) stored else 0L) * 8 + (c - '0')
+        sawDigit = true
+        j += 1
+      } else if (!sawDigit && c == ' '.toInt) {
+        j += 1 // leading spaces allowed
+      } else {
+        j = 156 // terminator or junk: stop
+      }
+    }
+    sawDigit && stored == sum
+  }
+}
+
 object vectornative {
   private def c(e: Expression): Column = GraftBridge.column(e)
   private def e(col: Column): Expression = GraftBridge.expression(col)
+
+  def tar_checksum_ok(hdr: Column): Column = c(TarChecksumOk(e(hdr)))
   private def flat(rows: Seq[Seq[Double]]): (Array[Double], Int) = {
     val dim = rows.head.length
     require(rows.forall(_.length == dim), "ragged matrix")
