@@ -1343,6 +1343,15 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
           col("n_tokens"), col("n_removed"))),
 
+    // The keep-ONE-copy removal rule ("Deduplicating Training Data"'s
+    // ExactSubstr action): the globally first occurrence of each
+    // duplicated window keeps its tokens, every other occurrence is
+    // scrubbed — where span_scrub removes all copies of boilerplate.
+    "dedup_span_keepfirst" -> ((s, dir) =>
+      Dedup.keepFirstSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_tokens"), col("n_removed"))),
+
     // Scale shape: LSH candidate generation → exact Jaccard verify, linear
     // in candidates (a block self-join on a data column would be quadratic
     // within the block — kept only as the pre-blocked-data primitive).
@@ -6878,6 +6887,40 @@ object SparkEntry {
         |cov AS (SELECT DISTINCT doc_id, wpos + d AS pos
         |        FROM (SELECT doc_id, wpos FROM wins SEMI JOIN heavy USING (h)),
         |             range(0, 8) t(d)),
+        |toks AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+        |           unnest(w) AS tok FROM w),
+        |kept AS (SELECT k.doc_id, k.pos, k.tok FROM toks k
+        |         ANTI JOIN cov USING (doc_id, pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, md5(coalesce(a.text_clean, '')) AS clean_md5,
+        |       CAST(len(b.w) AS BIGINT) AS n_tokens,
+        |       CAST(len(b.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM w b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Keep-first variant: same window/rebuild machinery, but coverage
+    // comes only from NON-first occurrences of windows recurring >= 2
+    // times (multiplicity), first = min (doc_id, wpos) per window key.
+    "dedup_span_keepfirst" ->
+      """WITH w AS (SELECT doc_id,
+        |         string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |wins0 AS (SELECT doc_id, w,
+        |            unnest(range(0, len(w) - 7)) AS wpos FROM w),
+        |wins AS (SELECT doc_id, wpos,
+        |           CAST('0x' || substr(md5(array_to_string(
+        |             w[wpos+1:wpos+8], ' ')), 1, 15) AS BIGINT) AS h
+        |         FROM wins0),
+        |occ AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+        |fst AS (SELECT h, doc_id AS fdoc, wpos AS fpos FROM (
+        |          SELECT h, doc_id, wpos,
+        |            row_number() OVER (PARTITION BY h
+        |              ORDER BY doc_id, wpos) AS rn FROM wins) WHERE rn = 1),
+        |dup AS (SELECT wi.doc_id, wi.wpos
+        |        FROM wins wi SEMI JOIN occ USING (h) JOIN fst USING (h)
+        |        WHERE NOT (wi.doc_id = fst.fdoc AND wi.wpos = fst.fpos)),
+        |cov AS (SELECT DISTINCT doc_id, wpos + d AS pos
+        |        FROM dup, range(0, 8) t(d)),
         |toks AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
         |           unnest(w) AS tok FROM w),
         |kept AS (SELECT k.doc_id, k.pos, k.tok FROM toks k

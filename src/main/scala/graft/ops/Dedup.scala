@@ -1349,4 +1349,60 @@ object Dedup {
         md5(concat_ws(" ",
           slice(col("tk"), col("__w.pos") + 1, col("rep_len")))).as("span_md5"))
   }
+
+  /** Keep-FIRST-occurrence span dedup — the removal rule the
+    * "Deduplicating Training Data" ExactSubstr pass actually applies:
+    * for every n-token window that recurs in the corpus (count >= 2,
+    * multiplicity), the globally FIRST occurrence (minimum (doc id,
+    * position)) keeps its tokens and every other occurrence's token
+    * range is scrubbed — so exactly one copy of each duplicated passage
+    * survives, where [[scrubSpans]] (the >= minDocs boilerplate rule)
+    * removes ALL copies. Overlapping duplicated windows merge through
+    * the DISTINCT (doc, position) coverage set, and a window that is
+    * the first occurrence of its own content never contributes
+    * coverage, so a document carrying the corpus' first copy of a
+    * passage is untouched by that passage.
+    *
+    * Shape: one explode+hash pass persisted as fixed-width rows (the
+    * scrubSpans discipline), the per-key first occurrence = one
+    * map-side-combinable min(struct) aggregate, coverage = the
+    * non-first occurrences' bounded explode, survivors = an anti-join
+    * on (doc, pos). No pairwise product anywhere; the exchange carries
+    * 60-bit keys, never span text.
+    *
+    * Output: (idCol, text_clean, n_tokens, n_removed) for every doc. */
+  def keepFirstSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wins = posSpanWindows(docs, idCol, textCol, n)
+      .select(col(idCol), col("wpos"), spanKey(col("span")).as("__h"))
+      .persist(lvl)
+    val firsts = wins.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col(idCol), col("wpos"))).as("__w"))
+      .filter(col("__occ") >= 2)
+      .select(col("__h"), col("__w.wpos").as("__fpos"),
+        col("__w").getField(idCol).as("__fdoc"))
+    val covered = wins.join(firsts, Seq("__h"))
+      .filter(!(col(idCol) === col("__fdoc") && col("wpos") === col("__fpos")))
+      .select(col(idCol),
+        explode(sequence(col("wpos"), col("wpos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")),
+        " ").as("text_clean"),
+      count(lit(1)).as("__n_kept"))
+    docs.select(col(idCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
 }

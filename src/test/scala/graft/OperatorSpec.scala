@@ -3485,6 +3485,35 @@ class OperatorSpec extends SparkSuite {
     assert(sql.contains("FROM e20)"), "the assert must probe the FINAL round's edges")
   }
 
+  test("keep-first span dedup: first occurrence survives intact, later copies scrub, uniques untouched") {
+    // doc 1 carries the corpus-FIRST copy of the 4-token passage; docs 2
+    // and 3 repeat it (doc 3 twice, overlapping unique context); doc 4 is
+    // untouched
+    val span = "P1 P2 P3 P4"
+    val docs = Seq(
+      (1L, s"a1 $span a2"),
+      (2L, s"b1 b2 $span"),
+      (3L, s"$span c1 $span"),
+      (4L, "d1 d2 d3 d4 d5")).toDF("doc_id", "text")
+    val got = Dedup.keepFirstSpans(docs, "doc_id", "text", n = 4)
+      .select($"doc_id", $"text_clean", $"n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: untouched (it IS the first occurrence)
+    assert(got(1L) == ((s"a1 $span a2", 0L)), got.toString)
+    // doc 2: its copy scrubbed, context kept
+    assert(got(2L) == (("b1 b2", 4L)), got.toString)
+    // doc 3: BOTH its copies scrubbed (neither is the global first);
+    // other windows of doc 3 ("P4 c1 P1 P2" etc.) occur once and add no
+    // coverage, so c1 survives
+    assert(got(3L) == (("c1", 8L)), got.toString)
+    // doc 4: no repeated window anywhere near it
+    assert(got(4L) == (("d1 d2 d3 d4 d5", 0L)), got.toString)
+    // contrast with scrubSpans at minDocs=2: the first copy dies too
+    val all = Dedup.scrubSpans(docs, "doc_id", "text", n = 4, minDocs = 2)
+      .select($"doc_id", $"text_clean").as[(Long, String)].collect().toMap
+    assert(all(1L) == "a1 a2", all.toString)
+  }
+
   test("rouge-l: LCS rewards order where the n-gram bags cannot; hand-computed P/R/F1") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "b x c y e"),   // LCS "b c e" = 3
