@@ -1317,8 +1317,14 @@ object Dedup {
             .otherwise(col("lo")).as("rep_len"))
       emittedLevels += emitted.localCheckpoint()
       // children: classes of >= 2 members at l*+1 (only where a true
-      // divergence exists below cap)
-      val kids = withId(emitted.filter(col("lo") < cap), col("lo") + 1, "__idc")
+      // divergence exists below cap), and only members whose suffix
+      // EXTENDS past l* — a member ending exactly at l* (the doc-end
+      // E-form) has nothing below the node: a pure-E child class would
+      // re-emit the parent's string with a partial occurrence set (the
+      // duplicate the maxRepeats property test caught; classes are never
+      // E/normal-mixed because the id formats cannot collide)
+      val kids = withId(emitted.filter(col("lo") < cap &&
+        col("len") - col("pos") > col("lo")), col("lo") + 1, "__idc")
       val bigEnough = kids.groupBy(col("gid"), col("__idc"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
         .select(col("gid"), col("__idc"))

@@ -125,6 +125,38 @@ object ScaleProbe {
       graft.ops.Similarity.bruteForceTopK(emb, q, k = 10).count()
     }
     report("brute-force ANN (8 queries)")(ann(embS()))(ann(embB()))
+    // Round-11 families. maxRepeats: the vocabulary rename reproduces each
+    // replica's repeat structure on disjoint tokens, so level counts stay
+    // flat while the duplicated-region frames grow 10x — the regime the
+    // doubling recursion is built for.
+    report("maximal repeats (>=32)")(
+      graft.ops.Dedup.maxRepeats(docS(), "doc_id", "text",
+        minLen = 32, cap = 128).count())(
+      graft.ops.Dedup.maxRepeats(docB(), "doc_id", "text",
+        minLen = 32, cap = 128).count())
+    // DBSCAN: replicas reuse vectors, which would stack 10 copies on every
+    // coordinate and fake a quadratic in-cell blowup; shift each replica's
+    // x by a disjoint offset instead (replica index recovered from the
+    // vec_id key shift), so density per cell stays the original.
+    def dbPts(emb: DataFrame): DataFrame = emb.select(col("vec_id").as("id"),
+      (round(element_at(col("embedding"), 1).cast("double") * 1000)
+        .cast("long") + (col("vec_id") / lit(shift)).cast("long") * 100000L).as("x"),
+      round(element_at(col("embedding"), 2).cast("double") * 1000)
+        .cast("long").as("y"))
+    report("DBSCAN grid (eps=30)")(
+      graft.ops.Similarity.dbscanGrid(dbPts(embS()), eps = 30L, minPts = 4).count())(
+      graft.ops.Similarity.dbscanGrid(dbPts(embB()), eps = 30L, minPts = 4).count())
+    report("Leiden refinement")(
+      graft.ops.Graph.leidenRefine(wedges(liS()).select(col("a"), col("b"))).count())(
+      graft.ops.Graph.leidenRefine(wedges(liB()).select(col("a"), col("b"))).count())
+    def qmerge(li: DataFrame): Long = {
+      val cents = li.select(round(col("l_extendedprice") * 100)
+        .cast("long").as("v"))
+      graft.ops.Profile.quantilesFromSketch(
+        graft.ops.Profile.quantileSketch(cents, col("v"), 4096L), 4096L,
+        Seq(10, 50, 99)).count()
+    }
+    report("quantile sketch + read")(qmerge(liS()))(qmerge(liB()))
     s.stop()
   }
 }

@@ -393,4 +393,146 @@ class PropertySpec extends SparkSuite {
         }
     }
   }
+
+  test("maximal repeats equal the all-lengths brute force on random small-vocab corpora") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def brute(docs: Seq[(Long, String)], minLen: Int): Set[(Long, Long, Long, String)] = {
+      val tks = docs.map { case (id, t) => (id, t.trim.split("\\s+")) }
+      val byId = tks.toMap
+      val occ = scala.collection.mutable.Map.empty[(Int, String), List[(Long, Int)]]
+      for ((id, w) <- tks; l <- minLen to w.length; p <- 0 to w.length - l) {
+        val str = w.slice(p, p + l).mkString(" ")
+        occ((l, str)) = (id, p) :: occ.getOrElse((l, str), Nil)
+      }
+      occ.iterator.filter(_._2.size >= 2).flatMap { case ((l, str), os) =>
+        val nxt = os.map { case (d, p) =>
+          val w = byId(d); if (p + l < w.length) Some(w(p + l)) else None }
+        val prv = os.map { case (d, p) =>
+          val w = byId(d); if (p > 0) Some(w(p - 1)) else None }
+        val rMax = nxt.contains(None) || nxt.flatten.distinct.size >= 2
+        val lMax = prv.contains(None) || prv.flatten.distinct.size >= 2
+        if (rMax && lMax)
+          Some((l.toLong, os.size.toLong, os.map(_._1).distinct.size.toLong,
+            md5hex(str)))
+        else None
+      }.toSet
+    }
+    // 3-symbol vocabulary forces dense repeat structure (nesting,
+    // overlaps, periodicity) the planted spec cases cannot anticipate
+    val docGen = Gen.listOfN(8, Gen.choose(4, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z")).map(_.mkString(" "))))
+    samples(docGen, 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.maxRepeats(docs.toDF("doc_id", "text"), "doc_id",
+          "text", minLen = 3, cap = 16, maxLevels = 24)
+        .as[(Long, Long, Long, String)].collect().toSet
+      val want = brute(docs, minLen = 3)
+      assert(got == want, s"docs=$docs missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("grid DBSCAN equals the all-pairs brute force on random integer points") {
+    val ptGen = for {
+      n <- Gen.choose(20, 60)
+      pts <- Gen.listOfN(n, for {
+        x <- Gen.choose(-40L, 40L); y <- Gen.choose(-40L, 40L)
+      } yield (x, y))
+    } yield pts.distinct
+    samples(Gen.listOfN(1, ptGen).map(_.head), 4).zipWithIndex.foreach {
+      case (pts0, si) =>
+        val eps = 3L + 2 * (si % 2)   // 3 or 5
+        val minPts = 2 + (si % 3)     // 2..4
+        val pts = pts0.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        val byId = pts.map(p => p._1 -> ((p._2, p._3))).toMap
+        val ids = pts.map(_._1)
+        def d2(a: Long, b: Long) = {
+          val (xa, ya) = byId(a); val (xb, yb) = byId(b)
+          (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+        }
+        val neigh = ids.map(a => a -> ids.filter(b => d2(a, b) <= eps * eps)).toMap
+        val core = ids.filter(a => neigh(a).size >= minPts).toSet
+        var lbl = core.map(c => c -> c).toMap
+        var changed = true
+        while (changed) {
+          changed = false
+          for (a <- core; b <- neigh(a) if core(b) && lbl(b) < lbl(a)) {
+            lbl += a -> lbl(b); changed = true
+          }
+        }
+        val want = ids.map { a =>
+          if (core(a)) (a, "core", lbl(a))
+          else {
+            val adj = neigh(a).filter(b => b != a && core(b))
+            if (adj.nonEmpty) (a, "border", adj.map(lbl).min)
+            else (a, "noise", -1L)
+          }
+        }.toSet
+        val got = graft.ops.Similarity.dbscanGrid(
+            pts.toDF("id", "x", "y"), eps, minPts)
+          .select($"id", $"kind", $"cluster")
+          .as[(Long, String, Long)].collect().toSet
+        assert(got == want,
+          s"eps=$eps minPts=$minPts missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("quantile sketch: estimate within width of exact at EVERY percentile; random 3-way merges associative") {
+    val valGen = Gen.listOfN(120, Gen.choose(-5000L, 5000L))
+    samples(valGen, 3).zipWithIndex.foreach { case (vs, si) =>
+      val w = Seq(7L, 32L, 100L)(si % 3)
+      val sorted = vs.sorted
+      val df = vs.toDF("v")
+      val est = graft.ops.Profile.quantilesFromSketch(
+          graft.ops.Profile.quantileSketch(df, $"v", w), w, (1 to 100))
+        .select($"q_pct", $"estimate").as[(Long, Long)].collect().toMap
+      for (q <- 1 to 100) {
+        val exact = sorted(((vs.size.toLong * q + 99) / 100 - 1).toInt)
+        val e = est(q.toLong)
+        assert(exact >= e && exact < e + w, s"w=$w q=$q est=$e exact=$exact")
+      }
+      // random 3-way split: any merge grouping yields the identical state
+      val (a, rest) = vs.splitAt(vs.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      def sk(xs: Seq[Long]) =
+        graft.ops.Profile.quantileSketch(xs.toDF("v"), $"v", w)
+      def st(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long)].collect().toMap
+      val g1 = st(graft.ops.Profile.mergeQuantileSketches(Seq(
+        graft.ops.Profile.mergeQuantileSketches(Seq(sk(a), sk(b))), sk(c))))
+      val g2 = st(graft.ops.Profile.mergeQuantileSketches(Seq(
+        sk(a), graft.ops.Profile.mergeQuantileSketches(Seq(sk(b), sk(c))))))
+      assert(g1 == g2 && g1 == st(sk(vs)), s"w=$w")
+    }
+  }
+
+  test("keep-first span dedup equals the replayed first-occurrence rule on random corpora") {
+    val n = 3
+    val docGen = Gen.listOfN(6, Gen.choose(3, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("p", "q", "r")).map(_.mkString(" "))))
+    samples(docGen, 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // test-side replay: window keys -> first occurrence -> coverage
+      val tks = docs.map { case (id, t) => (id, t.trim.split("\\s+")) }
+      val occ = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+      for ((id, w) <- tks; p <- 0 to w.length - n)
+        occ(w.slice(p, p + n).mkString(" ")) =
+          occ.getOrElse(w.slice(p, p + n).mkString(" "), Nil) :+ ((id, p))
+      val covered = occ.values.filter(_.size >= 2).flatMap { os =>
+        val first = os.min
+        os.filterNot(_ == first).flatMap { case (d, p) =>
+          (p until p + n).map(d -> _) }
+      }.toSet
+      val want = tks.map { case (id, w) =>
+        val kept = w.indices.filterNot(i => covered((id, i))).map(w)
+        (id, kept.mkString(" "), (w.length - kept.size).toLong)
+      }.toSet
+      val got = Dedup.keepFirstSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n)
+        .select($"doc_id", $"text_clean", $"n_removed")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want, s"docs=$docs missing=${want -- got} extra=${got -- want}")
+    }
+  }
 }
