@@ -167,6 +167,21 @@ object SparkEntry {
         timeCol = "ts", keyCol = "event_type", idCol = "event_id",
         valueCol = "value", threshold = 3.0, minN = 30L, streaming = false)),
 
+    // Per-day streaming quantile state: the mergeable fixed-grid sketch
+    // as a windowed streaming aggregation (counts are algebraic, so the
+    // state IS the sketch; bounded by occupied buckets, never rows),
+    // then p50/p90/p99 read per window from the emitted state. Batch
+    // mode of the identical plan gates here; StreamingSpec drives the
+    // watermarked twin.
+    "stream_quantile_sketch" -> { (s, dir) =>
+      val sk = graft.streaming.StreamOps.quantileSketchStream(
+        t(s, dir, "events"), "ts", round(col("value") * 100), width = 512L,
+        duration = "1 day", lateness = "10 minutes", streaming = false)
+      Profile.quantilesFromSketchBy(
+        sk.select(col("window_start"), col("bucket"), col("cnt")),
+        Seq("window_start"), 512L, Seq(50, 90, 99))
+    },
+
     // ── flagship pricing aggregate (partial+final hash agg, 1 shuffle) ──
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -6292,6 +6307,25 @@ object SparkEntry {
     "ref_sort_bi" ->
       """SELECT user_id, count(*) AS total_trips, avg(value) AS average_fare
         |FROM events GROUP BY user_id ORDER BY total_trips DESC, user_id""".stripMargin,
+
+    // Full sketch replay per day window: bucket counts, partitioned
+    // cumulative walk, exact integer rank selection.
+    "stream_quantile_sketch" ->
+      """WITH b AS (SELECT date_trunc('day', ts) AS window_start,
+        |             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |sk AS (SELECT window_start, v // 512 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        |cum AS (SELECT window_start, bucket,
+        |          sum(cnt) OVER (PARTITION BY window_start
+        |                         ORDER BY bucket) AS cum FROM sk),
+        |nn AS (SELECT window_start, max(cum) AS n FROM cum GROUP BY 1),
+        |qs(q_pct) AS (VALUES (50), (90), (99))
+        |SELECT c.window_start, CAST(q_pct AS BIGINT) AS q_pct,
+        |       CAST(nn.n AS BIGINT) AS n,
+        |       min(bucket) AS est_bucket, min(bucket) * 512 AS estimate
+        |FROM cum c JOIN nn USING (window_start), qs
+        |WHERE c.cum >= (nn.n * q_pct + 99) // 100
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "stream_topk" ->
       """WITH c AS (

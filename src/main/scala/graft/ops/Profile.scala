@@ -443,6 +443,33 @@ object Profile {
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-GROUP rank quantiles from a grouped sketch state (groupCols +
+    * bucket + cnt) — the partitioned twin of [[quantilesFromSketch]]:
+    * the cumulative walk is a window PARTITIONED by the group columns
+    * (one windowed-sketch window per group, e.g. the streaming
+    * per-event-time-window states), so the frame stays sketch-sized per
+    * group and no global sort exists. */
+  def quantilesFromSketchBy(sketch: DataFrame, groupCols: Seq[String],
+      width: Long, qPcts: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "group columns required")
+    require(qPcts.nonEmpty && qPcts.forall(p => p >= 1 && p <= 100),
+      "q percentages in [1,100]")
+    val g = groupCols.map(col)
+    val byBucket = Window.partitionBy(g: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch.select(g :+ col("bucket") :+ col("cnt") :+
+      sum(col("cnt")).over(byBucket).as("cum"): _*)
+    val tot = cum.groupBy(g: _*).agg(max(col("cum")).as("n"))
+    cum.join(tot, groupCols)
+      .select(g :+ col("bucket") :+ col("cum") :+ col("n") :+
+        explode(typedLit(qPcts.sorted)).as("q_pct"): _*)
+      .filter(col("cum") >= expr("(n * q_pct + 99) div 100"))
+      .groupBy((g :+ col("q_pct") :+ col("n")): _*)
+      .agg(min(col("bucket")).as("est_bucket"))
+      .select(g :+ col("q_pct").cast("long").as("q_pct") :+ col("n") :+
+        col("est_bucket") :+ (col("est_bucket") * width).as("estimate"): _*)
+  }
+
   /** Associative union of (bucket, cnt) sketch states. */
   def mergeQuantileSketches(sketches: Seq[DataFrame]): DataFrame =
     sketches.reduce(_ unionAll _)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -66,6 +66,31 @@ object StreamOps {
       .select(col(keyCol), col("n_events"), col("session_fare"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"))
+  }
+
+  /** Windowed mergeable quantile sketch over a stream: per (event-time
+    * window, bucket) counts with bucket = floor(value / width) — the
+    * fixed-grid dyadic histogram (Profile.quantileSketch) as a streaming
+    * aggregation. Counts are ALGEBRAIC, so partial aggregation, state
+    * updates, and window merges are all plain addition (the sketch's
+    * exactly-associative merge is what makes it streaming-legal), and
+    * state per window is bounded by OCCUPIED BUCKETS (<= universe/width),
+    * never by row count — the property that lets a 100 TB/day stream keep
+    * per-window quantile state in memory. Read quantiles from the emitted
+    * state with [[graft.ops.Profile.quantilesFromSketchBy]]. */
+  def quantileSketchStream(df: DataFrame, timeCol: String, value: Column,
+      width: Long, duration: String, lateness: String,
+      streaming: Boolean): DataFrame = {
+    require(width >= 1, "width >= 1")
+    val src = if (streaming) df.withWatermark(timeCol, lateness) else df
+    src.select(col(timeCol), value.cast("long").as("__v"))
+      .select(col(timeCol),
+        ((col("__v") - pmod(col("__v"), lit(width))) / lit(width))
+          .cast("long").as("bucket"))
+      .groupBy(window(col(timeCol), duration), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("bucket"), col("cnt"))
   }
 
   /** Streaming exact dedup on an id column with watermark-bounded state

@@ -773,4 +773,51 @@ class StreamingSpec extends SparkSuite {
     // only the single still-open flush session — eviction really ran
     assert(stateRows <= nKeys + 1L, s"state not evicted: $stateRows rows")
   }
+
+  test("streaming quantile sketch: windowed state equals the batch sketch; late rows drop") {
+    import graft.streaming.StreamOps
+    val source = MemoryStream[(Long, Long)] // (epoch seconds, value)
+    val rows = source.toDF().toDF("epoch", "v")
+      .select(timestamp_seconds($"epoch").as("ts"), $"v")
+    val out = StreamOps.quantileSketchStream(rows, "ts", $"v", width = 8L,
+      duration = "1 minute", lateness = "10 minutes", streaming = true)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("qsk_out").start()
+    val t0s = t0.toLong
+    try {
+      // window A [t0, t0+60): buckets 0,1,2; window B [t0+60, t0+120): bucket 0 x2
+      source.addData(Seq((t0s + 1, 3L), (t0s + 5, 9L), (t0s + 50, 17L),
+        (t0s + 61, 7L), (t0s + 100, 7L)))
+      q.processAllAvailable()
+      // sentinel an hour on: watermark passes both windows, they finalize
+      source.addData(Seq((t0s + 3600, 1L)))
+      q.processAllAvailable()
+      // a late row for window A, far behind the watermark: must NOT appear
+      source.addData(Seq((t0s + 2, 100L)))
+      q.processAllAvailable()
+      source.addData(Seq((t0s + 7200, 1L)))
+      q.processAllAvailable()
+      val got = spark.table("qsk_out")
+        .select(unix_timestamp($"window_start"), $"bucket", $"cnt")
+        .as[(Long, Long, Long)].collect().toSet
+      val onTime = Set(
+        (t0s, 0L, 1L), (t0s, 1L, 1L), (t0s, 2L, 1L),
+        (t0s + 60, 0L, 2L))
+      // the first sentinel's own window finalizes once the second
+      // sentinel advances the watermark past it; the late row's bucket
+      // (12) must appear nowhere
+      val want = onTime + ((t0s + 3600, 0L, 1L))
+      assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+      // the emitted state equals the batch-mode sketch over the on-time rows
+      val batch = StreamOps.quantileSketchStream(
+        Seq((t0s + 1, 3L), (t0s + 5, 9L), (t0s + 50, 17L),
+          (t0s + 61, 7L), (t0s + 100, 7L)).toDF("epoch", "v")
+          .select(timestamp_seconds($"epoch").as("ts"), $"v"),
+        "ts", $"v", width = 8L, duration = "1 minute",
+        lateness = "10 minutes", streaming = false)
+        .select(unix_timestamp($"window_start"), $"bucket", $"cnt")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch == onTime, s"batch twin diverged: $batch")
+    } finally q.stop()
+  }
 }
