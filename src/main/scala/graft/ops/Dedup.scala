@@ -1253,6 +1253,9 @@ object Dedup {
     // identity of the tl-token window at (doc, pos): two overlapping
     // 2^floor(log2 tl) ranks when the window fits, the END-coded top rank
     // (remaining content + remaining length) when it does not
+    // Members carry their OWN position's rank array as `rks`, so each id
+    // evaluation joins rankT once (for the overlapping right window at
+    // pos + tl - 2^k), not twice — one exchange per lockstep round saved.
     def withId(m: DataFrame, tl: Column, out: String): DataFrame = {
       var kE: Column = lit(0)
       var p2: Column = lit(1)
@@ -1261,24 +1264,26 @@ object Dedup {
         p2 = when(tl >= (1 << kk), lit(1 << kk)).otherwise(p2)
       }
       val bpos = col("pos") + tl - p2
-      m.join(rankT.select(col("doc"), col("pos"), col("rks").as("__ra")),
-          Seq("doc", "pos"))
-        .withColumn("__bpos", bpos)
+      m.withColumn("__bpos", bpos)
         .join(rankT.select(col("doc"), col("pos").as("__bpos"),
           col("rks").as("__rb")), Seq("doc", "__bpos"), "left")
         .withColumn(out,
           when(col("len") - col("pos") >= tl,
-            md5(concat(element_at(col("__ra"), kE.cast("int") + 1), lit("|"),
+            md5(concat(element_at(col("rks"), kE.cast("int") + 1), lit("|"),
               element_at(col("__rb"), kE.cast("int") + 1), lit("|"),
               tl.cast("string"))))
-          .otherwise(concat(lit("E|"), element_at(col("__ra"), lit(K + 1)))))
-        .drop("__ra", "__rb", "__bpos")
+          .otherwise(concat(lit("E|"), element_at(col("rks"), lit(K + 1)))))
+        .drop("__rb", "__bpos")
     }
     // 3. level-0 groups: occurrence sets of repeated minLen-windows
-    var g = withId(p0.join(tk.select(col("doc"), col("len")), Seq("doc")),
+    // (each member picks up its own rank array here, carried through
+    // every round below)
+    var g = withId(p0
+        .join(rankT.select(col("doc"), col("pos"), col("len"), col("rks")),
+          Seq("doc", "pos")),
         lit(minLen), "__id0")
       .select(md5(concat(col("__id0"), lit("#"), lit(minLen))).as("gid"),
-        col("doc"), col("pos"), col("len"),
+        col("doc"), col("pos"), col("len"), col("rks"),
         lit(minLen).as("lo"), lit(cap + 1).as("hi"))
     g = cycle(g)
     val steps = 32 - Integer.numberOfLeadingZeros(cap + 1 - minLen)
@@ -1293,10 +1298,14 @@ object Dedup {
       for (_ <- 1 to steps) {
         val mid = floor((col("lo") + col("hi")) / 2).cast("int")
         val tested = withId(g.withColumn("__mid", mid), col("__mid"), "__idm")
-        val verdict = tested.groupBy(col("gid"))
-          .agg((countDistinct(col("__idm")) === 1).as("__agree"))
-        g = cycle(tested.join(verdict, Seq("gid"))
-          .select(col("gid"), col("doc"), col("pos"), col("len"),
+        // group agreement as ONE gid-partitioned window pass (min == max
+        // of the tested id) — the groupBy+join-back form paid a second
+        // gid exchange every round
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
+        g = cycle(tested
+          .withColumn("__agree",
+            min(col("__idm")).over(w) === max(col("__idm")).over(w))
+          .select(col("gid"), col("doc"), col("pos"), col("len"), col("rks"),
             when(col("__agree"), col("__mid")).otherwise(col("lo")).as("lo"),
             when(col("__agree"), col("hi")).otherwise(col("__mid")).as("hi")))
       }
@@ -1312,10 +1321,13 @@ object Dedup {
         s"maxRepeats: a repeat reaches cap=$cap tokens without diverging — " +
           "raise cap (output would otherwise be silently truncated)")
       val emitted = g.join(stats, Seq("gid"))
-        .select(col("gid"), col("doc"), col("pos"), col("len"), col("lo"),
+        .select(col("gid"), col("doc"), col("pos"), col("len"), col("rks"),
+          col("lo"),
           when(col("lo") === cap, least(col("__minR"), lit(cap)))
             .otherwise(col("lo")).as("rep_len"))
-      emittedLevels += emitted.localCheckpoint()
+      emittedLevels += emitted
+        .select(col("gid"), col("doc"), col("pos"), col("rep_len"))
+        .localCheckpoint()
       // children: classes of >= 2 members at l*+1 (only where a true
       // divergence exists below cap), and only members whose suffix
       // EXTENDS past l* — a member ending exactly at l* (the doc-end
@@ -1331,14 +1343,14 @@ object Dedup {
       g = cycle(kids.join(bigEnough, Seq("gid", "__idc"), "left_semi")
         .select(md5(concat(col("__idc"), lit("#"),
             (col("lo") + 1).cast("string"))).as("gid"),
-          col("doc"), col("pos"), col("len"),
+          col("doc"), col("pos"), col("len"), col("rks"),
           (col("lo") + 1).as("lo"), lit(cap + 1).as("hi")))
       level += 1
     }
     // 4. left-maximality + stats + span fingerprint from a witness member
     val emitAll = emittedLevels.reduceOption(_ unionAll _)
-      .getOrElse(g.select(col("gid"), col("doc"), col("pos"), col("len"),
-        col("lo"), col("lo").as("rep_len")))
+      .getOrElse(g.select(col("gid"), col("doc"), col("pos"),
+        col("lo").as("rep_len")))
     val prevT = toks.select(col("doc"), (col("pos") + 1).as("pos"),
       col("tok").as("__prev"))
     val gstats = emitAll.join(prevT, Seq("doc", "pos"), "left")

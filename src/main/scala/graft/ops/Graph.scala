@@ -1220,7 +1220,12 @@ object Graph {
   }
 
   /** [[leidenRefineLabels]] rolled up to the [[louvainTwoLevel]] output
-    * shape: (community, n_members, min_node, deg_sum, internal_edges). */
+    * shape: (community, n_members, min_node, deg_sum, internal_edges).
+    * NOT persisted beyond the labels' internal pins: caching the refined
+    * label frame for the rollup's three reads measured WORSE at sf0.1
+    * (24.7 s -> 30.3 s — the extra materialization barrier outweighs
+    * three cheap joins over already-cached inputs; the same lesson
+    * SCALE.md records for the two-level Louvain rollup). */
   def leidenRefine(edges: DataFrame, maxRounds: Int = 24): DataFrame =
     louvainRollup(edges, leidenRefineLabels(edges, maxRounds))
 
