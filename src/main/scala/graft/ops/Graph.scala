@@ -1207,7 +1207,15 @@ object Graph {
     // 24.6 s -> mid-teens at sf0.1 on the co-purchase build).
     val edges = edges0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = louvainTwoLevelLabels(edges)
+    // localCheckpoint, not just the chain's internal persists: the
+    // refinement fires MANY actions (the within restriction, each star
+    // round, the final attaches) and every one re-OPTIMIZES the full
+    // Louvain logical tree (~5 s of driver time per action at sf0.1,
+    // with execution itself a cache hit — measured: recounting the
+    // persisted-but-not-truncated frame cost 4.7 s for 2 cached jobs).
+    // Truncating the lineage makes every downstream plan a leaf scan —
+    // the bpeLoop/graph_hits lesson applied at the composition boundary.
+    val l = louvainTwoLevelLabels(edges).localCheckpoint()
     val within = edges
       .join(l.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
       .join(l.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
