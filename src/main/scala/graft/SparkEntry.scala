@@ -6066,7 +6066,7 @@ object SparkEntry {
         |sk AS (SELECT cents // 4096 AS bucket, CAST(count(*) AS BIGINT) AS cnt
         |       FROM li GROUP BY 1),
         |cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
-        |nn AS (SELECT max(cum) AS n FROM cum),
+        |nn AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum),
         |qs(q_pct) AS (VALUES (10),(25),(50),(75),(90),(99)),
         |est AS (SELECT q_pct, nn.n, min(bucket) AS est_bucket FROM cum, nn, qs
         |        WHERE cum >= (nn.n * q_pct + 99) // 100 GROUP BY q_pct, nn.n),

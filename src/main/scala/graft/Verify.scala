@@ -97,6 +97,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // UN-narrowed dump for the oracle-side output-dtype sweep
+    // (tools/check.py --dtypes-only): the sweep DESCRIBEs every oracle SQL
+    // without needing the Spark outputs, so it must see the full map even
+    // under SPARK_GRAFT_VERIFY_ONLY.
+    val jsonFull = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_full.json"), jsonFull)
     // The GENERATED upsert dialect strings, dumped for execution-level
     // validation: Derby executes the ANSI MERGE in StreamingSpec; the
     // Postgres ON CONFLICT string (no Postgres/H2/pgjdbc in the sandbox)

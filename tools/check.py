@@ -4,14 +4,39 @@ in DuckDB over the same parquet tables and compare against the parquet the
 Verify main dumped. Dev tool only — the shipped library has no Python.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+       python3 tools/check.py --dtypes-only <sfDir> <oracleSqlJson>
+       python3 tools/check.py --selftest
+
+--dtypes-only runs the oracle-side output-dtype sweep alone (DESCRIBE every
+oracle SQL, no Verify output needed): the driver's checker materializes the
+oracle via `fetchdf`, which renders HUGEINT/DECIMAL as float64/object and
+FLOAT4 at float32 repr — types that hash differently from the Spark parquet
+even when the VALUES are identical (the r11 `rel_quantile_merge` red: an
+uncast `max(sum() OVER)` left `n` as HUGEINT -> "60000.0" vs BIGINT
+"60000"). No such type may reach an oracle's final SELECT.
+--selftest plants a HUGEINT/DECIMAL/FLOAT4 query and asserts the sweep
+flags each (and passes a clean twin).
 """
-import glob, json, math, sys
+import glob, json, math, re, sys
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow.types as patypes
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def banned_oracle_types(duck_types):
+    """Columns whose DuckDB type `fetchdf` materializes differently than
+    the driver reads the matching Spark parquet column: HUGEINT/UHUGEINT
+    (-> float64 or object), DECIMAL (-> float64, scale-dependent repr),
+    FLOAT4/REAL (float32 shortest-repr vs Spark's double)."""
+    bad = []
+    for col, t in duck_types.items():
+        tu = t.upper()
+        if (tu in ("HUGEINT", "UHUGEINT", "FLOAT", "FLOAT4", "REAL")
+                or tu.startswith("DECIMAL")):
+            bad.append((col, t))
+    return bad
 
 def norm(v):
     # array-typed columns (e.g. a query that leaks an array<long>) arrive
@@ -63,6 +88,13 @@ def main(sf_dir, out_dir):
                 sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))[0])
             duck_types = {r[0]: str(r[1]).upper()
                           for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+            # hard ban first: types fetchdf renders asymmetrically are
+            # wrong regardless of what the Spark side declares
+            banned = banned_oracle_types(duck_types)
+            if banned:
+                print(f"FAIL {name}: oracle output has banned dtype {banned}")
+                n_bad += 1
+                continue
             def duck_floaty(t):
                 return t in ("FLOAT", "DOUBLE", "REAL", "FLOAT4", "FLOAT8")
             kind_bad = []
@@ -100,5 +132,66 @@ def main(sf_dir, out_dir):
     print(f"== {n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0
 
+def dtypes_only(sf_dir, oracle_json):
+    """Sweep EVERY oracle SQL's declared output schema for banned types.
+    Needs only the oracle_sql.json (Verify dumps it) — no Spark output."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(oracle_json))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            duck_types = {r[0]: str(r[1])
+                          for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {str(e)[:200]}")
+            n_bad += 1
+            continue
+        bad = banned_oracle_types(duck_types)
+        if bad:
+            print(f"FAIL {name}: banned oracle output dtype {bad}")
+            n_bad += 1
+        else:
+            n_ok += 1
+    print(f"== dtypes: {n_ok} ok, {n_bad} fail (of {len(oracle)})")
+    return 1 if n_bad else 0
+
+def selftest():
+    con = duckdb.connect()
+    con.execute("CREATE VIEW t AS SELECT * FROM (VALUES (1,'a'),(2,'b')) v(x,s)")
+    planted = {
+        # the exact r11 red: sum() OVER widens to HUGEINT, max() keeps it
+        "hugeint_window": "WITH c AS (SELECT x, sum(x) OVER (ORDER BY x) AS cum "
+                          "FROM t) SELECT max(cum) AS n FROM c",
+        "decimal_out": "SELECT CAST(1.5 AS DECIMAL(10,2)) AS d",
+        "float4_out": "SELECT CAST(1.5 AS FLOAT4) AS f",
+    }
+    clean = {
+        "bigint_window": "WITH c AS (SELECT x, sum(x) OVER (ORDER BY x) AS cum "
+                         "FROM t) SELECT CAST(max(cum) AS BIGINT) AS n FROM c",
+        "double_out": "SELECT CAST(1.5 AS DOUBLE) AS d",
+    }
+    fails = 0
+    for name, sql in planted.items():
+        types = {r[0]: str(r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        if not banned_oracle_types(types):
+            print(f"SELFTEST FAIL: planted {name} ({types}) not flagged")
+            fails += 1
+    for name, sql in clean.items():
+        types = {r[0]: str(r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        bad = banned_oracle_types(types)
+        if bad:
+            print(f"SELFTEST FAIL: clean {name} wrongly flagged {bad}")
+            fails += 1
+    print("selftest:", "FAIL" if fails else
+          f"ok ({len(planted)} planted flagged, {len(clean)} clean pass)")
+    return 1 if fails else 0
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    if sys.argv[1] == "--selftest":
+        sys.exit(selftest())
+    elif sys.argv[1] == "--dtypes-only":
+        sys.exit(dtypes_only(sys.argv[2], sys.argv[3]))
+    else:
+        sys.exit(main(sys.argv[1], sys.argv[2]))
