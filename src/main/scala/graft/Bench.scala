@@ -57,7 +57,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    println(line)
+    // Persist the COMPLETE per-query map too: the driver's stdout capture
+    // has truncated the front of the alphabetical tail in past rounds
+    // (BENCH_r11 lost everything before src_*), so regressions in the a–s
+    // families were unauditable from artifacts. Default path is cwd
+    // (repo root under sbt); round-close batteries set
+    // SPARK_GRAFT_BENCH_FULL_OUT=bench_full_r<N>.json and commit it.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
