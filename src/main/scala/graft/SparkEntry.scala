@@ -1367,6 +1367,17 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
           col("n_tokens"), col("n_removed"))),
 
+    // The same keep-one-copy rule at MAXIMAL-repeat granularity — the
+    // actual ExactSubstr deletion: each >= 32-token maximal repeat's
+    // first occurrence keeps its tokens, later occurrences scrub the
+    // FULL span (one 93-token span, never 62 overlapping 32-windows),
+    // and nothing below the 32-token threshold is touched.
+    "dedup_span_keepfirst_maximal" -> ((s, dir) =>
+      Dedup.keepFirstMaximalSpans(t(s, dir, "documents"), "doc_id", "text",
+        minLen = 32, cap = 128)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_tokens"), col("n_removed"))),
+
     // Scale shape: LSH candidate generation → exact Jaccard verify, linear
     // in candidates (a block self-join on a data column would be quadratic
     // within the block — kept only as the pre-blocked-data primitive).
@@ -6958,6 +6969,57 @@ object SparkEntry {
         |toks AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
         |           unnest(w) AS tok FROM w),
         |kept AS (SELECT k.doc_id, k.pos, k.tok FROM toks k
+        |         ANTI JOIN cov USING (doc_id, pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, md5(coalesce(a.text_clean, '')) AS clean_md5,
+        |       CAST(len(b.w) AS BIGINT) AS n_tokens,
+        |       CAST(len(b.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM w b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Maximal-granularity keep-first: the dedup_max_repeats brute-force
+    // dictionary (same prune + same maximality predicates) taken to
+    // per-OCCURRENCE rows, keeper = min (doc_id, pos) per (l, span),
+    // coverage = every non-keeper's FULL l-token span, then the
+    // standard rebuild. Independent of the engine's group-refinement
+    // machinery end to end.
+    "dedup_span_keepfirst_maximal" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |           FROM documents),
+        |w0 AS (SELECT doc_id, unnest(range(0, len(tk) - 31)) AS pos, tk,
+        |         len(tk) AS n FROM d WHERE len(tk) >= 32),
+        |k0 AS (SELECT doc_id, pos, tk, n,
+        |         md5(array_to_string(tk[pos+1:pos+32], ' ')) AS k FROM w0),
+        |rep0 AS (SELECT k FROM k0 GROUP BY k HAVING count(*) >= 2),
+        |p AS (SELECT k0.* FROM k0 SEMI JOIN rep0 USING (k)),
+        |wins AS (SELECT doc_id, pos, tk, n,
+        |           unnest(generate_series(32, least(128, n - pos))) AS l FROM p),
+        |kw AS (SELECT doc_id, pos, n, l,
+        |         md5(array_to_string(tk[pos+1:pos+l], ' ')) AS k,
+        |         CASE WHEN pos + l < n THEN tk[pos+l+1] END AS nxt,
+        |         CASE WHEN pos > 0 THEN tk[pos] END AS prv,
+        |         (pos + l = n) AS at_end, (pos = 0) AS at_start
+        |       FROM wins),
+        |grp AS (SELECT l, k FROM kw GROUP BY l, k
+        |        HAVING count(*) >= 2
+        |           AND (bool_or(at_end) OR count(DISTINCT nxt) >= 2)
+        |           AND (bool_or(at_start) OR count(DISTINCT prv) >= 2)),
+        |occ AS (SELECT kw.doc_id, kw.pos, kw.l, kw.k
+        |        FROM kw SEMI JOIN grp USING (l, k)),
+        |fst AS (SELECT l, k, doc_id AS fdoc, pos AS fpos FROM (
+        |          SELECT l, k, doc_id, pos, row_number() OVER (
+        |            PARTITION BY l, k ORDER BY doc_id, pos) AS rn FROM occ)
+        |        WHERE rn = 1),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |          SELECT o.doc_id, unnest(range(o.pos, o.pos + o.l)) AS pos
+        |          FROM occ o JOIN fst USING (l, k)
+        |          WHERE NOT (o.doc_id = fst.fdoc AND o.pos = fst.fpos))),
+        |w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |      FROM documents),
+        |toks AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos,
+        |           unnest(w) AS tok FROM w),
+        |kept AS (SELECT k2.doc_id, k2.pos, k2.tok FROM toks k2
         |         ANTI JOIN cov USING (doc_id, pos)),
         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
         |          count(*) AS n_kept

@@ -1197,6 +1197,36 @@ object Dedup {
     * span_md5) with span_md5 = md5 of the space-joined token span. */
   def maxRepeats(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 32, cap: Int = 128, maxLevels: Int = 16): DataFrame = {
+    val (emitAll, toks, tk) =
+      maxRepeatCore(docs, idCol, textCol, minLen, cap, maxLevels)
+    // 4. left-maximality + stats + span fingerprint from a witness member
+    val prevT = toks.select(col("doc"), (col("pos") + 1).as("pos"),
+      col("tok").as("__prev"))
+    val gstats = emitAll.join(prevT, Seq("doc", "pos"), "left")
+      .groupBy(col("gid"), col("rep_len"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc")).as("n_docs"),
+        max(col("pos") === 0).as("__atStart"),
+        countDistinct(col("__prev")).as("__ndp"),
+        min(struct(col("doc"), col("pos"))).as("__w"))
+    gstats.filter(col("__atStart") || col("__ndp") >= 2)
+      .join(tk.select(col("doc").as("__wdoc"), col("tk")),
+        col("__w.doc") === col("__wdoc"))
+      .select(col("rep_len").cast("long").as("rep_len"),
+        col("n_occ"), col("n_docs"),
+        md5(concat_ws(" ",
+          slice(col("tk"), col("__w.pos") + 1, col("rep_len")))).as("span_md5"))
+  }
+
+  /** The distributed machinery of [[maxRepeats]] up to (but excluding)
+    * the left-maximality filter, shared with
+    * [[keepFirstMaximalSpans]]: returns (occurrences, toks, tk) where
+    * occurrences = one row per (gid, doc, pos, rep_len) emitted
+    * right-maximal repeat occurrence, toks = (doc, pos, tok, len) token
+    * rows of the candidate docs, tk = (doc, tk, len) their token
+    * arrays. */
+  private def maxRepeatCore(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, cap: Int, maxLevels: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(minLen >= 2, "minLen >= 2")
     require(cap >= minLen, "cap >= minLen")
     require(maxLevels >= 1 && maxLevels <= 64, "maxLevels in [1,64]")
@@ -1347,25 +1377,82 @@ object Dedup {
           (col("lo") + 1).as("lo"), lit(cap + 1).as("hi")))
       level += 1
     }
-    // 4. left-maximality + stats + span fingerprint from a witness member
     val emitAll = emittedLevels.reduceOption(_ unionAll _)
       .getOrElse(g.select(col("gid"), col("doc"), col("pos"),
         col("lo").as("rep_len")))
+    (emitAll, toks, tk)
+  }
+
+  /** The ExactSubstr REMOVAL rule at MAXIMAL-repeat granularity — the
+    * composition of [[maxRepeats]] (the repeat dictionary) with
+    * [[keepFirstSpans]]' keep-one-copy action, which is what
+    * "Deduplicating Training Data" (Lee et al. 2022, arXiv:2107.06499)
+    * actually deletes: for every left- and right-maximal repeat of
+    * >= minLen tokens, the globally FIRST occurrence (minimum
+    * (doc, pos)) keeps its tokens and every other occurrence's FULL span
+    * is scrubbed — a 64-token duplicated passage is removed as one
+    * 64-token span, never as its overlapping fixed-n sub-windows. The
+    * observable difference from [[keepFirstSpans]] (fixed n): a short
+    * idiom (>= n but < minLen tokens) duplicated across docs is BELOW
+    * the threshold here and survives everywhere, and — conversely — the
+    * corpus' first copy of a long passage is never damaged by one of its
+    * sub-windows having an earlier occurrence elsewhere (the fixed-n
+    * rule scrubs that sub-window out of the first copy; the maximal rule
+    * keeps the keeper intact because the sub-window's own maximal
+    * extension is shorter than minLen). Overlapping occurrences of
+    * different maximal repeats merge through the DISTINCT (doc, pos)
+    * coverage set exactly as in [[keepFirstSpans]].
+    *
+    * Scale shape: everything up to the occurrence frame is
+    * [[maxRepeats]]' machinery (bounded by the duplicated-region
+    * footprint); the keeper is one map-side-combinable min(struct) per
+    * group; coverage is the non-keepers' bounded explode (rep_len rows
+    * per occurrence); the rebuild is the [[scrubSpans]] anti-join tail.
+    * No pairwise product, no global sort.
+    *
+    * Output: (idCol, text_clean, n_tokens, n_removed) for every doc. */
+  def keepFirstMaximalSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 32, cap: Int = 128, maxLevels: Int = 16): DataFrame = {
+    val (emitAll, toks, tk) =
+      maxRepeatCore(docs, idCol, textCol, minLen, cap, maxLevels)
+    // the dictionary = left-maximal groups only (suffix-tree nodes, the
+    // same predicate maxRepeats gates); a non-left-maximal group's
+    // coverage is a subset of its left extension's with the same keeper
+    // doc, so the filter changes nothing semantically — it keeps the
+    // dictionary identical to the gated maxRepeats surface
     val prevT = toks.select(col("doc"), (col("pos") + 1).as("pos"),
       col("tok").as("__prev"))
-    val gstats = emitAll.join(prevT, Seq("doc", "pos"), "left")
-      .groupBy(col("gid"), col("rep_len"))
-      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc")).as("n_docs"),
-        max(col("pos") === 0).as("__atStart"),
-        countDistinct(col("__prev")).as("__ndp"),
-        min(struct(col("doc"), col("pos"))).as("__w"))
-    gstats.filter(col("__atStart") || col("__ndp") >= 2)
-      .join(tk.select(col("doc").as("__wdoc"), col("tk")),
-        col("__w.doc") === col("__wdoc"))
-      .select(col("rep_len").cast("long").as("rep_len"),
-        col("n_occ"), col("n_docs"),
-        md5(concat_ws(" ",
-          slice(col("tk"), col("__w.pos") + 1, col("rep_len")))).as("span_md5"))
+    val lm = emitAll.join(prevT, Seq("doc", "pos"), "left")
+      .groupBy(col("gid"))
+      .agg(max(col("pos") === 0).as("__atStart"),
+        countDistinct(col("__prev")).as("__ndp"))
+      .filter(col("__atStart") || col("__ndp") >= 2)
+      .select(col("gid"))
+    val occ = emitAll.join(lm, Seq("gid"), "left_semi")
+      .localCheckpoint() // composition boundary: occ feeds two consumers
+    val firsts = occ.groupBy(col("gid"))
+      .agg(min(struct(col("doc"), col("pos"))).as("__w"))
+    val covered = occ.join(firsts, Seq("gid"))
+      .filter(!(col("doc") === col("__w.doc") && col("pos") === col("__w.pos")))
+      .select(col("doc").as(idCol),
+        explode(sequence(col("pos"), col("pos") + col("rep_len") - 1)).as("pos"))
+      .distinct()
+    val toksAll = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val kept = toksAll.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")),
+        " ").as("text_clean"),
+      count(lit(1)).as("__n_kept"))
+    docs.select(col(idCol),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** Keep-FIRST-occurrence span dedup — the removal rule the

@@ -3514,6 +3514,39 @@ class OperatorSpec extends SparkSuite {
     assert(all(1L) == "a1 a2", all.toString)
   }
 
+  test("keep-first MAXIMAL-span dedup: full-span removal, threshold, keeper integrity — the nested case where the fixed-n rule provably differs") {
+    // the nested repeat: a 4-token idiom lives both standalone (doc 1,
+    // the corpus-first copy) and embedded inside a 12-token passage
+    // duplicated across docs 2 and 3
+    val idiom = "I1 I2 I3 I4"
+    val rep = s"R1 R2 R3 R4 $idiom R5 R6 R7 R8" // 12 tokens >= minLen
+    val docs = Seq(
+      (1L, s"z1 $idiom z2"),
+      (2L, s"a1 $rep a2"),
+      (3L, s"b1 b2 $rep")).toDF("doc_id", "text")
+    val got = Dedup.keepFirstMaximalSpans(docs, "doc_id", "text",
+        minLen = 8, cap = 32)
+      .select($"doc_id", $"text_clean", $"n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // the idiom's own maximal extension is 4 tokens (< minLen = 8):
+    // below the threshold, it survives EVERYWHERE
+    assert(got(1L) == ((s"z1 $idiom z2", 0L)), got.toString)
+    // the keeper of the 12-token passage stays INTACT: the embedded
+    // idiom having an earlier copy in doc 1 is irrelevant at maximal
+    // granularity
+    assert(got(2L) == ((s"a1 $rep a2", 0L)), got.toString)
+    // the later copy loses the passage as ONE 12-token span
+    assert(got(3L) == (("b1 b2", 12L)), got.toString)
+    // the provable divergence: the fixed-n rule scrubs the idiom out of
+    // the passage's FIRST copy (doc 1 holds the earlier 4-window), and
+    // dedupes the idiom across docs — both over-deletions at n < minLen
+    val fixed = Dedup.keepFirstSpans(docs, "doc_id", "text", n = 4)
+      .select($"doc_id", $"n_removed").as[(Long, Long)].collect().toMap
+    assert(fixed(1L) == 0L, fixed.toString)
+    assert(fixed(2L) == 4L, fixed.toString) // keeper damaged by the sub-window
+    assert(fixed(3L) == 12L, fixed.toString)
+  }
+
   test("rouge-l: LCS rewards order where the n-gram bags cannot; hand-computed P/R/F1") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "b x c y e"),   // LCS "b c e" = 3
