@@ -905,6 +905,41 @@ object SparkEntry {
             col("exact_v") - col("estimate") < width).as("within_width"))
     },
 
+    // The heavy-tailed twin: squared cents span ~10 decades, where any
+    // fixed grid either explodes the state or loses the tail. The
+    // log-bucketed sketch (sign + exact exponent + 11-bit mantissa
+    // prefix; never a float log) keeps the SAME additive merge algebra —
+    // the three shard states merge by count addition — and gates the
+    // unconditional guarantee at every percentile: the exact rank-r
+    // value lies inside the selected bucket's [estimate, est_upper), and
+    // the bucket's width is <= max(1, estimate >> 11) — within-width in
+    // LOG space, for any distribution.
+    "rel_quantile_log" -> { (s, dir) =>
+      val p = 12
+      val li = t(s, dir, "lineitem").select(
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_returnflag"))
+      val v = li.select((col("cents") * col("cents")).as("val"),
+        col("l_returnflag"))
+      val shards = Seq("A", "N", "R").map(f =>
+        Profile.quantileLogSketch(v.filter(col("l_returnflag") === f),
+          col("val"), p))
+      val qs = Seq(10, 25, 50, 75, 90, 99)
+      val est = Profile.quantilesFromLogSketch(
+        Profile.mergeQuantileSketches(shards), p, qs)
+      val exact = Profile.quantilesFromSketch(
+        Profile.quantileSketch(v, col("val"), 1L), 1L, qs)
+        .select(col("q_pct"), col("estimate").as("exact_v"))
+      est.join(exact, Seq("q_pct"))
+        .select(col("q_pct"), col("n"), col("est_bucket"), col("estimate"),
+          col("est_upper"), col("exact_v"),
+          (col("exact_v") >= col("estimate") &&
+            col("exact_v") < col("est_upper")).as("within_bucket"),
+          (col("est_upper") - col("estimate") <=
+            greatest(lit(1L), shiftright(col("estimate"), p - 1)))
+            .as("rel_width_ok"))
+    },
+
     "rel_hll_merge" -> { (s, dir) =>
       val c = t(s, dir, "customer")
       val per = c.groupBy(col("c_mktsegment"))
@@ -6090,6 +6125,40 @@ object SparkEntry {
         |       ex.exact_v - est.est_bucket * 4096 >= 0 AND
         |       ex.exact_v - est.est_bucket * 4096 < 4096 AS within_width
         |FROM est JOIN ex USING (q_pct)""".stripMargin,
+
+    // The log-grid bucket replayed with the same exact integer ops:
+    // e = binary digit count - 1, prefix = val >> max(e-11, 0),
+    // bucket = e*4096 + prefix; decode = shifts of the bucket's split.
+    // All values here are positive, so the mirror branches are inert.
+    "rel_quantile_log" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |            FROM lineitem),
+        |v AS (SELECT cents * cents AS val FROM li),
+        |bk AS (SELECT val, CAST(length(bin(val)) - 1 AS BIGINT) AS e FROM v),
+        |b2 AS (SELECT val, e, greatest(e - 11, 0) AS s FROM bk),
+        |sk AS (SELECT e * 4096 + (val >> s) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt FROM b2 GROUP BY 1),
+        |cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+        |nn AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum),
+        |qs(q_pct) AS (VALUES (10),(25),(50),(75),(90),(99)),
+        |est AS (SELECT q_pct, nn.n, min(bucket) AS est_bucket FROM cum, nn, qs
+        |        WHERE cum >= (nn.n * q_pct + 99) // 100 GROUP BY q_pct, nn.n),
+        |dec AS (SELECT q_pct, n, est_bucket, est_bucket // 4096 AS e2,
+        |          est_bucket % 4096 AS pfx,
+        |          greatest(est_bucket // 4096 - 11, 0) AS s2 FROM est),
+        |dd AS (SELECT q_pct, n, est_bucket, (pfx << s2) AS estimate,
+        |         ((pfx + 1) << s2) AS est_upper FROM dec),
+        |dv AS (SELECT val AS v2, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+        |cv AS (SELECT v2, sum(c) OVER (ORDER BY v2) AS cum FROM dv),
+        |ex AS (SELECT q_pct, min(v2) AS exact_v FROM cv, nn, qs
+        |       WHERE cum >= (nn.n * q_pct + 99) // 100 GROUP BY q_pct)
+        |SELECT CAST(dd.q_pct AS BIGINT) AS q_pct, dd.n, dd.est_bucket,
+        |       dd.estimate, dd.est_upper, ex.exact_v,
+        |       ex.exact_v >= dd.estimate AND ex.exact_v < dd.est_upper
+        |         AS within_bucket,
+        |       dd.est_upper - dd.estimate <=
+        |         greatest(1, dd.estimate >> 11) AS rel_width_ok
+        |FROM dd JOIN ex USING (q_pct)""".stripMargin,
 
     "rel_compaction_plan" ->
       """WITH f AS (SELECT o_orderdate AS day, CAST(count(*) * 100 AS BIGINT) AS bytes

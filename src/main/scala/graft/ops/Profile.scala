@@ -503,6 +503,92 @@ object Profile {
         col("est_bucket"), (col("est_bucket") * width).as("estimate"))
   }
 
+  /** Log-bucketed quantile sketch for HEAVY-TAILED integers (scaled
+    * doubles: micros/cents) — the [[quantileSketch]] grid breaks down
+    * there: a fixed width that resolves the body of a distribution
+    * spanning ten decades needs universe/width buckets (millions), and a
+    * width that bounds the state gives meaningless absolute error at the
+    * tail. The log grid keeps the SAME additive (bucket, cnt) merge
+    * algebra — counts add, so merging stays exactly associative and
+    * [[mergeQuantileSketches]] applies unchanged — but the bucket is
+    * sign + exponent + mantissa-prefix: for v > 0,
+    *   e = floor(log2 v) (exact, via the binary digit count — never a
+    *       float log, whose boundary rounding the oracle could disagree
+    *       with), s = max(e − (p−1), 0), prefix = v >> s,
+    *   bucket = e·2^p + prefix
+    * which is monotone in v (lexicographic (e, prefix)); v = 0 maps to
+    * bucket 0 and v < 0 mirrors to −bucket(−v), so the rank walk is a
+    * plain bucket ORDER BY. Bucket width in VALUE space is 2^s, i.e.
+    * relative width ≤ 2^−(p−1) — within-width-in-LOG-space at every
+    * percentile, unconditionally, for any distribution. State ≤
+    * 64·2^(p−1) rows at ANY corpus size (every integer below 2^(p−1)
+    * gets an exact singleton bucket).
+    *
+    * All arithmetic is exact integer ops (bin-string length, shifts) on
+    * both engines, so the DuckDB oracle replays the whole sketch and
+    * the estimates hash-gate exactly, like [[quantileSketch]]. */
+  def logBucket(scaled: Column, prefixBits: Int): Column = {
+    require(prefixBits >= 2 && prefixBits <= 20, "prefixBits in [2,20]")
+    def pos(x: Column): Column = {
+      val e = (length(bin(x)) - lit(1)).cast("long")
+      val s = greatest(e - lit((prefixBits - 1).toLong), lit(0L)).cast("int")
+      val prefix = call_function("shiftright", x, s)
+      e * lit(1L << prefixBits) + prefix
+    }
+    when(scaled > 0, pos(scaled))
+      .when(scaled === 0, lit(0L))
+      .otherwise(-pos(-scaled))
+  }
+
+  /** (bucket, cnt) log-sketch state per input frame — merge with
+    * [[mergeQuantileSketches]] exactly as the fixed-grid states. */
+  def quantileLogSketch(df: DataFrame, scaled: Column,
+      prefixBits: Int): DataFrame =
+    df.select(logBucket(scaled, prefixBits).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Rank quantiles from a log-sketch state: the same cumulative walk as
+    * [[quantilesFromSketch]], but the estimate decodes the bucket's
+    * VALUE-space edges: [estimate, est_upper) contains the rank-r
+    * element, and est_upper − estimate ≤ max(1, estimate >> (p−1)) — the
+    * within-width-in-log-space guarantee. Negative/zero buckets decode
+    * by the mirror symmetry, so the interval contract is uniform.
+    * Returns (q_pct, n, est_bucket, estimate, est_upper). */
+  def quantilesFromLogSketch(sketch: DataFrame, prefixBits: Int,
+      qPcts: Seq[Int]): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(p => p >= 1 && p <= 100),
+      "q percentages in [1,100]")
+    val p2 = 1L << prefixBits
+    def decode(b: Column, upper: Boolean): Column = {
+      def edgePos(bp: Column, up: Boolean): Column = {
+        val e = shiftright(bp, prefixBits)
+        val prefix = bp - e * lit(p2)
+        val s = greatest(e - lit((prefixBits - 1).toLong), lit(0L)).cast("int")
+        call_function("shiftleft", if (up) prefix + lit(1L) else prefix, s)
+      }
+      when(b > 0, edgePos(b, upper))
+        .when(b === 0, lit(if (upper) 1L else 0L))
+        // mirror: values of bucket −B are the negation of [lo(B), up(B)),
+        // i.e. the integer interval [−up(B)+1, −lo(B)+1)
+        .otherwise(-edgePos(-b, !upper) + lit(1L))
+    }
+    val byBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch
+      .select(col("bucket"), col("cnt"), sum(col("cnt")).over(byBucket).as("cum"))
+    val tot = cum.agg(max(col("cum")).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("cum"), col("n"),
+        explode(typedLit(qPcts.sorted)).as("q_pct"))
+      .filter(col("cum") >= expr("(n * q_pct + 99) div 100"))
+      .groupBy(col("q_pct"), col("n"))
+      .agg(min(col("bucket")).as("est_bucket"))
+      .select(col("q_pct").cast("long").as("q_pct"), col("n"),
+        col("est_bucket"),
+        decode(col("est_bucket"), upper = false).as("estimate"),
+        decode(col("est_bucket"), upper = true).as("est_upper"))
+  }
+
   /** Snapshot read / time travel over an APPEND-ONLY commit log — the
     * unifier of the warehouse family: the log is (key, version, seq...,
     * op I/U/D, attrs), and the state AT version v is, per key, the

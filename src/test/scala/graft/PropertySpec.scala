@@ -507,6 +507,52 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("log quantile sketch: bucket containment + relative width at EVERY percentile over signed heavy-tailed values; merges associative; bucket monotone") {
+    // heavy-tailed: exponent drawn uniformly, then a value below 2^e,
+    // with sign and zeros mixed in — ten+ decades in one list
+    val valGen = Gen.listOfN(150, for {
+      ex <- Gen.choose(0, 40)
+      m <- Gen.choose(0L, math.max((1L << ex) - 1, 0L))
+      s <- Gen.oneOf(-1L, 1L)
+    } yield s * m)
+    samples(valGen, 3).zipWithIndex.foreach { case (vs, si) =>
+      val p = Seq(4, 8, 12)(si % 3)
+      val sorted = vs.sorted
+      val df = vs.toDF("v")
+      // monotone: bucket order never disagrees with value order
+      val bks = df.select($"v",
+          graft.ops.Profile.logBucket($"v", p).as("b"))
+        .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+      assert(bks.zip(bks.tail).forall { case (x, y) => x <= y }, s"p=$p")
+      val est = graft.ops.Profile.quantilesFromLogSketch(
+          graft.ops.Profile.quantileLogSketch(df, $"v", p), p, (1 to 100))
+        .select($"q_pct", $"estimate", $"est_upper")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      for (q <- 1 to 100) {
+        val exact = sorted(((vs.size.toLong * q + 99) / 100 - 1).toInt)
+        val (lo, up) = est(q.toLong)
+        assert(exact >= lo && exact < up, s"p=$p q=$q [$lo,$up) exact=$exact")
+        // width <= max(1, |edge closest to zero| >> (p-1)): the
+        // within-width-in-log-space guarantee, mirror-symmetric
+        val inner = math.min(math.abs(lo), math.abs(up - 1))
+        assert(up - lo <= math.max(1L, inner >> (p - 1)),
+          s"p=$p q=$q [$lo,$up) width=${up - lo}")
+      }
+      // any merge grouping yields the identical state
+      val (a, rest) = vs.splitAt(vs.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      def sk(xs: Seq[Long]) =
+        graft.ops.Profile.quantileLogSketch(xs.toDF("v"), $"v", p)
+      def st(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long)].collect().toMap
+      val g1 = st(graft.ops.Profile.mergeQuantileSketches(Seq(
+        graft.ops.Profile.mergeQuantileSketches(Seq(sk(a), sk(b))), sk(c))))
+      val g2 = st(graft.ops.Profile.mergeQuantileSketches(Seq(
+        sk(a), graft.ops.Profile.mergeQuantileSketches(Seq(sk(b), sk(c))))))
+      assert(g1 == g2 && g1 == st(sk(vs)), s"p=$p")
+    }
+  }
+
   test("keep-first span dedup equals the replayed first-occurrence rule on random corpora") {
     val n = 3
     val docGen = Gen.listOfN(6, Gen.choose(3, 12).flatMap(len =>
