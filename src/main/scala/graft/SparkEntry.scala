@@ -3223,6 +3223,15 @@ object SparkEntry {
     "graph_leiden" -> ((s, dir) =>
       Graph.leidenRefine(coPurchaseEdges(s, dir))),
 
+    // The Leiden GUARANTEES themselves, gated at corpus scale: every
+    // refined community connected (re-verified by a second, independent
+    // component closure over the within-refined edges) and exact-integer
+    // modularity non-decrease vs the unrefined Louvain partition
+    // (Q·4m² = Σ 4m·l_c − d_c², a BIGINT comparison). The oracle
+    // recomputes both invariants with its own recursive closures.
+    "graph_leiden_quality" -> ((s, dir) =>
+      Graph.leidenQuality(coPurchaseEdges(s, dir))),
+
     // Link prediction by neighbor-set Jaccard: candidates only through
     // shared neighbors (the wedge envelope), score a ratio of exact
     // integers via inclusion-exclusion.
@@ -5417,6 +5426,68 @@ object SparkEntry {
          |fl2 AS (SELECT fl.node, fl.d, coalesce(cmp.c, fl.node) AS lbl
          |        FROM fl LEFT JOIN cmp ON fl.node = cmp.node)
          |${communityRollupSql("fl2")}""".stripMargin,
+
+    // Same chain, then BOTH Leiden invariants recomputed independently:
+    // a second recursive closure over the within-REFINED edges for
+    // connectivity, and the exact scaled-integer modularity
+    // Q·4m² = Σ_c (4m·l_c − d_c²) on each side of the refinement.
+    "graph_leiden_quality" ->
+      s"""WITH RECURSIVE $coPurchaseCte,
+         |$louvainMlCtes,
+         |wce AS MATERIALIZED (SELECT ed.a, ed.b FROM ed
+         |        JOIN fl la ON ed.a = la.node
+         |        JOIN fl lb ON ed.b = lb.node WHERE la.lbl = lb.lbl),
+         |wsym AS MATERIALIZED (SELECT a AS src, b AS dst FROM wce
+         |         UNION ALL SELECT b AS src, a AS dst FROM wce),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM (SELECT DISTINCT src FROM wsym)
+         |  UNION
+         |  SELECT s.src AS node, p.r AS r
+         |  FROM wsym s JOIN reach p ON s.dst = p.node),
+         |cmp AS (SELECT node, min(r) AS c FROM reach GROUP BY node),
+         |fl2 AS MATERIALIZED (
+         |  SELECT fl.node, fl.d, coalesce(cmp.c, fl.node) AS lbl
+         |  FROM fl LEFT JOIN cmp ON fl.node = cmp.node),
+         |wce2 AS MATERIALIZED (SELECT ed.a, ed.b FROM ed
+         |        JOIN fl2 la ON ed.a = la.node
+         |        JOIN fl2 lb ON ed.b = lb.node WHERE la.lbl = lb.lbl),
+         |wsym2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM wce2
+         |         UNION ALL SELECT b AS src, a AS dst FROM wce2),
+         |reach2 AS (
+         |  SELECT src AS node, src AS r FROM (SELECT DISTINCT src FROM wsym2)
+         |  UNION
+         |  SELECT s.src AS node, p.r AS r
+         |  FROM wsym2 s JOIN reach2 p ON s.dst = p.node),
+         |cmp2 AS (SELECT node, min(r) AS c FROM reach2 GROUP BY node),
+         |rl AS (SELECT fl2.lbl, coalesce(cmp2.c, fl2.node) AS c2
+         |       FROM fl2 LEFT JOIN cmp2 ON fl2.node = cmp2.node),
+         |disc AS (SELECT CAST(count(*) AS BIGINT) AS n_disc FROM (
+         |           SELECT lbl FROM rl GROUP BY lbl
+         |           HAVING count(DISTINCT c2) > 1)),
+         |lc1 AS (SELECT la.lbl AS community, count(*) AS l_c FROM ed
+         |        JOIN fl la ON ed.a = la.node
+         |        JOIN fl lb ON ed.b = lb.node
+         |        WHERE la.lbl = lb.lbl GROUP BY 1),
+         |dc1 AS (SELECT lbl AS community, sum(d) AS d_c FROM fl GROUP BY 1),
+         |q1 AS (SELECT CAST(sum(4 * mm.m * coalesce(lc1.l_c, 0) -
+         |                 dc1.d_c * dc1.d_c) AS BIGINT) AS q_lou,
+         |         CAST(count(*) AS BIGINT) AS n_lou
+         |       FROM dc1 LEFT JOIN lc1 USING (community), mm),
+         |lc2 AS (SELECT la.lbl AS community, count(*) AS l_c FROM ed
+         |        JOIN fl2 la ON ed.a = la.node
+         |        JOIN fl2 lb ON ed.b = lb.node
+         |        WHERE la.lbl = lb.lbl GROUP BY 1),
+         |dc2 AS (SELECT lbl AS community, sum(d) AS d_c FROM fl2 GROUP BY 1),
+         |q2 AS (SELECT CAST(sum(4 * mm.m * coalesce(lc2.l_c, 0) -
+         |                 dc2.d_c * dc2.d_c) AS BIGINT) AS q_lei,
+         |         CAST(count(*) AS BIGINT) AS n_lei
+         |       FROM dc2 LEFT JOIN lc2 USING (community), mm)
+         |SELECT q1.n_lou AS n_comm_louvain, q2.n_lei AS n_comm_leiden,
+         |       disc.n_disc AS n_disconnected,
+         |       disc.n_disc = 0 AS all_connected,
+         |       q1.q_lou AS q_scaled_louvain, q2.q_lei AS q_scaled_leiden,
+         |       q2.q_lei >= q1.q_lou AS q_non_decrease
+         |FROM q1, q2, disc""".stripMargin,
 
     // Independent of the engine's star-contraction rounds: min-reachable
     // id per node via a recursive transitive closure to the fixpoint.

@@ -1237,6 +1237,73 @@ object Graph {
   def leidenRefine(edges: DataFrame, maxRounds: Int = 24): DataFrame =
     louvainRollup(edges, leidenRefineLabels(edges, maxRounds))
 
+  /** The Leiden GUARANTEES as one gated row — the two invariants Traag
+    * et al. 2019 prove for the refinement, recomputed over the full
+    * graph so they are checked at every scale factor, not only in the
+    * hand fixture: (1) every refined community is internally connected
+    * (verified by a SECOND component closure over the within-refined
+    * edge set, not by trusting the refinement's own labels); (2)
+    * modularity does not decrease vs the unrefined Louvain partition —
+    * compared in EXACT integers: Q·4m² = Σ_c (4m·l_c − d_c²), so the
+    * non-decrease is a BIGINT comparison with no float accumulation to
+    * round (l_c, d_c, m are all counts; at m = 10⁸ the terms stay
+    * < 2⁶³).
+    *
+    * Plan shape: the Louvain chain runs ONCE (the refinement reuses its
+    * localCheckpoint'ed labels); each closure is the star-contraction
+    * log-round loop over within-community edges; both modularity sides
+    * are two keyed aggregates + a 1-row broadcast m; the output is one
+    * row. Returns (n_comm_louvain, n_comm_leiden, n_disconnected,
+    * all_connected, q_scaled_louvain, q_scaled_leiden,
+    * q_non_decrease). */
+  def leidenQuality(edges0: DataFrame, maxRounds: Int = 24): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = edges0.persist(lvl)
+    val lou = louvainTwoLevelLabels(edges).localCheckpoint()
+    def withinOf(lf: DataFrame): DataFrame = edges
+      .join(lf.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lf.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb")).select(col("a"), col("b"), col("la"))
+    val comp = ccTwoStarsNodes(withinOf(lou).select(col("a"), col("b")),
+      maxRounds)
+    val leiden = lou
+      .join(comp.select(col("node"), col("lbl").as("__c")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__c"), col("node")).as("lbl"),
+        col("d"))
+      .localCheckpoint() // composition boundary (the graph_leiden lesson)
+    // invariant 1: an INDEPENDENT closure over the within-REFINED edges
+    val compR = ccTwoStarsNodes(withinOf(leiden).select(col("a"), col("b")),
+      maxRounds)
+    val disc = leiden
+      .join(compR.select(col("node"), col("lbl").as("__c2")), Seq("node"),
+        "left")
+      .select(col("lbl"), coalesce(col("__c2"), col("node")).as("c2"))
+      .groupBy(col("lbl")).agg(countDistinct(col("c2")).as("__nc"))
+      .agg(sum(when(col("__nc") > 1, 1L).otherwise(0L)).as("n_disconnected"))
+    // invariant 2: scaled-integer modularity of both partitions
+    val mRow = broadcast(edges.agg(count(lit(1)).as("__m")))
+    def qScaled(lf: DataFrame, qName: String, nName: String): DataFrame = {
+      val lc = withinOf(lf)
+        .groupBy(col("la").as("community")).agg(count(lit(1)).as("l_c"))
+      val dc = lf.groupBy(col("lbl").as("community"))
+        .agg(sum(col("d")).as("d_c"))
+      dc.join(lc, Seq("community"), "left").crossJoin(mRow)
+        .agg(sum(lit(4L) * col("__m") * coalesce(col("l_c"), lit(0L)) -
+          col("d_c") * col("d_c")).as(qName),
+          count(lit(1)).as(nName))
+    }
+    val q1 = qScaled(lou, "q_scaled_louvain", "n_comm_louvain")
+    val q2 = qScaled(leiden, "q_scaled_leiden", "n_comm_leiden")
+    q1.crossJoin(q2).crossJoin(broadcast(disc))
+      .select(col("n_comm_louvain"), col("n_comm_leiden"),
+        col("n_disconnected").cast("long").as("n_disconnected"),
+        (col("n_disconnected") === 0).as("all_connected"),
+        col("q_scaled_louvain").cast("long").as("q_scaled_louvain"),
+        col("q_scaled_leiden").cast("long").as("q_scaled_leiden"),
+        (col("q_scaled_leiden") >= col("q_scaled_louvain"))
+          .as("q_non_decrease"))
+  }
+
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double,
       redistributeDangling: Boolean = false): DataFrame = {

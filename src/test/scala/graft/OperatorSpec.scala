@@ -3741,6 +3741,18 @@ class OperatorSpec extends SparkSuite {
     val qLei = q(lbls.select($"node", $"lbl"))
     assert(qLei >= qLou, s"modularity dropped: $qLou -> $qLei")
     assert(qLei > qLou, "splitting a disconnected community must strictly raise Q")
+    // the one-row quality gate sees the same story: the split (+2
+    // communities), full connectivity, and a STRICT scaled-Q increase
+    val quality = Graph.leidenQuality(edges)
+      .as[(Long, Long, Long, Boolean, Long, Long, Boolean)].head()
+    assert(quality._2 == quality._1 + 2, quality.toString)
+    assert(quality._3 == 0L && quality._4, quality.toString)
+    assert(quality._6 > quality._5 && quality._7, quality.toString)
+    // scaled integer Q agrees with the double-valued modularity() up to
+    // the scaling: Q_double = Q_scaled / (4 m²)
+    val m = edges.count().toDouble
+    assert(math.abs(quality._5 / (4 * m * m) - qLou) < 1e-9, quality.toString)
+    assert(math.abs(quality._6 / (4 * m * m) - qLei) < 1e-9, quality.toString)
   }
 
   test("byte-level BPE: hex-space merges on mixed scripts, non-ASCII round-trip, binary units") {
