@@ -1992,6 +1992,31 @@ object SparkEntry {
           col("n_regex_tokens").cast("long").as("n_regex_tokens"),
           col("avg_token_len"))),
 
+    // Per-language doc-length percentiles via the log sketch's
+    // PARTITIONED walk — the corpus-profiling read a mixture pipeline
+    // runs per shard and merges: sketch state is (lang, bucket, cnt),
+    // the cumulative window is partitioned by lang (never a global
+    // sort), and each estimate carries the exact-side containment gate.
+    "text_length_quantiles_log" -> { (s, dir) =>
+      val p = 6
+      val d = t(s, dir, "documents").select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      val sk = d
+        .select(col("lang"), Profile.logBucket(col("n_tok"), p).as("bucket"))
+        .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val qs = Seq(50, 90, 99)
+      val est = Profile.quantilesFromLogSketchBy(sk, Seq("lang"), p, qs)
+      val exSk = d.select(col("lang"), col("n_tok").as("bucket"))
+        .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val exact = Profile.quantilesFromSketchBy(exSk, Seq("lang"), 1L, qs)
+        .select(col("lang"), col("q_pct"), col("estimate").as("exact_v"))
+      est.join(exact, Seq("lang", "q_pct"))
+        .select(col("lang"), col("q_pct"), col("n"), col("est_bucket"),
+          col("estimate"), col("est_upper"), col("exact_v"),
+          (col("exact_v") >= col("estimate") &&
+            col("exact_v") < col("est_upper")).as("within_bucket"))
+    },
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
@@ -7788,6 +7813,45 @@ object SparkEntry {
         |       max(CASE WHEN c = 2 THEN v END) AS chunk2,
         |       max(CASE WHEN c = 3 THEN v END) AS chunk3
         |FROM chunks GROUP BY doc_id""".stripMargin,
+
+    // The per-language log-grid walk replayed with a lang-partitioned
+    // window; exact side = the same rank walk at width 1 per lang.
+    "text_length_quantiles_log" ->
+      """WITH d AS (SELECT lang,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |          AS n_tok FROM documents),
+        |bk AS (SELECT lang, n_tok,
+        |         CAST(length(bin(n_tok)) - 1 AS BIGINT) AS e FROM d),
+        |sk AS (SELECT lang, e * 64 + (n_tok >> greatest(e - 5, 0)) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY 1, 2),
+        |cum AS (SELECT lang, bucket,
+        |          sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum
+        |        FROM sk),
+        |nn AS (SELECT lang, CAST(max(cum) AS BIGINT) AS n FROM cum
+        |       GROUP BY lang),
+        |qs(q_pct) AS (VALUES (50),(90),(99)),
+        |est AS (SELECT c.lang, q_pct, nn.n, min(bucket) AS est_bucket
+        |        FROM cum c JOIN nn ON c.lang = nn.lang, qs
+        |        WHERE c.cum >= (nn.n * q_pct + 99) // 100
+        |        GROUP BY c.lang, q_pct, nn.n),
+        |dec AS (SELECT lang, q_pct, n, est_bucket, est_bucket % 64 AS pfx,
+        |          greatest(est_bucket // 64 - 5, 0) AS s2 FROM est),
+        |dd AS (SELECT lang, q_pct, n, est_bucket, (pfx << s2) AS estimate,
+        |         ((pfx + 1) << s2) AS est_upper FROM dec),
+        |dv AS (SELECT lang, n_tok, CAST(count(*) AS BIGINT) AS c2 FROM d
+        |       GROUP BY 1, 2),
+        |cv AS (SELECT lang, n_tok AS v,
+        |         sum(c2) OVER (PARTITION BY lang ORDER BY n_tok) AS cum
+        |       FROM dv),
+        |ex AS (SELECT c.lang, q_pct, min(v) AS exact_v
+        |       FROM cv c JOIN nn ON c.lang = nn.lang, qs
+        |       WHERE c.cum >= (nn.n * q_pct + 99) // 100
+        |       GROUP BY c.lang, q_pct)
+        |SELECT dd.lang, CAST(dd.q_pct AS BIGINT) AS q_pct, dd.n,
+        |       dd.est_bucket, dd.estimate, dd.est_upper, ex.exact_v,
+        |       ex.exact_v >= dd.estimate AND ex.exact_v < dd.est_upper
+        |         AS within_bucket
+        |FROM dd JOIN ex ON dd.lang = ex.lang AND dd.q_pct = ex.q_pct""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -554,24 +554,28 @@ object Profile {
     * within-width-in-log-space guarantee. Negative/zero buckets decode
     * by the mirror symmetry, so the interval contract is uniform.
     * Returns (q_pct, n, est_bucket, estimate, est_upper). */
+  /** Value-space edge of a log bucket: lower (inclusive) or upper
+    * (exclusive). Mirror-symmetric: bucket −B's values are the negation
+    * of [lo(B), up(B)), i.e. the integer interval [−up(B)+1, −lo(B)+1). */
+  private def logDecode(b: Column, prefixBits: Int, upper: Boolean): Column = {
+    val p2 = 1L << prefixBits
+    def edgePos(bp: Column, up: Boolean): Column = {
+      val e = shiftright(bp, prefixBits)
+      val prefix = bp - e * lit(p2)
+      val s = greatest(e - lit((prefixBits - 1).toLong), lit(0L)).cast("int")
+      call_function("shiftleft", if (up) prefix + lit(1L) else prefix, s)
+    }
+    when(b > 0, edgePos(b, upper))
+      .when(b === 0, lit(if (upper) 1L else 0L))
+      .otherwise(-edgePos(-b, !upper) + lit(1L))
+  }
+
   def quantilesFromLogSketch(sketch: DataFrame, prefixBits: Int,
       qPcts: Seq[Int]): DataFrame = {
     require(qPcts.nonEmpty && qPcts.forall(p => p >= 1 && p <= 100),
       "q percentages in [1,100]")
-    val p2 = 1L << prefixBits
-    def decode(b: Column, upper: Boolean): Column = {
-      def edgePos(bp: Column, up: Boolean): Column = {
-        val e = shiftright(bp, prefixBits)
-        val prefix = bp - e * lit(p2)
-        val s = greatest(e - lit((prefixBits - 1).toLong), lit(0L)).cast("int")
-        call_function("shiftleft", if (up) prefix + lit(1L) else prefix, s)
-      }
-      when(b > 0, edgePos(b, upper))
-        .when(b === 0, lit(if (upper) 1L else 0L))
-        // mirror: values of bucket −B are the negation of [lo(B), up(B)),
-        // i.e. the integer interval [−up(B)+1, −lo(B)+1)
-        .otherwise(-edgePos(-b, !upper) + lit(1L))
-    }
+    def decode(b: Column, upper: Boolean): Column =
+      logDecode(b, prefixBits, upper)
     val byBucket = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sketch
@@ -587,6 +591,38 @@ object Profile {
         col("est_bucket"),
         decode(col("est_bucket"), upper = false).as("estimate"),
         decode(col("est_bucket"), upper = true).as("est_upper"))
+  }
+
+  /** Per-GROUP rank quantiles from a grouped log-sketch state (groupCols
+    * + bucket + cnt) — the partitioned twin of
+    * [[quantilesFromLogSketch]], mirroring [[quantilesFromSketchBy]]:
+    * the cumulative walk is a window PARTITIONED by the group columns,
+    * so the frame stays sketch-sized per group and no global sort
+    * exists. Returns groupCols ++ (q_pct, n, est_bucket, estimate,
+    * est_upper). */
+  def quantilesFromLogSketchBy(sketch: DataFrame, groupCols: Seq[String],
+      prefixBits: Int, qPcts: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "group columns required")
+    require(qPcts.nonEmpty && qPcts.forall(p => p >= 1 && p <= 100),
+      "q percentages in [1,100]")
+    val g = groupCols.map(col)
+    val byBucket = Window.partitionBy(g: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch.select(g :+ col("bucket") :+ col("cnt") :+
+      sum(col("cnt")).over(byBucket).as("cum"): _*)
+    val tot = cum.groupBy(g: _*).agg(max(col("cum")).as("n"))
+    cum.join(tot, groupCols)
+      .select(g :+ col("bucket") :+ col("cum") :+ col("n") :+
+        explode(typedLit(qPcts.sorted)).as("q_pct"): _*)
+      .filter(col("cum") >= expr("(n * q_pct + 99) div 100"))
+      .groupBy((g :+ col("q_pct") :+ col("n")): _*)
+      .agg(min(col("bucket")).as("est_bucket"))
+      .select(g :+ col("q_pct").cast("long").as("q_pct") :+ col("n") :+
+        col("est_bucket") :+
+        logDecode(col("est_bucket"), prefixBits, upper = false)
+          .as("estimate") :+
+        logDecode(col("est_bucket"), prefixBits, upper = true)
+          .as("est_upper"): _*)
   }
 
   /** Snapshot read / time travel over an APPEND-ONLY commit log — the

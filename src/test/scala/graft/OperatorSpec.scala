@@ -3514,6 +3514,39 @@ class OperatorSpec extends SparkSuite {
     assert(all(1L) == "a1 a2", all.toString)
   }
 
+  test("per-group log quantiles: partitioned walk matches the ungrouped sketch per group; edges decode hand-checked") {
+    // group a: 1..100 (e spans 0..6); group b: three heavy outliers —
+    // the per-group walk must not let b's tail contaminate a's ranks
+    val rows = (1L to 100L).map(("a", _)) ++
+      Seq(("b", 1000000L), ("b", 2000000L), ("b", 4000000L))
+    val df = rows.toDF("g", "v")
+    val p = 4
+    val sk = df.select($"g",
+        graft.ops.Profile.logBucket($"v", p).as("bucket"))
+      .groupBy($"g", $"bucket").agg(count(lit(1)).as("cnt"))
+    val got = graft.ops.Profile.quantilesFromLogSketchBy(
+        sk, Seq("g"), p, Seq(50, 99))
+      .select($"g", $"q_pct", $"n", $"estimate", $"est_upper")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // each group independently agrees with the UNGROUPED walk on its rows
+    for (g <- Seq("a", "b")) {
+      val solo = graft.ops.Profile.quantilesFromLogSketch(
+          graft.ops.Profile.quantileLogSketch(
+            df.filter($"g" === g).select($"v"), $"v", p), p, Seq(50, 99))
+        .select($"q_pct", $"n", $"estimate", $"est_upper")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      for (q <- Seq(50L, 99L))
+        assert(got((g, q)) == solo(q), s"g=$g q=$q")
+    }
+    // hand-checked: a's p50 = rank 50 -> value 50, e=5, s=2,
+    // prefix=12 -> edges [48, 52); b's p50 = rank 2 -> 2000000
+    assert(got(("a", 50L)) == ((100L, 48L, 52L)), got.toString)
+    val (nB, loB, upB) = got(("b", 50L))
+    assert(nB == 3L && loB <= 2000000L && 2000000L < upB, got.toString)
+  }
+
   test("keep-first MAXIMAL-span dedup: full-span removal, threshold, keeper integrity — the nested case where the fixed-n rule provably differs") {
     // the nested repeat: a 4-token idiom lives both standalone (doc 1,
     // the corpus-first copy) and embedded inside a 12-token passage
