@@ -2718,6 +2718,15 @@ object SparkEntry {
       TimeSeries.cusum(t(s, dir, "events"), keyCol = "event_type",
         tsCol = "ts", bucketSec = 3600L, base = 24, slack = 2L, h = 8L)),
 
+    // Holt linear-trend smoothing over hourly counts — the EXACT
+    // infinite-horizon recursive recurrence ts_ewma truncates, run as a
+    // log₂(n)-round associative affine scan (constant-matrix powers by
+    // driver squaring, one per-key window lag per round, one exchange
+    // total). α=1/2, β=1/4 keep every element-map coefficient dyadic.
+    "ts_holt" -> ((s, dir) =>
+      TimeSeries.holt(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, alpha = 0.5, beta = 0.25)),
+
     // Benford first-digit audit over order totals — the classic
     // data-quality screen for fabricated numeric columns. Digits come
     // from the INTEGER cents string (never from double formatting, which
@@ -4707,6 +4716,35 @@ object SparkEntry {
         |       cusum_up_scaled >= 8 * b AS alarm_up,
         |       cusum_dn_scaled >= 8 * b AS alarm_dn
         |FROM f""".stripMargin,
+
+    // The same Holt recurrence run SEQUENTIALLY via a recursive CTE —
+    // the independent formulation of what the Spark side computes as a
+    // doubling scan. Algebraically identical, differently associated
+    // IEEE trees; round(…,6) + 0 absorbs the ulps and kills −0.0.
+    "ts_holt" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, bucket, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |       FROM c),
+        |rec AS (
+        |  SELECT event_type, bucket, n, rn,
+        |         CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.event_type, rk.bucket, rk.n, rk.rn,
+        |         0.5 * rk.n + 0.5 * (rec.l + rec.b),
+        |         0.25 * ((0.5 * rk.n + 0.5 * (rec.l + rec.b)) - rec.l)
+        |           + 0.75 * rec.b
+        |  FROM rec JOIN rk ON rk.event_type = rec.event_type
+        |                  AND rk.rn = rec.rn + 1)
+        |SELECT event_type, bucket, n,
+        |       round(l, 6) + 0 AS level,
+        |       round(b, 6) + 0 AS trend,
+        |       round(l + b, 6) + 0 AS forecast_next
+        |FROM rec""".stripMargin,
 
     // Merged distinct-value CDF steps, integer cross-products, one
     // division and one critical-value comparison.

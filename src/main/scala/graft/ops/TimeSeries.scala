@@ -322,6 +322,87 @@ object TimeSeries {
       .withColumn("alarm_dn", col("cusum_dn_scaled") >= lit(h) * col("b"))
   }
 
+  /** Holt linear-trend smoothing (double exponential smoothing) over a
+    * regular-bucket count series — the EXACT infinite-horizon recursive
+    * recurrence, not a truncation. [[ewma]] documents why the recursive
+    * form resists window algebra: l_t depends on l_{t−1}. The answer is
+    * that the recurrence
+    *
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * is an AFFINE map s_t = M·s_{t−1} + c_t on the state s = (l, b) with
+    * a CONSTANT matrix M = [[1−α, 1−α], [−αβ, 1−αβ]] and per-row vector
+    * c_t = (α·x_t, αβ·x_t). Affine-map composition is associative, so
+    * the per-key prefix composition runs as a Hillis–Steele doubling
+    * scan: ⌈log₂ n⌉ rounds of v_t ← v_t + M^(2^r)·v_{t−2^r}, each ONE
+    * per-key window `lag` over the already-sorted frame — the single
+    * (key, bucket) exchange is paid once and every round reuses its
+    * sort. The left segment of every combine spans positions > 1
+    * exactly when the lag exists, so its composed matrix is the
+    * position-independent constant M^(2^r), computed once per round by
+    * driver-side repeated squaring and embedded as literals; the
+    * initial state s_1 = (x_1, 0) rides as position 1's vector under a
+    * zero matrix, which the scan then carries into every prefix.
+    *
+    * Scale shape: the corpus collapses to (key, bucket, n) in one
+    * map-side-combined aggregate (the only data-sized stage, identical
+    * to [[cusum]]); the scan frames are series × buckets rows,
+    * partitioned by key, and the round count grows with log₂ of the
+    * LONGEST series — 17 rounds covers a decade of hourly buckets. The
+    * collapsed frame is localCheckpoint'ed: the round count needs its
+    * max series length, and the boundary keeps ⌈log₂ n⌉ chained windows
+    * from re-optimizing the scan lineage (the graph_leiden lesson).
+    *
+    * Both engines evaluate algebraically identical but differently
+    * associated IEEE trees (the oracle recurses sequentially); the
+    * drift is ulps-scale and absorbed by the 6-decimal round, with
+    * `+ 0.0` canonicalizing −0.0 (the Similarity precedent). Returns
+    * (key, bucket, n, level, trend, forecast_next = l + b). */
+  def holt(df: DataFrame, keyCol: String, tsCol: String, bucketSec: Long,
+      alpha: Double, beta: Double, maxLevels: Int = 24): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(beta > 0 && beta < 1, "beta in (0,1)")
+    val c = df
+      .select(col(keyCol),
+        floor(unix_micros(col(tsCol)) / (bucketSec * 1000000L))
+          .cast("long").as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val maxN = c.groupBy(col(keyCol)).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val rounds = Iterator.from(0).dropWhile(r => (1L << r) < maxN).next()
+    require(rounds <= maxLevels,
+      s"series length $maxN needs $rounds doubling rounds > maxLevels=$maxLevels")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val x = col("n").cast("double")
+    var cur = c.select(col(keyCol), col("bucket"), col("n"),
+        row_number().over(byKey).as("__rn"))
+      .select(col(keyCol), col("bucket"), col("n"), col("__rn"),
+        when(col("__rn") === 1, x).otherwise(lit(alpha) * x).as("__v1"),
+        when(col("__rn") === 1, lit(0.0))
+          .otherwise(lit(alpha * beta) * x).as("__v2"))
+    // M^(2^r) by exact driver-side repeated squaring of the constant M.
+    var p = (1 - alpha, 1 - alpha, -alpha * beta, 1 - alpha * beta)
+    for (r <- 0 until rounds) {
+      val off = 1 << r
+      val (l1, l2) = (lag(col("__v1"), off).over(byKey),
+        lag(col("__v2"), off).over(byKey))
+      cur = cur.select(col(keyCol), col("bucket"), col("n"), col("__rn"),
+        when(l1.isNull, col("__v1"))
+          .otherwise(col("__v1") + lit(p._1) * l1 + lit(p._2) * l2).as("__v1"),
+        when(l1.isNull, col("__v2"))
+          .otherwise(col("__v2") + lit(p._3) * l1 + lit(p._4) * l2).as("__v2"))
+      p = (p._1 * p._1 + p._2 * p._3, p._1 * p._2 + p._2 * p._4,
+        p._3 * p._1 + p._4 * p._3, p._3 * p._2 + p._4 * p._4)
+    }
+    cur.select(col(keyCol), col("bucket"), col("n"),
+      (round(col("__v1"), 6) + lit(0.0)).as("level"),
+      (round(col("__v2"), 6) + lit(0.0)).as("trend"),
+      (round(col("__v1") + col("__v2"), 6) + lit(0.0)).as("forecast_next"))
+  }
+
   def levelShift(df: DataFrame, keyCol: String, tsCol: String,
       bucketSec: Long, w: Int, threshold: Double): DataFrame = {
     require(w >= 1, "w >= 1")

@@ -2808,6 +2808,50 @@ class OperatorSpec extends SparkSuite {
       (5L, 1L, 2L, 4L, 2L, false, false)), s"got ${got.toSeq}")
   }
 
+  test("holt: doubling scan equals the sequential recurrence, every key length") {
+    // Key lengths 1, 2, 9 exercise every doubling-round edge: no rounds,
+    // one partial round, and prefixes that straddle 2^r boundaries. The
+    // reference is the textbook sequential fold (l₁=x₁, b₁=0); the scan
+    // reassociates the same affine maps, so parity must hold to well
+    // under the 6-decimal gate round.
+    val counts = Map(
+      "a" -> Seq(5),
+      "b" -> Seq(3, 7),
+      "c" -> Seq(4, 9, 2, 8, 8, 1, 6, 3, 5))
+    val rows = counts.toSeq.flatMap { case (k, cs) =>
+      cs.zipWithIndex.flatMap { case (c, hr) =>
+        Seq.fill(c)((k, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:30:00Z")
+            .plusSeconds(3600L * hr))))
+      }
+    }
+    val (alpha, beta) = (0.5, 0.25)
+    val got = TimeSeries.holt(rows.toDF("event_type", "ts"), "event_type",
+        "ts", bucketSec = 3600L, alpha = alpha, beta = beta)
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    val want = counts.toSeq.sortBy(_._1).flatMap { case (k, cs) =>
+      cs.tail.scanLeft((cs.head.toDouble, 0.0)) { case ((l, b), x) =>
+        val ln = alpha * x + (1 - alpha) * (l + b)
+        (ln, beta * (ln - l) + (1 - beta) * b)
+      }.map { case (l, b) => (k, l, b) }
+    }
+    assert(got.length == want.length)
+    // The operator emits round(…,6) (HALF_UP, both engines); with dyadic
+    // α, β and small integer counts every true value is an exact dyadic,
+    // so the rounded outputs must match the rounded reference EXACTLY —
+    // including the genuine half-way case this fixture lands on
+    // (6.2734375 → 6.273438).
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.zip(want).foreach { case ((k, _, _, l, b, f), (wk, wl, wb)) =>
+      assert(k == wk)
+      assert(l == r6(wl), s"$k level $l vs ${r6(wl)}")
+      assert(b == r6(wb), s"$k trend $b vs ${r6(wb)}")
+      assert(f == r6(wl + wb), s"$k forecast $f vs ${r6(wl + wb)}")
+    }
+  }
+
   test("plan sweep: every partition-less window sits above a collapsing aggregate") {
     // The r6/r7 scale-killer class (rel_key_skew, sample_length_bucket):
     // a Window with no partition key serializes its whole input through
