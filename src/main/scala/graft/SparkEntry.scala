@@ -1502,6 +1502,16 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 8),
         k = 10)),
 
+    // MMR diversity re-rank of the same 8-query panel: retrieve top-32
+    // by exact cosine, then 8 greedy steps of λ·sim − (1−λ)·max-sim-to-
+    // selected over the bounded Q×C frame. Raw doubles hash-gate (the
+    // cosine + fixed-IEEE-tree discipline of ann_cosine_topk).
+    "ann_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(
+        t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") < 8),
+        candK = 32, k = 8)),
+
     // Hybrid retrieval: RRF-fuse the lexical (integer-scaled-idf term
     // overlap, top-50) and vector (brute-force cosine, top-50) rankings
     // for the same 8-query panel; doc_id and vec_id index the same
@@ -4131,6 +4141,62 @@ object SparkEntry {
        |SELECT user_id, ts, event_id, value,
        |       round(($num) / ($den), 6) AS ewma
        |FROM w""".stripMargin
+  }
+
+  /** Unrolled-greedy MMR oracle: the same candidate retrieval as the
+    * ann_cosine_topk oracle (top-candK by the sequential-fold cosine),
+    * then k chained CTE blocks each doing one greedy step — per query,
+    * argmax of λ·sim − (1−λ)·max_{s∈selected} pairSim over the not-yet-
+    * selected candidates. λ/μ enter as the exact decimal expansions of
+    * the SAME doubles the Spark side multiplies with (the ewmaOracleSql
+    * precedent), so both engines run identical IEEE trees and the raw
+    * doubles hash-gate unrounded. */
+  private def mmrOracleSql(candK: Int, k: Int, lambda: Double,
+      mu: Double): String = {
+    val L = new java.math.BigDecimal(lambda).toPlainString
+    val M = new java.math.BigDecimal(mu).toPlainString
+    def cos(a: String, b: String): String =
+      s"list_reduce(list_transform(range(0, len($a)), i -> $a[i+1] * $b[i+1]), (x,y) -> x + y) / " +
+        s"(sqrt(list_reduce(list_transform(range(0, len($a)), i -> $a[i+1] * $a[i+1]), (x,y) -> x + y)) * " +
+        s"sqrt(list_reduce(list_transform(range(0, len($b)), i -> $b[i+1] * $b[i+1]), (x,y) -> x + y)))"
+    val steps = (2 to k).map { s =>
+      val prev = s"sel${s - 1}"
+      s"""s$s AS (
+         |  SELECT qid, $s AS step, nid, sim, redundancy, mmr FROM (
+         |    SELECT c.qid, c.nid, c.sim, r.redundancy,
+         |           $L * c.sim - $M * r.redundancy AS mmr,
+         |           row_number() OVER (PARTITION BY c.qid
+         |             ORDER BY $L * c.sim - $M * r.redundancy DESC, c.nid) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT pp.qid, pp.nid, max(pp.psim) AS redundancy
+         |          FROM pp JOIN $prev p ON pp.qid = p.qid AND pp.oid = p.nid
+         |          GROUP BY 1, 2) r ON r.qid = c.qid AND r.nid = c.nid
+         |    ANTI JOIN $prev ON c.qid = $prev.qid AND c.nid = $prev.nid)
+         |  WHERE rn = 1),
+         |sel$s AS (SELECT qid, nid FROM $prev
+         |          UNION ALL SELECT qid, nid FROM s$s)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(s => s"SELECT * FROM s$s").mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+       |p AS (SELECT qid, e.vec_id AS nid, ${cos("e.v", "qv")} AS sim
+       |      FROM q, e WHERE e.vec_id <> qid),
+       |cand AS (SELECT qid, nid, sim FROM (
+       |    SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rnk FROM p) WHERE rnk <= $candK),
+       |ce AS (SELECT cand.qid, cand.nid, cand.sim, e.v
+       |       FROM cand JOIN e ON e.vec_id = cand.nid),
+       |pp AS (SELECT a.qid, a.nid, b.nid AS oid, ${cos("a.v", "b.v")} AS psim
+       |       FROM ce a JOIN ce b ON a.qid = b.qid AND a.nid <> b.nid),
+       |s1 AS (SELECT qid, 1 AS step, nid, sim, 0.0 AS redundancy,
+       |         $L * sim - $M * 0.0 AS mmr FROM (
+       |    SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+       |      ORDER BY $L * sim - $M * 0.0 DESC, nid) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT qid, nid FROM s1),
+       |$steps
+       |SELECT qid AS query_id, step, nid AS neighbor_id, sim, redundancy, mmr
+       |FROM ($union)""".stripMargin
   }
 
   /** Shared CTE prefix: the canonical co-purchase edge set (distinct part
@@ -7258,6 +7324,11 @@ object SparkEntry {
         |FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
         |        ORDER BY sim DESC, nid) AS rnk FROM p)
         |WHERE rnk <= 10""".stripMargin,
+
+    // Unrolled greedy MMR over the replayed cosine retrieval (generator
+    // above; λ/μ as exact decimal expansions of the Spark doubles).
+    "ann_mmr_rerank" -> mmrOracleSql(candK = 32, k = 8, lambda = 0.7,
+      mu = 0.3),
 
     // Both source rankings replayed (scaled-idf overlap; the
     // ann_cosine_topk cosine), then the same two-division RRF fold.

@@ -90,6 +90,79 @@ object Similarity {
     * rrf value is two fixed IEEE divisions and one add (bit-identical
     * across engines); ties break by neighbor id. Missing ranks surface
     * as 0 (integer, gate-friendly) next to the fused rank. */
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity pass retrieval pipelines run AFTER
+    * nearest-neighbor search so the k results aren't k copies of the
+    * same near-duplicate: greedily pick
+    * argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), i.e. relevance
+    * penalized by the closest already-selected result.
+    *
+    * Scale shape: the only corpus-sized stage is the candidate
+    * retrieval ([[bruteForceTopK]] here; swap in [[ivfTopK]] at corpus
+    * scale — the re-rank below never sees the corpus). Candidate
+    * embeddings attach by broadcasting the Q×C id frame against the
+    * embedding table, the pairwise-sim frame is Q×C×(C−1) rows, and
+    * the greedy loop runs k rounds of anti-join + max + argmax over
+    * those bounded frames. Both small frames are localCheckpoint'ed at
+    * the composition boundary (retrieval lineage would otherwise be
+    * re-optimized k times — the graph_leiden lesson).
+    *
+    * Determinism: sims are the native sequential-fold cosine
+    * (bit-identical to the oracle's list_reduce), the MMR score is one
+    * fixed IEEE tree on them (λ and 1−λ enter as verbatim literals on
+    * both sides, never driver-computed 1−λ), max-redundancy is exact,
+    * and argmax ties break on neighbor id — so raw doubles cross the
+    * gate unrounded, the [[bruteForceTopK]] precedent. Step 1 has an
+    * empty selected set: redundancy 0.0 under the SAME score tree.
+    * Returns (query_id, step, neighbor_id, sim, redundancy, mmr). */
+  def mmrRerank(candidates: DataFrame, queries: DataFrame, candK: Int,
+      k: Int, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && candK >= k, "need 1 <= k <= candK")
+    val top = bruteForceTopK(candidates, queries, candK)
+    val emb = candidates.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("__e"))
+    val ce = emb.join(broadcast(top), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("__e"))
+    val cand = ce.select(col("query_id"), col("neighbor_id"), col("sim"))
+      .localCheckpoint()
+    val pairs = ce.select(col("query_id"), col("neighbor_id"), col("__e"))
+      .as("a")
+      .join(ce.select(col("query_id").as("__qb"),
+        col("neighbor_id").as("oid"), col("__e").as("__eb")).as("b"),
+        col("query_id") === col("__qb") && col("neighbor_id") =!= col("oid"))
+      .select(col("query_id"), col("neighbor_id"), col("oid"),
+        cosine(col("__e"), col("__eb")).as("psim"))
+      .localCheckpoint()
+    val mmr = (lit(lambda) * col("sim") -
+      lit(mu) * col("redundancy")).as("mmr")
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("neighbor_id"))
+    var selected: DataFrame = null
+    for (s <- 1 to k) {
+      val scored =
+        if (s == 1) cand.withColumn("redundancy", lit(0.0))
+        else {
+          val red = pairs
+            .join(selected.select(col("query_id"), col("neighbor_id").as("oid")),
+              Seq("query_id", "oid"))
+            .groupBy(col("query_id"), col("neighbor_id"))
+            .agg(max(col("psim")).as("redundancy"))
+          cand.join(selected.select(col("query_id"), col("neighbor_id")),
+              Seq("query_id", "neighbor_id"), "left_anti")
+            .join(red, Seq("query_id", "neighbor_id"))
+        }
+      val pick = scored.select(col("query_id"), col("neighbor_id"),
+          col("sim"), col("redundancy"), mmr)
+        .withColumn("__rn", row_number().over(byQ))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), lit(s).as("step"), col("neighbor_id"),
+          col("sim"), col("redundancy"), col("mmr"))
+      selected = (if (s == 1) pick else selected.union(pick)).localCheckpoint()
+    }
+    selected
+  }
+
   def rrfFuse(a: DataFrame, b: DataFrame, c: Int = 60, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(c >= 1 && topK >= 1, "c and topK are positive")

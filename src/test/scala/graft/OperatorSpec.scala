@@ -103,6 +103,37 @@ class OperatorSpec extends SparkSuite {
     assert(top.toSeq == Seq(1L, 2L, 3L), top.mkString(","))
   }
 
+  test("MMR re-rank demotes the near-duplicate a pure similarity ranking keeps") {
+    // Query 0 sits between two directions that are both relevant to it
+    // (sim ≈ 0.8) yet nearly opposite to each other in the second axis.
+    // Candidate 2 is a near-duplicate of 1 (pair sim ≈ 1), candidate 3
+    // is the mirror direction (pair sim to 1 ≈ 0.27). Pure cosine ranks
+    // (1, 2, 3): sims 0.8000 > 0.7995 > 0.7915. MMR at λ=0.7 must pick
+    // 1, then jump to the diverse 3 (2's ≈1 redundancy kills its
+    // margin: 0.26 vs 0.47), and take the duplicate last — the planted
+    // case where the greedy penalty provably reorders.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f, 0.0f, 0.0f)),      // relevant
+      (2L, Array(0.8f, 0.601f, 0.001f, 0.0f)),  // its near-duplicate
+      (3L, Array(0.79f, -0.61f, 0.0f, 0.0f)),   // mirror: diverse
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(vecs, vecs.filter($"vec_id" === 0),
+        candK = 3, k = 3)
+      .orderBy("step")
+      .select($"neighbor_id", $"redundancy", $"mmr")
+      .as[(Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L),
+      got.map(_._1).mkString(","))
+    // step 1 pays no redundancy; the demoted near-duplicate's final
+    // redundancy is its sim to vector 1 (≈1), far above vector 3's
+    assert(got(0)._2 == 0.0)
+    assert(got(2)._2 > 0.99 && got(1)._2 < 0.8,
+      s"redundancies ${got.map(_._2).mkString(",")}")
+    // mmr of every later step is dominated by the earlier pick's score
+    assert(got(0)._3 >= got(1)._3 && got(1)._3 >= got(2)._3)
+  }
+
   test("IVF top-k routes an exact duplicate to the same cell and ranks it first") {
     val dim = 64
     val rnd = new scala.util.Random(5)
