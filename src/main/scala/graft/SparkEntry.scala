@@ -3299,6 +3299,13 @@ object SparkEntry {
     "graph_cc_twostars" -> ((s, dir) =>
       Graph.ccTwoStars(coPurchaseEdges(s, dir))),
 
+    // Bipartiteness + 2-coloring via the double cover: two CC closures
+    // (log-round, never diameter-bounded BFS); color anchored at each
+    // component's min node. Odd-cycle components emit NULL colors and
+    // is_bipartite=false.
+    "graph_bipartite" -> ((s, dir) =>
+      Graph.bipartiteColor(coPurchaseEdges(s, dir))),
+
     // CDC changelog apply: events as an I/U/D log keyed by user; latest
     // op by (ts, event_id) wins, terminal deletes drop the key.
     "rel_cdc_apply" -> { (s, dir) =>
@@ -5633,6 +5640,39 @@ object SparkEntry {
          |SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes,
          |       CAST(max(node) AS BIGINT) AS max_node
          |FROM lbl GROUP BY lbl""".stripMargin,
+
+    // Double-cover bipartiteness replayed independently: one recursive
+    // min-label closure over the original edges (components), one over
+    // the lifted 2v+parity edges (cover labels); color and the
+    // bipartite flag are the same label comparisons the engine makes.
+    "graph_bipartite" ->
+      s"""WITH RECURSIVE $coPurchaseCte,
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b AS src, a AS dst FROM ed),
+         |reach AS (
+         |  SELECT src AS node, src AS r FROM (SELECT DISTINCT src FROM sym)
+         |  UNION
+         |  SELECT s.src AS node, p.r AS r
+         |  FROM sym s JOIN reach p ON s.dst = p.node),
+         |lbl AS (SELECT node, min(r) AS lbl FROM reach GROUP BY node),
+         |dbl AS (SELECT a * 2 AS src, b * 2 + 1 AS dst FROM ed
+         |        UNION ALL SELECT b * 2 + 1, a * 2 FROM ed
+         |        UNION ALL SELECT a * 2 + 1, b * 2 FROM ed
+         |        UNION ALL SELECT b * 2, a * 2 + 1 FROM ed),
+         |reach2 AS (
+         |  SELECT src AS node, src AS r FROM (SELECT DISTINCT src FROM dbl)
+         |  UNION
+         |  SELECT s.src AS node, p.r AS r
+         |  FROM dbl s JOIN reach2 p ON s.dst = p.node),
+         |lbl2 AS (SELECT node, min(r) AS lbl FROM reach2 GROUP BY node)
+         |SELECT l.node, l.lbl AS component,
+         |       CASE WHEN l0.lbl <> l1.lbl THEN
+         |         CASE WHEN l0.lbl = l.lbl * 2 THEN 0 ELSE 1 END
+         |       END AS color,
+         |       l0.lbl <> l1.lbl AS is_bipartite
+         |FROM lbl l
+         |JOIN lbl2 l0 ON l0.node = l.node * 2
+         |JOIN lbl2 l1 ON l1.node = l.node * 2 + 1""".stripMargin,
 
     // The identical 3-round min-label recurrence, unrolled: closed
     // neighborhood = self ∪ in-neighbors over the symmetrized edges.

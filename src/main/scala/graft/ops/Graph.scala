@@ -827,6 +827,41 @@ object Graph {
       .distinct()
   }
 
+  /** Bipartiteness check + 2-coloring via the bipartite double cover —
+    * the classic reduction that turns odd-cycle detection into TWO
+    * connected-components runs (so it converges in the same
+    * O(log n) two-star rounds as [[ccTwoStarsNodes]], never
+    * diameter-bounded BFS): lift each edge u–v to (u,0)–(v,1) and
+    * (u,1)–(v,0) on node ids 2v+parity. A component with min node c is
+    * bipartite iff its cover splits in two — iff the cover labels of
+    * (v,0) and (v,1) differ (for ANY of its v). The coloring needs no
+    * extra pass either: anchoring color(c) = 0, parity(v) is even
+    * exactly when (v,0) shares a cover component with (c,0), whose
+    * label is provably 2·c (c is the component min, so every other
+    * cover id 2v+p ≥ 2v > 2c), i.e. color(v) = 0 iff lbl₀(v) = 2·comp.
+    *
+    * Scale shape: two [[ccTwoStarsNodes]] closures (the second over 2×
+    * the edges) plus two keyed equi-joins of the node frame against the
+    * cover labels — nothing new beyond the gated CC machinery. Ids must
+    * stay below 2⁶²; ANSI mode makes an overflow loud.
+    * Returns (node, component, color ∈ {0,1} or NULL, is_bipartite). */
+  def bipartiteColor(edges: DataFrame, maxRounds: Int = 24): DataFrame = {
+    val cc = ccTwoStarsNodes(edges, maxRounds)
+    val e = edges.filter(col("a") =!= col("b"))
+    val dbl = e.select((col("a") * 2).as("a"), (col("b") * 2 + 1).as("b"))
+      .unionAll(e.select((col("a") * 2 + 1).as("a"), (col("b") * 2).as("b")))
+    val cover = ccTwoStarsNodes(dbl, maxRounds)
+    val l0 = cover.select(col("node").as("__n0"), col("lbl").as("__l0"))
+    val l1 = cover.select(col("node").as("__n1"), col("lbl").as("__l1"))
+    cc.join(l0, cc("node") * 2 === col("__n0"))
+      .join(l1, cc("node") * 2 + 1 === col("__n1"))
+      .select(col("node"), col("lbl").as("component"),
+        when(col("__l0") =!= col("__l1"),
+          when(col("__l0") === col("lbl") * 2, 0).otherwise(1))
+          .as("color"),
+        (col("__l0") =!= col("__l1")).as("is_bipartite"))
+  }
+
   /** [[ccTwoStarsNodes]] aggregated to one row per component —
     * (component, n_nodes, max_node), the [[labelPropagation]] output
     * shape with TRUE component minima as labels (not k-hop minima). */

@@ -157,6 +157,48 @@ object ScaleProbe {
         Seq(10, 50, 99)).count()
     }
     report("quantile sketch + read")(qmerge(liS()))(qmerge(liB()))
+    // Round-12 families. Keep-first at maximal-repeat granularity rides
+    // the same rename-replicated corpus as maxRepeats (repeat structure
+    // per replica preserved, replicas share nothing).
+    report("keep-first maximal spans")(
+      graft.ops.Dedup.keepFirstMaximalSpans(docS(), "doc_id", "text",
+        minLen = 32, cap = 128).count())(
+      graft.ops.Dedup.keepFirstMaximalSpans(docB(), "doc_id", "text",
+        minLen = 32, cap = 128).count())
+    def qlog(li: DataFrame): Long = {
+      val v = li.select((round(col("l_extendedprice") * 100).cast("long") *
+        round(col("l_extendedprice") * 100).cast("long")).as("v"))
+      graft.ops.Profile.quantilesFromLogSketch(
+        graft.ops.Profile.quantileLogSketch(v, col("v"), 12), 12,
+        Seq(10, 50, 99)).count()
+    }
+    report("log quantile sketch + read")(qlog(liS()))(qlog(liB()))
+    report("Leiden guarantees (1-row)")(
+      graft.ops.Graph.leidenQuality(wedges(liS()).select(col("a"), col("b")))
+        .count())(
+      graft.ops.Graph.leidenQuality(wedges(liB()).select(col("a"), col("b")))
+        .count())
+    // Holt scan: replicate events with per-replica key suffixes → 10×
+    // SERIES, flat series length — the scaling regime (rounds grow with
+    // log of the LONGEST series, frames with series count).
+    val ev10 = replicate("events", (d, i) => d
+      .withColumn("event_type", concat(col("event_type"), lit(s"_r$i"))))
+    // raw fixture ts is TIMESTAMP_NTZ (SparkEntry.t normalizes; this
+    // probe reads raw parquet, so cast here)
+    def holt(ev: DataFrame): Long =
+      graft.ops.TimeSeries.holt(
+        ev.withColumn("ts", col("ts").cast("timestamp")),
+        "event_type", "ts", 3600L, 0.5, 0.25).count()
+    report("Holt affine scan")(
+      holt(s.read.parquet(s"$sfDir/events.parquet")))(
+      holt(s.read.parquet(ev10)))
+    // MMR: fixed 8-query panel; the only corpus-sized stage is the
+    // retrieval scan — the re-rank frames are Q×C at any corpus size.
+    def mmr(emb: DataFrame): Long = {
+      val q = emb.filter(col("vec_id") % 251 === 0).limit(8)
+      graft.ops.Similarity.mmrRerank(emb, q, candK = 32, k = 8).count()
+    }
+    report("MMR re-rank (8 queries)")(mmr(embS()))(mmr(embB()))
     s.stop()
   }
 }

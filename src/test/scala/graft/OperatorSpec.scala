@@ -2076,6 +2076,36 @@ class OperatorSpec extends SparkSuite {
     assert(after <= before + 2, s"leaked checkpoint blocks: $before -> $after")
   }
 
+  test("bipartite double cover: odd cycle flagged, even cycle and tree 2-colored from the min anchor") {
+    // Three planted components: a triangle (odd cycle → NOT bipartite,
+    // NULL colors), a 4-cycle (bipartite: 10-11-12-13-10 alternates
+    // 0,1,0,1 anchored at 10), and a path/tree 20-21-22 (0,1,0). Plus a
+    // pentagon with a chord (still odd) to catch a parity bug that only
+    // shows on non-minimal odd cycles.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),                      // triangle
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),    // 4-cycle
+      (20L, 21L), (21L, 22L),                            // path
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L),
+      (34L, 30L), (30L, 32L),                            // pentagon + chord
+    ).toDF("a", "b")
+    val got = Graph.bipartiteColor(edges)
+      .as[(Long, Long, Option[Int], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 15)
+    (Seq(1L, 2L, 3L)).foreach { v =>
+      assert(got(v) == ((1L, None, false)), s"$v -> ${got(v)}") }
+    (Seq(30L, 31L, 32L, 33L, 34L)).foreach { v =>
+      assert(got(v) == ((30L, None, false)), s"$v -> ${got(v)}") }
+    assert(got(10L) == ((10L, Some(0), true)))
+    assert(got(11L) == ((10L, Some(1), true)))
+    assert(got(12L) == ((10L, Some(0), true)))
+    assert(got(13L) == ((10L, Some(1), true)))
+    assert(got(20L) == ((20L, Some(0), true)))
+    assert(got(21L) == ((20L, Some(1), true)))
+    assert(got(22L) == ((20L, Some(0), true)))
+  }
+
   test("two-star CC: agrees with min-label duplicateGroups on a random graph") {
     val rnd = new scala.util.Random(11)
     val pairs = (1 to 160).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))

@@ -581,4 +581,100 @@ class PropertySpec extends SparkSuite {
       assert(got == want, s"docs=$docs missing=${want -- got} extra=${got -- want}")
     }
   }
+
+  test("holt scan equals the sequential recurrence on random ragged series") {
+    // Random key set with ragged lengths (1..40 buckets, random gaps) and
+    // random counts: the doubling scan must agree with a plain sequential
+    // fold to ~ulps (assert at 1e-9 pre-round tolerance via the rounded
+    // outputs' exactness on dyadic α,β being unavailable here — counts
+    // are random so values aren't dyadic; the 6-decimal round must agree
+    // with the rounded reference within one ulp-induced boundary flip,
+    // i.e. exactly, because drift ~1e-12 only flips a round at a
+    // half-way point, which random doubles avoid a.s.).
+    val seriesGen: Gen[List[(String, Int, Int)]] = Gen.listOfN(60, for {
+      key <- Gen.oneOf("a", "b", "c", "d")
+      hr <- Gen.choose(0, 39)
+      cnt <- Gen.choose(1, 9)
+    } yield (key, hr, cnt))
+    samples(seriesGen, 3).foreach { triples =>
+      val byBucket = triples.groupBy(t => (t._1, t._2))
+        .view.mapValues(_.map(_._3).sum).toMap
+      val rows = byBucket.toSeq.flatMap { case ((k, hr), cnt) =>
+        Seq.fill(cnt)((k, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:15:00Z")
+            .plusSeconds(3600L * hr))))
+      }
+      val (alpha, beta) = (0.5, 0.25)
+      val got = graft.ops.TimeSeries.holt(rows.toDF("event_type", "ts"),
+          "event_type", "ts", 3600L, alpha, beta)
+        .select($"event_type", $"bucket", $"level", $"trend")
+        .as[(String, Long, Double, Double)].collect()
+        .sortBy(r => (r._1, r._2))
+      def r6(d: Double): Double =
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = byBucket.keys.map(_._1).toSeq.distinct.sorted.flatMap { k =>
+        val xs = byBucket.collect { case ((`k`, hr), cnt) => (hr, cnt) }
+          .toSeq.sortBy(_._1).map(_._2.toDouble)
+        xs.tail.scanLeft((xs.head, 0.0)) { case ((l, b), x) =>
+          val ln = alpha * x + (1 - alpha) * (l + b)
+          (ln, beta * (ln - l) + (1 - beta) * b)
+        }.map { case (l, b) => (k, r6(l), r6(b)) }
+      }
+      assert(got.length == want.length)
+      got.zip(want).foreach { case ((k, _, l, b), (wk, wl, wb)) =>
+        assert(k == wk && l == wl && b == wb,
+          s"key $k: got ($l,$b) want ($wl,$wb)")
+      }
+    }
+  }
+
+  test("MMR greedy invariant: every pick maximizes the penalized score over the remaining pool") {
+    // Random small corpora; replay the greedy rule from the emitted
+    // (sim, redundancy) columns plus an independently computed pair-sim
+    // matrix — each step's pick must beat every other remaining
+    // candidate's λ·sim − (1−λ)·maxRedundancy (ties to lower id), and
+    // redundancy must equal the true max pair-sim to the selected set.
+    val dim = 4
+    val vecGen: Gen[List[List[Double]]] = Gen.listOfN(12,
+      Gen.listOfN(dim, Gen.choose(-1.0, 1.0)))
+    samples(vecGen, 3).foreach { vs =>
+      val vecs = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong + 1, v.map(_.toFloat).toArray) }
+      val all = ((0L, Array(1.0f, 0.5f, -0.25f, 0.125f)) +: vecs)
+        .toDF("vec_id", "embedding")
+      val (lambda, mu, candK, k) = (0.7, 0.3, 8, 5)
+      val got = graft.ops.Similarity.mmrRerank(all,
+          all.filter($"vec_id" === 0), candK, k)
+        .select($"step", $"neighbor_id", $"sim", $"redundancy", $"mmr")
+        .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+      val emb = ((0L, Array(1.0, 0.5, -0.25, 0.125)) +:
+        vecs.map { case (i, v) => (i, v.map(_.toDouble)) }).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.indices.map(i => a(i) * b(i)).sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val sims = vecs.map { case (i, _) => i -> cos(emb(i), emb(0L)) }
+        .filterNot(_._2.isNaN).sortBy(p => (-p._2, p._1)).take(candK).toMap
+      var selected = List.empty[Long]
+      got.foreach { case (step, nid, sim, red, mmr) =>
+        assert(step == selected.size + 1)
+        assert(sims.contains(nid), s"pick $nid not in candidate pool")
+        assert(math.abs(sim - sims(nid)) < 1e-9)
+        val trueRed = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(emb(nid), emb(s))).max
+        assert(math.abs(red - trueRed) < 1e-9, s"step $step red $red vs $trueRed")
+        assert(math.abs(mmr - (lambda * sim - mu * red)) < 1e-9)
+        // no remaining candidate strictly beats the pick
+        (sims.keySet -- selected - nid).foreach { o =>
+          val oRed = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(emb(o), emb(s))).max
+          val oMmr = lambda * sims(o) - mu * oRed
+          assert(oMmr < mmr + 1e-9 && (oMmr < mmr - 1e-9 || nid < o),
+            s"step $step: candidate $o (mmr $oMmr) should not beat pick $nid ($mmr)")
+        }
+        selected = selected :+ nid
+      }
+      assert(got.length == math.min(k, sims.size))
+    }
+  }
 }
