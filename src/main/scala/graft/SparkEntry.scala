@@ -2737,6 +2737,15 @@ object SparkEntry {
       TimeSeries.holt(t(s, dir, "events"), keyCol = "event_type",
         tsCol = "ts", bucketSec = 3600L, alpha = 0.5, beta = 0.25)),
 
+    // Banded matrix profile over hourly counts: each window's best match
+    // within ±48 positions (exclusion 4) by exact-integer Pearson corr
+    // — motif/novelty detection. One keyed equi-join on exploded
+    // offsets; never a within-key cross join.
+    "ts_matrix_profile" -> ((s, dir) =>
+      TimeSeries.matrixProfileBanded(t(s, dir, "events"),
+        keyCol = "event_type", tsCol = "ts", bucketSec = 3600L,
+        w = 16, excl = 4, band = 48)),
+
     // Benford first-digit audit over order totals — the classic
     // data-quality screen for fabricated numeric columns. Digits come
     // from the INTEGER cents string (never from double formatting, which
@@ -4150,6 +4159,42 @@ object SparkEntry {
        |FROM w""".stripMargin
   }
 
+  /** Banded-matrix-profile oracle: the identical exact-integer window
+    * statistics and pair correlation, with the band as a range join and
+    * the argmax as a row_number pick — generated for the same (w, excl,
+    * band) the engine runs. */
+  private def matrixProfileOracleSql(w: Int, excl: Int, band: Int): String = {
+    val leads = (1 until w)
+      .map(t => s"lead(n, $t) OVER win AS x$t").mkString(",\n         ")
+    val cols = "n" +: (1 until w).map(t => s"x$t")
+    val s = cols.mkString(" + ")
+    val q = cols.map(c => s"$c * $c").mkString(" + ")
+    val dot = cols.map(c => s"a.$c * b.$c").mkString(" + ")
+    s"""WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+       |             CAST(count(*) AS BIGINT) AS n
+       |           FROM events GROUP BY 1, 2),
+       |w0 AS (SELECT event_type, bucket, row_number() OVER win AS pos, n,
+       |         $leads
+       |       FROM c WINDOW win AS (PARTITION BY event_type ORDER BY bucket)),
+       |wf AS (SELECT *, ($s) AS s, $w * ($q) - ($s) * ($s) AS den
+       |       FROM w0 WHERE x${w - 1} IS NOT NULL
+       |         AND $w * ($q) - ($s) * ($s) > 0),
+       |pairs AS (SELECT a.event_type, a.bucket, a.pos,
+       |            b.bucket AS b2, b.pos AS p2,
+       |            CAST($w * ($dot) - a.s * b.s AS DOUBLE) /
+       |              sqrt(CAST(a.den * b.den AS DOUBLE)) AS r
+       |          FROM wf a JOIN wf b ON a.event_type = b.event_type
+       |            AND b.pos BETWEEN a.pos + $excl AND a.pos + $band),
+       |mirr AS (SELECT event_type, bucket, pos, b2, p2, r FROM pairs
+       |         UNION ALL
+       |         SELECT event_type, b2, p2, bucket, pos, r FROM pairs)
+       |SELECT event_type, bucket, b2 AS nn_bucket, r AS best_corr,
+       |       ${2.0 * w} * (1.0 - r) AS dist2
+       |FROM (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+       |        ORDER BY r DESC, p2) AS rn FROM mirr)
+       |WHERE rn = 1""".stripMargin
+  }
+
   /** Unrolled-greedy MMR oracle: the same candidate retrieval as the
     * ann_cosine_topk oracle (top-candK by the sequential-fold cosine),
     * then k chained CTE blocks each doing one greedy step — per query,
@@ -4818,6 +4863,11 @@ object SparkEntry {
         |       round(b, 6) + 0 AS trend,
         |       round(l + b, 6) + 0 AS forecast_next
         |FROM rec""".stripMargin,
+
+    // Banded matrix profile replayed: exact-integer window stats, range-
+    // join band, identical single-sqrt correlation tree (generator above).
+    "ts_matrix_profile" -> matrixProfileOracleSql(w = 16, excl = 4,
+      band = 48),
 
     // Merged distinct-value CDF steps, integer cross-products, one
     // division and one critical-value comparison.

@@ -403,6 +403,90 @@ object TimeSeries {
       (round(col("__v1") + col("__v2"), 6) + lit(0.0)).as("forecast_next"))
   }
 
+  /** Banded matrix profile (Yeh et al., ICDM'16's profile restricted to
+    * a ±band neighborhood) over a regular-bucket count series: for every
+    * length-`w` window of consecutive observed buckets, the most similar
+    * OTHER window within `band` positions (at least `excl` away — the
+    * standard exclusion zone that stops a window matching its own
+    * overlap), scored by Pearson correlation of the two windows, which
+    * is monotone in z-normalized Euclidean distance
+    * (dist² = 2w(1 − r)): the motif/novelty detector — a low best-corr
+    * window is a shape the neighborhood never repeats.
+    *
+    * Exactness: windows come from integer counts, so S = Σx, Q = Σx²
+    * and every pairwise dot product are exact BIGINTs;
+    * r = (w·dot − S_i·S_j) / sqrt((w·Q_i − S_i²)·(w·Q_j − S_j²)) is ONE
+    * integer-fed IEEE tree (single sqrt of the exact BIGINT product,
+    * single division) — bit-identical on both engines, so raw doubles
+    * gate and the argmax tie (higher r, then lower neighbor) is exact.
+    * Zero-variance windows carry no shape and are excluded (their r is
+    * undefined; both sides filter denSq > 0).
+    *
+    * Scale shape: ONE map-side-combined collapse to (key, bucket, n) is
+    * the only corpus-sized stage; windows are `w` per-key `lead`s over
+    * the collapsed frame (dense rank positions — gaps are skipped, the
+    * [[acfBuckets]] convention); candidate pairs come from exploding
+    * the `excl..band` offset literals and ONE keyed equi-join on
+    * (key, pos+d) — series × (band−excl+1) rows, partitioned by key,
+    * never a within-key cross join; the best match folds in a grouped
+    * max. Work is O(n·band·w) spread over the key partitioning. */
+  def matrixProfileBanded(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, w: Int = 16, excl: Int = 4, band: Int = 48)
+      : DataFrame = {
+    require(w >= 2 && w <= 64, "w in [2,64]")
+    require(excl >= 1 && band > excl, "1 <= excl < band")
+    val c = df
+      .select(col(keyCol),
+        floor(unix_micros(col(tsCol)) / (bucketSec * 1000000L))
+          .cast("long").as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val xs = (0 until w).map(t =>
+      (if (t == 0) col("n") else lead(col("n"), t).over(byKey)).as(s"__x$t"))
+    val wnd = c
+      .select(Seq(col(keyCol), col("bucket"),
+        row_number().over(byKey).as("__pos")) ++ xs: _*)
+      .filter(col(s"__x${w - 1}").isNotNull)
+      .select(col(keyCol), col("bucket"), col("__pos"),
+        (0 until w).map(t => col(s"__x$t")).reduce(_ + _).as("__s"),
+        (0 until w).map(t => col(s"__x$t") * col(s"__x$t")).reduce(_ + _)
+          .as("__q"),
+        array((0 until w).map(t => col(s"__x$t")): _*).as("__xs"))
+      .withColumn("__den", lit(w.toLong) * col("__q") - col("__s") * col("__s"))
+      .filter(col("__den") > 0)
+    val offsets = explode(sequence(lit(excl), lit(band))).as("__d")
+    val left = wnd.select(col(keyCol), col("bucket"), col("__pos"),
+      col("__s"), col("__den"), col("__xs"))
+    val right = wnd.select(col(keyCol).as("__k2"),
+      col("bucket").as("__b2"), col("__pos").as("__p2"),
+      col("__s").as("__s2"), col("__den").as("__den2"),
+      col("__xs").as("__xs2"))
+    // exact BIGINT dot product, expanded (stays in codegen; w terms)
+    val dot = (0 until w).map(t =>
+      element_at(col("__xs"), t + 1) * element_at(col("__xs2"), t + 1))
+      .reduce(_ + _)
+    val corr = (lit(w.toLong) * dot - col("__s") * col("__s2"))
+      .cast("double") /
+      sqrt((col("__den") * col("__den2")).cast("double"))
+    val pairs = left.select(col(keyCol), col("bucket"), col("__pos"),
+        col("__s"), col("__den"), col("__xs"), offsets)
+      .join(right, col(keyCol) === col("__k2") &&
+        col("__pos") + col("__d") === col("__p2"))
+      .select(col(keyCol), col("bucket"), col("__pos"), col("__b2"),
+        col("__p2"), corr.as("__r"))
+    val both = pairs.unionAll(pairs.select(col(keyCol),
+      col("__b2").as("bucket"), col("__p2").as("__pos"),
+      col("bucket").as("__b2"), col("__pos").as("__p2"), col("__r")))
+    both.groupBy(col(keyCol), col("bucket"))
+      .agg(max(struct(col("__r"), (-col("__p2")).as("__np"),
+        (-col("__b2")).as("__nb"))).as("__m"))
+      .select(col(keyCol), col("bucket"),
+        (-col("__m.__nb")).as("nn_bucket"),
+        col("__m.__r").as("best_corr"),
+        (lit(2.0 * w) * (lit(1.0) - col("__m.__r"))).as("dist2"))
+  }
+
   def levelShift(df: DataFrame, keyCol: String, tsCol: String,
       bucketSec: Long, w: Int, threshold: Double): DataFrame = {
     require(w >= 1, "w >= 1")

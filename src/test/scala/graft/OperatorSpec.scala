@@ -2869,6 +2869,53 @@ class OperatorSpec extends SparkSuite {
       (5L, 1L, 2L, 4L, 2L, false, false)), s"got ${got.toSeq}")
   }
 
+  test("matrix profile: planted motif pairs up; full band replays an in-test brute force") {
+    // 60 hourly buckets of pseudo-random counts with the same 8-bucket
+    // shape planted at positions 10 and 40 (scaled 2×: Pearson corr is
+    // scale-invariant, so the copies match at r = 1 exactly — the motif)
+    val rnd = new scala.util.Random(7)
+    val motif = Seq(3, 9, 2, 8, 1, 7, 4, 6)
+    val base = Array.fill(60)(1 + rnd.nextInt(5))
+    motif.zipWithIndex.foreach { case (m, i) => base(10 + i) = m }
+    motif.zipWithIndex.foreach { case (m, i) => base(40 + i) = 2 * m }
+    val rows = base.zipWithIndex.flatMap { case (cnt, hr) =>
+      Seq.fill(cnt)(("k", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:30:00Z")
+          .plusSeconds(3600L * hr))))
+    }
+    val (w, excl, band) = (8, 4, 59)
+    val got = graft.ops.TimeSeries.matrixProfileBanded(
+        rows.toSeq.toDF("event_type", "ts"), "event_type", "ts", 3600L,
+        w = w, excl = excl, band = band)
+      .select($"bucket", $"nn_bucket", $"best_corr")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val b0 = got.map(_._1).min
+    val byPos = got.map(r => (r._1 - b0).toInt -> ((r._2 - b0).toInt, r._3)).toMap
+    // the two motif windows are each other's (exact r = 1) best match
+    assert(byPos(10) == ((40, 1.0)), s"got ${byPos(10)}")
+    assert(byPos(40) == ((10, 1.0)), s"got ${byPos(40)}")
+    // brute-force replay of the full rule over the in-test series
+    def stats(p: Int) = {
+      val xs = (p until p + w).map(base(_).toLong)
+      (xs, xs.sum, xs.map(x => x * x).sum)
+    }
+    got.foreach { case (b, nb, r) =>
+      val i = (b - b0).toInt
+      val cands = (0 to 60 - w).filter(j =>
+        math.abs(j - i) >= excl && math.abs(j - i) <= band)
+        .map { j =>
+          val (xi, si, qi) = stats(i); val (xj, sj, qj) = stats(j)
+          val dot = xi.zip(xj).map { case (a, c) => a * c }.sum
+          val num = (w * dot - si * sj).toDouble
+          val den = math.sqrt(((w * qi - si * si) * (w * qj - sj * sj)).toDouble)
+          (j, num / den)
+        }
+      val best = cands.minBy { case (j, c) => (-c, j) }
+      assert((nb - b0).toInt == best._1 && math.abs(r - best._2) < 1e-12,
+        s"pos $i: got (${nb - b0}, $r) want $best")
+    }
+  }
+
   test("holt: doubling scan equals the sequential recurrence, every key length") {
     // Key lengths 1, 2, 9 exercise every doubling-round edge: no rounds,
     // one partial round, and prefixes that straddle 2^r boundaries. The
