@@ -3315,6 +3315,12 @@ object SparkEntry {
     "graph_bipartite" -> ((s, dir) =>
       Graph.bipartiteColor(coPurchaseEdges(s, dir))),
 
+    // Luby maximal independent set — O(log n) bulk-parallel rounds of
+    // deterministic-priority symmetry breaking; every node decided
+    // (in/out + round), replayable exactly.
+    "graph_mis" -> ((s, dir) =>
+      Graph.lubyMis(coPurchaseEdges(s, dir))),
+
     // CDC changelog apply: events as an I/U/D log keyed by user; latest
     // op by (ts, event_id) wins, terminal deletes drop the key.
     "rel_cdc_apply" -> { (s, dir) =>
@@ -4157,6 +4163,52 @@ object SparkEntry {
        |SELECT user_id, ts, event_id, value,
        |       round(($num) / ($den), 6) AS ewma
        |FROM w""".stripMargin
+  }
+
+  /** Unrolled Luby-MIS oracle: `rounds` blocks of (winner = beats every
+    * active neighbor under the same deterministic (π, id) order) →
+    * (retire winners + neighborhoods) → (shrink the active graph), all
+    * MATERIALIZED (an inlined chain re-evaluates exponentially — the
+    * unigram-DP lesson). Rounds past convergence are empty no-ops; if
+    * the last active set is non-empty the oracle raises via error()
+    * instead of emitting a non-maximal set (the Borůvka pattern). */
+  private def lubyMisOracleSql(rounds: Int): String = {
+    def pri(x: String, r: Int): String =
+      s"(($x % 1000000007) * 2654435761 + $r * 40503) % 1000000007"
+    val blocks = (0 until rounds).map { r =>
+      s"""sym$r AS (SELECT a AS u, b AS w FROM e$r
+         |          UNION ALL SELECT b, a FROM e$r),
+         |wins$r AS MATERIALIZED (
+         |  SELECT v.node FROM a$r v
+         |  WHERE NOT EXISTS (SELECT 1 FROM sym$r s WHERE s.u = v.node
+         |    AND (${pri("s.w", r)} < ${pri("v.node", r)}
+         |      OR (${pri("s.w", r)} = ${pri("v.node", r)} AND s.w < v.node)))),
+         |ret$r AS MATERIALIZED (
+         |  SELECT node FROM wins$r
+         |  UNION
+         |  SELECT s.w AS node FROM sym$r s SEMI JOIN wins$r ww ON s.u = ww.node),
+         |out$r AS (SELECT rt.node,
+         |    rt.node IN (SELECT node FROM wins$r) AS in_mis, $r AS round
+         |  FROM ret$r rt),
+         |a${r + 1} AS MATERIALIZED (
+         |  SELECT node FROM a$r ANTI JOIN ret$r USING (node)),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e$r e
+         |  SEMI JOIN a${r + 1} x ON e.a = x.node
+         |  SEMI JOIN a${r + 1} y ON e.b = y.node)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until rounds).map(r => s"SELECT * FROM out$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $coPurchaseCte,
+       |e0 AS MATERIALIZED (SELECT a, b FROM ed),
+       |a0 AS MATERIALIZED (SELECT a AS node FROM ed
+       |                    UNION SELECT b FROM ed),
+       |$blocks,
+       |conv_chk AS (SELECT CASE WHEN count(*) > 0 THEN error(
+       |    'luby oracle: a$rounds non-empty - $rounds unrolled rounds did ' ||
+       |    'not converge; raise the unroll') ELSE 0 END AS ok FROM a$rounds)
+       |SELECT node, in_mis, round FROM ($union)
+       |WHERE (SELECT ok FROM conv_chk) = 0""".stripMargin
   }
 
   /** Banded-matrix-profile oracle: the identical exact-integer window
@@ -5690,6 +5742,10 @@ object SparkEntry {
          |SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes,
          |       CAST(max(node) AS BIGINT) AS max_node
          |FROM lbl GROUP BY lbl""".stripMargin,
+
+    // Luby rounds replayed with the same deterministic priorities
+    // (generator above; error() if the unroll is ever too small).
+    "graph_mis" -> lubyMisOracleSql(rounds = 12),
 
     // Double-cover bipartiteness replayed independently: one recursive
     // min-label closure over the original edges (components), one over

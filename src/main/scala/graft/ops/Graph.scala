@@ -827,6 +827,94 @@ object Graph {
       .distinct()
   }
 
+  /** Maximal independent set by Luby's algorithm (Luby, SIAM J.
+    * Comput. 1986) — the classic O(log n)-round symmetry-breaking
+    * primitive (greedy MIS is inherently sequential; Luby rounds are
+    * bulk-parallel): each round every still-active node draws a
+    * priority, joins the MIS if it strictly beats every active
+    * neighbor, and winners plus their neighborhoods retire. Priorities
+    * are DETERMINISTIC — π(v, r) = ((v mod P)·2654435761 + r·40503)
+    * mod P with P = 1 000 000 007, tie-broken by node id — plain 62-bit
+    * BIGINT arithmetic any engine reproduces exactly, so the emitted
+    * set is replayable round-for-round (the fixed-seed discipline every
+    * sampling op in this repo follows). Isolated-in-the-active-graph
+    * nodes beat an empty neighborhood and join that round.
+    *
+    * Scale shape: per round, one keyed neighbor-min over the active
+    * symmetrized edges and two semi/anti joins to retire winners and
+    * their neighbors — all keyed on node, frames only shrink, each
+    * round's survivor frame localCheckpoint'ed and the predecessor
+    * freed (the CC loop discipline). Expected rounds O(log n);
+    * `maxRounds` throws rather than returning a non-maximal set.
+    * Returns (node, in_mis, round) — `round` = when the node's fate was
+    * decided. */
+  def lubyMis(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val P = 1000000007L
+    def pri(v: Column, r: Int): Column =
+      ((v % P) * 2654435761L + lit(r.toLong) * 40503L) % P
+    val canon = edges.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var (e, eIds) = checkpointRound(canon)
+    var active = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+    var aIds = Set.empty[Int]
+    var decided: DataFrame = null
+    var dIds = Set.empty[Int]
+    var r = 0
+    var nActive = active.count()
+    while (nActive > 0) {
+      if (r >= maxRounds)
+        throw new IllegalStateException(
+          s"lubyMis did not converge within $maxRounds rounds")
+      val sym = e.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("w")))
+      // strict total order on (π, id): v wins iff its pair precedes the
+      // min over active neighbors' pairs (nodes with no active neighbor
+      // see NULL and win)
+      val nbrMin = sym
+        .groupBy(col("u"))
+        .agg(min(struct(pri(col("w"), r).as("p"), col("w").as("v")))
+          .as("__nm"))
+      val wins = active.join(nbrMin, col("node") === col("u"), "left")
+        .filter(col("__nm").isNull ||
+          struct(pri(col("node"), r).as("p"), col("node").as("v")) < col("__nm"))
+        .select(col("node"))
+      val retired = wins.unionAll(
+          sym.join(wins.select(col("node").as("u")), Seq("u"), "left_semi")
+            .select(col("w").as("node")))
+        .distinct()
+      val roundOut = retired.join(wins.withColumn("__w", lit(true)),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__w"), lit(false)).as("in_mis"),
+          lit(r).as("round"))
+      val merged = if (decided == null) roundOut
+        else decided.unionAll(roundOut)
+      val nextActive = active.join(retired, Seq("node"), "left_anti")
+      val nextE = e
+        .join(nextActive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(nextActive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      // checkpoint every successor BEFORE freeing the round's blocks:
+      // nextActive and merged still read the old edge frame via retired
+      val (e2, e2Ids) = checkpointRound(nextE)
+      val (a2, a2Ids) = checkpointRound(nextActive)
+      val (d2, d2Ids) = checkpointRound(merged)
+      freeRound(e2, eIds); freeRound(a2, aIds); freeRound(d2, dIds)
+      e = e2; eIds = e2Ids
+      active = a2; aIds = a2Ids
+      decided = d2; dIds = d2Ids
+      nActive = active.count()
+      r += 1
+    }
+    freeRound(e, eIds); freeRound(active, aIds)
+    if (decided == null)
+      canon.select(col("a").as("node"), lit(false).as("in_mis"),
+        lit(0).as("round")).limit(0)
+    else decided
+  }
+
   /** Bipartiteness check + 2-coloring via the bipartite double cover —
     * the classic reduction that turns odd-cycle detection into TWO
     * connected-components runs (so it converges in the same

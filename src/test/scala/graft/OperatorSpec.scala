@@ -2076,6 +2076,35 @@ class OperatorSpec extends SparkSuite {
     assert(after <= before + 2, s"leaked checkpoint blocks: $before -> $after")
   }
 
+  test("luby MIS: independent, maximal, and covers every node on random graphs") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(80)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keySet
+      val got = Graph.lubyMis(edges.toDF("a", "b"))
+        .as[(Long, Boolean, Int)].collect()
+      assert(got.map(_._1).toSet == nodes, "every edge-touched node decided")
+      assert(got.length == nodes.size, "exactly once")
+      val mis = got.filter(_._2).map(_._1).toSet
+      // independence: no edge inside the set
+      edges.foreach { case (a, b) =>
+        assert(!(mis(a) && mis(b)), s"edge $a-$b inside MIS") }
+      // maximality: every excluded node sees a MIS neighbor
+      (nodes -- mis).foreach { v =>
+        assert(adj(v).exists(mis), s"node $v has no MIS neighbor") }
+      // a node's decision round never precedes its own retirement logic:
+      // winners and their neighbors share the winner's round
+      val roundOf = got.map(r => r._1 -> r._3).toMap
+      got.filter(!_._2).foreach { case (v, _, rd) =>
+        assert(adj(v).exists(u => mis(u) && roundOf(u) == rd),
+          s"node $v retired in round $rd without a round-$rd MIS neighbor")
+      }
+    }
+  }
+
   test("bipartite double cover: odd cycle flagged, even cycle and tree 2-colored from the min anchor") {
     // Three planted components: a triangle (odd cycle → NOT bipartite,
     // NULL colors), a 4-cycle (bipartite: 10-11-12-13-10 alternates
