@@ -2400,6 +2400,17 @@ object SparkEntry {
       Multimodal.mediaMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
         .select(col("media_id"), col("mime"), col("n_bytes"), col("content_md5"))),
 
+    // Perceptual-hash duplicate grouping: stride-sampled 8×8 grid (the
+    // decode stub), REAL 4×4 low-frequency DCT-II with literal weights,
+    // 8th-smallest threshold, 15-bit hash, keyed group-back. ASCII
+    // payloads only (byte positions must equal char positions).
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.phashGroups(Multimodal.asMedia(
+        t(s, dir, "documents").filter(
+          octet_length(col("text")) === length(col("text")) &&
+            octet_length(col("text")) > 0),
+        "doc_id", "text"))),
+
     // WebDataset-style shard layout (4 KiB shards over the fake media
     // payloads): every object's (shard, offset) via the two-level
     // distributed prefix sum — no corpus-wide single-task window.
@@ -4163,6 +4174,44 @@ object SparkEntry {
        |SELECT user_id, ts, event_id, value,
        |       round(($num) / ($den), 6) AS ewma
        |FROM w""".stripMargin
+  }
+
+  /** pHash oracle: the identical stride-sampled grid, the identical DCT
+    * as Σ pixel · literal (the SAME doubles Multimodal.phashDctWeights
+    * computed, as exact decimal expansions — no libm on either engine),
+    * the 8th-smallest threshold via list_sort, integer hash assembly,
+    * and the grouping replayed. */
+  private def phashOracleSql(): String = {
+    val w = graft.ops.Multimodal.phashDctWeights()
+    def lit(d: Double) = new java.math.BigDecimal(d).toPlainString
+    val px = (0 until 64).map(i =>
+      s"CAST(ord(substr(text, 1 + ($i * n) // 64, 1)) AS BIGINT) AS p$i")
+      .mkString(",\n         ")
+    val fs = (0 until 16).map { k =>
+      (0 until 64).map(i => s"p$i * ${lit(w(k)(i))}").mkString(" + ") +
+        s" AS f$k"
+    }.mkString(",\n         ")
+    val sorted = (1 until 16).map(k => s"round(f$k, 6)").mkString("[", ", ", "]")
+    val bits = (1 until 16).map(k =>
+      s"CASE WHEN round(f$k, 6) > med THEN ${1L << (k - 1)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH m AS (SELECT doc_id AS media_id, text, strlen(text) AS n
+       |           FROM documents
+       |           WHERE strlen(text) = length(text)
+       |             AND strlen(text) > 0),
+       |g AS (SELECT media_id,
+       |         $px
+       |      FROM m),
+       |f AS (SELECT media_id,
+       |         $fs
+       |      FROM g),
+       |h AS (SELECT *, list_sort($sorted)[8] AS med FROM f),
+       |ph AS (SELECT media_id, f0 AS dc,
+       |         CAST($bits AS BIGINT) AS phash FROM h),
+       |gr AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_same,
+       |         min(media_id) AS keeper_id FROM ph GROUP BY phash)
+       |SELECT ph.media_id, ph.phash, ph.dc, gr.n_same, gr.keeper_id
+       |FROM ph JOIN gr USING (phash)""".stripMargin
   }
 
   /** Unrolled Luby-MIS oracle: `rounds` blocks of (winner = beats every
@@ -8562,6 +8611,10 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    // pHash replayed: identical grid, identical literal-weight DCT,
+    // identical threshold and hash assembly (generator above).
+    "mm_phash" -> phashOracleSql(),
 
     // The same layout replayed with ONE global ordered window (the oracle
     // can afford the single-task shape the engine avoids).

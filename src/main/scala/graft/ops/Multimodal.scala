@@ -372,4 +372,73 @@ object Multimodal {
         (col("pos") % cols).cast("long").as("patch_col"),
         col("col").as("patch_bytes"))
   }
+
+  /** The exact DCT-II weight grid [[phashGroups]] multiplies with —
+    * w(u,v,x,y) = c(u)c(v)/4 · cos(π(2x+1)u/16) · cos(π(2y+1)v/16),
+    * c(0) = 1/√2 — computed ONCE here so the oracle builder embeds the
+    * identical doubles (as exact decimal expansions) and neither engine
+    * ever calls libm cos at query time. */
+  def phashDctWeights(): IndexedSeq[IndexedSeq[Double]] = {
+    def c(k: Int) = if (k == 0) 1.0 / math.sqrt(2.0) else 1.0
+    for (u <- 0 until 4; v <- 0 until 4) yield {
+      for (x <- 0 until 8; y <- 0 until 8) yield
+        c(u) * c(v) / 4.0 *
+          math.cos(math.Pi * (2 * x + 1) * u / 16.0) *
+          math.cos(math.Pi * (2 * y + 1) * v / 16.0)
+    }
+  }.toIndexedSeq
+
+  /** Perceptual-hash duplicate grouping — the pHash pipeline (DCT of a
+    * downsampled luma grid, bits = low-frequency coefficients vs their
+    * median; Zauner 2010 documents the scheme) with the DECODE step
+    * stubbed like [[decodeStub]]: no codecs ship in this sandbox, so
+    * the 8×8 "luma" grid samples the raw payload at 64 stride
+    * positions (pixel(x,y) = byte at 1 + (i·n)÷64, i = 8x+y) — the
+    * DCT, median threshold, hash assembly, and duplicate grouping are
+    * the real algorithm on real columns and swap in unchanged over a
+    * true decoder.
+    *
+    * Everything is engine-exact: pixels are integer byte values, the
+    * 16 low-frequency DCT coefficients are Σ pixel · weight with the
+    * weights embedded as literal doubles ([[phashDctWeights]] — no
+    * libm at query time) folded in the same (x,y) order on both
+    * engines, the threshold is the exact 8th-smallest of the 15 non-DC
+    * coefficients (an odd count — no averaging), and the 15-bit hash
+    * is integer arithmetic. Grouping is one map-side-combinable
+    * aggregate on the hash joined back (keyed, hash-sized). Payloads
+    * must be single-byte text (the [[decodeStub]] ASCII filter) so
+    * character and byte positions agree with the oracle's substr.
+    * Returns (media_id, phash, dc, n_same, keeper_id). */
+  def phashGroups(media: DataFrame): DataFrame = {
+    val w = phashDctWeights()
+    val px = (0 until 64).map(i => ascii(expr(
+      s"substr(CAST(media AS STRING), 1 + ($i * n_bytes) div 64, 1)"))
+      .cast("long").as(s"__p$i"))
+    val grid = media.filter(col("n_bytes") > 0)
+      .select(Seq(col("media_id")) ++ px: _*)
+    val coeffs = (0 until 16).map { k =>
+      (0 until 64).map(i => col(s"__p$i") * lit(w(k)(i))).reduce(_ + _)
+        .as(s"__f$k")
+    }
+    val withF = grid.select(Seq(col("media_id")) ++ coeffs: _*)
+    // Threshold on 6-decimal-quantized coefficients: the weight-literal
+    // sums carry ±1e-14 folding residue (a CONSTANT grid's non-DC
+    // coefficients are 0 in exact math but dust in IEEE), and a
+    // perceptual bit must never flip on dust — quantized, the constant
+    // grid hashes to exactly 0 and every bit is decided by pixel-scale
+    // structure only.
+    def q(k: Int): Column = round(col(s"__f$k"), 6)
+    val med = element_at(
+      array_sort(array((1 until 16).map(q): _*)), 8)
+    val phash = (1 until 16).map(k =>
+      when(q(k) > col("__med"), lit(1L << (k - 1)))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val hashed = withF.withColumn("__med", med)
+      .select(col("media_id"), phash.as("phash"), col("__f0").as("dc"))
+    val groups = hashed.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_same"), min(col("media_id")).as("keeper_id"))
+    hashed.join(groups, Seq("phash"))
+      .select(col("media_id"), col("phash"), col("dc"), col("n_same"),
+        col("keeper_id"))
+  }
 }

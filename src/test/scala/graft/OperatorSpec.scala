@@ -2076,6 +2076,38 @@ class OperatorSpec extends SparkSuite {
     assert(after <= before + 2, s"leaked checkpoint blocks: $before -> $after")
   }
 
+  test("phash: exact copies group; off-stride edits don't move the hash; constant grid hashes 0") {
+    // n = 128 bytes → the 64 sampled positions are 1 + 2i (odd
+    // positions); editing an EVEN position changes bytes the grid never
+    // sees, so the perceptual hash must not move. doc 4 is a constant
+    // payload: every pixel equal → all non-DC DCT coefficients are
+    // exactly 0, no coefficient exceeds the 0 median, hash = 0.
+    val base = (0 until 128).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val offStride = base.updated(1, 'Z').toString // position 2 (1-based)
+    val different = (0 until 128).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, offStride),
+      (4L, "x" * 128), (5L, different),
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Multimodal.phashGroups(
+        graft.ops.Multimodal.asMedia(docs, "doc_id", "text"))
+      .as[(Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+    assert(got.size == 5)
+    val (h1, n1, k1) = got(1L)
+    assert(got(2L) == ((h1, n1, k1)), "exact copy shares hash and group")
+    assert(got(3L)._1 == h1, "off-stride edit must not move the hash")
+    assert(n1 == 3L && k1 == 1L, s"group of 1,2,3 keeps min id: ${got(1L)}")
+    assert(got(4L)._1 == 0L, s"constant grid must hash to 0: ${got(4L)}")
+    assert(got(5L)._1 != h1, "different content should differ")
+    // dc of the constant payload is closed-form: w(0,0,x,y) = 1/8 for
+    // every cell, so dc = 64 · ascii('x') / 8 = 64 · 120 / 8 = 960
+    val dc4 = graft.ops.Multimodal.phashGroups(
+        graft.ops.Multimodal.asMedia(docs.filter($"doc_id" === 4), "doc_id", "text"))
+      .select($"dc").as[Double].head()
+    assert(math.abs(dc4 - 960.0) < 1e-9, s"dc $dc4")
+  }
+
   test("luby MIS: independent, maximal, and covers every node on random graphs") {
     val rnd = new scala.util.Random(11)
     (1 to 3).foreach { _ =>
