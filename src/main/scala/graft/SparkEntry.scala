@@ -2748,6 +2748,14 @@ object SparkEntry {
       TimeSeries.holt(t(s, dir, "events"), keyCol = "event_type",
         tsCol = "ts", bucketSec = 3600L, alpha = 0.5, beta = 0.25)),
 
+    // Rolling-origin one-step backtest: Holt's contract forecasts vs
+    // the seasonal-naive baseline, per-key MAEs + winner flag — the
+    // model-trust gate run before a forecaster ships.
+    "ts_forecast_backtest" -> ((s, dir) =>
+      TimeSeries.holtBacktest(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, alpha = 0.5, beta = 0.25,
+        period = 24)),
+
     // Banded matrix profile over hourly counts: each window's best match
     // within ±48 positions (exclusion 4) by exact-integer Pearson corr
     // — motif/novelty detection. One keyed equi-join on exploded
@@ -4969,6 +4977,41 @@ object SparkEntry {
     // join band, identical single-sqrt correlation tree (generator above).
     "ts_matrix_profile" -> matrixProfileOracleSql(w = 16, excl = 4,
       band = 48),
+
+    // Backtest replayed over the same recursive Holt CTE: the previous
+    // row's rounded contract forecast and the position-24 naive lag,
+    // exact-integer naive error sum, rounded Holt error sum.
+    "ts_forecast_backtest" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, bucket, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |       FROM c),
+        |rec AS (
+        |  SELECT event_type, bucket, n, rn,
+        |         CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.event_type, rk.bucket, rk.n, rk.rn,
+        |         0.5 * rk.n + 0.5 * (rec.l + rec.b),
+        |         0.25 * ((0.5 * rk.n + 0.5 * (rec.l + rec.b)) - rec.l)
+        |           + 0.75 * rec.b
+        |  FROM rec JOIN rk ON rk.event_type = rec.event_type
+        |                  AND rk.rn = rec.rn + 1),
+        |fc AS (SELECT event_type, rn, round(l + b, 6) + 0 AS f FROM rec),
+        |ev AS (SELECT rk.event_type, rk.n, fc.f AS fh, p.n AS fn
+        |       FROM rk
+        |       JOIN fc ON fc.event_type = rk.event_type AND fc.rn = rk.rn - 1
+        |       JOIN rk p ON p.event_type = rk.event_type AND p.rn = rk.rn - 24)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+        |       round(sum(abs(n - fh)) / count(*), 6) AS mae_holt,
+        |       round(CAST(sum(abs(n - fn)) AS BIGINT) / count(*), 6) AS mae_naive,
+        |       round(sum(abs(n - fh)) / count(*), 6) <
+        |         round(CAST(sum(abs(n - fn)) AS BIGINT) / count(*), 6)
+        |         AS holt_wins
+        |FROM ev GROUP BY event_type""".stripMargin,
 
     // Merged distinct-value CDF steps, integer cross-products, one
     // division and one critical-value comparison.

@@ -487,6 +487,39 @@ object TimeSeries {
         (lit(2.0 * w) * (lit(1.0) - col("__m.__r"))).as("dist2"))
   }
 
+  /** Rolling-origin one-step backtest of [[holt]] against the seasonal-
+    * naive baseline — the evaluation loop a forecaster actually runs
+    * before trusting a model: at every observed bucket, the Holt
+    * forecast MADE AT THE PREVIOUS bucket (forecast_next, the op's
+    * contract output — rounded, as consumers receive it) and the
+    * seasonal-naive forecast (the count `period` positions earlier,
+    * the [[acfBuckets]] position convention) are scored against the
+    * actual; per key the MAEs meet in a winner flag. Rows are evaluable
+    * once both forecasts exist (position > period).
+    *
+    * Scale shape: rides [[holt]]'s collapsed frame — two window lags
+    * and one keyed aggregate on (key, bucket) rows, nothing
+    * corpus-sized past the collapse. Naive errors are exact integers;
+    * Holt's error sum is accumulated doubles → round(…,6) on both
+    * sides (the suite's accumulation convention). */
+  def holtBacktest(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, alpha: Double, beta: Double,
+      period: Int = 24): DataFrame = {
+    val h = holt(df, keyCol, tsCol, bucketSec, alpha, beta)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val ev = h.select(col(keyCol), col("bucket"), col("n"),
+        lag(col("forecast_next"), 1).over(byKey).as("__fh"),
+        lag(col("n"), period).over(byKey).as("__fn"))
+      .filter(col("__fh").isNotNull && col("__fn").isNotNull)
+    ev.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_evals"),
+        round(sum(abs(col("n").cast("double") - col("__fh"))) /
+          count(lit(1)), 6).as("mae_holt"),
+        round(sum(abs(col("n") - col("__fn"))).cast("double") /
+          count(lit(1)), 6).as("mae_naive"))
+      .withColumn("holt_wins", col("mae_holt") < col("mae_naive"))
+  }
+
   def levelShift(df: DataFrame, keyCol: String, tsCol: String,
       bucketSec: Long, w: Int, threshold: Double): DataFrame = {
     require(w >= 1, "w >= 1")

@@ -2977,6 +2977,31 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("backtest: trend series hands the win to holt, pure seasonality to naive") {
+    // key "t": linear trend (count = hr+1) — seasonal-naive always lags
+    // by the 24-bucket slope (error 24 every eval) while holt tracks
+    // the trend; key "s": an exact period-24 pattern — naive is perfect
+    // (error 0), holt pays for chasing the oscillation.
+    val pattern = (0 until 24).map(h => 1 + (h * 5) % 9)
+    val rows = (0 until 60).flatMap { hr =>
+      Seq.fill(hr + 1)(("t", hr)) ++ Seq.fill(pattern(hr % 24))(("s", hr))
+    }.map { case (k, hr) => (k, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:45:00Z")
+        .plusSeconds(3600L * hr)))
+    }
+    val got = graft.ops.TimeSeries.holtBacktest(
+        rows.toDF("event_type", "ts"), "event_type", "ts", 3600L,
+        alpha = 0.5, beta = 0.25, period = 24)
+      .as[(String, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("t")._2 == 36L && got("s")._2 == 36L, s"evals ${got.values}")
+    assert(got("t")._5, s"trend key should favor holt: ${got("t")}")
+    assert(got("t")._4 == 24.0, s"naive MAE on slope-1 trend is exactly 24")
+    assert(!got("s")._5 && got("s")._4 == 0.0,
+      s"seasonal key should favor naive exactly: ${got("s")}")
+    assert(got("s")._3 > 0.0, "holt pays a positive MAE chasing the pattern")
+  }
+
   test("holt: doubling scan equals the sequential recurrence, every key length") {
     // Key lengths 1, 2, 9 exercise every doubling-round edge: no rounds,
     // one partial round, and prefixes that straddle 2^r boundaries. The
