@@ -68,7 +68,15 @@ object Explain {
     } else {
       sb.append(s"\n(scale-audit section skipped: no sf0.1 sibling of $sfDir)\n")
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    // Plans can embed raw control bytes in expression literals (the ustar
+    // NUL padding in mm_tar_shards' concat tree turned the whole file
+    // "binary" for grep/diff); render them as escapes so the artifact
+    // stays a text file.
+    val text = sb.toString.map {
+      case c if c == '\n' || c == '\t' || c >= ' ' => c.toString
+      case c => f"\\x${c.toInt}%02x"
+    }.mkString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), text)
     println(s"wrote $out")
     spark.stop()
   }

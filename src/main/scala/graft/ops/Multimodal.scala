@@ -435,6 +435,10 @@ object Multimodal {
         .otherwise(lit(0L))).reduce(_ + _)
     val hashed = withF.withColumn("__med", med)
       .select(col("media_id"), phash.as("phash"), col("__f0").as("dc"))
+      // materialize: the frame feeds both the group aggregate and the
+      // join back — without this the payload scan + 16 DCT sums run
+      // twice (plan audit: 4 scans)
+      .localCheckpoint()
     val groups = hashed.groupBy(col("phash"))
       .agg(count(lit(1)).as("n_same"), min(col("media_id")).as("keeper_id"))
     hashed.join(groups, Seq("phash"))

@@ -455,6 +455,10 @@ object TimeSeries {
         array((0 until w).map(t => col(s"__x$t")): _*).as("__xs"))
       .withColumn("__den", lit(w.toLong) * col("__q") - col("__s") * col("__s"))
       .filter(col("__den") > 0)
+      // materialize once: the frame is read three times (pair left, pair
+      // right, and the mirrored union re-executes the join otherwise —
+      // the plan audit showed 8 parquet scans without this)
+      .localCheckpoint()
     val offsets = explode(sequence(lit(excl), lit(band))).as("__d")
     val left = wnd.select(col(keyCol), col("bucket"), col("__pos"),
       col("__s"), col("__den"), col("__xs"))
@@ -475,7 +479,11 @@ object TimeSeries {
         col("__pos") + col("__d") === col("__p2"))
       .select(col(keyCol), col("bucket"), col("__pos"), col("__b2"),
         col("__p2"), corr.as("__r"))
-    val both = pairs.unionAll(pairs.select(col(keyCol),
+    // pair sims computed ONCE (each undirected pair feeds both
+    // endpoints' minima); without the checkpoint the mirrored branch
+    // re-executes the band join
+    val pinned = pairs.localCheckpoint()
+    val both = pinned.unionAll(pinned.select(col(keyCol),
       col("__b2").as("bucket"), col("__p2").as("__pos"),
       col("bucket").as("__b2"), col("__pos").as("__p2"), col("__r")))
     both.groupBy(col(keyCol), col("bucket"))
