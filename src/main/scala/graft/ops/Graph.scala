@@ -934,18 +934,35 @@ object Graph {
     * stay below 2⁶²; ANSI mode makes an overflow loud.
     * Returns (node, component, color ∈ {0,1} or NULL, is_bipartite). */
   def bipartiteColor(edges: DataFrame, maxRounds: Int = 24): DataFrame = {
-    val cc = ccTwoStarsNodes(edges, maxRounds)
+    // ONE closure over the disjoint union of the original graph and its
+    // double cover, id-encoded into disjoint spaces (original v → 4v+2,
+    // cover (v, parity) → 4v+parity): the two component structures never
+    // touch, so one two-star fixpoint computes both label maps while
+    // paying the log-round scaffolding once instead of twice (measured
+    // 9.3 s as two sequential closures at sf0.1). The min-label
+    // arguments survive the encoding: an original component with min c
+    // labels 4c+2 (its ids are exactly {4v+2}); the cover component
+    // containing (c, 0) labels 4c (every other member 4v+p ≥ 4(c+1) >
+    // 4c), and its partner — when bipartite — labels 4c+1 (members are
+    // 4v+1 with v > c, all > 4c+1).
     val e = edges.filter(col("a") =!= col("b"))
-    val dbl = e.select((col("a") * 2).as("a"), (col("b") * 2 + 1).as("b"))
-      .unionAll(e.select((col("a") * 2 + 1).as("a"), (col("b") * 2).as("b")))
-    val cover = ccTwoStarsNodes(dbl, maxRounds)
-    val l0 = cover.select(col("node").as("__n0"), col("lbl").as("__l0"))
-    val l1 = cover.select(col("node").as("__n1"), col("lbl").as("__l1"))
-    cc.join(l0, cc("node") * 2 === col("__n0"))
-      .join(l1, cc("node") * 2 + 1 === col("__n1"))
-      .select(col("node"), col("lbl").as("component"),
+    val union = e.select((col("a") * 4 + 2).as("a"), (col("b") * 4 + 2).as("b"))
+      .unionAll(e.select((col("a") * 4).as("a"), (col("b") * 4 + 1).as("b")))
+      .unionAll(e.select((col("a") * 4 + 1).as("a"), (col("b") * 4).as("b")))
+    val lbls = ccTwoStarsNodes(union, maxRounds)
+    val cc = lbls.filter(col("node") % 4 === 2)
+      .select(((col("node") - 2) / 4).cast("long").as("node"),
+        ((col("lbl") - 2) / 4).cast("long").as("component"))
+    val l0 = lbls.filter(col("node") % 4 === 0)
+      .select((col("node") / 4).cast("long").as("__v0"), col("lbl").as("__l0"))
+    val l1 = lbls.filter(col("node") % 4 === 1)
+      .select(((col("node") - 1) / 4).cast("long").as("__v1"),
+        col("lbl").as("__l1"))
+    cc.join(l0, col("node") === col("__v0"))
+      .join(l1, col("node") === col("__v1"))
+      .select(col("node"), col("component"),
         when(col("__l0") =!= col("__l1"),
-          when(col("__l0") === col("lbl") * 2, 0).otherwise(1))
+          when(col("__l0") === col("component") * 4, 0).otherwise(1))
           .as("color"),
         (col("__l0") =!= col("__l1")).as("is_bipartite"))
   }
