@@ -758,6 +758,30 @@ object SparkEntry {
     // versions (the rel_table_diff fixtures) and full-outer-joined on
     // bucket; a bucket re-syncs iff its checksum or row count moved.
     // Only 2·nBuckets digest rows cross the wire — never the tables.
+    // Incremental aggregate maintenance: the stored base state plus a
+    // signed CDC delta (inserts +1, retractions −1) merged by plain
+    // addition — the fact table is never rescanned — and gated EQUAL to
+    // the oracle's from-scratch recompute of the post-delta table.
+    // base = 95% of lineitem; inserts = the other 5%; deletes = the
+    // base rows with l_orderkey % 17 == 0.
+    "rel_incremental_agg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_linestatus"), col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val base = li.filter(col("l_orderkey") % 20 =!= 0)
+      val inserts = li.filter(col("l_orderkey") % 20 === 0)
+      val deletes = base.filter(col("l_orderkey") % 17 === 0)
+      Profile.mergeAggStates(Seq(
+          Profile.signedAggState(base, keys, col("cents"), 1),
+          Profile.signedAggState(inserts, keys, col("cents"), 1),
+          Profile.signedAggState(deletes, keys, col("cents"), -1)), keys)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          col("sum_v").as("sum_cents"),
+          round(col("sum_v").cast("double") / col("n_rows"), 6)
+            .as("avg_cents"))
+    },
+
     "rel_incremental_detect" -> { (s, dir) =>
       val o = t(s, dir, "orders")
       def digest(v: DataFrame, side: String) = v
@@ -5998,6 +6022,21 @@ object SparkEntry {
     "sample_exact_k" ->
       """SELECT doc_id FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""".stripMargin,
+
+    // The STRONG gate for view maintenance: the oracle recomputes the
+    // post-delta table from scratch — the incremental signed-state merge
+    // must land on the identical aggregate.
+    "rel_incremental_agg" ->
+      """WITH cur AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE NOT (l_orderkey % 20 <> 0 AND l_orderkey % 17 = 0))
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       round(CAST(sum(cents) AS BIGINT) / count(*), 6) AS avg_cents
+        |FROM cur GROUP BY 1, 2""".stripMargin,
 
     "rel_incremental_detect" ->
       """WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),

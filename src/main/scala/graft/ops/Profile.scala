@@ -677,4 +677,31 @@ object Profile {
       .select(cols.map(col): _*)
     kept.unionByName(log.filter(col(versionCol) > horizon).select(cols.map(col): _*))
   }
+
+  /** Signed additive aggregate state — the incremental-view-maintenance
+    * primitive: count/sum per group carry a ±1 sign, so a DELETE is the
+    * insert's exact inverse and states MERGE by plain addition (the same
+    * algebra the quantile sketches ride). `sign` is +1 for base rows and
+    * inserts, −1 for retracted rows. Integer-exact: callers pass an
+    * already-integer value column (the cents discipline). */
+  def signedAggState(df: DataFrame, keys: Seq[String], valueCol: Column,
+      sign: Int): DataFrame = {
+    require(sign == 1 || sign == -1, "sign is +1 or -1")
+    df.groupBy(keys.map(col): _*)
+      .agg((count(lit(1)) * sign).as("n_rows"),
+        (sum(valueCol) * sign).as("sum_v"))
+  }
+
+  /** Merge signed states by ADDITION (union + re-aggregate — one keyed
+    * map-side-combinable shuffle over |groups|-sized frames, never the
+    * fact table), dropping groups whose row count nets to zero. At
+    * 100 TB the base state is a stored table of |groups| rows and only
+    * the DELTA is scanned — that is the entire point: the merged result
+    * must equal (and is gated against) a full recompute. */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"))
+      .filter(col("n_rows") > 0)
+  }
 }

@@ -2108,6 +2108,35 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(dc4 - 960.0) < 1e-9, s"dc $dc4")
   }
 
+  test("incremental agg: signed-state merge equals full recompute; zero groups vanish") {
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val rows = Seq.tabulate(300)(i =>
+        (i.toLong, s"g${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+      val df = rows.toDF("id", "k", "v")
+      val base = df.filter($"id" % 3 =!= 0)
+      val inserts = df.filter($"id" % 3 === 0)
+      val deletes = base.filter($"id" % 7 === 0)
+      val merged = graft.ops.Profile.mergeAggStates(Seq(
+          graft.ops.Profile.signedAggState(base, Seq("k"), $"v", 1),
+          graft.ops.Profile.signedAggState(inserts, Seq("k"), $"v", 1),
+          graft.ops.Profile.signedAggState(deletes, Seq("k"), $"v", -1)),
+          Seq("k"))
+        .as[(String, Long, Long)].collect().toSet
+      val net = rows.filterNot { case (id, _, _) => id % 3 != 0 && id % 7 == 0 }
+      val want = net.groupBy(_._2).map { case (k, rs) =>
+        (k, rs.size.toLong, rs.map(_._3).sum) }.toSet
+      assert(merged == want, s"missing=${want -- merged} extra=${merged -- want}")
+    }
+    // a group retracted to zero rows must VANISH, not linger at n=0
+    val one = Seq((1L, "solo", 5L)).toDF("id", "k", "v")
+    val gone = graft.ops.Profile.mergeAggStates(Seq(
+        graft.ops.Profile.signedAggState(one, Seq("k"), $"v", 1),
+        graft.ops.Profile.signedAggState(one, Seq("k"), $"v", -1)), Seq("k"))
+      .count()
+    assert(gone == 0L)
+  }
+
   test("luby MIS: independent, maximal, and covers every node on random graphs") {
     val rnd = new scala.util.Random(11)
     (1 to 3).foreach { _ =>
