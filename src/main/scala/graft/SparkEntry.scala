@@ -782,6 +782,38 @@ object SparkEntry {
             .as("avg_cents"))
     },
 
+    // Incremental maintenance of a JOIN view — the delta-join identity:
+    // with A_new = A ⊕ ΔA and B_new = B ⊕ ΔB,
+    //   V_new = V_old ⊕ agg(ΔA ⋈ B_old) ⊕ agg(A_new ⋈ ΔB)
+    // (the ΔA⋈ΔB cross term rides inside the second term). ΔA carries
+    // signs (order inserts +1, retractions −1); customers gain rows
+    // only. Neither fact table is rescanned beyond V_old's one-time
+    // state; the gate is the oracle's from-scratch recompute of
+    // A_new ⋈ B_new.
+    "rel_mv_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val keys = Seq("c_nationkey")
+      val aOld = o.filter(col("o_orderkey") % 10 =!= 0)
+      val aIns = o.filter(col("o_orderkey") % 10 === 0)
+      val aDel = aOld.filter(col("o_orderkey") % 13 === 0)
+      val aNew = o.filter(col("o_orderkey") % 10 === 0 ||
+        col("o_orderkey") % 13 =!= 0)
+      val bOld = c.filter(col("c_custkey") % 8 =!= 0)
+      val bIns = c.filter(col("c_custkey") % 8 === 0)
+      def j(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.join(b, col("o_custkey") === col("c_custkey"))
+      Profile.mergeAggStates(Seq(
+          Profile.signedAggState(j(aOld, bOld), keys, col("cents"), 1),
+          Profile.signedAggState(j(aIns, bOld), keys, col("cents"), 1),
+          Profile.signedAggState(j(aDel, bOld), keys, col("cents"), -1),
+          Profile.signedAggState(j(aNew, bIns), keys, col("cents"), 1)), keys)
+        .select(col("c_nationkey"), col("n_rows"),
+          col("sum_v").as("sum_cents"))
+    },
+
     "rel_incremental_detect" -> { (s, dir) =>
       val o = t(s, dir, "orders")
       def digest(v: DataFrame, side: String) = v
@@ -6037,6 +6069,19 @@ object SparkEntry {
         |       CAST(sum(cents) AS BIGINT) AS sum_cents,
         |       round(CAST(sum(cents) AS BIGINT) / count(*), 6) AS avg_cents
         |FROM cur GROUP BY 1, 2""".stripMargin,
+
+    // From-scratch recompute of the post-delta join view — the strong
+    // gate for the delta-join identity.
+    "rel_mv_join" ->
+      """WITH an AS (SELECT o_custkey,
+        |              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |            FROM orders
+        |            WHERE o_orderkey % 10 = 0 OR o_orderkey % 13 <> 0),
+        |bn AS (SELECT c_custkey, c_nationkey FROM customer)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM an JOIN bn ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     "rel_incremental_detect" ->
       """WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),

@@ -2137,6 +2137,39 @@ class OperatorSpec extends SparkSuite {
     assert(gone == 0L)
   }
 
+  test("delta-join identity: V_old + dA*B_old + A_new*dB equals the recomputed join view") {
+    val rnd = new scala.util.Random(17)
+    (1 to 3).foreach { _ =>
+      val facts = Seq.tabulate(200)(i =>
+        (i.toLong, rnd.nextInt(30).toLong, rnd.nextInt(500).toLong))
+      val dims = Seq.tabulate(30)(r => (r.toLong, s"g${r % 4}"))
+      val a = facts.toDF("id", "ref", "v")
+      val b = dims.toDF("ref2", "g")
+      val aOld = a.filter($"id" % 4 =!= 0)
+      val aIns = a.filter($"id" % 4 === 0)
+      val aDel = aOld.filter($"id" % 9 === 0)
+      val aNew = a.filter($"id" % 4 === 0 || $"id" % 9 =!= 0)
+      val bOld = b.filter($"ref2" % 5 =!= 0)
+      val bIns = b.filter($"ref2" % 5 === 0)
+      def j(x: org.apache.spark.sql.DataFrame,
+          y: org.apache.spark.sql.DataFrame) = x.join(y, $"ref" === $"ref2")
+      val merged = graft.ops.Profile.mergeAggStates(Seq(
+          graft.ops.Profile.signedAggState(j(aOld, bOld), Seq("g"), $"v", 1),
+          graft.ops.Profile.signedAggState(j(aIns, bOld), Seq("g"), $"v", 1),
+          graft.ops.Profile.signedAggState(j(aDel, bOld), Seq("g"), $"v", -1),
+          graft.ops.Profile.signedAggState(j(aNew, bIns), Seq("g"), $"v", 1)),
+          Seq("g"))
+        .as[(String, Long, Long)].collect().toSet
+      val dimMap = dims.toMap
+      val netFacts = facts.filterNot { case (id, _, _) => id % 4 != 0 && id % 9 == 0 }
+      val want = netFacts.flatMap { case (_, r, v) =>
+        dimMap.get(r).map(g => (g, v)) }
+        .groupBy(_._1).map { case (g, rs) =>
+          (g, rs.size.toLong, rs.map(_._2).sum) }.toSet
+      assert(merged == want, s"missing=${want -- merged} extra=${merged -- want}")
+    }
+  }
+
   test("luby MIS: independent, maximal, and covers every node on random graphs") {
     val rnd = new scala.util.Random(11)
     (1 to 3).foreach { _ =>

@@ -628,6 +628,47 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bipartite double cover agrees with brute-force BFS parity on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.listOfN(45, for {
+      a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
+    } yield (a, b))
+    samples(edgeGen, 3).foreach { es =>
+      val edges = es.distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // brute force: BFS 2-coloring per component from its min node;
+      // a conflict edge anywhere makes the whole component non-bipartite
+      val nodes = adj.keySet
+      var comp = Map.empty[Long, Long]; var color = Map.empty[Long, Int]
+      var bip = Map.empty[Long, Boolean]
+      nodes.toSeq.sorted.foreach { seed =>
+        if (!comp.contains(seed)) {
+          var frontier = Set(seed); var seen = Map(seed -> 0)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(v => adj(v).filterNot(seen.contains)
+              .map(_ -> (1 - seen(v)))).toMap match {
+              case m => m.foreach { case (v, c) => seen += v -> c }; m.keySet
+            }
+          }
+          val ok = seen.keys.forall(v => adj(v).forall(u => seen(u) != seen(v)))
+          seen.keys.foreach { v =>
+            comp += v -> seed; bip += v -> ok
+            if (ok) color += v -> seen(v)
+          }
+        }
+      }
+      val got = graft.ops.Graph.bipartiteColor(edges.toDF("a", "b"))
+        .as[(Long, Long, Option[Int], Boolean)].collect()
+      assert(got.map(_._1).toSet == nodes)
+      got.foreach { case (v, c, col_, isB) =>
+        assert(c == comp(v), s"node $v comp $c vs ${comp(v)}")
+        assert(isB == bip(v), s"node $v bip $isB vs ${bip(v)}")
+        assert(col_ == (if (bip(v)) Some(color(v)) else None),
+          s"node $v color $col_ vs ${if (bip(v)) Some(color(v)) else None}")
+      }
+    }
+  }
+
   test("MMR greedy invariant: every pick maximizes the penalized score over the remaining pool") {
     // Random small corpora; replay the greedy rule from the emitted
     // (sim, redundancy) columns plus an independently computed pair-sim
