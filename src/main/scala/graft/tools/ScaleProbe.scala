@@ -199,6 +199,37 @@ object ScaleProbe {
       graft.ops.Similarity.mmrRerank(emb, q, candK = 32, k = 8).count()
     }
     report("MMR re-rank (8 queries)")(mmr(embS()))(mmr(embB()))
+    report("bipartite (fused cover)")(
+      graft.ops.Graph.bipartiteColor(wedges(liS()).select(col("a"), col("b")))
+        .count())(
+      graft.ops.Graph.bipartiteColor(wedges(liB()).select(col("a"), col("b")))
+        .count())
+    report("Luby MIS")(
+      graft.ops.Graph.lubyMis(wedges(liS()).select(col("a"), col("b")))
+        .count())(
+      graft.ops.Graph.lubyMis(wedges(liB()).select(col("a"), col("b")))
+        .count())
+    def mp(ev: DataFrame): Long =
+      graft.ops.TimeSeries.matrixProfileBanded(
+        ev.withColumn("ts", col("ts").cast("timestamp")),
+        "event_type", "ts", 3600L, w = 16, excl = 4, band = 48).count()
+    report("matrix profile (banded)")(
+      mp(s.read.parquet(s"$sfDir/events.parquet")))(mp(s.read.parquet(ev10)))
+    def ivm(li: DataFrame): Long = {
+      val v = li.select(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val base = v.filter(col("l_orderkey") % 20 =!= 0)
+      graft.ops.Profile.mergeAggStates(Seq(
+        graft.ops.Profile.signedAggState(base, keys, col("cents"), 1),
+        graft.ops.Profile.signedAggState(
+          v.filter(col("l_orderkey") % 20 === 0), keys, col("cents"), 1),
+        graft.ops.Profile.signedAggState(
+          base.filter(col("l_orderkey") % 17 === 0), keys, col("cents"), -1)),
+        keys).count()
+    }
+    report("incremental agg (signed)")(ivm(liS()))(ivm(liB()))
     s.stop()
   }
 }
