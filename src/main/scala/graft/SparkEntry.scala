@@ -802,9 +802,11 @@ object SparkEntry {
         col("o_orderkey") % 13 =!= 0)
       val bOld = c.filter(col("c_custkey") % 8 =!= 0)
       val bIns = c.filter(col("c_custkey") % 8 === 0)
+      // customer is the dim side: broadcast it so each delta term is a
+      // map-side join + map-side-combined aggregate — no fact shuffle
       def j(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.join(b, col("o_custkey") === col("c_custkey"))
+        a.join(broadcast(b), col("o_custkey") === col("c_custkey"))
       Profile.mergeAggStates(Seq(
           Profile.signedAggState(j(aOld, bOld), keys, col("cents"), 1),
           Profile.signedAggState(j(aIns, bOld), keys, col("cents"), 1),
