@@ -669,6 +669,106 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("matrix profile replays an in-test brute force on random ragged multi-key series") {
+    // Random counts over ragged per-key grids; the banded profile must
+    // match a direct replay of the rule (exact integer stats, same
+    // single-sqrt correlation) for every emitted window.
+    val (w, excl, band) = (4, 2, 10)
+    val cellGen: Gen[List[(String, Int, Int)]] = Gen.listOfN(70, for {
+      key <- Gen.oneOf("a", "b")
+      hr <- Gen.choose(0, 29)
+      cnt <- Gen.choose(1, 7)
+    } yield (key, hr, cnt))
+    samples(cellGen, 3).foreach { cells =>
+      val byBucket = cells.groupBy(t => (t._1, t._2))
+        .view.mapValues(_.map(_._3).sum).toMap
+      val rows = byBucket.toSeq.flatMap { case ((k, hr), cnt) =>
+        Seq.fill(cnt)((k, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:20:00Z")
+            .plusSeconds(3600L * hr))))
+      }
+      val got = graft.ops.TimeSeries.matrixProfileBanded(
+          rows.toDF("event_type", "ts"), "event_type", "ts", 3600L,
+          w = w, excl = excl, band = band)
+        .select($"event_type", $"bucket", $"nn_bucket", $"best_corr")
+        .as[(String, Long, Long, Double)].collect()
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .getEpochSecond / 3600
+      val series = byBucket.keys.map(_._1).toSeq.distinct.sorted.map { k =>
+        k -> byBucket.collect { case ((`k`, hr), cnt) => (hr, cnt.toLong) }
+          .toSeq.sortBy(_._1)
+      }.toMap
+      def windows(k: String) = {
+        val xs = series(k).map(_._2)
+        (0 to xs.length - w).flatMap { p =>
+          val win = xs.slice(p, p + w)
+          val s = win.sum; val q = win.map(x => x * x).sum
+          val den = w * q - s * s
+          if (den > 0) Some((p, series(k)(p)._1.toLong + base, win, s, den))
+          else None
+        }
+      }
+      val want = series.keys.flatMap { k =>
+        val ws = windows(k)
+        ws.flatMap { case (p, bkt, win, s, den) =>
+          val cands = ws.filter { case (p2, _, _, _, _) =>
+            math.abs(p2 - p) >= excl && math.abs(p2 - p) <= band }
+            .map { case (p2, bkt2, win2, s2, den2) =>
+              val dot = win.zip(win2).map { case (x, y) => x * y }.sum
+              val r = (w * dot - s * s2).toDouble /
+                math.sqrt((den * den2).toDouble)
+              (p2, bkt2, r)
+            }
+          if (cands.isEmpty) None
+          else {
+            val best = cands.minBy { case (p2, _, r) => (-r, p2) }
+            Some((k, bkt) -> ((best._2, best._3)))
+          }
+        }
+      }.toMap
+      assert(got.length == want.size, s"${got.length} vs ${want.size}")
+      got.foreach { case (k, bkt, nb, r) =>
+        val (wb, wr) = want((k, bkt))
+        assert(nb == wb && math.abs(r - wr) < 1e-12,
+          s"($k,$bkt): got ($nb,$r) want ($wb,$wr)")
+      }
+    }
+  }
+
+  test("phash is invariant under edits the stride grid never samples") {
+    // For random lengths n > 64 the 64 sampled positions {1 + (i·n)÷64}
+    // leave unsampled bytes; editing ONLY those must keep the hash (and
+    // dc) bit-identical — the property that makes the stub decode an
+    // honest stand-in for pixel-space perceptual hashing.
+    val docGen: Gen[(Int, List[Int])] = for {
+      n <- Gen.choose(80, 260)
+      chars <- Gen.listOfN(n, Gen.choose(0, 25))
+    } yield (n, chars)
+    samples(Gen.listOfN(4, docGen), 2).foreach { docs =>
+      val originals = docs.zipWithIndex.map { case ((n, cs), i) =>
+        (i.toLong, cs.map(c => ('a' + c).toChar).mkString) }
+      val mutated = originals.map { case (id, text) =>
+        val n = text.length
+        val sampled = (0 until 64).map(i => (i.toLong * n) / 64).toSet
+        val free = (0 until n).filterNot(p => sampled(p.toLong))
+        assert(free.nonEmpty)
+        val sb = new StringBuilder(text)
+        free.foreach(p => sb.setCharAt(p, if (text(p) == 'Z') 'Y' else 'Z'))
+        (id + 1000L, sb.toString)
+      }
+      val all = (originals ++ mutated).toDF("doc_id", "text")
+      val got = graft.ops.Multimodal.phashGroups(
+          graft.ops.Multimodal.asMedia(all, "doc_id", "text"))
+        .select($"media_id", $"phash", $"dc")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      originals.foreach { case (id, _) =>
+        assert(got(id) == got(id + 1000L),
+          s"doc $id: ${got(id)} vs mutated ${got(id + 1000L)}")
+      }
+    }
+  }
+
   test("MMR greedy invariant: every pick maximizes the penalized score over the remaining pool") {
     // Random small corpora; replay the greedy rule from the emitted
     // (sim, redundancy) columns plus an independently computed pair-sim
