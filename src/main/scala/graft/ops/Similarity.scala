@@ -122,10 +122,14 @@ object Similarity {
     val top = bruteForceTopK(candidates, queries, candK)
     val emb = candidates.select(col("vec_id"),
       col("embedding").cast("array<double>").as("__e"))
+    // ONE materialization of the retrieval output (Q×C rows with
+    // embeddings): cand and pairs both derive from it, and without the
+    // checkpoint HERE each of their own checkpoints re-executes the
+    // corpus-sized retrieval scan
     val ce = emb.join(broadcast(top), col("vec_id") === col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("__e"))
-    val cand = ce.select(col("query_id"), col("neighbor_id"), col("sim"))
       .localCheckpoint()
+    val cand = ce.select(col("query_id"), col("neighbor_id"), col("sim"))
     val pairs = ce.select(col("query_id"), col("neighbor_id"), col("__e"))
       .as("a")
       .join(ce.select(col("query_id").as("__qb"),
