@@ -4349,7 +4349,7 @@ object SparkEntry {
        |pairs AS (SELECT a.event_type, a.bucket, a.pos,
        |            b.bucket AS b2, b.pos AS p2,
        |            CAST($w * ($dot) - a.s * b.s AS DOUBLE) /
-       |              sqrt(CAST(a.den * b.den AS DOUBLE)) AS r
+       |              sqrt(CAST(a.den AS DOUBLE) * CAST(b.den AS DOUBLE)) AS r
        |          FROM wf a JOIN wf b ON a.event_type = b.event_type
        |            AND b.pos BETWEEN a.pos + $excl AND a.pos + $band),
        |mirr AS (SELECT event_type, bucket, pos, b2, p2, r FROM pairs
@@ -5895,7 +5895,11 @@ object SparkEntry {
 
     // Luby rounds replayed with the same deterministic priorities
     // (generator above; error() if the unroll is ever too small).
-    "graph_mis" -> lubyMisOracleSql(rounds = 12),
+    // Unroll to the engine's round budget (lubyMis maxRounds = 20): a
+    // graph converging in 13-20 rounds must pass on BOTH sides, not
+    // pass the engine and error() in the oracle. Converged rounds are
+    // empty materialized no-ops, so the extra blocks cost ~nothing.
+    "graph_mis" -> lubyMisOracleSql(rounds = 20),
 
     // Double-cover bipartiteness replayed independently: one recursive
     // min-label closure over the original edges (components), one over

@@ -950,13 +950,16 @@ object Graph {
       .unionAll(e.select((col("a") * 4).as("a"), (col("b") * 4 + 1).as("b")))
       .unionAll(e.select((col("a") * 4 + 1).as("a"), (col("b") * 4).as("b")))
     val lbls = ccTwoStarsNodes(union, maxRounds)
+    // Decode with exact integer division (div): Spark's `/` on longs is
+    // DOUBLE division, which silently rounds node ids above ~2^51 —
+    // `div` keeps the full 2^62-id headroom the encoding promises.
     val cc = lbls.filter(col("node") % 4 === 2)
-      .select(((col("node") - 2) / 4).cast("long").as("node"),
-        ((col("lbl") - 2) / 4).cast("long").as("component"))
+      .select(expr("(node - 2) div 4").cast("long").as("node"),
+        expr("(lbl - 2) div 4").cast("long").as("component"))
     val l0 = lbls.filter(col("node") % 4 === 0)
-      .select((col("node") / 4).cast("long").as("__v0"), col("lbl").as("__l0"))
+      .select(expr("node div 4").cast("long").as("__v0"), col("lbl").as("__l0"))
     val l1 = lbls.filter(col("node") % 4 === 1)
-      .select(((col("node") - 1) / 4).cast("long").as("__v1"),
+      .select(expr("(node - 1) div 4").cast("long").as("__v1"),
         col("lbl").as("__l1"))
     cc.join(l0, col("node") === col("__v0"))
       .join(l1, col("node") === col("__v1"))
@@ -1434,7 +1437,7 @@ object Graph {
     }
     val q1 = qScaled(lou, "q_scaled_louvain", "n_comm_louvain")
     val q2 = qScaled(leiden, "q_scaled_leiden", "n_comm_leiden")
-    q1.crossJoin(q2).crossJoin(broadcast(disc))
+    val out = q1.crossJoin(q2).crossJoin(broadcast(disc))
       .select(col("n_comm_louvain"), col("n_comm_leiden"),
         col("n_disconnected").cast("long").as("n_disconnected"),
         (col("n_disconnected") === 0).as("all_connected"),
@@ -1442,6 +1445,11 @@ object Graph {
         col("q_scaled_leiden").cast("long").as("q_scaled_leiden"),
         (col("q_scaled_leiden") >= col("q_scaled_louvain"))
           .as("q_non_decrease"))
+      // the result is ONE row: pin it, then free the session-lifetime
+      // edge cache (persist without unpersist leaks blocks per call)
+      .localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,

@@ -370,8 +370,12 @@ object TimeSeries {
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    val maxN = c.groupBy(col(keyCol)).count()
-      .agg(max(col("count"))).head().getLong(0)
+    // max over an EMPTY frame is one NULL row — treat as length 1 so
+    // rounds = 0 and the (empty) pipeline still returns the correct
+    // empty-schema frame instead of NPE-ing on getLong.
+    val maxNRow = c.groupBy(col(keyCol)).count()
+      .agg(max(col("count"))).head()
+    val maxN = if (maxNRow.isNullAt(0)) 1L else maxNRow.getLong(0)
     val rounds = Iterator.from(0).dropWhile(r => (1L << r) < maxN).next()
     require(rounds <= maxLevels,
       s"series length $maxN needs $rounds doubling rounds > maxLevels=$maxLevels")
@@ -470,9 +474,13 @@ object TimeSeries {
     val dot = (0 until w).map(t =>
       element_at(col("__xs"), t + 1) * element_at(col("__xs2"), t + 1))
       .reduce(_ + _)
+    // Cast EACH den to double before the product: den ~ w·Σn² so
+    // per-bucket counts near 1e4 push den·den2 past 2^63 and the exact
+    // BIGINT product errors under ANSI at scale. The oracle applies the
+    // identical tree (CAST(a.den AS DOUBLE) * CAST(b.den AS DOUBLE)).
     val corr = (lit(w.toLong) * dot - col("__s") * col("__s2"))
       .cast("double") /
-      sqrt((col("__den") * col("__den2")).cast("double"))
+      sqrt(col("__den").cast("double") * col("__den2").cast("double"))
     val pairs = left.select(col(keyCol), col("bucket"), col("__pos"),
         col("__s"), col("__den"), col("__xs"), offsets)
       .join(right, col(keyCol) === col("__k2") &&

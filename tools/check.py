@@ -3,9 +3,15 @@
 in DuckDB over the same parquet tables and compare against the parquet the
 Verify main dumped. Dev tool only — the shipped library has no Python.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--json <out.json>]
        python3 tools/check.py --dtypes-only <sfDir> <oracleSqlJson>
        python3 tools/check.py --selftest
+
+--json writes the full per-query record
+  {name: {rows_match, schema_match, hash_match, err}} — the builder-side
+correctness artifact committed as correctness_full_r<N>.json at every
+round close (the driver's CORRECTNESS_r12.json arrived empty; a round
+must be auditable from the repo alone).
 
 --dtypes-only runs the oracle-side output-dtype sweep alone (DESCRIBE every
 oracle SQL, no Verify output needed): the driver's checker materializes the
@@ -50,30 +56,39 @@ def norm(v):
         return f"{v:.9g}"
     return str(v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    record = {}
+
+    def rec(name, rows=False, schema=False, hashm=False, err=None):
+        record[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": hashm, "err": err}
+
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
                 f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')").fetchdf()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            rec(name, err=f"spark output missing: {str(e)[:200]}")
             n_bad += 1
             continue
         try:
             exp = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {str(e)[:300]}")
+            rec(name, err=f"oracle sql error: {str(e)[:200]}")
             n_bad += 1
             continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            rec(name, err=f"columns {list(got.columns)} vs {list(exp.columns)}")
             n_bad += 1
             continue
         # Numeric-kind drift (int64 vs float64, e.g. an uncast DuckDB
@@ -93,6 +108,7 @@ def main(sf_dir, out_dir):
             banned = banned_oracle_types(duck_types)
             if banned:
                 print(f"FAIL {name}: oracle output has banned dtype {banned}")
+                rec(name, err=f"banned oracle dtype {banned}")
                 n_bad += 1
                 continue
             def duck_floaty(t):
@@ -113,6 +129,7 @@ def main(sf_dir, out_dir):
                             kind_bad.append((field.name, str(field.type), dt))
             if kind_bad:
                 print(f"FAIL {name}: declared-type floatness drift {kind_bad}")
+                rec(name, err=f"floatness drift {kind_bad}")
                 n_bad += 1
                 continue
         except Exception as e:
@@ -121,15 +138,25 @@ def main(sf_dir, out_dir):
         e = sorted(tuple(norm(v) for v in row) for row in exp.itertuples(index=False))
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            rec(name, schema=True, err=f"rows {len(g)} vs {len(e)}")
             n_bad += 1
         elif g != e:
             diff = [(a, b) for a, b in zip(g, e) if a != b]
             print(f"FAIL {name}: {len(diff)} mismatched rows of {len(g)}; first: {diff[0]}")
+            rec(name, rows=True, schema=True,
+                err=f"{len(diff)} mismatched rows of {len(g)}")
             n_bad += 1
         else:
             print(f"ok   {name} ({len(g)} rows)")
+            rec(name, rows=True, schema=True, hashm=True)
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"n_ok": n_ok, "n_fail": n_bad,
+                       "n_oracled": len(oracle), "queries": record},
+                      f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(record)} rows)")
     return 1 if n_bad else 0
 
 def dtypes_only(sf_dir, oracle_json):
@@ -194,4 +221,7 @@ if __name__ == "__main__":
     elif sys.argv[1] == "--dtypes-only":
         sys.exit(dtypes_only(sys.argv[2], sys.argv[3]))
     else:
-        sys.exit(main(sys.argv[1], sys.argv[2]))
+        jout = None
+        if "--json" in sys.argv:
+            jout = sys.argv[sys.argv.index("--json") + 1]
+        sys.exit(main(sys.argv[1], sys.argv[2], jout))
