@@ -2469,6 +2469,19 @@ object SparkEntry {
             octet_length(col("text")) > 0),
         "doc_id", "text"))),
 
+    // pHash NEAR-duplicate grouping (Hamming ≤ 2): pigeonhole banding
+    // over the DISTINCT-hash frame (≤ 2^15 rows at any corpus size),
+    // bit_count(xor) verify, components via the gated log-round CC —
+    // the tolerance perceptual hashing exists for (mm_phash's exact
+    // grouping is defeated by a one-bit wobble). Oracle: all-pairs
+    // Hamming + recursive min-label closure, independent machinery.
+    "mm_phash_near" -> ((s, dir) =>
+      Multimodal.phashNearGroups(Multimodal.asMedia(
+        t(s, dir, "documents").filter(
+          octet_length(col("text")) === length(col("text")) &&
+            octet_length(col("text")) > 0),
+        "doc_id", "text"), hammingD = 2)),
+
     // WebDataset-style shard layout (4 KiB shards over the fake media
     // payloads): every object's (shard, offset) via the two-level
     // distributed prefix sum — no corpus-wide single-task window.
@@ -4247,7 +4260,9 @@ object SparkEntry {
     * computed, as exact decimal expansions — no libm on either engine),
     * the 8th-smallest threshold via list_sort, integer hash assembly,
     * and the grouping replayed. */
-  private def phashOracleSql(): String = {
+  /** The pHash CTE chain (m → g → f → h → ph) shared by the exact and
+    * near-grouping oracles — ph = (media_id, dc, phash). */
+  private def phashCte(): String = {
     val w = graft.ops.Multimodal.phashDctWeights()
     def lit(d: Double) = new java.math.BigDecimal(d).toPlainString
     val px = (0 until 64).map(i =>
@@ -4261,7 +4276,7 @@ object SparkEntry {
     val bits = (1 until 16).map(k =>
       s"CASE WHEN round(f$k, 6) > med THEN ${1L << (k - 1)} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH m AS (SELECT doc_id AS media_id, text, strlen(text) AS n
+    s"""m AS (SELECT doc_id AS media_id, text, strlen(text) AS n
        |           FROM documents
        |           WHERE strlen(text) = length(text)
        |             AND strlen(text) > 0),
@@ -4273,12 +4288,36 @@ object SparkEntry {
        |      FROM g),
        |h AS (SELECT *, list_sort($sorted)[8] AS med FROM f),
        |ph AS (SELECT media_id, f0 AS dc,
-       |         CAST($bits AS BIGINT) AS phash FROM h),
+       |         CAST($bits AS BIGINT) AS phash FROM h)""".stripMargin
+  }
+
+  private def phashOracleSql(): String =
+    s"""WITH ${phashCte()},
        |gr AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_same,
        |         min(media_id) AS keeper_id FROM ph GROUP BY phash)
        |SELECT ph.media_id, ph.phash, ph.dc, gr.n_same, gr.keeper_id
        |FROM ph JOIN gr USING (phash)""".stripMargin
-  }
+
+  /** Hamming-≤d oracle: ALL-PAIRS bit_count(xor) over the distinct
+    * hashes (fixture-scale brute force — independent of the engine's
+    * pigeonhole banding), components by recursive min-label closure. */
+  private def phashNearOracleSql(d: Int): String =
+    s"""WITH RECURSIVE ${phashCte()},
+       |hs AS (SELECT DISTINCT phash FROM ph),
+       |e AS (SELECT a.phash AS src, b.phash AS dst
+       |      FROM hs a JOIN hs b ON a.phash <> b.phash
+       |        AND bit_count(xor(a.phash, b.phash)) <= $d),
+       |reach AS (
+       |  SELECT phash AS node, phash AS r FROM hs
+       |  UNION
+       |  SELECT e.src AS node, p.r AS r FROM e JOIN reach p ON e.dst = p.node),
+       |lbl AS (SELECT node, min(r) AS lbl FROM reach GROUP BY node),
+       |wg AS (SELECT ph.media_id, ph.phash, l.lbl AS group_id
+       |       FROM ph JOIN lbl l ON ph.phash = l.node),
+       |gr AS (SELECT group_id, CAST(count(*) AS BIGINT) AS n_group,
+       |         min(media_id) AS keeper_id FROM wg GROUP BY group_id)
+       |SELECT wg.media_id, wg.phash, wg.group_id, gr.n_group, gr.keeper_id
+       |FROM wg JOIN gr USING (group_id)""".stripMargin
 
   /** Unrolled Luby-MIS oracle: `rounds` blocks of (winner = beats every
     * active neighbor under the same deterministic (π, id) order) →
@@ -8748,6 +8787,7 @@ object SparkEntry {
     // pHash replayed: identical grid, identical literal-weight DCT,
     // identical threshold and hash assembly (generator above).
     "mm_phash" -> phashOracleSql(),
+    "mm_phash_near" -> phashNearOracleSql(d = 2),
 
     // The same layout replayed with ONE global ordered window (the oracle
     // can afford the single-task shape the engine avoids).

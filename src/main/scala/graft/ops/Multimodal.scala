@@ -410,6 +410,19 @@ object Multimodal {
     * character and byte positions agree with the oracle's substr.
     * Returns (media_id, phash, dc, n_same, keeper_id). */
   def phashGroups(media: DataFrame): DataFrame = {
+    val hashed = phashFrame(media)
+    val groups = hashed.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_same"), min(col("media_id")).as("keeper_id"))
+    hashed.join(groups, Seq("phash"))
+      .select(col("media_id"), col("phash"), col("dc"), col("n_same"),
+        col("keeper_id"))
+  }
+
+  /** The pHash computation alone — (media_id, phash, dc), materialized
+    * once (the frame always feeds at least a group + a join-back).
+    * Shared by [[phashGroups]] (exact-equal grouping) and
+    * [[phashNearGroups]] (Hamming-neighborhood grouping). */
+  def phashFrame(media: DataFrame): DataFrame = {
     val w = phashDctWeights()
     val px = (0 until 64).map(i => ascii(expr(
       s"substr(CAST(media AS STRING), 1 + ($i * n_bytes) div 64, 1)"))
@@ -433,16 +446,76 @@ object Multimodal {
     val phash = (1 until 16).map(k =>
       when(q(k) > col("__med"), lit(1L << (k - 1)))
         .otherwise(lit(0L))).reduce(_ + _)
-    val hashed = withF.withColumn("__med", med)
+    withF.withColumn("__med", med)
       .select(col("media_id"), phash.as("phash"), col("__f0").as("dc"))
       // materialize: the frame feeds both the group aggregate and the
       // join back — without this the payload scan + 16 DCT sums run
       // twice (plan audit: 4 scans)
       .localCheckpoint()
-    val groups = hashed.groupBy(col("phash"))
-      .agg(count(lit(1)).as("n_same"), min(col("media_id")).as("keeper_id"))
-    hashed.join(groups, Seq("phash"))
-      .select(col("media_id"), col("phash"), col("dc"), col("n_same"),
-        col("keeper_id"))
+  }
+
+  /** Perceptual NEAR-duplicate grouping: media whose 15-bit pHashes
+    * differ in ≤ `hammingD` bits land in one group — the tolerance
+    * perceptual hashing exists for (a one-bit wobble from compression
+    * noise must not defeat the dedup), which [[phashGroups]]'s
+    * exact-equal grouping cannot give.
+    *
+    * Scale shape — the key property is that EVERYTHING past the hash
+    * computation is bounded by the number of DISTINCT 15-bit hashes
+    * (≤ 2^15 = 32768 rows at ANY corpus size, usually far fewer):
+    *  - candidate pairs by pigeonhole banding over the distinct-hash
+    *    frame (split the 15 bit positions into hammingD+1 chunks; two
+    *    hashes within distance d differ in ≤ d chunks, so they AGREE
+    *    on ≥ 1 — exact recall, the Dedup.simhashPairs argument), join
+    *    keyed on (chunk_id, chunk_val), never all-pairs;
+    *  - verification is one codegen'd bit_count(xor) ≤ d filter;
+    *  - grouping is transitive closure over the verified hash graph
+    *    ([[Graph.ccTwoStarsNodes]], log-round min-label, loud bound) —
+    *    near-duplication is a similarity relation, so the group is the
+    *    connected component, exactly like SimHash/MinHash cluster IDs;
+    *  - media rows then take ONE hash→component join (component frame
+    *    is hash-sized → broadcast) and one group aggregate join-back.
+    * Returns (media_id, phash, group_id, n_group, keeper_id), where
+    * group_id is the component's minimum member hash. */
+  def phashNearGroups(media: DataFrame, hammingD: Int = 2): DataFrame =
+    phashNearFromHashes(phashFrame(media), hammingD)
+
+  /** [[phashNearGroups]] below the hash computation: takes any
+    * (media_id, phash) frame with phash in [0, 2^15). Factored so the
+    * grouping semantics are testable on planted hash values. */
+  def phashNearFromHashes(hashed0: DataFrame, hammingD: Int): DataFrame = {
+    require(hammingD >= 1 && hammingD <= 7, "hammingD in [1,7]")
+    val nChunks = hammingD + 1
+    val hashed = hashed0.select(col("media_id"), col("phash"))
+    val hs = hashed.select(col("phash")).distinct().localCheckpoint()
+    // Partition the 15 bit positions into nChunks contiguous ranges
+    // (widths differ by ≤ 1 — any partition satisfies the pigeonhole).
+    val bounds = (0 to nChunks).map(i => i * 15 / nChunks)
+    val chunks = array((0 until nChunks).map { i =>
+      val lo = bounds(i); val w = bounds(i + 1) - bounds(i)
+      (shiftright(col("phash"), lo).bitwiseAND(lit((1L << w) - 1))).as(s"__c$i")
+    }: _*)
+    val banded = hs.select(col("phash"), posexplode(chunks))
+      .select(col("phash"), col("pos").as("chunk_id"),
+        col("col").as("chunk_val"))
+    val edges = banded.select(col("chunk_id"), col("chunk_val"),
+        col("phash").as("a"))
+      .join(banded.select(col("chunk_id"), col("chunk_val"),
+        col("phash").as("b")), Seq("chunk_id", "chunk_val"))
+      .filter(col("a") < col("b") &&
+        bit_count(col("a").bitwiseXOR(col("b"))) <= hammingD)
+      .select(col("a"), col("b")).distinct()
+    val comp = Graph.ccTwoStarsNodes(edges)
+      .select(col("node").as("phash"), col("lbl").as("__g"))
+    // singleton hashes have no edge → no component row → own group
+    val withG = hashed
+      .join(broadcast(comp), Seq("phash"), "left")
+      .select(col("media_id"), col("phash"),
+        coalesce(col("__g"), col("phash")).as("group_id"))
+    val groups = withG.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_group"), min(col("media_id")).as("keeper_id"))
+    withG.join(broadcast(groups), Seq("group_id"))
+      .select(col("media_id"), col("phash"), col("group_id"),
+        col("n_group"), col("keeper_id"))
   }
 }

@@ -2108,6 +2108,27 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(dc4 - 960.0) < 1e-9, s"dc $dc4")
   }
 
+  test("phash near: 1-bit wobble groups where exact misses; transitive chain; far hash stays alone") {
+    // hashes: 1 and 3 differ in ONE bit — exact grouping separates
+    // them, near grouping (d=2) must not. 0 is 1 bit from 1; 6 is 2
+    // bits from 3 but 3 bits from 1 — only TRANSITIVELY in the group.
+    // 31744 (0b111110000000000) is ≥ 5 bits from everything → singleton.
+    val hashed = Seq((1L, 1L), (2L, 3L), (3L, 31744L), (4L, 0L), (5L, 6L))
+      .toDF("media_id", "phash")
+    val got = graft.ops.Multimodal.phashNearFromHashes(hashed, hammingD = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got.size == 5)
+    assert(got(1L) == ((0L, 4L, 1L)), s"wobbled pair + chain: ${got(1L)}")
+    assert(got(2L) == ((0L, 4L, 1L)), "1-bit wobble joins the group exact grouping misses")
+    assert(got(4L) == ((0L, 4L, 1L)) && got(5L) == ((0L, 4L, 1L)),
+      s"transitive closure: ${got(4L)} ${got(5L)}")
+    assert(got(3L) == ((31744L, 1L, 3L)), s"far hash is a singleton: ${got(3L)}")
+    // exact grouping on the same hashes: 5 distinct groups — the near
+    // grouping is strictly coarser and catches what exact cannot
+    assert(hashed.select($"phash").distinct().count() == 5)
+  }
+
   test("incremental agg: signed-state merge equals full recompute; zero groups vanish") {
     val rnd = new scala.util.Random(13)
     (1 to 3).foreach { _ =>

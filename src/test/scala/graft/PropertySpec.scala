@@ -769,6 +769,41 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("phash near grouping equals brute-force union-find over all-pairs Hamming") {
+    // Random 15-bit hashes, d ∈ {1,2,3}: the pigeonhole-banded,
+    // CC-closed grouping must produce EXACTLY the partition of the
+    // transitive closure of {hamming(a,b) ≤ d}, with group_id = the
+    // component's min hash and keeper_id = the group's min media id.
+    val gen: Gen[(Int, List[Int])] = for {
+      d <- Gen.choose(1, 3)
+      hs <- Gen.listOfN(24, Gen.choose(0, 127)) // small range → collisions + near pairs
+    } yield (d, hs)
+    samples(Gen.listOfN(1, gen), 4).foreach { case List((d, hs)) =>
+      val rows = hs.zipWithIndex.map { case (h, i) => (i.toLong, h.toLong) }
+      val got = graft.ops.Multimodal
+        .phashNearFromHashes(rows.toDF("media_id", "phash"), hammingD = d)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+      // brute force: union-find over all pairs
+      val parent = scala.collection.mutable.Map(hs.map(h => h -> h).distinct: _*)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      for (a <- parent.keys.toSeq; b <- parent.keys.toSeq
+           if a < b && java.lang.Long.bitCount((a ^ b).toLong) <= d) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val comp = parent.keys.map(h => h -> find(h)).toMap
+      val byComp = rows.groupBy { case (_, h) => comp(h.toInt) }
+      rows.foreach { case (id, h) =>
+        val members = byComp(comp(h.toInt))
+        val wantGid = members.map(_._2).min // min member hash == component root
+        assert(got(id) == ((wantGid, members.size.toLong, members.map(_._1).min)),
+          s"d=$d id=$id h=$h: got ${got(id)} want ($wantGid, ${members.size}, ${members.map(_._1).min})")
+      }
+    }
+  }
+
   test("MMR greedy invariant: every pick maximizes the penalized score over the remaining pool") {
     // Random small corpora; replay the greedy rule from the emitted
     // (sim, redundancy) columns plus an independently computed pair-sim
