@@ -2306,6 +2306,19 @@ object SparkEntry {
       TextAnalysis.rougeN(d, pairs, "doc_id", "text", ns = Seq(1, 2))
     },
 
+    // BLEU over the same adjacent-pair eval manifest: clipped n-gram
+    // precisions (n=1..4, exact integer counts — the text_rouge pair
+    // frame), brevity penalty, geometric mean. Each p_n is one IEEE
+    // division (raw doubles gate); bp/bleu pass through exp/pow so
+    // both leave rounded to 6 decimals on both engines.
+    "text_bleu" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("cand_id"))
+        .join(d.select(col("doc_id").as("ref_id")),
+          col("ref_id") === col("cand_id") + 1)
+      TextAnalysis.bleu(d, pairs, "doc_id", "text", maxN = 4)
+    },
+
     // ROUGE-L over a sampled eval manifest (every 7th doc vs its
     // neighbor): LCS-based P/R/F1 — order-aware where ROUGE-1/2's
     // clipped bags are not. The LCS runs as a codegen'd per-pair DP; the
@@ -6579,6 +6592,77 @@ object SparkEntry {
         |       CASE WHEN rouge_p + rouge_r = 0.0 THEN 0.0
         |            ELSE 2.0 * rouge_p * rouge_r / (rouge_p + rouge_r)
         |       END AS rouge_f1
+        |FROM pr""".stripMargin,
+
+    // Identical clipped counting at n=1..4 + brevity penalty; bp/bleu
+    // round(…,6) on both sides (exp/pow cross libm), p_n raw single
+    // divisions of exact integers.
+    "text_bleu" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, 1 AS n, unnest(w) AS g FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n,
+        |         unnest(list_transform(range(0, len(w) - 1),
+        |           i -> array_to_string(w[i+1:i+2], ' '))) AS g
+        |  FROM tok WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n,
+        |         unnest(list_transform(range(0, len(w) - 2),
+        |           i -> array_to_string(w[i+1:i+3], ' '))) AS g
+        |  FROM tok WHERE len(w) >= 3
+        |  UNION ALL
+        |  SELECT doc_id, 4 AS n,
+        |         unnest(list_transform(range(0, len(w) - 3),
+        |           i -> array_to_string(w[i+1:i+4], ' '))) AS g
+        |  FROM tok WHERE len(w) >= 4),
+        |cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, n, sum(c) AS tot FROM cnt GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1.doc_id AS cand_id, d2.doc_id AS ref_id
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+        |m AS (SELECT p.cand_id, p.ref_id, cl.n,
+        |             sum(least(cl.c, coalesce(cr.c, 0))) AS mm,
+        |             sum(cl.c) AS ct
+        |      FROM pairs p
+        |      JOIN cnt cl ON cl.doc_id = p.cand_id
+        |      LEFT JOIN cnt cr ON cr.doc_id = p.ref_id
+        |        AND cr.n = cl.n AND cr.g = cl.g
+        |      GROUP BY 1, 2, 3),
+        |piv AS (SELECT cand_id, ref_id,
+        |          CAST(max(CASE WHEN n = 1 THEN mm END) AS BIGINT) AS match_1,
+        |          CAST(max(CASE WHEN n = 2 THEN mm END) AS BIGINT) AS match_2,
+        |          CAST(max(CASE WHEN n = 3 THEN mm END) AS BIGINT) AS match_3,
+        |          CAST(max(CASE WHEN n = 4 THEN mm END) AS BIGINT) AS match_4,
+        |          CAST(max(CASE WHEN n = 1 THEN ct END) AS BIGINT) AS ct1,
+        |          CAST(max(CASE WHEN n = 2 THEN ct END) AS BIGINT) AS ct2,
+        |          CAST(max(CASE WHEN n = 3 THEN ct END) AS BIGINT) AS ct3,
+        |          CAST(max(CASE WHEN n = 4 THEN ct END) AS BIGINT) AS ct4
+        |        FROM m GROUP BY 1, 2
+        |        HAVING max(CASE WHEN n = 4 THEN ct END) IS NOT NULL),
+        |pr AS (SELECT piv.cand_id, piv.ref_id,
+        |         ct1 AS cand_len, CAST(rl.tot AS BIGINT) AS ref_len,
+        |         match_1, match_2, match_3, match_4,
+        |         CAST(match_1 AS DOUBLE) / CAST(ct1 AS DOUBLE) AS p_1,
+        |         CAST(match_2 AS DOUBLE) / CAST(ct2 AS DOUBLE) AS p_2,
+        |         CAST(match_3 AS DOUBLE) / CAST(ct3 AS DOUBLE) AS p_3,
+        |         CAST(match_4 AS DOUBLE) / CAST(ct4 AS DOUBLE) AS p_4
+        |       FROM piv JOIN (SELECT doc_id, tot FROM tot WHERE n = 1) rl
+        |         ON rl.doc_id = piv.ref_id)
+        |SELECT cand_id, ref_id, cand_len, ref_len,
+        |       match_1, match_2, match_3, match_4, p_1, p_2, p_3, p_4,
+        |       round(CASE WHEN cand_len >= ref_len THEN 1.0
+        |             ELSE exp(1.0 - CAST(ref_len AS DOUBLE) /
+        |                      CAST(cand_len AS DOUBLE)) END, 6) AS bp,
+        |       CASE WHEN match_1 = 0 OR match_2 = 0 OR match_3 = 0
+        |              OR match_4 = 0 THEN 0.0
+        |            ELSE round((CASE WHEN cand_len >= ref_len THEN 1.0
+        |                   ELSE exp(1.0 - CAST(ref_len AS DOUBLE) /
+        |                            CAST(cand_len AS DOUBLE)) END) *
+        |                 pow(p_1 * p_2 * p_3 * p_4, 0.25), 6)
+        |       END AS bleu
         |FROM pr""".stripMargin,
 
     // The identical (doc_id, position) md5 draw, mask rebuild ordered by

@@ -1315,6 +1315,75 @@ object TextAnalysis {
             (col("rouge_p") + col("rouge_r"))))
   }
 
+  /** BLEU (Papineni et al. 2002) — the other half of the generation-eval
+    * literature next to [[rougeN]]: clipped modified n-gram precisions
+    * p_n = Σ_g min(count_cand, count_ref) / cand_total_n for n = 1..4,
+    * combined as BP · (p1·p2·p3·p4)^(1/4) with the brevity penalty
+    * BP = 1 if cand_len ≥ ref_len else exp(1 − ref_len/cand_len).
+    * Unsmoothed: any p_n = 0 ⇒ bleu = 0 (the reference formulation).
+    *
+    * Scale shape is [[rougeN]]'s: one explode + one (id, n, gram)
+    * map-side-combinable count over the corpus, match join keyed on
+    * (doc, n, gram) — linear in Σ grams × pair-degree. Pairs keep a row
+    * as long as the CANDIDATE has ≥ maxN tokens (p_4's denominator
+    * exists) and the reference has ≥ 1 token (BP's r exists); a
+    * reference lacking some n-gram order just contributes 0 matches —
+    * BLEU is defined there (p_n = 0), unlike ROUGE-N.
+    *
+    * Determinism: all counts exact integers; each p_n is ONE IEEE
+    * division (raw doubles gate); bp and bleu pass through exp/pow, so
+    * both leave rounded to 6 decimals on both engines (the accumulated-
+    * double boundary rule). Returns (cand_id, ref_id, cand_len,
+    * ref_len, match_1..4, p_1..4, bp, bleu). */
+  def bleu(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, "maxN in [1,6]")
+    val ns = 1 to maxN
+    val toks = tokens(col(textCol))
+    val grams = ns.map { n =>
+      docs.select(col(idCol).as("id"), lit(n).as("n"),
+        explode(shingles(toks, n)).as("g"))
+    }.reduce(_ unionAll _)
+    val counts = grams.groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("id", "n").agg(sum(col("c")).as("tot"))
+    val p = pairs.select(col("cand_id"), col("ref_id"))
+    val m = p
+      .join(counts.select(col("id").as("cand_id"), col("n"), col("g"),
+        col("c").as("cc")), Seq("cand_id"))
+      .join(counts.select(col("id").as("ref_id"), col("n"), col("g"),
+        col("c").as("rc")), Seq("ref_id", "n", "g"), "left")
+      .groupBy("cand_id", "ref_id", "n")
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("mm"),
+        sum(col("cc")).as("ct"))
+    val aggs = ns.flatMap { n =>
+      Seq(max(when(col("n") === n, col("mm"))).as(s"match_$n"),
+        max(when(col("n") === n, col("ct"))).as(s"__ct$n"))
+    }
+    val piv = m.groupBy("cand_id", "ref_id")
+      .agg(aggs.head, aggs.tail: _*)
+      // candidate must have an order-maxN gram (p_maxN's denominator)
+      .filter(col(s"__ct$maxN").isNotNull)
+    val refLen = totals.filter(col("n") === 1)
+      .select(col("id").as("ref_id"), col("tot").as("ref_len"))
+    val ps = ns.map(n => (col(s"match_$n").cast("double") /
+      col(s"__ct$n").cast("double")).as(s"p_$n"))
+    val withP = piv.join(refLen, Seq("ref_id"))
+      .select(Seq(col("cand_id"), col("ref_id"),
+        col("__ct1").as("cand_len"), col("ref_len")) ++
+        ns.map(n => col(s"match_$n")) ++ ps: _*)
+    val bpRaw = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") /
+        col("cand_len").cast("double")))
+    val prod = ns.map(n => col(s"p_$n")).reduce(_ * _)
+    val anyZero = ns.map(n => col(s"match_$n") === 0L).reduce(_ || _)
+    withP.select(Seq(col("cand_id"), col("ref_id"), col("cand_len"),
+      col("ref_len")) ++
+      ns.map(n => col(s"match_$n")) ++ ns.map(n => col(s"p_$n")) ++ Seq(
+      round(bpRaw, 6).as("bp"),
+      when(anyZero, lit(0.0))
+        .otherwise(round(bpRaw * pow(prod, lit(1.0 / maxN)), 6)).as("bleu")): _*)
+  }
+
   /** ROUGE-L — the LCS member of the generation-eval family next to
     * [[rougeN]]: P = LCS/|cand|, R = LCS/|ref|, F1 harmonic, over
     * whitespace tokens. Unlike the clipped n-gram counts, LCS rewards

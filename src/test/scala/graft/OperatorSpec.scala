@@ -2108,6 +2108,34 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(dc4 - 960.0) < 1e-9, s"dc $dc4")
   }
 
+  test("bleu: hand-computed perfect-precision pair (BP<1), clipping zeroes a p_n, short candidate drops") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),                 // 6 tokens, all grams ⊆ ref
+      (2L, "the cat sat on the mat tonight"),         // 7 tokens
+      (3L, "the the the the the the the"),            // clip: ref has only 2 "the"
+      (4L, "the cat is on the mat"),
+      (5L, "a b c"),                                  // < 4 tokens → no p_4 → dropped
+      (6L, "a b c d e")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("cand_id", "ref_id")
+    val got = graft.ops.TextAnalysis.bleu(docs, pairs).collect()
+      .map(r => r.getAs[Long]("cand_id") -> r).toMap
+    assert(got.size == 2, s"short candidate must drop: ${got.keys}")
+    val a = got(1L)
+    assert(a.getAs[Long]("cand_len") == 6L && a.getAs[Long]("ref_len") == 7L)
+    assert((1 to 4).map(n => a.getAs[Long](s"match_$n")) == Seq(6L, 5L, 4L, 3L))
+    (1 to 4).foreach(n => assert(a.getAs[Double](s"p_$n") == 1.0))
+    // BP = exp(1 − 7/6) = 0.8464817… → 0.846482 at 6 dp; bleu = BP · 1
+    assert(math.abs(a.getAs[Double]("bp") - 0.846482) < 1e-9, s"bp ${a.getAs[Double]("bp")}")
+    assert(a.getAs[Double]("bleu") == a.getAs[Double]("bp"))
+    val b = got(3L)
+    assert(b.getAs[Long]("cand_len") == 7L && b.getAs[Long]("ref_len") == 6L)
+    assert((1 to 4).map(n => b.getAs[Long](s"match_$n")) == Seq(2L, 0L, 0L, 0L),
+      "unigram matches clip at the reference count")
+    assert(math.abs(b.getAs[Double]("p_1") - 2.0 / 7.0) < 1e-15)
+    assert(b.getAs[Double]("bp") == 1.0, "candidate longer than reference → no penalty")
+    assert(b.getAs[Double]("bleu") == 0.0, "a zero p_n zeroes unsmoothed BLEU")
+  }
+
   test("phash near: 1-bit wobble groups where exact misses; transitive chain; far hash stays alone") {
     // hashes: 1 and 3 differ in ONE bit — exact grouping separates
     // them, near grouping (d=2) must not. 0 is 1 bit from 1; 6 is 2
