@@ -1570,6 +1570,31 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 8),
         candK = 32, k = 8)),
 
+    // MMR over the SCALABLE retriever — the corpus-scale composition
+    // the mmrRerank scaladoc promises: ivfTopK (routed cells, the only
+    // corpus-sized stage) feeds the SAME Q×C-bounded re-rank frames.
+    // IVF candidates are approximate, so the gate is per-query
+    // containment of the IVF-MMR picks in the brute-force-MMR picks
+    // (the ann_ivf_recall convention; RecallProbe measured per-query
+    // 6–8 of 8 at sf0.01 and 5–8 at sf0.1 → floor 4). The left join
+    // (not left_semi + groupBy) keeps a row for a 0-hit query, so a
+    // recall collapse turns the gate red instead of dropping the row.
+    "ann_mmr_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val approx = Similarity.mmrRerankFrom(emb,
+        Similarity.ivfTopK(emb, qs, k = 32, nProbe = 8), k = 8)
+      val exact = Similarity.mmrRerank(emb, qs, candK = 32, k = 8)
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(approx.select(col("query_id").as("q2"),
+          col("neighbor_id").as("n2")),
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("n2").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .select(col("query_id"), (col("n_hits") >= 4).as("mmr_ok"))
+    },
+
     // Hybrid retrieval: RRF-fuse the lexical (integer-scaled-idf term
     // overlap, top-50) and vector (brute-force cosine, top-50) rankings
     // for the same 8-query panel; doc_id and vec_id index the same
@@ -7943,6 +7968,9 @@ object SparkEntry {
 
     "ann_ivf_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8",
+
+    "ann_mmr_ivf" ->
+      "SELECT vec_id AS query_id, true AS mmr_ok FROM embeddings WHERE vec_id < 8",
 
     "ann_nndescent_recall" ->
       "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8",

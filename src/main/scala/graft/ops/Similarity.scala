@@ -117,9 +117,20 @@ object Similarity {
     * Returns (query_id, step, neighbor_id, sim, redundancy, mmr). */
   def mmrRerank(candidates: DataFrame, queries: DataFrame, candK: Int,
       k: Int, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1 && candK >= k, "need 1 <= k <= candK")
-    val top = bruteForceTopK(candidates, queries, candK)
+    mmrRerankFrom(candidates, bruteForceTopK(candidates, queries, candK),
+      k, lambda, mu)
+  }
+
+  /** [[mmrRerank]] below the retrieval: re-rank any (query_id,
+    * neighbor_id, sim) candidate frame — the corpus-scale composition
+    * is `mmrRerankFrom(emb, ivfTopK(...), k)`, where the routed IVF
+    * retrieval is the ONLY corpus-sized stage and these frames stay
+    * Q×C-bounded. */
+  def mmrRerankFrom(candidates: DataFrame, top: DataFrame,
+      k: Int, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "need k >= 1")
     val emb = candidates.select(col("vec_id"),
       col("embedding").cast("array<double>").as("__e"))
     // ONE materialization of the retrieval output (Q×C rows with

@@ -56,6 +56,21 @@ object RecallProbe {
       // plan-size check: O(1) in nCells
       val big = Similarity.ivfTopK(emb, qs, k = 10, nCells = 64, sampleN = 500)
       println(s"$dir ivf nCells=64 plan chars: ${big.queryExecution.optimizedPlan.toString.length}")
+      // MMR-over-IVF containment (the ann_mmr_ivf floor): per-query
+      // overlap of IVF-candidate MMR picks with brute-force MMR picks
+      val exactMmr = Similarity.mmrRerank(emb, qs, candK = 32, k = 8)
+      val approxMmr = Similarity.mmrRerankFrom(emb,
+        Similarity.ivfTopK(emb, qs, k = 32, nProbe = 8), k = 8)
+      val hits = exactMmr.select(col("query_id"), col("neighbor_id"))
+        .join(approxMmr.select(col("query_id").as("q2"),
+          col("neighbor_id").as("n2")),
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(sum(when(col("n2").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      println(s"$dir mmr-ivf containment@8 of 8: " +
+        hits.map { case (q, h) => s"$q=$h" }.mkString(","))
     }
     spark.stop()
   }

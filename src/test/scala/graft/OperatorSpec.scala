@@ -2108,6 +2108,31 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(dc4 - 960.0) < 1e-9, s"dc $dc4")
   }
 
+  test("mmr over ivf equals brute-force mmr on clustered data; shared re-rank frames") {
+    // 8 tight clusters of 40: each query's home cell is always probed
+    // (nProbe=2), the true top-32 is entirely in-cluster, and MMR keeps
+    // picking in-cluster (0.7·~1 − 0.3·~1 > 0.7·~0 − 0), so the routed
+    // retrieval loses nothing and the IVF-MMR picks must EQUAL the
+    // brute-force-MMR picks step for step.
+    val dim = 64
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = for (c <- centers.indices; j <- 0 until 40)
+      yield ((c * 40 + j).toLong, centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    val vecs = pts.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" % 40 === 0)
+    val exact = Similarity.mmrRerank(vecs, qs, candK = 32, k = 6)
+      .select($"query_id", $"step", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val approx = Similarity.mmrRerankFrom(vecs,
+        Similarity.ivfTopK(vecs, qs, k = 32, nCells = 8, nProbe = 2), k = 6)
+      .select($"query_id", $"step", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(exact.nonEmpty && exact.size == 48, s"8 queries x 6 steps: ${exact.size}")
+    assert(approx == exact,
+      s"ivf-mmr diverged on clustered data: missing=${exact -- approx} extra=${approx -- exact}")
+  }
+
   test("bleu: hand-computed perfect-precision pair (BP<1), clipping zeroes a p_n, short candidate drops") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),                 // 6 tokens, all grams ⊆ ref
