@@ -972,6 +972,27 @@ object SparkEntry {
     // value lies inside the selected bucket's [estimate, est_upper), and
     // the bucket's width is <= max(1, estimate >> 11) — within-width in
     // LOG space, for any distribution.
+    // Retractable quantile sketch — the rel_incremental_agg discipline
+    // applied to the family's own sketches: the signed bucket states of
+    // (base +1, inserts +1, deletes −1) merge by addition, and the
+    // maintained sketch's quantile walk must EQUAL the oracle's
+    // from-scratch sketch of the post-delta table. Only the DELTA is
+    // scanned beyond the stored base state at 100 TB.
+    "rel_quantile_retract" -> { (s, dir) =>
+      val p = 12
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("val"))
+      val base = li.filter(col("l_orderkey") % 20 =!= 0)
+      val inserts = li.filter(col("l_orderkey") % 20 === 0)
+      val deletes = base.filter(col("l_orderkey") % 17 === 0)
+      val merged = Profile.mergeSignedSketches(Seq(
+        Profile.quantileLogSketchSigned(base, col("val"), p, 1),
+        Profile.quantileLogSketchSigned(inserts, col("val"), p, 1),
+        Profile.quantileLogSketchSigned(deletes, col("val"), p, -1)))
+      Profile.quantilesFromLogSketch(merged, p,
+        Seq(10, 25, 50, 75, 90, 99))
+    },
+
     "rel_quantile_log" -> { (s, dir) =>
       val p = 12
       val li = t(s, dir, "lineitem").select(
@@ -6806,6 +6827,32 @@ object SparkEntry {
     // e = binary digit count - 1, prefix = val >> max(e-11, 0),
     // bucket = e*4096 + prefix; decode = shifts of the bucket's split.
     // All values here are positive, so the mirror branches are inert.
+    // From-scratch sketch of the POST-DELTA table — the engine side is
+    // the incrementally maintained signed state; equality here IS the
+    // IVM guarantee.
+    "rel_quantile_retract" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS val,
+        |                   l_orderkey
+        |            FROM lineitem),
+        |pd AS (SELECT val FROM li
+        |       WHERE l_orderkey % 20 = 0
+        |          OR (l_orderkey % 20 <> 0 AND l_orderkey % 17 <> 0)),
+        |bk AS (SELECT val, CAST(length(bin(val)) - 1 AS BIGINT) AS e FROM pd),
+        |b2 AS (SELECT val, e, greatest(e - 11, 0) AS s FROM bk),
+        |sk AS (SELECT e * 4096 + (val >> s) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS cnt FROM b2 GROUP BY 1),
+        |cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+        |nn AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum),
+        |qs(q_pct) AS (VALUES (10),(25),(50),(75),(90),(99)),
+        |est AS (SELECT q_pct, nn.n, min(bucket) AS est_bucket FROM cum, nn, qs
+        |        WHERE cum >= (nn.n * q_pct + 99) // 100 GROUP BY q_pct, nn.n),
+        |dec AS (SELECT q_pct, n, est_bucket, est_bucket % 4096 AS pfx,
+        |          greatest(est_bucket // 4096 - 11, 0) AS s2 FROM est)
+        |SELECT CAST(q_pct AS BIGINT) AS q_pct, n, est_bucket,
+        |       (pfx << s2) AS estimate,
+        |       ((pfx + 1) << s2) AS est_upper
+        |FROM dec""".stripMargin,
+
     "rel_quantile_log" ->
       """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
         |            FROM lineitem),

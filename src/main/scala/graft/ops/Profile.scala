@@ -625,6 +625,31 @@ object Profile {
           .as("est_upper"): _*)
   }
 
+  /** Signed (retractable) log-sketch state — the [[signedAggState]]
+    * discipline applied to the quantile sketches: bucket counts carry a
+    * ±1 sign, so a DELETE batch is the insert's exact inverse and
+    * states merge by plain addition. With valid retractions (a subset
+    * of previously inserted rows) the maintained state is ROW-IDENTICAL
+    * to the from-scratch sketch of the post-delta table — which is what
+    * the gate compares it against. */
+  def quantileLogSketchSigned(df: DataFrame, scaled: Column,
+      prefixBits: Int, sign: Int): DataFrame = {
+    require(sign == 1 || sign == -1, "sign is +1 or -1")
+    df.select(logBucket(scaled, prefixBits).as("bucket"))
+      .groupBy(col("bucket")).agg((count(lit(1)) * sign).as("cnt"))
+  }
+
+  /** Merge signed sketch states by addition (associative + commutative,
+    * same one keyed map-side-combinable shuffle as
+    * [[mergeQuantileSketches]]), dropping buckets that net to zero so
+    * the result equals the from-scratch sketch. Over-retraction leaves
+    * a LOUD negative bucket (and a broken rank walk) rather than
+    * silently clamping — an invalid delta should never pass a gate. */
+  def mergeSignedSketches(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionAll _)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+
   /** Snapshot read / time travel over an APPEND-ONLY commit log — the
     * unifier of the warehouse family: the log is (key, version, seq...,
     * op I/U/D, attrs), and the state AT version v is, per key, the

@@ -553,6 +553,44 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("signed sketch: retraction is the exact inverse; maintained state equals from-scratch; merge grouping-free") {
+    val valGen = Gen.listOfN(120, for {
+      ex <- Gen.choose(0, 30)
+      m <- Gen.choose(0L, math.max((1L << ex) - 1, 0L))
+      s <- Gen.oneOf(-1L, 1L)
+    } yield s * m)
+    samples(valGen, 3).zipWithIndex.foreach { case (vs, si) =>
+      val p = Seq(4, 8, 12)(si % 3)
+      // random delta: base = 2/3 of rows, inserts = the rest,
+      // deletes = every 5th base row (a valid retraction by construction)
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val base = rows.filter(_._1 % 3 != 0)
+      val inserts = rows.filter(_._1 % 3 == 0)
+      val deletes = base.filter(_._1 % 5 == 0)
+      val post = (base.toSet -- deletes.toSet) ++ inserts.toSet
+      def sk(xs: Seq[(Long, Long)], sign: Int) =
+        graft.ops.Profile.quantileLogSketchSigned(
+          xs.toDF("id", "v"), $"v", p, sign)
+      def st(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long)].collect().toMap
+      val scratch = st(graft.ops.Profile.quantileLogSketch(
+        post.toSeq.toDF("id", "v"), $"v", p))
+      val maintained = st(graft.ops.Profile.mergeSignedSketches(Seq(
+        sk(base, 1), sk(inserts, 1), sk(deletes, -1))))
+      assert(maintained == scratch, s"p=$p maintained != from-scratch: " +
+        s"missing=${scratch.toSet -- maintained.toSet} extra=${maintained.toSet -- scratch.toSet}")
+      // grouping-free: retract-then-insert == insert-then-retract
+      val other = st(graft.ops.Profile.mergeSignedSketches(Seq(
+        graft.ops.Profile.mergeSignedSketches(Seq(sk(base, 1), sk(deletes, -1))),
+        sk(inserts, 1))))
+      assert(other == scratch, s"p=$p merge grouping changed the state")
+      // retracting EVERYTHING empties the state exactly
+      val empty = graft.ops.Profile.mergeSignedSketches(Seq(
+        sk(base, 1), sk(base, -1))).count()
+      assert(empty == 0L, s"p=$p full retraction left $empty buckets")
+    }
+  }
+
   test("keep-first span dedup equals the replayed first-occurrence rule on random corpora") {
     val n = 3
     val docGen = Gen.listOfN(6, Gen.choose(3, 12).flatMap(len =>
