@@ -816,6 +816,40 @@ object SparkEntry {
           col("sum_v").as("sum_cents"))
     },
 
+    // TWO-SIDED delta-join maintenance: B (customer) now retracts too.
+    // With ΔA = aIns − aDel and ΔB = bIns − bDel,
+    //   V_new = V_old ⊕ agg(ΔA ⋈ B_old) ⊕ agg(A_new ⋈ ΔB)
+    // where the second term expands to the two signed frames
+    // agg(A_new ⋈ bIns)⁺ ⊕ agg(A_new ⋈ bDel)⁻ — retracting a customer
+    // retracts every order row it owns from the view, and a nation
+    // whose rows net to zero vanishes (the mergeAggStates rule). Gate:
+    // the oracle's from-scratch recompute of A_new ⋈ B_new.
+    "rel_mv_join_2way" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val keys = Seq("c_nationkey")
+      val aOld = o.filter(col("o_orderkey") % 10 =!= 0)
+      val aIns = o.filter(col("o_orderkey") % 10 === 0)
+      val aDel = aOld.filter(col("o_orderkey") % 13 === 0)
+      val aNew = o.filter(col("o_orderkey") % 10 === 0 ||
+        col("o_orderkey") % 13 =!= 0)
+      val bOld = c.filter(col("c_custkey") % 8 =!= 0)
+      val bIns = c.filter(col("c_custkey") % 8 === 0)
+      val bDel = bOld.filter(col("c_custkey") % 9 === 0)
+      def j(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.join(broadcast(b), col("o_custkey") === col("c_custkey"))
+      Profile.mergeAggStates(Seq(
+          Profile.signedAggState(j(aOld, bOld), keys, col("cents"), 1),
+          Profile.signedAggState(j(aIns, bOld), keys, col("cents"), 1),
+          Profile.signedAggState(j(aDel, bOld), keys, col("cents"), -1),
+          Profile.signedAggState(j(aNew, bIns), keys, col("cents"), 1),
+          Profile.signedAggState(j(aNew, bDel), keys, col("cents"), -1)), keys)
+        .select(col("c_nationkey"), col("n_rows"),
+          col("sum_v").as("sum_cents"))
+    },
+
     "rel_incremental_detect" -> { (s, dir) =>
       val o = t(s, dir, "orders")
       def digest(v: DataFrame, side: String) = v
@@ -6182,6 +6216,19 @@ object SparkEntry {
         |            FROM orders
         |            WHERE o_orderkey % 10 = 0 OR o_orderkey % 13 <> 0),
         |bn AS (SELECT c_custkey, c_nationkey FROM customer)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM an JOIN bn ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "rel_mv_join_2way" ->
+      """WITH an AS (SELECT o_custkey,
+        |              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |            FROM orders
+        |            WHERE o_orderkey % 10 = 0 OR o_orderkey % 13 <> 0),
+        |bn AS (SELECT c_custkey, c_nationkey FROM customer
+        |       WHERE c_custkey % 8 = 0
+        |          OR (c_custkey % 8 <> 0 AND c_custkey % 9 <> 0))
         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM an JOIN bn ON o_custkey = c_custkey

@@ -2133,6 +2133,35 @@ class OperatorSpec extends SparkSuite {
       s"ivf-mmr diverged on clustered data: missing=${exact -- approx} extra=${approx -- exact}")
   }
 
+  test("mv join 2-way: retracting a customer retracts its owned orders; netted-out nation vanishes") {
+    // orders (okey, custkey, cents); customers (custkey, nation).
+    // Customer 2 (nation 20) owns orders 3 and 4 and is RETRACTED;
+    // nation 20 has no other customer, so it must vanish from the view.
+    // Customer 1 (nation 10) stays; order 2 is retracted; order 5 is
+    // inserted for customer 3 (nation 10, inserted customer).
+    val orders = Seq((1L, 1L, 100L), (2L, 1L, 40L), (3L, 2L, 7L),
+      (4L, 2L, 9L)).toDF("o_orderkey", "o_custkey", "cents")
+    val ordIns = Seq((5L, 3L, 25L)).toDF("o_orderkey", "o_custkey", "cents")
+    val ordDel = orders.filter($"o_orderkey" === 2L)
+    val ordNew = orders.filter($"o_orderkey" =!= 2L).unionAll(ordIns)
+    val custs = Seq((1L, 10L), (2L, 20L)).toDF("c_custkey", "c_nationkey")
+    val cIns = Seq((3L, 10L)).toDF("c_custkey", "c_nationkey")
+    val cDel = custs.filter($"c_custkey" === 2L)
+    val keys = Seq("c_nationkey")
+    def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(broadcast(b), $"o_custkey" === $"c_custkey")
+    val got = graft.ops.Profile.mergeAggStates(Seq(
+        graft.ops.Profile.signedAggState(j(orders, custs), keys, $"cents", 1),
+        graft.ops.Profile.signedAggState(j(ordIns, custs), keys, $"cents", 1),
+        graft.ops.Profile.signedAggState(j(ordDel, custs), keys, $"cents", -1),
+        graft.ops.Profile.signedAggState(j(ordNew, cIns), keys, $"cents", 1),
+        graft.ops.Profile.signedAggState(j(ordNew, cDel), keys, $"cents", -1)), keys)
+      .as[(Long, Long, Long)].collect().toSet
+    // from-scratch: ordNew ⋈ custNew = {(1,1,100),(5,3,25)} under nation 10
+    assert(got == Set((10L, 2L, 125L)),
+      s"maintained view != from-scratch recompute: $got")
+  }
+
   test("bleu: hand-computed perfect-precision pair (BP<1), clipping zeroes a p_n, short candidate drops") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),                 // 6 tokens, all grams ⊆ ref
