@@ -2920,6 +2920,23 @@ object SparkEntry {
         tsCol = "ts", bucketSec = 3600L, alpha = 0.5, beta = 0.25,
         period = 24)),
 
+    // Per-phase SEASONAL Holt (daily cycle over hourly buckets): the
+    // SAME doubling scan partitioned by (key, bucket mod 24) — each
+    // phase learns its seasonal level and its cycle-over-cycle trend.
+    "ts_holt_seasonal" -> ((s, dir) =>
+      TimeSeries.holtSeasonal(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, alpha = 0.5, beta = 0.25,
+        period = 24)),
+
+    // Three-way backtest: Holt vs seasonal-naive vs per-phase seasonal
+    // Holt, per-key MAEs + winner (tie-break seasonal_holt > holt >
+    // naive). The planted-key spec pins the hybrid beating BOTH
+    // baselines on a seasonal+trend series.
+    "ts_backtest_seasonal" -> ((s, dir) =>
+      TimeSeries.seasonalBacktest(t(s, dir, "events"),
+        keyCol = "event_type", tsCol = "ts", bucketSec = 3600L,
+        alpha = 0.5, beta = 0.25, period = 24)),
+
     // Banded matrix profile over hourly counts: each window's best match
     // within ±48 positions (exclusion 4) by exact-integer Pearson corr
     // — motif/novelty detection. One keyed equi-join on exploded
@@ -5167,6 +5184,97 @@ object SparkEntry {
     // join band, identical single-sqrt correlation tree (generator above).
     "ts_matrix_profile" -> matrixProfileOracleSql(w = 16, excl = 4,
       band = 48),
+
+    // The ts_holt recurrence replayed per (key, phase) stratum.
+    "ts_holt_seasonal" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, bucket % 24 AS phase, bucket, n,
+        |        row_number() OVER (PARTITION BY event_type, bucket % 24
+        |                           ORDER BY bucket) AS rn
+        |       FROM c),
+        |rec AS (
+        |  SELECT event_type, phase, bucket, n, rn,
+        |         CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.event_type, rk.phase, rk.bucket, rk.n, rk.rn,
+        |         0.5 * rk.n + 0.5 * (rec.l + rec.b),
+        |         0.25 * ((0.5 * rk.n + 0.5 * (rec.l + rec.b)) - rec.l)
+        |           + 0.75 * rec.b
+        |  FROM rec JOIN rk ON rk.event_type = rec.event_type
+        |                  AND rk.phase = rec.phase
+        |                  AND rk.rn = rec.rn + 1)
+        |SELECT event_type, phase, bucket, n,
+        |       round(l, 6) + 0 AS level,
+        |       round(b, 6) + 0 AS trend,
+        |       round(l + b, 6) + 0 AS forecast_next
+        |FROM rec""".stripMargin,
+
+    // Three-way backtest replayed: the per-key Holt chain, the per-
+    // (key, phase) seasonal chain, the position-24 naive lag — all
+    // joined at the evaluable buckets; MAE comparisons on the SAME
+    // rounded values the engine compares.
+    "ts_backtest_seasonal" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, bucket, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |       FROM c),
+        |rec AS (
+        |  SELECT event_type, bucket, n, rn,
+        |         CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.event_type, rk.bucket, rk.n, rk.rn,
+        |         0.5 * rk.n + 0.5 * (rec.l + rec.b),
+        |         0.25 * ((0.5 * rk.n + 0.5 * (rec.l + rec.b)) - rec.l)
+        |           + 0.75 * rec.b
+        |  FROM rec JOIN rk ON rk.event_type = rec.event_type
+        |                  AND rk.rn = rec.rn + 1),
+        |rks AS (SELECT event_type, bucket % 24 AS phase, bucket, n,
+        |         row_number() OVER (PARTITION BY event_type, bucket % 24
+        |                            ORDER BY bucket) AS rn
+        |        FROM c),
+        |recs AS (
+        |  SELECT event_type, phase, bucket, n, rn,
+        |         CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM rks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rks.event_type, rks.phase, rks.bucket, rks.n, rks.rn,
+        |         0.5 * rks.n + 0.5 * (recs.l + recs.b),
+        |         0.25 * ((0.5 * rks.n + 0.5 * (recs.l + recs.b)) - recs.l)
+        |           + 0.75 * recs.b
+        |  FROM recs JOIN rks ON rks.event_type = recs.event_type
+        |                    AND rks.phase = recs.phase
+        |                    AND rks.rn = recs.rn + 1),
+        |fc AS (SELECT event_type, rn, round(l + b, 6) + 0 AS f FROM rec),
+        |fs AS (SELECT event_type, phase, rn, round(l + b, 6) + 0 AS f
+        |       FROM recs),
+        |ev AS (SELECT rk.event_type, rk.n, fc.f AS fh, p.n AS fn, f2.f AS fsv
+        |       FROM rk
+        |       JOIN fc ON fc.event_type = rk.event_type AND fc.rn = rk.rn - 1
+        |       JOIN rk p ON p.event_type = rk.event_type AND p.rn = rk.rn - 24
+        |       JOIN rks rr ON rr.event_type = rk.event_type
+        |                  AND rr.bucket = rk.bucket
+        |       JOIN fs f2 ON f2.event_type = rr.event_type
+        |                 AND f2.phase = rr.phase AND f2.rn = rr.rn - 1),
+        |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+        |          round(sum(abs(n - fh)) / count(*), 6) AS mae_holt,
+        |          round(CAST(sum(abs(n - fn)) AS BIGINT) / count(*), 6)
+        |            AS mae_naive,
+        |          round(sum(abs(n - fsv)) / count(*), 6) AS mae_sholt
+        |        FROM ev GROUP BY event_type)
+        |SELECT event_type, n_evals, mae_holt, mae_naive, mae_sholt,
+        |       CASE WHEN mae_sholt <= mae_holt AND mae_sholt <= mae_naive
+        |              THEN 'seasonal_holt'
+        |            WHEN mae_holt <= mae_naive THEN 'holt'
+        |            ELSE 'naive' END AS winner
+        |FROM agg""".stripMargin,
 
     // Backtest replayed over the same recursive Holt CTE: the previous
     // row's rounded contract forecast and the position-24 naive lag,

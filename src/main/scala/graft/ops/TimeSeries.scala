@@ -360,51 +360,85 @@ object TimeSeries {
     * `+ 0.0` canonicalizing −0.0 (the Similarity precedent). Returns
     * (key, bucket, n, level, trend, forecast_next = l + b). */
   def holt(df: DataFrame, keyCol: String, tsCol: String, bucketSec: Long,
-      alpha: Double, beta: Double, maxLevels: Int = 24): DataFrame = {
-    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
-    require(beta > 0 && beta < 1, "beta in (0,1)")
-    val c = df
-      .select(col(keyCol),
+      alpha: Double, beta: Double, maxLevels: Int = 24): DataFrame =
+    holtScan(collapse(df, keyCol, tsCol, bucketSec), Seq(keyCol),
+      alpha, beta, maxLevels)
+
+  /** Per-phase SEASONAL Holt — the Holt–Winters-class hybrid for series
+    * with both a cycle and a drift: stratify the collapsed series by
+    * phase = bucket mod `period` and run the IDENTICAL doubling scan
+    * partitioned by (key, phase). Each phase's subseries (one
+    * observation per cycle) learns its own level (the seasonal profile)
+    * AND its own trend (the cycle-over-cycle drift — the per-phase
+    * trend IS the recombined trend component: on a seasonal+trend
+    * series every phase drifts by the same per-period increment, which
+    * the stratified scan estimates without cross-phase mixing).
+    * `forecast_next` forecasts the phase's NEXT occurrence (bucket +
+    * period). Returns (key, bucket, phase, n, level, trend,
+    * forecast_next) — the [[holt]] shape plus phase. */
+  def holtSeasonal(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, alpha: Double, beta: Double, period: Int,
+      maxLevels: Int = 24): DataFrame = {
+    require(period >= 2, "period >= 2")
+    val c = collapse(df, keyCol, tsCol, bucketSec)
+      .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
+    holtScan(c, Seq(keyCol, "phase"), alpha, beta, maxLevels)
+  }
+
+  /** The (key..., bucket, n) collapse shared by the Holt family — the
+    * only corpus-sized stage, materialized at the boundary. */
+  private def collapse(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long): DataFrame =
+    df.select(col(keyCol),
         floor(unix_micros(col(tsCol)) / (bucketSec * 1000000L))
           .cast("long").as("bucket"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
+
+  /** The doubling-scan core over an already-collapsed (keyCols...,
+    * bucket, n) frame — [[holt]] runs it per key, [[holtSeasonal]] per
+    * (key, phase). */
+  private def holtScan(c: DataFrame, keyCols: Seq[String],
+      alpha: Double, beta: Double, maxLevels: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(beta > 0 && beta < 1, "beta in (0,1)")
+    val g = keyCols.map(col)
     // max over an EMPTY frame is one NULL row — treat as length 1 so
     // rounds = 0 and the (empty) pipeline still returns the correct
     // empty-schema frame instead of NPE-ing on getLong.
-    val maxNRow = c.groupBy(col(keyCol)).count()
+    val maxNRow = c.groupBy(g: _*).count()
       .agg(max(col("count"))).head()
     val maxN = if (maxNRow.isNullAt(0)) 1L else maxNRow.getLong(0)
     val rounds = Iterator.from(0).dropWhile(r => (1L << r) < maxN).next()
     require(rounds <= maxLevels,
       s"series length $maxN needs $rounds doubling rounds > maxLevels=$maxLevels")
-    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val byKey = Window.partitionBy(g: _*).orderBy(col("bucket"))
     val x = col("n").cast("double")
-    var cur = c.select(col(keyCol), col("bucket"), col("n"),
-        row_number().over(byKey).as("__rn"))
-      .select(col(keyCol), col("bucket"), col("n"), col("__rn"),
-        when(col("__rn") === 1, x).otherwise(lit(alpha) * x).as("__v1"),
+    var cur = c.select(g :+ col("bucket") :+ col("n") :+
+        row_number().over(byKey).as("__rn"): _*)
+      .select(g :+ col("bucket") :+ col("n") :+ col("__rn") :+
+        when(col("__rn") === 1, x).otherwise(lit(alpha) * x).as("__v1") :+
         when(col("__rn") === 1, lit(0.0))
-          .otherwise(lit(alpha * beta) * x).as("__v2"))
+          .otherwise(lit(alpha * beta) * x).as("__v2"): _*)
     // M^(2^r) by exact driver-side repeated squaring of the constant M.
     var p = (1 - alpha, 1 - alpha, -alpha * beta, 1 - alpha * beta)
     for (r <- 0 until rounds) {
       val off = 1 << r
       val (l1, l2) = (lag(col("__v1"), off).over(byKey),
         lag(col("__v2"), off).over(byKey))
-      cur = cur.select(col(keyCol), col("bucket"), col("n"), col("__rn"),
+      cur = cur.select(g :+ col("bucket") :+ col("n") :+ col("__rn") :+
         when(l1.isNull, col("__v1"))
-          .otherwise(col("__v1") + lit(p._1) * l1 + lit(p._2) * l2).as("__v1"),
+          .otherwise(col("__v1") + lit(p._1) * l1 + lit(p._2) * l2).as("__v1") :+
         when(l1.isNull, col("__v2"))
-          .otherwise(col("__v2") + lit(p._3) * l1 + lit(p._4) * l2).as("__v2"))
+          .otherwise(col("__v2") + lit(p._3) * l1 + lit(p._4) * l2).as("__v2"): _*)
       p = (p._1 * p._1 + p._2 * p._3, p._1 * p._2 + p._2 * p._4,
         p._3 * p._1 + p._4 * p._3, p._3 * p._2 + p._4 * p._4)
     }
-    cur.select(col(keyCol), col("bucket"), col("n"),
-      (round(col("__v1"), 6) + lit(0.0)).as("level"),
-      (round(col("__v2"), 6) + lit(0.0)).as("trend"),
-      (round(col("__v1") + col("__v2"), 6) + lit(0.0)).as("forecast_next"))
+    cur.select(g :+ col("bucket") :+ col("n") :+
+      (round(col("__v1"), 6) + lit(0.0)).as("level") :+
+      (round(col("__v2"), 6) + lit(0.0)).as("trend") :+
+      (round(col("__v1") + col("__v2"), 6) + lit(0.0)).as("forecast_next"): _*)
   }
 
   /** Banded matrix profile (Yeh et al., ICDM'16's profile restricted to
@@ -534,6 +568,51 @@ object TimeSeries {
         round(sum(abs(col("n") - col("__fn"))).cast("double") /
           count(lit(1)), 6).as("mae_naive"))
       .withColumn("holt_wins", col("mae_holt") < col("mae_naive"))
+  }
+
+  /** [[holtBacktest]] extended with the [[holtSeasonal]] model — the
+    * three-way eval (Holt, seasonal-naive, per-phase seasonal Holt)
+    * that decides which forecaster a key actually trusts: plain Holt
+    * wins pure-trend keys, naive wins pure-cycle keys, and the
+    * stratified model is built to win seasonal+trend. Rows are
+    * evaluable where ALL THREE forecasts exist; the winner tie-breaks
+    * seasonal_holt > holt > naive (a tie means the simpler model isn't
+    * WORSE, but the flag answers "may I ship the hybrid").
+    *
+    * Scale shape: all three models ride the same (key, bucket, n)
+    * collapse; the seasonal forecast is one extra window lag
+    * partitioned by (key, phase) and one keyed equi-join of two
+    * collapse-sized frames. Returns (key, n_evals, mae_holt,
+    * mae_naive, mae_sholt, winner). */
+  def seasonalBacktest(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, alpha: Double, beta: Double,
+      period: Int = 24): DataFrame = {
+    val h = holt(df, keyCol, tsCol, bucketSec, alpha, beta)
+    val hs = holtSeasonal(df, keyCol, tsCol, bucketSec, alpha, beta, period)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val byPhase = Window.partitionBy(col(keyCol), col("phase"))
+      .orderBy(col("bucket"))
+    val a = h.select(col(keyCol), col("bucket"), col("n"),
+      lag(col("forecast_next"), 1).over(byKey).as("__fh"),
+      lag(col("n"), period).over(byKey).as("__fn"))
+    val b = hs.select(col(keyCol), col("bucket"),
+      lag(col("forecast_next"), 1).over(byPhase).as("__fs"))
+    val ev = a.join(b, Seq(keyCol, "bucket"))
+      .filter(col("__fh").isNotNull && col("__fn").isNotNull &&
+        col("__fs").isNotNull)
+    ev.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_evals"),
+        round(sum(abs(col("n").cast("double") - col("__fh"))) /
+          count(lit(1)), 6).as("mae_holt"),
+        round(sum(abs(col("n") - col("__fn"))).cast("double") /
+          count(lit(1)), 6).as("mae_naive"),
+        round(sum(abs(col("n").cast("double") - col("__fs"))) /
+          count(lit(1)), 6).as("mae_sholt"))
+      .withColumn("winner",
+        when(col("mae_sholt") <= col("mae_holt") &&
+          col("mae_sholt") <= col("mae_naive"), lit("seasonal_holt"))
+          .when(col("mae_holt") <= col("mae_naive"), lit("holt"))
+          .otherwise(lit("naive")))
   }
 
   def levelShift(df: DataFrame, keyCol: String, tsCol: String,

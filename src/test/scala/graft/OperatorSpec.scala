@@ -3167,6 +3167,41 @@ class OperatorSpec extends SparkSuite {
     assert(got("s")._3 > 0.0, "holt pays a positive MAE chasing the pattern")
   }
 
+  test("seasonal backtest: hybrid beats BOTH baselines on a seasonal+trend key; exact on pure cycle") {
+    // key "m": period-24 pattern + 4/cycle drift — naive always lags by
+    // the slope (MAE exactly 4), plain holt pays for chasing the
+    // oscillation (MAE ~16.7), per-phase holt converges to the drift
+    // (MAE ~3.49 over 10 cycles, sequential-replay values). key "s":
+    // the pure pattern — naive AND per-phase holt are exact (each
+    // phase's series is constant ⇒ l=x, b=0 from step 1), and the tie
+    // hands the winner flag to seasonal_holt by the documented order.
+    val pat = (0 until 24).map(h => 1 + ((h * 5) % 9) * 5)
+    val rows = (0 until 240).flatMap { hr =>
+      Seq.fill(pat(hr % 24) + 4 * (hr / 24))(("m", hr)) ++
+        Seq.fill(pat(hr % 24))(("s", hr))
+    }.map { case (k, hr) => (k, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:45:00Z")
+        .plusSeconds(3600L * hr)))
+    }
+    val got = graft.ops.TimeSeries.seasonalBacktest(
+        rows.toDF("event_type", "ts"), "event_type", "ts", 3600L,
+        alpha = 0.5, beta = 0.25, period = 24)
+      .as[(String, Long, Double, Double, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val m = got("m")
+    assert(m._2 == 216L, s"evals $m")
+    assert(m._6 == "seasonal_holt", s"hybrid must win the mixed key: $m")
+    assert(m._5 < m._4 && m._5 < m._3,
+      s"mae_sholt must beat naive and holt: $m")
+    assert(m._4 == 4.0, s"naive MAE on a 4/cycle drift is exactly 4: $m")
+    assert(math.abs(m._5 - 3.486598) < 1e-3, s"sholt MAE drifted: $m")
+    val sK = got("s")
+    assert(sK._4 == 0.0 && sK._5 == 0.0,
+      s"pure cycle: naive and per-phase holt are exact: $sK")
+    assert(sK._6 == "seasonal_holt", s"tie-break order: $sK")
+    assert(sK._3 > 0.0, "plain holt pays a positive MAE on the cycle")
+  }
+
   test("holt: doubling scan equals the sequential recurrence, every key length") {
     // Key lengths 1, 2, 9 exercise every doubling-round edge: no rounds,
     // one partial round, and prefixes that straddle 2^r boundaries. The
