@@ -182,6 +182,22 @@ object SparkEntry {
         Seq("window_start"), 512L, Seq(50, 90, 99))
     },
 
+    // Signed maintained state over a synthetic changelog (every event an
+    // INSERT, every 7th event's row re-arriving as a DELETE): the batch
+    // twin of the GroupState signed fold — one map-side-combinable
+    // aggregation, exact integers, netted-out keys dropped. The
+    // streaming twin + replace/tombstone sink + epoch-replay idempotency
+    // are pinned in StreamingSpec.
+    "stream_signed_state" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("event_id"), round(col("value") * 100).cast("long").as("v"))
+      val changelog = ev.select(col("event_type"), col("v"), lit("I").as("op"))
+        .unionAll(ev.filter(col("event_id") % 7 === 0)
+          .select(col("event_type"), col("v"), lit("D").as("op")))
+      graft.streaming.StreamOps.signedAggStream(changelog, "event_type",
+        "op", col("v"), streaming = false)
+    },
+
     // ── flagship pricing aggregate (partial+final hash agg, 1 shuffle) ──
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -7265,6 +7281,16 @@ object SparkEntry {
     "ref_sort_bi" ->
       """SELECT user_id, count(*) AS total_trips, avg(value) AS average_fare
         |FROM events GROUP BY user_id ORDER BY total_trips DESC, user_id""".stripMargin,
+
+    // From-scratch recompute of the post-delta table — equality IS the
+    // maintained-state guarantee (deletes ⊆ inserts by construction).
+    "stream_signed_state" ->
+      """WITH pd AS (SELECT event_type AS key,
+        |              CAST(round(value * 100) AS BIGINT) AS v
+        |            FROM events WHERE event_id % 7 <> 0)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM pd GROUP BY 1""".stripMargin,
 
     // Full sketch replay per day window: bucket counts, partitioned
     // cumulative walk, exact integer rank selection.

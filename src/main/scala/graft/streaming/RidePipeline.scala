@@ -97,6 +97,38 @@ class InMemoryUpsertSink extends UpsertSink {
   }
 }
 
+/** Keyed SIGNED-state sink — the maintained-state S5 intent at the
+  * engine's signed-aggregate surface: consumes
+  * [[StreamOps.signedAggStream]]'s update-mode rows, which carry each
+  * touched key's ABSOLUTE (n_rows, sum_v) state, so the merge is a keyed
+  * REPLACE (idempotent under foreachBatch replay by construction — no
+  * accumulate quirk) and a tombstone (n_rows ≤ 0) DELETES the key.
+  * Replayed epochs are additionally skipped by epoch tracking, the
+  * standard exactly-once-intent discipline. In-memory backend (tests);
+  * the `collect` is update-mode deltas over touched keys only. */
+class InMemorySignedSink {
+  import scala.collection.mutable
+  private val state = mutable.Map.empty[String, (Long, Long)]
+  private var lastEpoch = -1L
+
+  def merge(batch: org.apache.spark.sql.DataFrame, epochId: Long): Unit = {
+    val rows = batch.collect() // update-mode touched-key states: small
+    synchronized {
+      if (epochId > lastEpoch) {
+        rows.foreach { r =>
+          val k = r.getAs[String]("key")
+          val n = r.getAs[Long]("n_rows")
+          if (n <= 0L) state.remove(k)
+          else state(k) = (n, r.getAs[Long]("sum_v"))
+        }
+        lastEpoch = epochId
+      }
+    }
+  }
+
+  def snapshot: Map[String, (Long, Long)] = synchronized(state.toMap)
+}
+
 /** JDBC merge statement builders. Mirrors the reference's ON CONFLICT
   * merge (streaming_job.py:37-44) but per-(city, window) keyed for
   * idempotency: re-delivering the same micro-batch (foreachBatch replays

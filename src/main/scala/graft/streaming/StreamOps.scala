@@ -35,6 +35,10 @@ case class CdcRow(user_id: Long, last_op: String, value: Double, n_ops: Long)
   * never longer than the counter budget m. */
 case class TopKState(keys: Seq[String], counts: Seq[Long])
 
+/** Per-key signed aggregate state: exact-integer (n_rows, sum_v). */
+case class SignedState(nRows: Long, sumV: Long)
+case class SignedStateRow(key: String, n_rows: Long, sum_v: Long)
+
 /** Streaming operators beyond the reference's surface (SURVEY.md §2.4
   * lists these as absent there): sliding & session event-time windows,
   * watermark-bounded streaming dedup, stream-static enrichment joins, and
@@ -294,6 +298,54 @@ object StreamOps {
         state.update(st)
         Iterator.single(CdcRow(key, st.op, st.value, st.nOps))
     }.toDF()
+  }
+
+  /** Signed (retractable) aggregate state maintained over a CHANGELOG
+    * stream — the reference's S5 "maintained state" intent
+    * (streaming_job.py:37-58) extended to retractions at the engine's
+    * signed-state algebra ([[graft.ops.Profile.signedAggState]]): each
+    * row carries op I/D; per key the state folds (n_rows, sum_v) with
+    * sign +1/−1 in exact integers. The streaming form keeps the O(1)
+    * per-key state in GroupState and emits the key's NEW ABSOLUTE state
+    * per touched key per batch (update mode) — absolute, not a delta,
+    * so the downstream upsert sink's keyed REPLACE is idempotent under
+    * foreachBatch replay by construction (no ON CONFLICT accumulate
+    * quirk to reproduce); a key whose rows net to zero emits a
+    * tombstone (n_rows = 0) the sink deletes on. The batch twin is one
+    * map-side-combinable signed aggregation of the same arithmetic;
+    * StreamingSpec pins batch/streaming parity and sink replay.
+    * Returns (key, n_rows, sum_v), batch mode dropping netted-out keys
+    * exactly as [[graft.ops.Profile.mergeAggStates]] does. */
+  def signedAggStream(log: DataFrame, keyCol: String, opCol: String,
+      value: Column, streaming: Boolean): DataFrame = {
+    if (!streaming) {
+      log.select(col(keyCol).cast("string").as("key"),
+          when(col(opCol) === "D", lit(-1L)).otherwise(lit(1L)).as("__s"),
+          value.cast("long").as("__v"))
+        .groupBy(col("key"))
+        .agg(sum(col("__s")).as("n_rows"),
+          sum(col("__v") * col("__s")).as("sum_v"))
+        .filter(col("n_rows") > 0)
+    } else {
+      val spark = log.sparkSession
+      import spark.implicits._
+      val typed = log.select(col(keyCol).cast("string").as("key"),
+          col(opCol).cast("string").as("op"),
+          value.cast("long").as("v"))
+        .as[(String, String, Long)]
+      typed.groupByKey(_._1).flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String, Long)],
+         state: GroupState[SignedState]) =>
+          var st = state.getOption.getOrElse(SignedState(0L, 0L))
+          rows.foreach { case (_, op, v) =>
+            val s = if (op == "D") -1L else 1L
+            st = SignedState(st.nRows + s, st.sumV + s * v)
+          }
+          state.update(st)
+          Iterator.single(SignedStateRow(key, st.nRows, st.sumV))
+      }.toDF()
+    }
   }
 
   /** Running-profile anomaly detection: flag an event whose value sits

@@ -221,6 +221,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("signed-state stream: retractions maintain the sink equal to batch recompute; netted key deleted; replay idempotent") {
+    import graft.streaming.{InMemorySignedSink, StreamOps}
+    val source = MemoryStream[(String, String, Long)] // (key, op, value)
+    val stateStream = StreamOps.signedAggStream(
+      source.toDF().toDF("key", "op", "v"), "key", "op", col("v"),
+      streaming = true)
+    val sink = new InMemorySignedSink
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-signed").toString
+    val q = stateStream.writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+        sink.merge(b, e); sink.merge(b, e) // second call = replayed epoch
+      }
+      .start()
+    val batches = Seq(
+      Seq(("a", "I", 10L), ("a", "I", 30L), ("b", "I", 5L), ("c", "I", 7L)),
+      Seq(("a", "D", 10L), ("b", "I", 2L), ("c", "D", 7L)), // c nets to 0
+      Seq(("a", "I", 4L), ("d", "I", 1L)))
+    try batches.foreach { b => source.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // batch twin over the FULL changelog = the post-delta recompute
+    val want = StreamOps.signedAggStream(
+        batches.flatten.toDF("key", "op", "v"), "key", "op", col("v"),
+        streaming = false)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(sink.snapshot == want, s"sink=${sink.snapshot} want=$want")
+    assert(!sink.snapshot.contains("c"), "netted-out key must be deleted")
+    assert(sink.snapshot("a") == ((2L, 34L)), s"a: ${sink.snapshot.get("a")}")
+  }
+
   test("S1 source swap: a real file stream drives the identical plan to MemoryStream") {
     // reference parity: streaming_job.py:99-104 — the source is a format
     // string; everything below it is the same Catalyst plan. Prove it with
