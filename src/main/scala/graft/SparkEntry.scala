@@ -2415,6 +2415,21 @@ object SparkEntry {
       TextAnalysis.bleu(d, pairs, "doc_id", "text", maxN = 4)
     },
 
+    // chrF2 over a sampled eval manifest (every 5th doc vs its
+    // neighbor): character n-grams (orders 1..6, whitespace stripped),
+    // per-order clipped P/R with CLOSED-FORM totals (len−n+1 — no
+    // totals aggregate), uniform averages, β=2 harmonic combine. Exact
+    // integer matches; ratios/averages/chrf2 are fixed IEEE trees —
+    // raw doubles gate.
+    "text_chrf" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("cand_id"))
+        .filter(col("cand_id") % 5 === 0)
+        .join(d.select(col("doc_id").as("ref_id")),
+          col("ref_id") === col("cand_id") + 1)
+      TextAnalysis.chrF(d, pairs, "doc_id", "text", maxN = 6, beta = 2.0)
+    },
+
     // ROUGE-L over a sampled eval manifest (every 7th doc vs its
     // neighbor): LCS-based P/R/F1 — order-aware where ROUGE-1/2's
     // clipped bags are not. The LCS runs as a codegen'd per-pair DP; the
@@ -6810,6 +6825,60 @@ object SparkEntry {
         |            ELSE 2.0 * rouge_p * rouge_r / (rouge_p + rouge_r)
         |       END AS rouge_f1
         |FROM pr""".stripMargin,
+
+    // Identical char-gram clipped counting (orders 1..6, closed-form
+    // totals), identical fixed IEEE trees for ratios/averages/chrf2.
+    "text_chrf" -> {
+      val gramBlocks = (1 to 6).map { n =>
+        s"""SELECT id, $n AS n,
+           |       unnest(list_transform(range(1, CAST(len - ${n - 1} AS BIGINT) + 1),
+           |         i -> substr(t, CAST(i AS INTEGER), $n))) AS g
+           |FROM bl WHERE len >= $n""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val matchCols = (1 to 6).map(n =>
+        s"CAST(coalesce(max(CASE WHEN n = $n THEN mm END), 0) AS BIGINT) AS match_$n")
+        .mkString(",\n         ")
+      val rp = (1 to 6).map(n =>
+        s"CAST(match_$n AS DOUBLE) / CAST(cand_len - ${n - 1} AS DOUBLE)")
+        .mkString(" + ")
+      val rr = (1 to 6).map(n =>
+        s"CAST(match_$n AS DOUBLE) / CAST(ref_len - ${n - 1} AS DOUBLE)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id AS id,
+         |             regexp_replace(text, '[ \\t\\n\\r\\f]+', '', 'g') AS t
+         |           FROM documents),
+         |bl AS (SELECT id, t, CAST(length(t) AS BIGINT) AS len FROM b),
+         |grams AS (
+         |  $gramBlocks),
+         |cnt AS (SELECT id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+         |pairs AS (
+         |  SELECT d1.doc_id AS cand_id, d2.doc_id AS ref_id
+         |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+         |  WHERE d1.doc_id % 5 = 0),
+         |m AS (SELECT p.cand_id, p.ref_id, cl.n,
+         |             sum(least(cl.c, cr.c)) AS mm
+         |      FROM pairs p
+         |      JOIN cnt cl ON cl.id = p.cand_id
+         |      JOIN cnt cr ON cr.id = p.ref_id AND cr.n = cl.n AND cr.g = cl.g
+         |      GROUP BY 1, 2, 3),
+         |piv AS (SELECT p.cand_id, p.ref_id,
+         |         $matchCols
+         |        FROM pairs p LEFT JOIN m ON m.cand_id = p.cand_id
+         |          AND m.ref_id = p.ref_id
+         |        GROUP BY 1, 2),
+         |wl AS (SELECT piv.*, c.len AS cand_len, r.len AS ref_len
+         |       FROM piv JOIN bl c ON c.id = piv.cand_id
+         |       JOIN bl r ON r.id = piv.ref_id
+         |       WHERE least(c.len, r.len) >= 6),
+         |pr AS (SELECT *, ($rp) / 6.0 AS avg_p, ($rr) / 6.0 AS avg_r FROM wl)
+         |SELECT cand_id, ref_id, cand_len, ref_len,
+         |       match_1, match_2, match_3, match_4, match_5, match_6,
+         |       avg_p, avg_r,
+         |       CASE WHEN 4.0 * avg_p + avg_r = 0.0 THEN 0.0
+         |            ELSE 5.0 * avg_p * avg_r / (4.0 * avg_p + avg_r)
+         |       END AS chrf2
+         |FROM pr""".stripMargin
+    },
 
     // Identical clipped counting at n=1..4 + brevity penalty; bp/bleu
     // round(…,6) on both sides (exp/pow cross libm), p_n raw single

@@ -1384,6 +1384,79 @@ object TextAnalysis {
         .otherwise(round(bpRaw * pow(prod, lit(1.0 / maxN)), 6)).as("bleu")): _*)
   }
 
+  /** chrF2 (Popović 2015) — the CHARACTER-level member of the
+    * generation-eval trio next to [[bleu]] and [[rougeN]], the metric
+    * of record for morphology-rich targets: character n-grams
+    * (whitespace stripped, the sacrebleu convention) of orders 1..6,
+    * per-order clipped precision m_n/(clen−n+1) and recall
+    * m_n/(rlen−n+1), uniformly averaged, combined as
+    * chrF_β = (1+β²)·P·R / (β²·P + R) with β = 2.
+    *
+    * Totals need no aggregate at all — a length-L string has exactly
+    * L−n+1 character n-grams — so the only joins are the clipped-match
+    * count keyed on (doc, n, gram), the [[rougeN]] scale shape over
+    * character shingles. Pairs keep a row when BOTH sides have ≥ maxN
+    * characters (all orders defined); an order with zero overlap
+    * contributes 0 matches, not a dropped row. Every m_n is an exact
+    * integer; each per-order ratio is one IEEE division, the averages
+    * are one fixed left-associated tree over them, and chrf2 is one
+    * more fixed tree — raw doubles gate (the rouge_f1 precedent).
+    * Returns (cand_id, ref_id, cand_len, ref_len, match_1..maxN,
+    * avg_p, avg_r, chrf2). */
+  def chrF(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN in [1,8]")
+    val ns = 1 to maxN
+    // explicit whitespace class: Java's \s and DuckDB-RE2's \s disagree
+    // on \x0B, so neither side uses the shorthand
+    val base = docs.select(col(idCol).as("id"),
+        regexp_replace(col(textCol), "[ \\t\\n\\r\\f]+", "").as("__t"))
+      .select(col("id"), col("__t"), length(col("__t")).cast("long").as("__len"))
+    val grams = ns.map { n =>
+      base.filter(col("__len") >= n)
+        .select(col("id"), lit(n).as("n"),
+          explode(transform(
+            sequence(lit(1L), col("__len") - (n - 1)),
+            i => col("__t").substr(i.cast("int"), lit(n)))).as("g"))
+    }.reduce(_ unionAll _)
+    val counts = grams.groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+    val p = pairs.select(col("cand_id"), col("ref_id"))
+    val m = p
+      .join(counts.select(col("id").as("cand_id"), col("n"), col("g"),
+        col("c").as("cc")), Seq("cand_id"))
+      .join(counts.select(col("id").as("ref_id"), col("n"), col("g"),
+        col("c").as("rc")), Seq("ref_id", "n", "g"))
+      .groupBy("cand_id", "ref_id", "n")
+      .agg(sum(least(col("cc"), col("rc"))).as("mm"))
+    val aggs = ns.map(n =>
+      coalesce(max(when(col("n") === n, col("mm"))), lit(0L)).as(s"match_$n"))
+    val piv = p.join(m, Seq("cand_id", "ref_id"), "left")
+      .groupBy("cand_id", "ref_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val lens = base.select(col("id"), col("__len"))
+    val withL = piv
+      .join(lens.select(col("id").as("cand_id"), col("__len").as("cand_len")),
+        Seq("cand_id"))
+      .join(lens.select(col("id").as("ref_id"), col("__len").as("ref_len")),
+        Seq("ref_id"))
+      .filter(least(col("cand_len"), col("ref_len")) >= maxN)
+    def ratio(n: Int, lenCol: String): Column =
+      col(s"match_$n").cast("double") /
+        (col(lenCol) - (n - 1)).cast("double")
+    val avgP = (ns.map(n => ratio(n, "cand_len")).reduce(_ + _) /
+      lit(maxN.toDouble)).as("avg_p")
+    val avgR = (ns.map(n => ratio(n, "ref_len")).reduce(_ + _) /
+      lit(maxN.toDouble)).as("avg_r")
+    val b2 = beta * beta
+    withL.select(Seq(col("cand_id"), col("ref_id"), col("cand_len"),
+        col("ref_len")) ++ ns.map(n => col(s"match_$n")) ++
+        Seq(avgP, avgR): _*)
+      .withColumn("chrf2",
+        when(lit(b2) * col("avg_p") + col("avg_r") === 0.0, lit(0.0))
+          .otherwise(lit(1.0 + b2) * col("avg_p") * col("avg_r") /
+            (lit(b2) * col("avg_p") + col("avg_r"))))
+  }
+
   /** ROUGE-L — the LCS member of the generation-eval family next to
     * [[rougeN]]: P = LCS/|cand|, R = LCS/|ref|, F1 harmonic, over
     * whitespace tokens. Unlike the clipped n-gram counts, LCS rewards

@@ -2133,6 +2133,30 @@ class OperatorSpec extends SparkSuite {
       s"ivf-mmr diverged on clustered data: missing=${exact -- approx} extra=${approx -- exact}")
   }
 
+  test("chrf: perfect pair scores 1, clipping caps repeated chars, whitespace stripped, short pair drops") {
+    val docs = Seq(
+      (1L, "abcdef"), (2L, "abcdef"),          // identical → chrf2 = 1
+      (3L, "aaaaaaa"), (4L, "abcdefa"),        // clip: ref has 2 'a', no 'aa'
+      (5L, "ab cd ef"), (6L, "abcdef"),        // spaces stripped → identical
+      (7L, "abcde"), (8L, "abcdefgh")).toDF("doc_id", "text") // cand < 6 chars → drop
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("cand_id", "ref_id")
+    val got = graft.ops.TextAnalysis.chrF(docs, pairs).collect()
+      .map(r => r.getAs[Long]("cand_id") -> r).toMap
+    assert(got.size == 3, s"short pair must drop: ${got.keys}")
+    val a = got(1L)
+    assert((1 to 6).map(n => a.getAs[Long](s"match_$n")) == Seq(6L, 5L, 4L, 3L, 2L, 1L))
+    assert(a.getAs[Double]("avg_p") == 1.0 && a.getAs[Double]("chrf2") == 1.0)
+    val b = got(3L)
+    assert(b.getAs[Long]("match_1") == 2L, "unigram 'a' clips at the ref count")
+    assert((2 to 6).forall(n => b.getAs[Long](s"match_$n") == 0L))
+    // p = r = (2/7)/6 → chrf2 = 5p²/(5p) = p = 1/21
+    assert(math.abs(b.getAs[Double]("chrf2") - 1.0 / 21.0) < 1e-15, b.toString)
+    val c = got(5L)
+    assert(c.getAs[Long]("cand_len") == 6L && c.getAs[Double]("chrf2") == 1.0,
+      s"whitespace must not count as characters: $c")
+  }
+
   test("mv join 2-way: retracting a customer retracts its owned orders; netted-out nation vanishes") {
     // orders (okey, custkey, cents); customers (custkey, nation).
     // Customer 2 (nation 20) owns orders 3 and 4 and is RETRACTED;
