@@ -1657,8 +1657,8 @@ object SparkEntry {
         Similarity.ivfTopK(emb, qs, k = 32, nProbe = 8), k = 8)
       val exact = Similarity.mmrRerank(emb, qs, candK = 32, k = 8)
       exact.select(col("query_id"), col("neighbor_id"))
-        .join(approx.select(col("query_id").as("q2"),
-          col("neighbor_id").as("n2")),
+        .join(broadcast(approx.select(col("query_id").as("q2"),
+          col("neighbor_id").as("n2"))),
           col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
           "left")
         .groupBy(col("query_id"))

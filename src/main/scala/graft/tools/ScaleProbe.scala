@@ -230,6 +230,69 @@ object ScaleProbe {
         keys).count()
     }
     report("incremental agg (signed)")(ivm(liS()))(ivm(liB()))
+    // Round-13 families. pHash near: everything past the hash projection
+    // is bounded by DISTINCT 15-bit hashes (≤ 32768 rows at any corpus
+    // size) — the ratio should track the scan, not the pair machinery.
+    def phashNear(docs: DataFrame): Long =
+      graft.ops.Multimodal.phashNearGroups(graft.ops.Multimodal.asMedia(
+        docs.filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0), "doc_id", "text"), hammingD = 2)
+        .count()
+    report("phash near groups (d=2)")(phashNear(docS()))(phashNear(docB()))
+    // BLEU/chrF: adjacent-pair manifests live inside each replica (the
+    // key shift keeps doc_id+1 within its replica), so pair count scales
+    // 10x with corpus — the linear regime.
+    def adjPairs(docs: DataFrame, every: Long): DataFrame =
+      docs.select(col("doc_id").as("cand_id"))
+        .filter(col("cand_id") % every === 0)
+        .join(docs.select(col("doc_id").as("ref_id")),
+          col("ref_id") === col("cand_id") + 1)
+    report("BLEU (adjacent pairs)")(
+      graft.ops.TextAnalysis.bleu(docS(), adjPairs(docS(), 1L)).count())(
+      graft.ops.TextAnalysis.bleu(docB(), adjPairs(docB(), 1L)).count())
+    report("chrF2 (sampled pairs)")(
+      graft.ops.TextAnalysis.chrF(docS(), adjPairs(docS(), 5L)).count())(
+      graft.ops.TextAnalysis.chrF(docB(), adjPairs(docB(), 5L)).count())
+    // MMR over IVF: the routed retrieval replaces the brute-force scan;
+    // training sample and re-rank frames are fixed-size at any corpus.
+    def mmrIvf(emb: DataFrame): Long = {
+      val q = emb.filter(col("vec_id") % 251 === 0).limit(8)
+      graft.ops.Similarity.mmrRerankFrom(emb,
+        graft.ops.Similarity.ivfTopK(emb, q, k = 32, nProbe = 8), k = 8)
+        .count()
+    }
+    report("MMR over IVF (8 queries)")(mmrIvf(embS()))(mmrIvf(embB()))
+    // Signed (retractable) log sketch: three signed states merged, read
+    // once — state stays bucket-bounded at any corpus size.
+    def qretract(li: DataFrame): Long = {
+      val v = li.select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val base = v.filter(col("l_orderkey") % 20 =!= 0)
+      graft.ops.Profile.quantilesFromLogSketch(
+        graft.ops.Profile.mergeSignedSketches(Seq(
+          graft.ops.Profile.quantileLogSketchSigned(base, col("v"), 12, 1),
+          graft.ops.Profile.quantileLogSketchSigned(
+            v.filter(col("l_orderkey") % 20 === 0), col("v"), 12, 1),
+          graft.ops.Profile.quantileLogSketchSigned(
+            base.filter(col("l_orderkey") % 17 === 0), col("v"), 12, -1))),
+        12, Seq(10, 50, 99)).count()
+    }
+    report("signed quantile retract")(qretract(liS()))(qretract(liB()))
+    // Seasonal Holt + 3-way backtest: same 10x-SERIES regime as holt.
+    def sholt(ev: DataFrame): Long =
+      graft.ops.TimeSeries.holtSeasonal(
+        ev.withColumn("ts", col("ts").cast("timestamp")),
+        "event_type", "ts", 3600L, 0.5, 0.25, period = 24).count()
+    report("seasonal Holt scan")(
+      sholt(s.read.parquet(s"$sfDir/events.parquet")))(
+      sholt(s.read.parquet(ev10)))
+    def sbt3(ev: DataFrame): Long =
+      graft.ops.TimeSeries.seasonalBacktest(
+        ev.withColumn("ts", col("ts").cast("timestamp")),
+        "event_type", "ts", 3600L, 0.5, 0.25, period = 24).count()
+    report("3-way seasonal backtest")(
+      sbt3(s.read.parquet(s"$sfDir/events.parquet")))(
+      sbt3(s.read.parquet(ev10)))
     s.stop()
   }
 }
