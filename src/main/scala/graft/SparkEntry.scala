@@ -1666,6 +1666,20 @@ object SparkEntry {
         .select(col("query_id"), (col("n_hits") >= 4).as("mmr_ok"))
     },
 
+    // Margin-based bitext mining (Artetxe & Schwenk '19) across the
+    // even/odd embedding halves standing in for two languages: cosine
+    // relative to both endpoints' k-NN neighborhoods, mutual-best pairs
+    // only. Two brute-force retrievals are the only corpus-sized stages
+    // (ivfTopK swaps in per direction at corpus scale); raw doubles
+    // hash-gate (fixed IEEE margin tree over the sequential-fold
+    // cosine).
+    "ann_bitext_margin" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.bitextMargin(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), k = 4)
+    },
+
     // Hybrid retrieval: RRF-fuse the lexical (integer-scaled-idf term
     // overlap, top-50) and vector (brute-force cosine, top-50) rankings
     // for the same 8-query panel; doc_id and vec_id index the same
@@ -2606,6 +2620,18 @@ object SparkEntry {
             octet_length(col("text")) > 0),
         "doc_id", "text"), hammingD = 2)),
 
+    // Constellation/landmark audio fingerprint matching (Wang '03):
+    // stub spectrogram -> integer band-energy peaks (two window passes)
+    // -> landmark hashes (bounded dt explode + keyed equi-join) ->
+    // stop-hash guard -> consistent-offset vote. All integer — exact
+    // hash gate; finds the offset copies of the same "recording".
+    "mm_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprint(Multimodal.asMedia(
+        t(s, dir, "documents").filter(
+          octet_length(col("text")) === length(col("text")) &&
+            octet_length(col("text")) > 0),
+        "doc_id", "text"))),
+
     // WebDataset-style shard layout (4 KiB shards over the fake media
     // payloads): every object's (shard, offset) via the two-level
     // distributed prefix sum — no corpus-wide single-task window.
@@ -2976,6 +3002,25 @@ object SparkEntry {
       TimeSeries.matrixProfileBanded(t(s, dir, "events"),
         keyCol = "event_type", tsCol = "ts", bucketSec = 3600L,
         w = 16, excl = 4, band = 48)),
+
+    // Exact Kalman filter (local-level model) over hourly counts: the
+    // ts_holt doubling scan GENERALIZED to time-varying coefficients —
+    // each row carries its own affine map (1−K_t, K_t·y_t), composed
+    // pairwise in ⌈log₂ n⌉ window-lag rounds; the data-independent gain
+    // schedule (Riccati recursion to its double fixpoint, ~40 steps)
+    // rides as a literal-array lookup on BOTH engines.
+    "ts_kalman" -> ((s, dir) =>
+      TimeSeries.kalman(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, q = 2.0, r = 8.0)),
+
+    // Fixed-interval RTS smoother: the SAME per-row affine scan run
+    // BACKWARD over the filter's contract (rounded) levels with the
+    // Riccati C_t schedule — the full forward-backward state-space
+    // pass, each direction one ⌈log₂ n⌉-round scan on the one
+    // (key, bucket) exchange.
+    "ts_kalman_smooth" -> ((s, dir) =>
+      TimeSeries.kalmanSmooth(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, q = 2.0, r = 8.0)),
 
     // Benford first-digit audit over order totals — the classic
     // data-quality screen for fabricated numeric columns. Digits come
@@ -3551,6 +3596,13 @@ object SparkEntry {
     // (in/out + round), replayable exactly.
     "graph_mis" -> ((s, dir) =>
       Graph.lubyMis(coPurchaseEdges(s, dir))),
+
+    // Jones–Plassmann greedy coloring: fixed deterministic priorities,
+    // each round's local-minimum vertices take the smallest color their
+    // colored neighbors don't use — bulk-parallel greedy coloring,
+    // replayable round-for-round; active edges only shrink.
+    "graph_coloring" -> ((s, dir) =>
+      Graph.jonesPlassmann(coPurchaseEdges(s, dir))),
 
     // CDC changelog apply: events as an I/U/D log keyed by user; latest
     // op by (ts, event_id) wins, terminal deletes drop the key.
@@ -4369,6 +4421,67 @@ object SparkEntry {
   private lazy val tableSuffix: String =
     "_p" + java.lang.ProcessHandle.current().pid()
 
+  /** Kalman filter / RTS smoother oracles, generated from the SAME
+    * coefficient doubles TimeSeries.kalmanCoeffs computed (exact decimal
+    * expansions — DuckDB parses each literal back to the identical
+    * double). The filter recursion replays sequentially with gains
+    * looked up by least(rn, m); the smoother adds a BACKWARD recursion
+    * from each key's last position over the 6-decimal-rounded levels —
+    * the same contract doubles the engine's backward scan consumes. */
+  private def kalmanOracleSql(q: Double, r: Double,
+      smooth: Boolean): String = {
+    val (ks, cs) = graft.ops.TimeSeries.kalmanCoeffs(q, r)
+    def d(x: Double) = new java.math.BigDecimal(x).toPlainString
+    def values(v: Seq[Double]) = v.zipWithIndex
+      .map { case (x, i) => s"(${i + 1}, CAST(${d(x)} AS DOUBLE))" }
+      .mkString(",\n           ")
+    val head =
+      s"""WITH RECURSIVE c AS (
+         |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |rk AS (SELECT event_type, bucket, n,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+         |       FROM c),
+         |g(grn, k) AS (SELECT * FROM (VALUES
+         |           ${values(ks)}) t(grn, k)),
+         |rec AS (
+         |  SELECT event_type, bucket, n, rn,
+         |         CAST(n AS DOUBLE) AS l, CAST(1.0 AS DOUBLE) AS k
+         |  FROM rk WHERE rn = 1
+         |  UNION ALL
+         |  SELECT rk.event_type, rk.bucket, rk.n, rk.rn,
+         |         (1.0 - g.k) * rec.l + g.k * rk.n, g.k
+         |  FROM rec JOIN rk ON rk.event_type = rec.event_type
+         |                  AND rk.rn = rec.rn + 1
+         |           JOIN g ON g.grn = least(rk.rn, ${ks.length}))""".stripMargin
+    if (!smooth)
+      s"""$head
+         |SELECT event_type, bucket, n, k AS gain,
+         |       round(l, 6) + 0 AS level
+         |FROM rec""".stripMargin
+    else
+      s"""$head,
+         |recm AS MATERIALIZED (SELECT * FROM rec),
+         |cg(crn, cv) AS (SELECT * FROM (VALUES
+         |           ${values(cs)}) t(crn, cv)),
+         |cnt AS MATERIALIZED (
+         |  SELECT event_type, max(rn) AS tmax FROM rk GROUP BY 1),
+         |rec2 AS (
+         |  SELECT r.event_type, r.bucket, r.n, r.rn,
+         |         round(r.l, 6) + 0 AS level, round(r.l, 6) + 0 AS s
+         |  FROM recm r JOIN cnt ON cnt.event_type = r.event_type
+         |                      AND r.rn = cnt.tmax
+         |  UNION ALL
+         |  SELECT r.event_type, r.bucket, r.n, r.rn, round(r.l, 6) + 0,
+         |         cg.cv * rec2.s + (1.0 - cg.cv) * (round(r.l, 6) + 0)
+         |  FROM rec2 JOIN recm r ON r.event_type = rec2.event_type
+         |                       AND r.rn = rec2.rn - 1
+         |            JOIN cg ON cg.crn = least(r.rn, ${cs.length}))
+         |SELECT event_type, bucket, n, level, round(s, 6) + 0 AS smooth
+         |FROM rec2""".stripMargin
+  }
+
   /** EWMA oracle, generated from the SAME weight doubles TimeSeries.ewma
     * multiplies with (α dyadic ⇒ each weight is exact, and
     * BigDecimal(double) prints its exact decimal expansion — the literal
@@ -4503,6 +4616,65 @@ object SparkEntry {
        |    'luby oracle: a$rounds non-empty - $rounds unrolled rounds did ' ||
        |    'not converge; raise the unroll') ELSE 0 END AS ok FROM a$rounds)
        |SELECT node, in_mis, round FROM ($union)
+       |WHERE (SELECT ok FROM conv_chk) = 0""".stripMargin
+  }
+
+  /** Unrolled Jones–Plassmann oracle: `rounds` blocks of (winner =
+    * precedes every uncolored neighbor under the FIXED (π, id) order) →
+    * (smallest missing color among colored neighbors via the sorted-
+    * rank gap scan) → (shrink the active graph), all MATERIALIZED (the
+    * lubyMisOracleSql discipline, incl. the error() convergence guard
+    * with the same round budget as the engine call). */
+  private def jonesPlassmannOracleSql(rounds: Int): String = {
+    def pri(x: String): String = s"($x % 1000000007) * 2654435761 % 1000000007"
+    val blocks = (0 until rounds).map { r =>
+      s"""sym$r AS (SELECT a AS u, b AS w FROM e$r
+         |          UNION ALL SELECT b, a FROM e$r),
+         |wins$r AS MATERIALIZED (
+         |  SELECT v.node FROM a$r v
+         |  WHERE NOT EXISTS (SELECT 1 FROM sym$r s WHERE s.u = v.node
+         |    AND (${pri("s.w")} < ${pri("v.node")}
+         |      OR (${pri("s.w")} = ${pri("v.node")} AND s.w < v.node)))),
+         |used$r AS MATERIALIZED (
+         |  SELECT DISTINCT s.u, c.color
+         |  FROM fullsym s
+         |  SEMI JOIN wins$r ww ON s.u = ww.node
+         |  JOIN col$r c ON c.node = s.w),
+         |ranked$r AS (SELECT u, color,
+         |    row_number() OVER (PARTITION BY u ORDER BY color) - 1 AS idx
+         |  FROM used$r),
+         |miss$r AS (SELECT u,
+         |    coalesce(min(CASE WHEN color <> idx THEN idx END), count(*)) AS c
+         |  FROM ranked$r GROUP BY u),
+         |newc$r AS MATERIALIZED (
+         |  SELECT w.node, CAST(coalesce(m.c, 0) AS BIGINT) AS color,
+         |         $r AS round
+         |  FROM wins$r w LEFT JOIN miss$r m ON m.u = w.node),
+         |col${r + 1} AS MATERIALIZED (
+         |  SELECT node, color FROM col$r
+         |  UNION ALL SELECT node, color FROM newc$r),
+         |a${r + 1} AS MATERIALIZED (
+         |  SELECT node FROM a$r ANTI JOIN wins$r USING (node)),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e$r e
+         |  SEMI JOIN a${r + 1} x ON e.a = x.node
+         |  SEMI JOIN a${r + 1} y ON e.b = y.node)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until rounds).map(r => s"SELECT * FROM newc$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $coPurchaseCte,
+       |e0 AS MATERIALIZED (SELECT a, b FROM ed),
+       |fullsym AS MATERIALIZED (SELECT a AS u, b AS w FROM ed
+       |                         UNION ALL SELECT b, a FROM ed),
+       |a0 AS MATERIALIZED (SELECT a AS node FROM ed
+       |                    UNION SELECT b FROM ed),
+       |col0 AS (SELECT CAST(NULL AS BIGINT) AS node,
+       |                CAST(NULL AS BIGINT) AS color WHERE false),
+       |$blocks,
+       |conv_chk AS (SELECT CASE WHEN count(*) > 0 THEN error(
+       |    'jp oracle: a$rounds non-empty - $rounds unrolled rounds did ' ||
+       |    'not converge; raise the unroll') ELSE 0 END AS ok FROM a$rounds)
+       |SELECT node, color, round FROM ($union)
        |WHERE (SELECT ok FROM conv_chk) = 0""".stripMargin
   }
 
@@ -5215,6 +5387,14 @@ object SparkEntry {
     // join band, identical single-sqrt correlation tree (generator above).
     "ts_matrix_profile" -> matrixProfileOracleSql(w = 16, excl = 4,
       band = 48),
+
+    // Kalman recursion replayed sequentially with the identical Riccati
+    // gain literals (generator above).
+    "ts_kalman" -> kalmanOracleSql(q = 2.0, r = 8.0, smooth = false),
+
+    // Forward recursion + backward RTS recursion from each key's last
+    // position, both over the same literal coefficient tables.
+    "ts_kalman_smooth" -> kalmanOracleSql(q = 2.0, r = 8.0, smooth = true),
 
     // The ts_holt recurrence replayed per (key, phase) stratum.
     "ts_holt_seasonal" ->
@@ -6171,6 +6351,11 @@ object SparkEntry {
     // pass the engine and error() in the oracle. Converged rounds are
     // empty materialized no-ops, so the extra blocks cost ~nothing.
     "graph_mis" -> lubyMisOracleSql(rounds = 20),
+
+    // Jones-Plassmann rounds replayed with the same fixed priorities
+    // and the same sorted-rank smallest-missing-color scan (generator
+    // above; round budget matches the engine's maxRounds=32).
+    "graph_coloring" -> jonesPlassmannOracleSql(rounds = 32),
 
     // Double-cover bipartiteness replayed independently: one recursive
     // min-label closure over the original edges (components), one over
@@ -8103,6 +8288,42 @@ object SparkEntry {
     "ann_mmr_rerank" -> mmrOracleSql(candK = 32, k = 8, lambda = 0.7,
       mu = 0.3),
 
+    // Bitext mining replayed: the ann_cosine_topk cosine over the
+    // even x odd halves, both directions' top-4 ranks, neighborhood
+    // averages folded in rank order (list_reduce over list(sim ORDER BY
+    // rk) — IEEE-identical to the engine's 0.0-seeded rank-order fold),
+    // the same margin tree, mutual-best filter.
+    "ann_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id % 2 = 0),
+        |tg AS (SELECT vec_id AS tid, v AS tv FROM e WHERE vec_id % 2 = 1),
+        |p AS (SELECT sid, tid,
+        |        list_reduce(list_transform(range(0, len(sv)), i -> sv[i+1] * tv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(sv)), i -> sv[i+1] * sv[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(sv)), i -> tv[i+1] * tv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM s, tg),
+        |fr AS (SELECT sid, tid, sim, row_number() OVER (PARTITION BY sid
+        |         ORDER BY sim DESC, tid) AS rk FROM p),
+        |br AS (SELECT sid, tid, sim, row_number() OVER (PARTITION BY tid
+        |         ORDER BY sim DESC, sid) AS rk FROM p),
+        |af AS (SELECT sid, list_reduce(list(sim ORDER BY rk), (x,y) -> x + y)
+        |         / count(*) AS a FROM fr WHERE rk <= 4 GROUP BY sid),
+        |ab AS (SELECT tid, list_reduce(list(sim ORDER BY rk), (x,y) -> x + y)
+        |         / count(*) AS b FROM br WHERE rk <= 4 GROUP BY tid),
+        |cand AS (SELECT sid, tid, sim FROM fr WHERE rk <= 4
+        |         UNION
+        |         SELECT sid, tid, sim FROM br WHERE rk <= 4),
+        |m AS (SELECT cand.sid, cand.tid, cand.sim,
+        |             cand.sim / ((af.a + ab.b) / 2.0) AS margin
+        |      FROM cand JOIN af ON af.sid = cand.sid
+        |                JOIN ab ON ab.tid = cand.tid),
+        |r AS (SELECT sid, tid, sim, margin,
+        |        row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS k1,
+        |        row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid) AS k2
+        |      FROM m)
+        |SELECT sid AS src_id, tid AS tgt_id, sim, margin
+        |FROM r WHERE k1 = 1 AND k2 = 1""".stripMargin,
+
     // Both source rankings replayed (scaled-idf overlap; the
     // ann_cosine_topk cosine), then the same two-division RRF fold.
     "ann_hybrid_rrf" ->
@@ -9196,6 +9417,54 @@ object SparkEntry {
     // pHash replayed: identical grid, identical literal-weight DCT,
     // identical threshold and hash assembly (generator above).
     "mm_phash" -> phashOracleSql(),
+
+    // Constellation fingerprint replayed: the identical stub band
+    // energies (exact integer sums of every 8th byte), the same strict
+    // 4-neighborhood peak rule, the same landmark packing, stop-hash
+    // guard, and consistent-offset vote. Positions are 1-based chars ==
+    // bytes under the shared ASCII scoping.
+    "mm_audio_fingerprint" -> {
+      val terms = (0 until 8)
+        .map(j => s"ord(substr(text, CAST(t*32 + b + ${1 + 8 * j} AS INT), 1))")
+        .mkString(" +\n         ")
+      s"""WITH m AS (SELECT doc_id AS media_id, text,
+         |             CAST(strlen(text) AS BIGINT) AS n
+         |           FROM documents
+         |           WHERE strlen(text) = length(text)
+         |             AND strlen(text) >= 64),
+         |fr AS (SELECT media_id, text,
+         |         unnest(range(0, (n - 64) // 32 + 1)) AS t
+         |       FROM m),
+         |cb AS (SELECT media_id, text, t, unnest(range(0, 8)) AS b FROM fr),
+         |cells AS (SELECT media_id, t, b,
+         |    CAST($terms AS BIGINT) AS e
+         |  FROM cb),
+         |pk AS (SELECT media_id, t, b, e,
+         |    lag(e) OVER wb AS tp, lead(e) OVER wb AS tn,
+         |    lag(e) OVER wt AS bp, lead(e) OVER wt AS bn
+         |  FROM cells
+         |  WINDOW wb AS (PARTITION BY media_id, b ORDER BY t),
+         |         wt AS (PARTITION BY media_id, t ORDER BY b)),
+         |peaks AS (SELECT media_id, t, b, e FROM pk
+         |  WHERE e > coalesce(tp, -1) AND e > coalesce(tn, -1)
+         |    AND e > coalesce(bp, -1) AND e > coalesce(bn, -1)),
+         |lm AS (SELECT a.media_id, a.t AS t1,
+         |    ((((a.b * 8 + c.b) * 8 + (c.t - a.t)) * 8 + a.e % 8) * 8
+         |      + c.e % 8) AS lhash
+         |  FROM peaks a JOIN peaks c ON c.media_id = a.media_id
+         |    AND c.t - a.t BETWEEN 1 AND 5),
+         |hot AS (SELECT lhash FROM (
+         |    SELECT lhash, count(DISTINCT media_id) AS nm
+         |    FROM lm GROUP BY 1) WHERE nm > 64),
+         |flm AS (SELECT lhash, media_id, t1 FROM lm
+         |        ANTI JOIN hot USING (lhash))
+         |SELECT x.media_id AS media_a, y.media_id AS media_b,
+         |       x.t1 - y.t1 AS t_offset, count(*) AS hits
+         |FROM flm x JOIN flm y ON x.lhash = y.lhash
+         |                     AND x.media_id < y.media_id
+         |GROUP BY 1, 2, 3
+         |HAVING count(*) >= 3""".stripMargin
+    },
     "mm_phash_near" -> phashNearOracleSql(d = 2),
 
     // The same layout replayed with ONE global ordered window (the oracle

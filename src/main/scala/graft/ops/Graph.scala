@@ -915,6 +915,104 @@ object Graph {
     else decided
   }
 
+  /** Greedy graph coloring by Jones–Plassmann rounds (Jones &
+    * Plassmann, SIAM J. Sci. Comput. 1993) — the bulk-parallel form of
+    * the sequential greedy coloring: vertices carry a FIXED
+    * deterministic priority π(v) = ((v mod P)·2654435761) mod P
+    * (tie-broken by id — a pseudo-random total order any engine
+    * reproduces exactly); each round, every uncolored vertex that
+    * precedes ALL its uncolored neighbors in that order takes the
+    * SMALLEST color its already-colored neighbors don't use. Two
+    * same-round winners are never adjacent (both uncolored, so their
+    * edge is active and one would block the other), so rounds commit
+    * conflict-free in bulk; round count is the longest
+    * priority-decreasing path — O(log n / log log n) w.h.p. on bounded-
+    * degree graphs, `maxRounds` throws rather than returning a partial
+    * coloring. Colors are ≤ degeneracy+1 in the greedy order and the
+    * whole run is replayable round-for-round.
+    *
+    * Scale shape: the winner test is the [[lubyMis]] neighbor-min over
+    * the ACTIVE (both-endpoints-uncolored) edges, which only shrink;
+    * the smallest-missing-color step touches winners only — one
+    * semi-join of the static symmetrized edges on the winner set, one
+    * keyed join against the colored frame, and a per-winner sorted-rank
+    * gap scan (first index where the i-th distinct used color ≠ i —
+    * never a sequence explode over degree). Each round's survivors are
+    * localCheckpoint'ed and the predecessor freed (the CC loop
+    * discipline). Returns (node, color, round). */
+  def jonesPlassmann(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
+    val P = 1000000007L
+    def pri(v: Column): Column = (v % P) * 2654435761L % P
+    val canon = canonicalEdges(edges, "a", "b")
+    val (full, fullIds) = checkpointRound(canon)
+    val fullSym = full.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(full.select(col("b").as("u"), col("a").as("w")))
+    var e = full
+    var eIds = Set.empty[Int] // full's blocks are freed once, at the end
+    var active = full.select(col("a").as("node"))
+      .unionAll(full.select(col("b").as("node"))).distinct()
+    var aIds = Set.empty[Int]
+    var colors: DataFrame = null
+    var cIds = Set.empty[Int]
+    var r = 0
+    var nActive = active.count()
+    while (nActive > 0) {
+      if (r >= maxRounds)
+        throw new IllegalStateException(
+          s"jonesPlassmann did not converge within $maxRounds rounds")
+      val sym = e.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("w")))
+      val nbrMin = sym.groupBy(col("u"))
+        .agg(min(struct(pri(col("w")).as("p"), col("w").as("v"))).as("__nm"))
+      val wins = active.join(nbrMin, col("node") === col("u"), "left")
+        .filter(col("__nm").isNull ||
+          struct(pri(col("node")).as("p"), col("node").as("v")) < col("__nm"))
+        .select(col("node"))
+      val newColors =
+        if (colors == null)
+          wins.select(col("node"), lit(0L).as("color"), lit(r).as("round"))
+        else {
+          val used = fullSym
+            .join(wins.select(col("node").as("u")), Seq("u"), "left_semi")
+            .join(colors.select(col("node").as("w"), col("color")), Seq("w"))
+            .select(col("u"), col("color")).distinct()
+          val byU = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("u")).orderBy(col("color"))
+          val miss = used
+            .withColumn("__idx", (row_number().over(byU) - 1).cast("long"))
+            .groupBy(col("u"))
+            .agg(min(when(col("color") =!= col("__idx"), col("__idx")))
+              .as("__gap"), count(lit(1)).as("__cnt"))
+            .select(col("u").as("node"),
+              coalesce(col("__gap"), col("__cnt")).as("__c"))
+          wins.join(miss, Seq("node"), "left")
+            .select(col("node"), coalesce(col("__c"), lit(0L)).as("color"),
+              lit(r).as("round"))
+        }
+      val merged = if (colors == null) newColors
+        else colors.unionAll(newColors)
+      val nextActive = active.join(wins, Seq("node"), "left_anti")
+      val nextE = e
+        .join(nextActive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(nextActive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+      val (e2, e2Ids) = checkpointRound(nextE)
+      val (a2, a2Ids) = checkpointRound(nextActive)
+      val (c2, c2Ids) = checkpointRound(merged)
+      freeRound(e2, eIds); freeRound(a2, aIds); freeRound(c2, cIds)
+      e = e2; eIds = e2Ids
+      active = a2; aIds = a2Ids
+      colors = c2; cIds = c2Ids
+      nActive = active.count()
+      r += 1
+    }
+    freeRound(full, eIds ++ fullIds); freeRound(active, aIds)
+    if (colors == null)
+      canon.select(col("a").as("node"), lit(0L).as("color"),
+        lit(0).as("round")).limit(0)
+    else colors
+  }
+
   /** Bipartiteness check + 2-coloring via the bipartite double cover —
     * the classic reduction that turns odd-cycle detection into TWO
     * connected-components runs (so it converges in the same

@@ -454,6 +454,99 @@ object Multimodal {
       .localCheckpoint()
   }
 
+  /** Constellation (landmark) audio fingerprint matching — the Wang,
+    * ISMIR'03 scheme that finds re-encoded/offset copies of the same
+    * recording: pick spectrogram PEAKS (robust to noise), pair each
+    * anchor peak with peaks in a small forward target zone into compact
+    * landmark hashes, and declare a match when two media share ≥
+    * `minHits` landmarks at ONE CONSISTENT time offset (the offset-
+    * histogram vote that makes the scheme precise).
+    *
+    * The SPECTROGRAM step is stubbed like [[decodeStub]] (no audio
+    * codecs/FFT in this sandbox): frame t covers payload chars
+    * [t·hop+1, t·hop+win] and "band energy" e(t,b) is the exact integer
+    * sum of every `bands`-th byte value at phase b — a deterministic
+    * stand-in for |STFT|² band energies; a real decoder+FFT swaps in at
+    * the cells frame unchanged. Landmarks pack (b₁, b₂, Δt, e₁ mod 8,
+    * e₂ mod 8) — the energy low bits stand in for the fine frequency
+    * structure a real FFT bin pair would carry. Payloads must be
+    * single-byte text (the [[phashFrame]] ASCII scoping) so char and
+    * byte positions agree with the oracle's substr.
+    *
+    * Scale shape: cells are a bounded explode (frames × bands) over one
+    * payload scan; peaks are two per-media window passes (lag/lead by
+    * time within band, by band within frame — strict local max over the
+    * 4-neighborhood, exact on integer energies, never a self-join);
+    * landmark pairing explodes Δt ∈ [1, maxDt] and equi-joins peaks on
+    * (media, t+Δt) — never a within-media cross join; "hot" hashes
+    * appearing in > `maxMediaPerHash` media are dropped before matching
+    * (the standard stop-hash guard that bounds the hash join's fan-out
+    * at ANY corpus size); the match is one join keyed on the selective
+    * landmark hash plus a (pair, offset) count. Everything is integer —
+    * exact hash gate, no floats anywhere.
+    * Returns (media_a, media_b, t_offset, hits). */
+  def audioFingerprint(media: DataFrame, win: Int = 64, hop: Int = 32,
+      bands: Int = 8, maxDt: Int = 5, minHits: Int = 3,
+      maxMediaPerHash: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(win % bands == 0 && hop >= 1 && win >= hop, "win % bands == 0")
+    require(maxDt >= 1 && maxDt < 8 && bands <= 8, "hash packing bounds")
+    val frames = media.filter(col("n_bytes") >= win)
+      .select(col("media_id"), col("media").cast("string").as("__s"),
+        explode(sequence(lit(0L),
+          expr(s"(n_bytes - $win) div $hop"))).as("t"))
+    val withBand = frames.select(col("media_id"), col("__s"), col("t"),
+      explode(sequence(lit(0L), lit(bands - 1L))).as("b"))
+    val e = (0 until win / bands).map(j =>
+      ascii(col("__s").substr(
+        (col("t") * hop + col("b") + lit(1L + bands.toLong * j)).cast("int"),
+        lit(1))).cast("long")).reduce(_ + _)
+    val cells = withBand.select(col("media_id"), col("t"), col("b"),
+      e.as("e"))
+    val byBand = Window.partitionBy(col("media_id"), col("b"))
+      .orderBy(col("t"))
+    val byTime = Window.partitionBy(col("media_id"), col("t"))
+      .orderBy(col("b"))
+    val peaks = cells.select(col("media_id"), col("t"), col("b"), col("e"),
+        lag(col("e"), 1).over(byBand).as("__tp"),
+        lead(col("e"), 1).over(byBand).as("__tn"),
+        lag(col("e"), 1).over(byTime).as("__bp"),
+        lead(col("e"), 1).over(byTime).as("__bn"))
+      .filter(col("e") > coalesce(col("__tp"), lit(-1L)) &&
+        col("e") > coalesce(col("__tn"), lit(-1L)) &&
+        col("e") > coalesce(col("__bp"), lit(-1L)) &&
+        col("e") > coalesce(col("__bn"), lit(-1L)))
+      .select(col("media_id"), col("t"), col("b"), col("e"))
+      // materialize: the frame feeds both sides of the landmark join
+      .localCheckpoint()
+    val anchors = peaks.select(col("media_id"), col("t"), col("b"),
+      col("e"), explode(sequence(lit(1L), lit(maxDt.toLong))).as("dt"))
+    val targets = peaks.select(col("media_id").as("__m2"),
+      col("t").as("__t2"), col("b").as("__b2"), col("e").as("__e2"))
+    val lm = anchors.join(targets,
+        col("media_id") === col("__m2") &&
+          col("t") + col("dt") === col("__t2"))
+      .select(col("media_id"), col("t").as("t1"),
+        (((((col("b") * 8 + col("__b2")) * 8) + col("dt")) * 8 +
+          pmod(col("e"), lit(8L))) * 8 + pmod(col("__e2"), lit(8L)))
+          .as("lhash"))
+      .localCheckpoint() // feeds the hot-hash count and both match sides
+    val hot = lm.groupBy(col("lhash"))
+      .agg(countDistinct(col("media_id")).as("__nm"))
+      .filter(col("__nm") > maxMediaPerHash).select(col("lhash"))
+    val flm = lm.join(hot, Seq("lhash"), "left_anti")
+    val a = flm.select(col("lhash"), col("media_id").as("media_a"),
+      col("t1").as("__ta"))
+    val b = flm.select(col("lhash"), col("media_id").as("media_b"),
+      col("t1").as("__tb"))
+    a.join(b, Seq("lhash"))
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"),
+        (col("__ta") - col("__tb")).as("t_offset"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
   /** Perceptual NEAR-duplicate grouping: media whose 15-bit pHashes
     * differ in ≤ `hammingD` bits land in one group — the tolerance
     * perceptual hashing exists for (a one-bit wobble from compression

@@ -199,6 +199,64 @@ object Similarity {
         col("rrf"), col("fused_rank"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19) — the
+    * standard parallel-corpus miner: raw cosine over-selects "hub"
+    * vectors that are close to EVERYTHING, so each pair is scored by its
+    * cosine RELATIVE to both endpoints' neighborhoods,
+    * margin(x, y) = cos(x, y) / ((a(x) + b(y)) / 2), where a(x)/b(y)
+    * average each side's k nearest cross-lingual cosines; pairs are kept
+    * only when MUTUAL — x's best-margin target is y AND y's best-margin
+    * source is x (the paper's "max" strategy + mutual filter).
+    *
+    * Scale shape: the only corpus-sized stages are the two
+    * [[bruteForceTopK]] retrievals (swap in [[ivfTopK]] per direction at
+    * corpus scale — everything below is unchanged); both top frames are
+    * materialized at the composition boundary, the neighborhood averages
+    * are |side|-sized aggregates of k-row groups, candidates are the
+    * ≤ (|src|+|tgt|)·k union of both directions' lists, and the mutual
+    * filter is two partitioned row_number windows over that frame —
+    * nothing all-pairs anywhere past retrieval.
+    *
+    * Determinism: sims are the sequential-fold cosine (direction-
+    * symmetric: each product and the i-ascending sum commute exactly, so
+    * the fwd and bwd copy of a pair carries bit-identical sims and the
+    * union dedups); averages fold in rank order from 0.0 (the oracle's
+    * list_reduce over list(sim ORDER BY rank) — IEEE-identical since
+    * 0.0 + s₁ = s₁); the margin is one fixed add/halve/divide tree; and
+    * argmax ties break on the partner id — raw doubles cross the gate.
+    * Returns the mutual pairs (src_id, tgt_id, sim, margin). */
+  def bitextMargin(src: DataFrame, tgt: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k >= 1")
+    val fwd = bruteForceTopK(tgt, src, k).localCheckpoint()
+    val bwd = bruteForceTopK(src, tgt, k).localCheckpoint()
+    def nbrAvg(top: DataFrame, idOut: String, avgOut: String) =
+      top.groupBy(col("query_id").as(idOut))
+        .agg((aggregate(
+          array_sort(collect_list(struct(col("rank"), col("sim")))),
+          lit(0.0), (acc, x) => acc + x.getField("sim"))
+          / count(lit(1))).as(avgOut))
+    val af = nbrAvg(fwd, "src_id", "__a")
+    val ab = nbrAvg(bwd, "tgt_id", "__b")
+    val cands = fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("sim"))
+      .unionAll(bwd.select(col("neighbor_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("sim")))
+      .distinct()
+    val scored = cands.join(af, "src_id").join(ab, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        (col("sim") / ((col("__a") + col("__b")) / lit(2.0))).as("margin"))
+    val bySrc = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id"))
+    val byTgt = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("margin").desc, col("src_id"))
+    scored
+      .withColumn("__r1", row_number().over(bySrc))
+      .withColumn("__r2", row_number().over(byTgt))
+      .filter(col("__r1") === 1 && col("__r2") === 1)
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"))
+  }
+
   /** kNN label propagation (weak supervision): each unlabeled query vector
     * takes the majority label of its k nearest labeled neighbors by cosine
     * — the standard way a training pipeline extends a small labeled seed

@@ -615,6 +615,171 @@ object TimeSeries {
           .otherwise(lit("naive")))
   }
 
+  /** Per-step Kalman coefficients for the local-level model
+    * (x_t = x_{t−1} + w_t, w ~ N(0,q); y_t = x_t + v_t, v ~ N(0,r)) —
+    * shared with the oracle builder so both engines embed the IDENTICAL
+    * doubles. The gain/variance recursion
+    *
+    *   P⁻ = P_{t−1} + q;  K_t = P⁻/(P⁻+r);  P_t = (1−K_t)·P⁻
+    *
+    * is DATA-INDEPENDENT (the discrete Riccati recursion), so the whole
+    * gain schedule is computed once driver-side; it contracts toward
+    * its fixpoint geometrically (ratio (1−K*)², typically < 50 steps).
+    * In doubles the iterates can oscillate forever within a few ulps of
+    * the fixpoint, so the schedule is FROZEN once a step moves P by ≤ 4
+    * ulps (or at `cap`): positions past m reuse entry m. The frozen
+    * literal list IS the model on both engines — each looks
+    * coefficients up by min(position, m), so exactness never depends on
+    * the recursion continuing. Returns (gains K_1..K_m with K_1 = 1
+    * (l_1 = y_1, P_1 = r), smoother coefficients C_t = P_t/(P_t+q) for
+    * the RTS backward pass). */
+  def kalmanCoeffs(q: Double, r: Double, cap: Int = 512)
+      : (Seq[Double], Seq[Double]) = {
+    require(q > 0 && r > 0, "q, r > 0")
+    val ks = scala.collection.mutable.ArrayBuffer(1.0)
+    val cs = scala.collection.mutable.ArrayBuffer[Double]()
+    var p = r
+    cs += p / (p + q)
+    var done = false
+    while (!done && ks.size < cap) {
+      val pp = p + q
+      val k = pp / (pp + r)
+      ks += k
+      val np = (1 - k) * pp
+      done = np == p || math.abs(np - p) <= 4 * math.ulp(p)
+      p = np
+      cs += p / (p + q)
+    }
+    (ks.toSeq, cs.toSeq)
+  }
+
+  /** Exact Kalman filter (local-level model) over a keyed bucket-count
+    * series — the state-space generalization of [[ewma]] whose gain
+    * ADAPTS per step: early observations are weighted by the exact
+    * time-varying gain K_t (high while the state is uncertain), decaying
+    * to the steady-state gain the Riccati fixpoint defines. l_t =
+    * (1−K_t)·l_{t−1} + K_t·y_t.
+    *
+    * This is the [[holt]] doubling scan GENERALIZED to time-varying
+    * coefficients: holt's left-segment matrix is position-independent
+    * (constant M ⇒ M^(2^r) embedded per round); here the per-row affine
+    * map (a_t, b_t) = (1−K_t, K_t·y_t) differs by position, so each row
+    * CARRIES its composed map and the scan composes pairwise —
+    * (a, b) ∘ (a', b') = (a·a', a·b' + b) — in ⌈log₂ n⌉ window-lag
+    * rounds over the one (key, bucket) exchange ([[affineScan]]). The
+    * gain schedule itself rides as a ≤m-element literal array lookup
+    * (m ≈ 40 at fixpoint), never a join.
+    *
+    * Scale shape identical to [[holt]]: one map-side-combined collapse
+    * is the only corpus-sized stage; scan frames are series × buckets
+    * rows partitioned by key; log₂(longest series) rounds. Both engines
+    * evaluate algebraically identical but differently associated trees
+    * (the oracle recurses sequentially) — 6-decimal round absorbs the
+    * ulps, `+ 0.0` canonicalizes −0.0; the `gain` column is the literal
+    * itself, bit-identical by construction. Returns
+    * (key, bucket, n, gain, level). */
+  def kalman(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, q: Double, r: Double, maxLevels: Int = 24)
+      : DataFrame = {
+    val (ks, _) = kalmanCoeffs(q, r)
+    val base = kalmanBase(collapse(df, keyCol, tsCol, bucketSec), keyCol, ks)
+    val scanned = affineScan(base, Seq(keyCol), maxLevels)
+    scanned.select(col(keyCol), col("bucket"), col("n"),
+      col("__k").as("gain"),
+      (round(col("__b"), 6) + lit(0.0)).as("level"))
+  }
+
+  /** Fixed-interval RTS smoother over [[kalman]]'s filtered levels — the
+    * backward pass that revises every estimate with the FULL series
+    * (s_t = (1−C_t)·l_t + C_t·s_{t+1}, base s_T = l_T): the smoothing a
+    * batch pipeline runs that a streaming filter can't. The smoother
+    * coefficients C_t = P_t/(P_t+q) come from the same data-independent
+    * Riccati recursion; the recurrence is the SAME per-row affine
+    * composition run over the DESCENDING bucket order — [[affineScan]]
+    * in both directions is the whole forward-backward state-space pass.
+    * Inputs to the backward pass are the filter's CONTRACT outputs (the
+    * 6-decimal-rounded levels, as consumers receive them — the
+    * [[holtBacktest]] convention), so both engines start from
+    * bit-identical doubles. Returns (key, bucket, n, level, smooth). */
+  def kalmanSmooth(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, q: Double, r: Double, maxLevels: Int = 24)
+      : DataFrame = {
+    val (_, cs) = kalmanCoeffs(q, r)
+    val filt = kalman(df, keyCol, tsCol, bucketSec, q, r, maxLevels)
+      .localCheckpoint() // boundary: the backward scan chains ⌈log₂ n⌉
+                         // more windows onto the forward scan's lineage
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val m = cs.length
+    val cc = element_at(array(cs.map(lit): _*),
+      least(col("__rn"), lit(m)).cast("int"))
+    val base = filt
+      .select(col(keyCol), col("bucket"), col("n"), col("level"),
+        row_number().over(byKey).as("__rn"),
+        count(lit(1)).over(Window.partitionBy(col(keyCol))).as("__cnt"))
+      .withColumn("__c",
+        when(col("__rn") === col("__cnt"), lit(0.0)).otherwise(cc))
+      .select(col(keyCol), col("bucket"), col("n"), col("level"),
+        col("__c").as("__a"),
+        when(col("__rn") === col("__cnt"), col("level"))
+          .otherwise((lit(1.0) - col("__c")) * col("level")).as("__b"))
+    affineScan(base, Seq(keyCol), maxLevels, descending = true)
+      .select(col(keyCol), col("bucket"), col("n"), col("level"),
+        (round(col("__b"), 6) + lit(0.0)).as("smooth"))
+  }
+
+  /** (key, bucket, n) collapse → per-row affine coefficients for the
+    * Kalman recurrence: __k is the literal-array gain lookup by
+    * min(rn, m); rn = 1 gets K_1 = 1 so (a, b) = (0, y_1) seeds the
+    * scan uniformly. */
+  private def kalmanBase(c: DataFrame, keyCol: String, ks: Seq[Double])
+      : DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val m = ks.length
+    val kc = element_at(array(ks.map(lit): _*),
+      least(col("__rn"), lit(m)).cast("int"))
+    c.select(col(keyCol), col("bucket"), col("n"),
+        row_number().over(byKey).as("__rn"))
+      .withColumn("__k", kc)
+      .select(col(keyCol), col("bucket"), col("n"), col("__rn"), col("__k"),
+        (lit(1.0) - col("__k")).as("__a"),
+        (col("__k") * col("n").cast("double")).as("__b"))
+  }
+
+  /** General per-row affine-recurrence scan: every row of `frame`
+    * carries its own map (__a, __b); composition
+    * (a, b) ∘ (a_prev, b_prev) = (a·a_prev, a·b_prev + b) is associative,
+    * so the per-key prefix (suffix, when `descending`) composition runs
+    * as ⌈log₂ n⌉ Hillis–Steele rounds of ONE window `lag` each — all
+    * rounds reuse the single (key, bucket) sort. After the scan __b IS
+    * the recurrence value at each row. The round count comes from the
+    * longest per-key series (max over an empty frame ⇒ 0 rounds, the
+    * [[holtScan]] empty-guard). Generalizes holtScan — which exploits
+    * its CONSTANT matrix to embed M^(2^r) per round — to coefficient
+    * schedules that vary by position (Kalman gains, RTS smoothing). */
+  private def affineScan(frame: DataFrame, keyCols: Seq[String],
+      maxLevels: Int, descending: Boolean = false): DataFrame = {
+    val g = keyCols.map(col)
+    val maxNRow = frame.groupBy(g: _*).count().agg(max(col("count"))).head()
+    val maxN = if (maxNRow.isNullAt(0)) 1L else maxNRow.getLong(0)
+    val rounds = Iterator.from(0).dropWhile(r => (1L << r) < maxN).next()
+    require(rounds <= maxLevels,
+      s"series length $maxN needs $rounds doubling rounds > maxLevels=$maxLevels")
+    val ord = if (descending) col("bucket").desc else col("bucket").asc
+    val w = Window.partitionBy(g: _*).orderBy(ord)
+    val others = frame.columns.filterNot(Set("__a", "__b")).map(col).toSeq
+    var cur = frame
+    for (r <- 0 until rounds) {
+      val off = 1 << r
+      val la = lag(col("__a"), off).over(w)
+      val lb = lag(col("__b"), off).over(w)
+      cur = cur.select(others :+
+        when(la.isNull, col("__a")).otherwise(col("__a") * la).as("__a") :+
+        when(la.isNull, col("__b"))
+          .otherwise(col("__a") * lb + col("__b")).as("__b"): _*)
+    }
+    cur
+  }
+
   def levelShift(df: DataFrame, keyCol: String, tsCol: String,
       bucketSec: Long, w: Int, threshold: Double): DataFrame = {
     require(w >= 1, "w >= 1")

@@ -103,6 +103,37 @@ class OperatorSpec extends SparkSuite {
     assert(top.toSeq == Seq(1L, 2L, 3L), top.mkString(","))
   }
 
+  test("bitext margin pairs mutual bests and absorbs the hub vector") {
+    // tgt 1 is a HUB (diagonal — cosine ≈ 0.58 to every axis-ish src,
+    // 0.999 to src 4): raw cosine alone would let it shadow the specific
+    // alignments, but its high neighborhood average b(1) deflates every
+    // margin through it, so src 0 pairs with its specific target 3 and
+    // src 2 with 5, while the hub pairs only with the src that genuinely
+    // sits on the diagonal (4). Mutual-best must return EXACTLY the
+    // three pairs.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),          // src: x-axis
+      (2L, Array(0.0f, 1.0f, 0.0f)),          // src: y-axis
+      (4L, Array(1.0f, 1.0f, 0.9f)),          // src: near-diagonal
+      (1L, Array(1.0f, 1.0f, 1.0f)),          // tgt: the hub
+      (3L, Array(0.98f, 0.199f, 0.0f)),       // tgt: aligned with src 0
+      (5L, Array(0.0f, 0.98f, 0.199f)),       // tgt: aligned with src 2
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.bitextMargin(
+        vecs.filter($"vec_id" % 2 === 0), vecs.filter($"vec_id" % 2 === 1),
+        k = 2)
+      .select($"src_id", $"tgt_id", $"margin")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((0L, 3L), (2L, 5L), (4L, 1L)),
+      s"mutual pairs: ${got.toSeq}")
+    // every mutual pair scores above its neighborhood (margin > 1), and
+    // the hub never shadows the specific pairs: (0,1)/(2,1) are absent
+    // (implied by the exact-pairs equality) even though cos(0,1) ≈ 0.58
+    // beats nothing of it — the deflated margin through b(1) loses to
+    // the specific targets on both srcs
+    assert(got.forall(_._3 > 1.0), s"margins: ${got.toSeq}")
+  }
+
   test("MMR re-rank demotes the near-duplicate a pure similarity ranking keeps") {
     // Query 0 sits between two directions that are both relevant to it
     // (sim ≈ 0.8) yet nearly opposite to each other in the second axis.
@@ -2076,6 +2107,29 @@ class OperatorSpec extends SparkSuite {
     assert(after <= before + 2, s"leaked checkpoint blocks: $before -> $after")
   }
 
+  test("audio fingerprint: offset copy matches at one consistent offset; unrelated doc stays silent") {
+    // doc 2 is doc 1 shifted by exactly one hop (32 chars of pad), so
+    // every interior frame of 1 reappears in 2 one frame later: the
+    // constellation survives the shift and the (pair, offset) vote must
+    // land on t_offset = t1(a=1) − t1(b=2) = −1. doc 3 is independent
+    // noise — no consistent-offset triple collision.
+    val r1 = new scala.util.Random(7)
+    val s = Seq.fill(512)((33 + r1.nextInt(94)).toChar).mkString
+    val r2 = new scala.util.Random(99)
+    val c = Seq.fill(512)((33 + r2.nextInt(94)).toChar).mkString
+    val pad = Seq.fill(32)('#').mkString
+    val docs = Seq((1L, s), (2L, pad + s), (3L, c))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Multimodal.audioFingerprint(
+        graft.ops.Multimodal.asMedia(docs, "doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(g => (g._1, g._2)).toSet == Set((1L, 2L)),
+      s"pairs: ${got.toSeq}")
+    val best = got.maxBy(_._4)
+    assert(best._3 == -1L && best._4 >= 3L,
+      s"offset vote must land on -1 with >= 3 hits: ${got.toSeq}")
+  }
+
   test("phash: exact copies group; off-stride edits don't move the hash; constant grid hashes 0") {
     // n = 128 bytes → the 64 sampled positions are 1 + 2i (odd
     // positions); editing an EVEN position changes bytes the grid never
@@ -2323,6 +2377,46 @@ class OperatorSpec extends SparkSuite {
         assert(adj(v).exists(u => mis(u) && roundOf(u) == rd),
           s"node $v retired in round $rd without a round-$rd MIS neighbor")
       }
+    }
+  }
+
+  test("jones-plassmann: proper greedy coloring, exact round-for-round replay on random graphs") {
+    val rnd = new scala.util.Random(13)
+    def priL(v: Long) = (v % 1000000007L) * 2654435761L % 1000000007L
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(80)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }.distinct
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keySet
+      val got = Graph.jonesPlassmann(edges.toDF("a", "b"))
+        .as[(Long, Long, Int)].collect()
+      assert(got.map(_._1).toSet == nodes && got.length == nodes.size,
+        "every node colored exactly once")
+      val colorOf = got.map(r => r._1 -> r._2).toMap
+      edges.foreach { case (a, b) =>
+        assert(colorOf(a) != colorOf(b), s"edge $a-$b monochrome") }
+      // exact replay: same fixed priorities, same rounds, same
+      // smallest-missing-color rule
+      var active = nodes
+      val want = scala.collection.mutable.Map.empty[Long, (Long, Int)]
+      var r = 0
+      while (active.nonEmpty) {
+        val wins = active.filter(v => (adj(v) & (active - v))
+          .forall(w => priL(v) < priL(w) || (priL(v) == priL(w) && v < w)))
+        wins.foreach { v =>
+          val used = adj(v).flatMap(w => want.get(w).map(_._1))
+          val c = Iterator.from(0).map(_.toLong).find(!used.contains(_)).get
+          want(v) = (c, r)
+        }
+        active --= wins
+        r += 1
+        assert(r <= 32, "replay runaway")
+      }
+      got.foreach { case (v, c, rd) =>
+        assert(want(v) == ((c, rd)),
+          s"node $v: got ($c,$rd) want ${want(v)}") }
     }
   }
 
@@ -3164,6 +3258,45 @@ class OperatorSpec extends SparkSuite {
       assert((nb - b0).toInt == best._1 && math.abs(r - best._2) < 1e-12,
         s"pos $i: got (${nb - b0}, $r) want $best")
     }
+  }
+
+  test("kalman: gain schedule contracts to the Riccati fixpoint; smoother anticipates a step") {
+    // A step series (10 buckets at 2, then 10 at 10): the FILTER is
+    // causal — its level lags the step and the pre-step estimates never
+    // see the jump; the SMOOTHER revises them with future data, so at
+    // the last low bucket smooth > level. The gain column must start at
+    // exactly 1 (l_1 = y_1), decrease strictly to the fixpoint, and the
+    // fixpoint must solve k = (p+q)/(p+q+r) with p = (1−k)(p+q).
+    val rows = (0 until 60).flatMap { hr =>
+      Seq.fill(if (hr < 30) 2 else 10)(("k", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:20:00Z")
+          .plusSeconds(3600L * hr))))
+    }
+    val (q, r) = (2.0, 8.0)
+    val f = graft.ops.TimeSeries.kalmanSmooth(
+        rows.toDF("event_type", "ts"), "event_type", "ts", 3600L, q, r)
+      .orderBy("bucket")
+      .select($"n", $"level", $"smooth")
+      .as[(Long, Double, Double)].collect()
+    assert(f.length == 60)
+    val gains = graft.ops.TimeSeries.kalman(
+        rows.toDF("event_type", "ts"), "event_type", "ts", 3600L, q, r)
+      .orderBy("bucket").select($"gain").as[Double].collect()
+    assert(gains(0) == 1.0, s"first gain is exactly 1: ${gains(0)}")
+    val kStar = gains.last
+    // fixpoint: p* = (-q + sqrt(q^2 + 4*r*q)) / 2; k* = (p*+q)/(p*+q+r)
+    val pStar = (-q + math.sqrt(q * q + 4 * r * q)) / 2
+    assert(math.abs(kStar - (pStar + q) / (pStar + q + r)) < 1e-12,
+      s"steady gain $kStar vs Riccati fixpoint")
+    gains.sliding(2).foreach { w =>
+      assert(w(1) <= w(0), s"gain schedule must be non-increasing: ${w.toSeq}") }
+    // causal filter: pre-step levels stay at 2 exactly (constant input)
+    assert(f(29)._2 == 2.0, s"filter level before the step: ${f(29)}")
+    // smoother pulls the last low bucket toward the coming step
+    assert(f(29)._3 > f(29)._2 + 1.0,
+      s"smooth must anticipate the step: ${f(29)}")
+    // at the last bucket smoother == filter (the RTS base case)
+    assert(f(59)._3 == f(59)._2, s"s_T = l_T: ${f(59)}")
   }
 
   test("backtest: trend series hands the win to holt, pure seasonality to naive") {

@@ -666,6 +666,59 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("kalman scan and RTS smoother equal the sequential recurrences on random ragged series") {
+    // The general per-row affine scan (time-varying coefficients — the
+    // machinery holt's constant matrix never exercises) must agree with
+    // the plain sequential Kalman recurrence, and the backward scan with
+    // the sequential RTS recursion over the rounded levels.
+    val seriesGen: Gen[List[(String, Int, Int)]] = Gen.listOfN(60, for {
+      key <- Gen.oneOf("a", "b", "c", "d")
+      hr <- Gen.choose(0, 39)
+      cnt <- Gen.choose(1, 9)
+    } yield (key, hr, cnt))
+    samples(seriesGen, 3).foreach { triples =>
+      val byBucket = triples.groupBy(t => (t._1, t._2))
+        .view.mapValues(_.map(_._3).sum).toMap
+      val rows = byBucket.toSeq.flatMap { case ((k, hr), cnt) =>
+        Seq.fill(cnt)((k, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:15:00Z")
+            .plusSeconds(3600L * hr))))
+      }
+      val (q, r) = (2.0, 8.0)
+      val (ks, cs) = graft.ops.TimeSeries.kalmanCoeffs(q, r)
+      val got = graft.ops.TimeSeries.kalmanSmooth(
+          rows.toDF("event_type", "ts"), "event_type", "ts", 3600L, q, r)
+        .select($"event_type", $"bucket", $"level", $"smooth")
+        .as[(String, Long, Double, Double)].collect()
+        .sortBy(x => (x._1, x._2))
+      def r6(d: Double): Double =
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = byBucket.keys.map(_._1).toSeq.distinct.sorted.flatMap { k =>
+        val xs = byBucket.collect { case ((`k`, hr), cnt) => (hr, cnt) }
+          .toSeq.sortBy(_._1).map(_._2.toDouble)
+        val lv = new Array[Double](xs.length)
+        lv(0) = xs(0)
+        for (t <- 1 until xs.length) {
+          val kt = ks(math.min(t + 1, ks.length) - 1)
+          lv(t) = (1 - kt) * lv(t - 1) + kt * xs(t)
+        }
+        val lr = lv.map(r6)
+        val sm = new Array[Double](xs.length)
+        sm(xs.length - 1) = lr(xs.length - 1)
+        for (t <- xs.length - 2 to 0 by -1) {
+          val ct = cs(math.min(t + 1, cs.length) - 1)
+          sm(t) = ct * sm(t + 1) + (1 - ct) * lr(t)
+        }
+        lr.zip(sm.map(r6)).map { case (l, s) => (k, l, s) }
+      }
+      assert(got.length == want.length)
+      got.zip(want).foreach { case ((k, _, l, s), (wk, wl, ws)) =>
+        assert(k == wk && l == wl && s == ws,
+          s"key $k: got ($l,$s) want ($wl,$ws)")
+      }
+    }
+  }
+
   test("bipartite double cover agrees with brute-force BFS parity on random graphs") {
     val edgeGen: Gen[List[(Long, Long)]] = Gen.listOfN(45, for {
       a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
