@@ -198,6 +198,21 @@ object SparkEntry {
         "op", col("v"), streaming = false)
     },
 
+    // Streaming SCD2 dimension maintenance, gated through its batch twin
+    // (the plan-identical discipline every stream_* row follows): each
+    // user's event stream becomes full version history — closed rows
+    // carry (valid_from, valid_to) in micros, one open row per key.
+    // Attrs pack as "type:cents" (no doubles/JSON cross the boundary).
+    // StreamingSpec drives the GroupState twin + replace reconciliation.
+    "stream_scd2" -> { (s, dir) =>
+      val log = t(s, dir, "events").select(
+        col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        concat_ws(":", col("event_type"),
+          round(col("value") * 100).cast("long")).as("attrs"))
+      graft.streaming.StreamOps.scd2Stream(log, "user_id", "ts_us",
+        "event_id", "attrs", streaming = false)
+    },
+
     // ── flagship pricing aggregate (partial+final hash agg, 1 shuffle) ──
     "q1_pricing" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -7545,6 +7560,21 @@ object SparkEntry {
         |SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(v) AS BIGINT) AS sum_v
         |FROM pd GROUP BY 1""".stripMargin,
+
+    // SCD2 history replayed: one lead() per key over (ts, id), same
+    // "type:cents" attrs packing.
+    "stream_scd2" ->
+      """WITH l AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |             epoch_us(ts) AS valid_from_us, event_id AS eid,
+        |             event_type || ':' ||
+        |               CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+        |               AS attrs
+        |           FROM events)
+        |SELECT key, valid_from_us, eid, attrs,
+        |       lead(valid_from_us) OVER win AS valid_to_us,
+        |       lead(valid_from_us) OVER win IS NULL AS is_current
+        |FROM l
+        |WINDOW win AS (PARTITION BY key ORDER BY valid_from_us, eid)""".stripMargin,
 
     // Full sketch replay per day window: bucket counts, partitioned
     // cumulative walk, exact integer rank selection.

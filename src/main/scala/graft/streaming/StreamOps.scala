@@ -39,6 +39,14 @@ case class TopKState(keys: Seq[String], counts: Seq[Long])
 case class SignedState(nRows: Long, sumV: Long)
 case class SignedStateRow(key: String, n_rows: Long, sum_v: Long)
 
+/** Per-key open SCD2 version for StreamOps.scd2Stream: the currently
+  * valid (from, id, attrs) triple awaiting its successor. */
+case class Scd2KeyState(tsUs: Long, eid: Long, attrs: String)
+
+/** One SCD2 dimension row emission from StreamOps.scd2Stream. */
+case class Scd2Row(key: String, valid_from_us: Long, eid: Long,
+    attrs: String, valid_to_us: Option[Long], is_current: Boolean)
+
 /** Streaming operators beyond the reference's surface (SURVEY.md §2.4
   * lists these as absent there): sliding & session event-time windows,
   * watermark-bounded streaming dedup, stream-static enrichment joins, and
@@ -344,6 +352,71 @@ object StreamOps {
           }
           state.update(st)
           Iterator.single(SignedStateRow(key, st.nRows, st.sumV))
+      }.toDF()
+    }
+  }
+
+  /** Streaming SCD2 (slowly-changing-dimension type 2) maintenance — the
+    * reference's S5 "maintained state in the sink" intent lifted from
+    * running totals to full dimension HISTORY: every attribute version
+    * becomes a (valid_from, valid_to, is_current) row; a new version
+    * CLOSES the previous open row and opens its own. The streaming side
+    * keeps one open version per key in GroupState and emits, per batch,
+    * the closed predecessors plus the (re-)opened current row — update-
+    * mode emissions a sink reconciles by replacing on (key, valid_from,
+    * id), the stream_signed_state replace discipline (a version once
+    * closed never reopens, so closed beats open at equal keys and
+    * replays are idempotent). Within a batch rows are applied in
+    * (ts, id) order; across batches arrival must respect that order per
+    * key (the [[anomalyFlags]] convention under which batch and stream
+    * twins agree exactly — SCD2 history is order-defined, so an
+    * out-of-order changelog is a data bug upstream, not a merge case).
+    *
+    * The batch twin is one per-key window pass (lead over (ts, id)) —
+    * [[graft.ops.Profile.scd2]] on the compacted changelog, restated on
+    * micros + a packed attrs string so both twins share one schema.
+    * State is O(1) per key (the open version only), bounded by key
+    * cardinality, never by stream length. */
+  def scd2Stream(log: DataFrame, keyCol: String, tsUsCol: String,
+      idCol: String, attrsCol: String, streaming: Boolean): DataFrame = {
+    if (!streaming) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("valid_from_us"), col("eid"))
+      log.select(col(keyCol).cast("string").as("key"),
+          col(tsUsCol).cast("long").as("valid_from_us"),
+          col(idCol).cast("long").as("eid"),
+          col(attrsCol).cast("string").as("attrs"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+    } else {
+      val spark = log.sparkSession
+      import spark.implicits._
+      val typed = log.select(col(keyCol).cast("string").as("key"),
+          col(tsUsCol).cast("long").as("ts_us"),
+          col(idCol).cast("long").as("eid"),
+          col(attrsCol).cast("string").as("attrs"))
+        .as[(String, Long, Long, String)]
+      typed.groupByKey(_._1).flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long, String)],
+         state: GroupState[Scd2KeyState]) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+            case (_, ts, eid, attrs) =>
+              open.foreach { p =>
+                out += Scd2Row(key, p.tsUs, p.eid, p.attrs, Some(ts),
+                  is_current = false)
+              }
+              open = Some(Scd2KeyState(ts, eid, attrs))
+          }
+          open.foreach { p =>
+            state.update(p)
+            out += Scd2Row(key, p.tsUs, p.eid, p.attrs, None,
+              is_current = true)
+          }
+          out.iterator
       }.toDF()
     }
   }

@@ -252,6 +252,38 @@ class StreamingSpec extends SparkSuite {
     assert(sink.snapshot("a") == ((2L, 34L)), s"a: ${sink.snapshot.get("a")}")
   }
 
+  test("scd2 stream: closed+open emissions reconcile to the batch dimension history") {
+    import graft.streaming.StreamOps
+    val source = MemoryStream[(String, Long, Long, String)] // key, tsUs, eid, attrs
+    val stream = StreamOps.scd2Stream(
+      source.toDF().toDF("key", "ts_us", "eid", "attrs"),
+      "key", "ts_us", "eid", "attrs", streaming = true)
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("scd2_out").start()
+    // three batches: a gains three versions across epochs (the middle one
+    // arriving in the same batch as another key's first), b stays at one
+    val batches = Seq(
+      Seq(("a", 100L, 1L, "gold:10"), ("b", 120L, 2L, "iron:5")),
+      Seq(("a", 200L, 3L, "gold:12")),
+      Seq(("a", 300L, 4L, "dust:1")))
+    try batches.foreach { b => source.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // reconcile update-mode emissions by (key, from, eid): a version once
+    // closed never reopens, so the closed row supersedes its open twin
+    val got = spark.table("scd2_out")
+      .as[(String, Long, Long, String, Option[Long], Boolean)].collect()
+      .groupBy(r => (r._1, r._2, r._3))
+      .map { case (_, vs) => vs.find(!_._6).getOrElse(vs.head) }.toSet
+    val want = StreamOps.scd2Stream(
+        batches.flatten.toDF("key", "ts_us", "eid", "attrs"),
+        "key", "ts_us", "eid", "attrs", streaming = false)
+      .as[(String, Long, Long, String, Option[Long], Boolean)].collect().toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(got.count(_._6) == 2, "exactly one open row per key")
+    assert(got.exists(r => r._1 == "a" && r._2 == 200L &&
+      r._5.contains(300L) && !r._6), "middle version closed by successor")
+  }
+
   test("S1 source swap: a real file stream drives the identical plan to MemoryStream") {
     // reference parity: streaming_job.py:99-104 — the source is a format
     // string; everything below it is the same Catalyst plan. Prove it with
