@@ -6369,8 +6369,8 @@ object SparkEntry {
 
     // Jones-Plassmann rounds replayed with the same fixed priorities
     // and the same sorted-rank smallest-missing-color scan (generator
-    // above; round budget matches the engine's maxRounds=32).
-    "graph_coloring" -> jonesPlassmannOracleSql(rounds = 32),
+    // above; round budget matches the engine's maxRounds=64).
+    "graph_coloring" -> jonesPlassmannOracleSql(rounds = 64),
 
     // Double-cover bipartiteness replayed independently: one recursive
     // min-label closure over the original edges (components), one over

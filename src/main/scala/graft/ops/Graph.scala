@@ -927,8 +927,11 @@ object Graph {
     * edge is active and one would block the other), so rounds commit
     * conflict-free in bulk; round count is the longest
     * priority-decreasing path — O(log n / log log n) w.h.p. on bounded-
-    * degree graphs, `maxRounds` throws rather than returning a partial
-    * coloring. Colors are ≤ degeneracy+1 in the greedy order and the
+    * degree graphs — but a DENSE subgraph stalls it (a k-clique colors
+    * one vertex per round, so rounds reach the largest clique-ish
+    * community; the sf0.001 fixture's 200-node/2452-edge co-purchase
+    * graph needs 36). `maxRounds` (default 64) throws loudly rather
+    * than returning a partial coloring. Colors are ≤ degeneracy+1 in the greedy order and the
     * whole run is replayable round-for-round.
     *
     * Scale shape: the winner test is the [[lubyMis]] neighbor-min over
@@ -940,7 +943,7 @@ object Graph {
     * never a sequence explode over degree). Each round's survivors are
     * localCheckpoint'ed and the predecessor freed (the CC loop
     * discipline). Returns (node, color, round). */
-  def jonesPlassmann(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
+  def jonesPlassmann(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     val P = 1000000007L
     def pri(v: Column): Column = (v % P) * 2654435761L % P
     val canon = canonicalEdges(edges, "a", "b")

@@ -208,40 +208,61 @@ object Similarity {
     * only when MUTUAL — x's best-margin target is y AND y's best-margin
     * source is x (the paper's "max" strategy + mutual filter).
     *
-    * Scale shape: the only corpus-sized stages are the two
-    * [[bruteForceTopK]] retrievals (swap in [[ivfTopK]] per direction at
-    * corpus scale — everything below is unchanged); both top frames are
-    * materialized at the composition boundary, the neighborhood averages
-    * are |side|-sized aggregates of k-row groups, candidates are the
-    * ≤ (|src|+|tgt|)·k union of both directions' lists, and the mutual
-    * filter is two partitioned row_number windows over that frame —
-    * nothing all-pairs anywhere past retrieval.
+    * Scale shape (the mining batch regime: |src| is a bounded batch of
+    * new sentences, |tgt| the corpus): the pair-sim frame is computed
+    * ONCE — one candidate-side scan with the query batch broadcast
+    * ([[bruteForceTopK]]'s join shape), |src|·|tgt| rows linear in the
+    * corpus — and BOTH directions' top-k derive from it: forward per-src
+    * lists through the k-bounded [[TopKAggregator]] (map-side partial,
+    * never a per-src sort of the corpus), backward per-tgt lists through
+    * one row_number window whose partitions are |src|-bounded. The frame
+    * is materialized at the boundary (three consumers). Neighborhood
+    * averages are k-row folds; candidates are the ≤ (|src|+|tgt|)·k
+    * union of both lists; the mutual filter is two partitioned
+    * row_number windows over that union — nothing all-pairs anywhere.
+    * Symmetric full-corpus mining swaps the retrieval for [[ivfTopK]]
+    * per direction; everything below the pair frame is unchanged.
     *
-    * Determinism: sims are the sequential-fold cosine (direction-
-    * symmetric: each product and the i-ascending sum commute exactly, so
-    * the fwd and bwd copy of a pair carries bit-identical sims and the
-    * union dedups); averages fold in rank order from 0.0 (the oracle's
-    * list_reduce over list(sim ORDER BY rank) — IEEE-identical since
-    * 0.0 + s₁ = s₁); the margin is one fixed add/halve/divide tree; and
-    * argmax ties break on the partner id — raw doubles cross the gate.
+    * Determinism: sims are the sequential-fold cosine computed once per
+    * pair (both directions read the same doubles); averages fold in
+    * rank order from 0.0 (the oracle's list_reduce over list(sim ORDER
+    * BY rank) — IEEE-identical since 0.0 + s₁ = s₁); the margin is one
+    * fixed add/halve/divide tree; and argmax ties break on the partner
+    * id — raw doubles cross the gate.
     * Returns the mutual pairs (src_id, tgt_id, sim, margin). */
   def bitextMargin(src: DataFrame, tgt: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k >= 1")
-    val fwd = bruteForceTopK(tgt, src, k).localCheckpoint()
-    val bwd = bruteForceTopK(src, tgt, k).localCheckpoint()
-    def nbrAvg(top: DataFrame, idOut: String, avgOut: String) =
-      top.groupBy(col("query_id").as(idOut))
+    val qry = src.select(col("vec_id").as("src_id"),
+      col("embedding").cast("array<double>").as("__sv"))
+    val cand = tgt.select(col("vec_id").as("tgt_id"),
+      col("embedding").cast("array<double>").as("__tv"))
+    val pairs = cand.join(broadcast(qry), col("src_id") =!= col("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        cosine(col("__tv"), col("__sv")).as("sim"))
+      .filter(col("sim").isNotNull)
+      .localCheckpoint()
+    val topk = udaf(new TopKAggregator(k))
+    val fwd = pairs.groupBy(col("src_id"))
+      .agg(topk(col("tgt_id"), col("sim")).as("top"))
+      .select(col("src_id"), posexplode(col("top")))
+      .select(col("src_id"), col("col.id").as("tgt_id"),
+        (col("pos") + 1).as("rank"), col("col.score").as("sim"))
+    val byTgtRank = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("sim").desc, col("src_id"))
+    val bwd = pairs
+      .withColumn("rank", row_number().over(byTgtRank))
+      .filter(col("rank") <= k)
+    def nbrAvg(top: DataFrame, idCol: String, avgOut: String) =
+      top.groupBy(col(idCol))
         .agg((aggregate(
           array_sort(collect_list(struct(col("rank"), col("sim")))),
           lit(0.0), (acc, x) => acc + x.getField("sim"))
           / count(lit(1))).as(avgOut))
     val af = nbrAvg(fwd, "src_id", "__a")
     val ab = nbrAvg(bwd, "tgt_id", "__b")
-    val cands = fwd.select(col("query_id").as("src_id"),
-        col("neighbor_id").as("tgt_id"), col("sim"))
-      .unionAll(bwd.select(col("neighbor_id").as("src_id"),
-        col("query_id").as("tgt_id"), col("sim")))
+    val cands = fwd.select(col("src_id"), col("tgt_id"), col("sim"))
+      .unionAll(bwd.select(col("src_id"), col("tgt_id"), col("sim")))
       .distinct()
     val scored = cands.join(af, "src_id").join(ab, "tgt_id")
       .select(col("src_id"), col("tgt_id"), col("sim"),

@@ -293,6 +293,48 @@ object ScaleProbe {
     report("3-way seasonal backtest")(
       sbt3(s.read.parquet(s"$sfDir/events.parquet")))(
       sbt3(s.read.parquet(ev10)))
+    // Round-13 session additions. Kalman rides the holt regime (10x
+    // SERIES, flat rounds); the smoother adds the backward scan.
+    def kal(ev: DataFrame): Long =
+      graft.ops.TimeSeries.kalman(
+        ev.withColumn("ts", col("ts").cast("timestamp")),
+        "event_type", "ts", 3600L, q = 2.0, r = 8.0).count()
+    report("Kalman affine scan")(
+      kal(s.read.parquet(s"$sfDir/events.parquet")))(
+      kal(s.read.parquet(ev10)))
+    def kalSm(ev: DataFrame): Long =
+      graft.ops.TimeSeries.kalmanSmooth(
+        ev.withColumn("ts", col("ts").cast("timestamp")),
+        "event_type", "ts", 3600L, q = 2.0, r = 8.0).count()
+    report("Kalman + RTS smoother")(
+      kalSm(s.read.parquet(s"$sfDir/events.parquet")))(
+      kalSm(s.read.parquet(ev10)))
+    // Bitext margin in the mining-batch regime: fixed 8-src panel vs a
+    // growing tgt corpus — the pair frame and both top-k passes are
+    // linear in |tgt| (the bwd window's partitions are |src|-bounded).
+    def bitext(emb: DataFrame): Long = {
+      val srcB = emb.filter(col("vec_id") % 2 === 0 &&
+        col("vec_id") % 251 === 0).limit(8)
+      graft.ops.Similarity.bitextMargin(srcB,
+        emb.filter(col("vec_id") % 2 === 1), k = 4).count()
+    }
+    report("bitext margin (8 src)")(bitext(embS()))(bitext(embB()))
+    // JP coloring on the co-purchase graph: disjoint replicas keep the
+    // round count flat (longest priority-decreasing path per replica),
+    // frames grow 10x.
+    report("Jones-Plassmann coloring")(
+      graft.ops.Graph.jonesPlassmann(wedges(liS()).select(col("a"), col("b")))
+        .count())(
+      graft.ops.Graph.jonesPlassmann(wedges(liB()).select(col("a"), col("b")))
+        .count())
+    // Audio fingerprint: cells/peaks are a bounded explode + two window
+    // passes per media; the landmark join is within-media; the match
+    // join is keyed on the landmark hash with the stop-hash guard.
+    def afp(docs: DataFrame): Long =
+      graft.ops.Multimodal.audioFingerprint(graft.ops.Multimodal.asMedia(
+        docs.filter(octet_length(col("text")) === length(col("text")) &&
+          octet_length(col("text")) > 0), "doc_id", "text")).count()
+    report("audio fingerprint match")(afp(docS()))(afp(docB()))
     s.stop()
   }
 }
