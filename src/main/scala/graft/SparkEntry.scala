@@ -1143,6 +1143,18 @@ object SparkEntry {
           col("c_mktsegment")),
         Seq("c_nationkey", "bal_band"), "c_mktsegment", k = 5, l = 3)),
 
+    // Local-DP frequency estimation (k-ary randomized response, p=0.75
+    // over the 5 market segments): deterministic md5 coins stand in for
+    // the device RNG so both engines flip identically; debiased
+    // estimates land next to the true counts. Dyadic p ⇒ exact q/(p−q)
+    // literals.
+    "rel_ldp_freq" -> ((s, dir) =>
+      Profile.ldpFrequency(t(s, dir, "customer"), "c_custkey",
+        "c_mktsegment",
+        domain = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+          "MACHINERY"),
+        pKeep = 0.75)),
+
     // Fellegi–Sunter probabilistic record linkage: sorted-neighborhood
     // candidates ($50 balance blocks, 3 neighbors), u-odds estimated
     // exactly from the corpus and reduced to ppm, match/non-match
@@ -2905,6 +2917,14 @@ object SparkEntry {
     "ts_acf" -> ((s, dir) =>
       TimeSeries.acfBuckets(t(s, dir, "events"), keyCol = "event_type",
         tsCol = "ts", bucketSec = 3600L, maxLag = 6)),
+
+    // Dominant-period detection (ACF argmax over lags 2..48, >= 8
+    // overlapping pairs): derives the `period` input holtSeasonal and
+    // seasonal-naive consume; ties break on the shorter lag so the
+    // fundamental beats its harmonics.
+    "ts_period_detect" -> ((s, dir) =>
+      TimeSeries.periodDetect(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, maxLag = 48)),
 
     // 2-D Pareto frontier (maximize price AND recency) over raw orders —
     // the multi-objective selection primitive, run corpus-sized (no
@@ -5228,6 +5248,39 @@ object SparkEntry {
          |      FROM l GROUP BY 1)$rows""".stripMargin
     },
 
+    // The ts_acf computation widened to lags 2..48, then the argmax pick
+    // on the ROUNDED acf (ties -> shorter lag), >= 8 pairs required.
+    "ts_period_detect" -> {
+      val maxLag = 48
+      val lagDefs = (1 to maxLag)
+        .map(k => s"lag(d, $k) OVER w AS l$k").mkString(",\n        ")
+      val sums = (1 to maxLag)
+        .map(k => s"sum(d * l$k) AS num$k, count(l$k) AS np$k")
+        .mkString(",\n        ")
+      val rows = (2 to maxLag).map(k =>
+        s"SELECT event_type, $k AS lag, round(num$k / den, 6) AS acf, np$k AS n_pairs FROM s")
+        .mkString("\n|acfr AS (", "\n|UNION ALL ", "),")
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+         |             CAST(count(*) AS DOUBLE) AS x
+         |           FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, avg(x) AS m FROM c GROUP BY 1),
+         |d AS (SELECT c.event_type, bucket, x - m.m AS d
+         |      FROM c JOIN m USING (event_type)),
+         |l AS (SELECT event_type, d,
+         |        $lagDefs
+         |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+         |s AS (SELECT event_type, sum(d * d) AS den,
+         |        $sums
+         |      FROM l GROUP BY 1),$rows
+         |r AS (SELECT event_type, lag, acf, n_pairs,
+         |        row_number() OVER (PARTITION BY event_type
+         |          ORDER BY acf DESC, lag) AS rn
+         |      FROM acfr WHERE n_pairs >= 8)
+         |SELECT event_type, CAST(lag AS INT) AS period, acf, n_pairs,
+         |       acf >= 0.3 AS is_seasonal
+         |FROM r WHERE rn = 1""".stripMargin
+    },
+
     // Independent quadratic dominance formulation — the two-level
     // bucketed plan must reproduce the textbook NOT-EXISTS answer.
     "rel_skyline" ->
@@ -7377,6 +7430,40 @@ object SparkEntry {
         |       count(DISTINCT c_mktsegment) >= 3 AS l_diverse
         |FROM customer
         |GROUP BY 1, 2""".stripMargin,
+
+    // k-RR replayed: the identical md5 coins (keep test vs the exact
+    // integer threshold 750000; fake pick skips the true position), the
+    // same dyadic debias literals.
+    "rel_ldp_freq" ->
+      """WITH dom(pos, seg) AS (SELECT * FROM (VALUES
+        |    (1, 'AUTOMOBILE'), (2, 'BUILDING'), (3, 'FURNITURE'),
+        |    (4, 'HOUSEHOLD'), (5, 'MACHINERY')) t(pos, seg)),
+        |c AS (SELECT CAST(c_custkey AS VARCHAR) AS id, c_mktsegment AS v,
+        |        d.pos AS tpos
+        |      FROM customer JOIN dom d ON d.seg = c_mktsegment),
+        |r AS (SELECT id, v, tpos,
+        |        CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT) % 1000000 AS u,
+        |        CAST(('0x' || substr(md5(id || ':f'), 1, 8)) AS BIGINT)
+        |          % 1000000 % 4 AS f0
+        |      FROM c),
+        |rep AS (SELECT v,
+        |          CASE WHEN u < 750000 THEN v
+        |               ELSE (SELECT seg FROM dom WHERE pos =
+        |                 CASE WHEN f0 + 1 < tpos THEN f0 + 1 ELSE f0 + 2 END)
+        |          END AS rseg
+        |        FROM r),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rep),
+        |cr AS (SELECT rseg AS segment, CAST(count(*) AS BIGINT) AS n_reported
+        |       FROM rep GROUP BY 1),
+        |tr AS (SELECT v AS segment, CAST(count(*) AS BIGINT) AS n_true
+        |       FROM rep GROUP BY 1)
+        |SELECT coalesce(cr.segment, tr.segment) AS segment,
+        |       coalesce(cr.n_reported, 0) AS n_reported,
+        |       coalesce(tr.n_true, 0) AS n_true,
+        |       round((CAST(coalesce(cr.n_reported, 0) AS DOUBLE)
+        |         - tot.n * CAST(0.0625 AS DOUBLE))
+        |         / CAST(0.6875 AS DOUBLE), 6) + 0 AS n_est
+        |FROM cr FULL OUTER JOIN tr ON cr.segment = tr.segment, tot""".stripMargin,
 
     // The full FS pipeline replayed: same SNM leads, same exact-ppm u
     // odds (HUGEINT, true floor //), same cross-multiplied 10:1 verdict.

@@ -355,6 +355,62 @@ object Profile {
     * (quasi columns…, class_size, n_sensitive, k_anonymous, l_diverse);
     * rows with `k_anonymous = false` are the classes a release must
     * suppress or generalize. */
+  /** Local-differential-privacy frequency estimation by k-ary randomized
+    * response (Warner 1965; the k-RR mechanism of Kairouz et al.,
+    * NeurIPS'14) — the privacy-preserving census a training pipeline
+    * runs when raw per-user categories must never leave the device:
+    * each row reports its TRUE category with probability p and one of
+    * the k−1 others uniformly otherwise; the aggregator sees only the
+    * noisy reports and debiases n̂_v = (c_v − n·q)/(p − q) with
+    * q = (1−p)/(k−1). The mechanism's "coin" here is the repo's
+    * deterministic md5 draw ([[graft.ops.Sampling.drawOf]]) keyed on
+    * the row id (+ ':f' for the fake pick) — a replayable stand-in for
+    * the device RNG, so both engines flip identical coins and the gate
+    * is exact (privacy in production comes from a real RNG; the
+    * ESTIMATOR and plan shape are what this op ships). The keep test is
+    * an exact integer threshold (u < round(p·10⁶) — never a float
+    * compare); choose a dyadic p (0.75 with k=5 ⇒ q = 0.0625 exact) so
+    * the debias literals are bit-identical on both engines.
+    *
+    * Scale shape: one projection computes every report (domain rides as
+    * a k-element literal array — no join), then ONE k-row aggregate
+    * plus a 1-row total broadcast; truth counts (for the fixture's
+    * error columns) are a second k-row aggregate. Nothing keyed wider
+    * than the domain. Returns
+    * (segment, n_reported, n_true, n_est rounded 6). */
+  def ldpFrequency(df: DataFrame, idCol: String, valueCol: String,
+      domain: Seq[String], pKeep: Double): DataFrame = {
+    val k = domain.size
+    require(k >= 2, "domain k >= 2")
+    require(domain == domain.sorted && domain.distinct.size == k,
+      "domain must be sorted and distinct")
+    require(pKeep > 1.0 / k && pKeep < 1, "pKeep in (1/k, 1)")
+    val q = (1 - pKeep) / (k - 1)
+    val domArr = array(domain.map(lit): _*)
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("string").as("__v"))
+      .filter(array_position(domArr, col("__v")) > 0)
+    val t = array_position(domArr, col("__v"))
+    val u = graft.ops.Sampling.drawOf(col("__id"))
+    val f0 = graft.ops.Sampling.drawOf(concat(col("__id"), lit(":f"))) %
+      (k - 1).toLong
+    val fakeIdx = when(f0 + 1 < t, f0 + 1).otherwise(f0 + 2)
+    val reported = when(u < math.round(pKeep * 1000000L), col("__v"))
+      .otherwise(element_at(domArr, fakeIdx.cast("int")))
+    val rep = base.select(col("__v"), reported.as("__r"))
+    val tot = rep.agg(count(lit(1)).as("__n"))
+    val truth = rep.groupBy(col("__v").as("segment"))
+      .agg(count(lit(1)).as("n_true"))
+    rep.groupBy(col("__r").as("segment"))
+      .agg(count(lit(1)).as("n_reported"))
+      .join(truth, Seq("segment"), "full_outer")
+      .na.fill(0L, Seq("n_reported", "n_true"))
+      .crossJoin(broadcast(tot))
+      .select(col("segment"), col("n_reported"), col("n_true"),
+        (round((col("n_reported").cast("double") - col("__n") * lit(q)) /
+          lit(pKeep - q), 6) + lit(0.0)).as("n_est"))
+  }
+
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
       k: Int, l: Int): DataFrame = {
     require(quasiCols.nonEmpty, "at least one quasi-identifier column")

@@ -253,6 +253,37 @@ object TimeSeries {
         col("__a.acf").as("acf"), col("__a.n_pairs").as("n_pairs"))
   }
 
+  /** Dominant-period detection by autocorrelation argmax — the step
+    * that CLOSES the seasonal-modeling loop: [[holtSeasonal]] and the
+    * seasonal-naive baseline both take `period` as an input, and this
+    * op derives it from the data (the standard ACF-peak heuristic —
+    * Box & Jenkins' identification stage): per key, the lag in
+    * [minLag, maxLag] with the highest autocorrelation, requiring
+    * `minPairs` overlapping observations so a long-lag fluke on tiny
+    * overlap can't win; `is_seasonal` flags keys whose best ACF clears
+    * `threshold` (the consumer's trust gate). Ties break on the
+    * SHORTER lag — the fundamental period beats its own harmonics at
+    * equal (rounded) correlation.
+    *
+    * Scale shape and determinism ride [[acfBuckets]] unchanged: one
+    * corpus-sized keyed collapse, maxLag window lags, one aggregate;
+    * the argmax is a row_number window over key × maxLag rows on the
+    * ROUNDED acf (identical doubles both engines, so the pick is
+    * exact). Returns (key, period, acf, n_pairs, is_seasonal). */
+  def periodDetect(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, maxLag: Int = 48, minLag: Int = 2,
+      minPairs: Long = 8L, threshold: Double = 0.3): DataFrame = {
+    require(minLag >= 1 && maxLag > minLag, "1 <= minLag < maxLag")
+    val a = acfBuckets(df, keyCol, tsCol, bucketSec, maxLag)
+      .filter(col("lag") >= minLag && col("n_pairs") >= minPairs)
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col("acf").desc, col("lag"))
+    a.withColumn("__rn", row_number().over(byKey))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("lag").as("period"), col("acf"),
+        col("n_pairs"), (col("acf") >= threshold).as("is_seasonal"))
+  }
+
   /** Level-shift (step-change) detection over a regular-bucket count
     * series: at every bucket, compare the mean of the w buckets ending
     * just before it against the mean of the w buckets starting at it —

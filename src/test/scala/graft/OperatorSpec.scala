@@ -3299,6 +3299,73 @@ class OperatorSpec extends SparkSuite {
     assert(f(59)._3 == f(59)._2, s"s_T = l_T: ${f(59)}")
   }
 
+  test("period detect: exact 12-cycle found at the FUNDAMENTAL lag, not its harmonics") {
+    // pattern repeats every 12 hours over 120 buckets: with the biased
+    // (den over ALL t) ACF estimator a perfect cycle scores exactly
+    // overlap/n — 108/120 = 0.9 at lag 12, 96/120 = 0.8 at 24, … — so
+    // the fundamental beats its harmonics BY VALUE, and the flag must
+    // clear 0.3. (The lag tie-break is exercised when two lags round
+    // equal; here the bias already orders them.)
+    val pat = Array(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8)
+    val rows = (0 until 120).flatMap { hr =>
+      Seq.fill(pat(hr % 12))(("s", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:10:00Z")
+          .plusSeconds(3600L * hr))))
+    }
+    val got = graft.ops.TimeSeries.periodDetect(
+        rows.toDF("event_type", "ts"), "event_type", "ts", 3600L,
+        maxLag = 48)
+      .as[(String, Int, Double, Long, Boolean)].collect()
+    assert(got.length == 1)
+    val (_, period, acf, nPairs, seasonal) = got.head
+    assert(period == 12, s"fundamental, not a harmonic: $period")
+    assert(acf == 0.9 && seasonal, s"exact cycle at 108/120 overlap: acf=$acf")
+    assert(nPairs == 108L, s"pairs at lag 12 over 120 buckets: $nPairs")
+  }
+
+  test("ldp frequency: deterministic k-RR replay exact; debias formula and totals hold") {
+    val dom = Seq("A", "B", "C", "D", "E")
+    val n = 400
+    val truthOf = (i: Int) => dom(i % 5)
+    val rows = (1 to n).map(i => (i.toLong, truthOf(i)))
+    def draw(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => "%02x".format(b & 0xff)).mkString, 16) % 1000000L
+    }
+    // scala replay of the mechanism
+    val reports = rows.map { case (id, v) =>
+      val t = dom.indexOf(v) + 1
+      if (draw(id.toString) < 750000L) v
+      else {
+        val f0 = draw(id.toString + ":f") % 4
+        val idx = if (f0 + 1 < t) f0 + 1 else f0 + 2
+        dom(idx.toInt - 1)
+      }
+    }
+    val expReported = reports.groupBy(identity).view.mapValues(_.size.toLong)
+    val got = graft.ops.Profile.ldpFrequency(
+        rows.toDF("id", "seg"), "id", "seg", dom, pKeep = 0.75)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == dom.toSet)
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    dom.foreach { seg =>
+      val (_, nRep, nTrue, nEst) = got(seg)
+      assert(nRep == expReported.getOrElse(seg, 0L),
+        s"$seg reported: $nRep vs ${expReported.get(seg)}")
+      assert(nTrue == 80L, s"$seg truth: $nTrue")
+      assert(nEst == r6((nRep - n * 0.0625) / 0.6875), s"$seg estimate")
+    }
+    assert(got.values.map(_._2).sum == n, "reports conserve the total")
+    // the estimator lands near the truth (sanity of the debias, not a
+    // statistical claim: fixed coins, fixed bound)
+    dom.foreach { seg =>
+      assert(math.abs(got(seg)._4 - 80.0) < 30.0, s"$seg est ${got(seg)._4}") }
+  }
+
   test("backtest: trend series hands the win to holt, pure seasonality to naive") {
     // key "t": linear trend (count = hr+1) — seasonal-naive always lags
     // by the 24-bucket slope (error 24 every eval) while holt tracks
