@@ -3057,6 +3057,14 @@ object SparkEntry {
       TimeSeries.kalmanSmooth(t(s, dir, "events"), keyCol = "event_type",
         tsCol = "ts", bucketSec = 3600L, q = 2.0, r = 8.0)),
 
+    // Local-linear-trend Kalman: holt's model class with OPTIMAL
+    // time-varying gains — the affine scan at full 2x2 MATRIX
+    // generality (per-row matrix products composed in log rounds);
+    // the matrix Riccati schedule rides as two literal-array lookups.
+    "ts_kalman_trend" -> ((s, dir) =>
+      TimeSeries.kalmanTrend(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, qL = 2.0, qS = 0.125, r = 8.0)),
+
     // Benford first-digit audit over order totals — the classic
     // data-quality screen for fabricated numeric columns. Digits come
     // from the INTEGER cents string (never from double formatting, which
@@ -4517,6 +4525,44 @@ object SparkEntry {
          |FROM rec2""".stripMargin
   }
 
+  /** Local-linear-trend Kalman oracle: the 2-state recursion replayed
+    * sequentially with the identical matrix-Riccati gain literals
+    * (kalmanTrendCoeffs — exact decimal expansions), in the same
+    * distributed affine form the engine's matrix rows apply. */
+  private def kalmanTrendOracleSql(qL: Double, qS: Double,
+      r: Double): String = {
+    val (k1s, k2s) = graft.ops.TimeSeries.kalmanTrendCoeffs(qL, qS, r)
+    def d(x: Double) = new java.math.BigDecimal(x).toPlainString
+    val gvals = k1s.indices.map(i =>
+      s"(${i + 1}, CAST(${d(k1s(i))} AS DOUBLE), CAST(${d(k2s(i))} AS DOUBLE))")
+      .mkString(",\n           ")
+    s"""WITH RECURSIVE c AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |rk AS (SELECT event_type, bucket, n,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+       |       FROM c),
+       |g(grn, k1, k2) AS (SELECT * FROM (VALUES
+       |           $gvals) t(grn, k1, k2)),
+       |rec AS (
+       |  SELECT event_type, bucket, n, rn,
+       |         CAST(n AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+       |  FROM rk WHERE rn = 1
+       |  UNION ALL
+       |  SELECT rk.event_type, rk.bucket, rk.n, rk.rn,
+       |         (1.0 - g.k1) * rec.l + (1.0 - g.k1) * rec.b + g.k1 * rk.n,
+       |         -g.k2 * rec.l + (1.0 - g.k2) * rec.b + g.k2 * rk.n
+       |  FROM rec JOIN rk ON rk.event_type = rec.event_type
+       |                  AND rk.rn = rec.rn + 1
+       |           JOIN g ON g.grn = least(rk.rn, ${k1s.length}))
+       |SELECT event_type, bucket, n,
+       |       round(l, 6) + 0 AS level,
+       |       round(b, 6) + 0 AS slope,
+       |       round(l + b, 6) + 0 AS forecast_next
+       |FROM rec""".stripMargin
+  }
+
   /** EWMA oracle, generated from the SAME weight doubles TimeSeries.ewma
     * multiplies with (α dyadic ⇒ each weight is exact, and
     * BigDecimal(double) prints its exact decimal expansion — the literal
@@ -5463,6 +5509,11 @@ object SparkEntry {
     // Forward recursion + backward RTS recursion from each key's last
     // position, both over the same literal coefficient tables.
     "ts_kalman_smooth" -> kalmanOracleSql(q = 2.0, r = 8.0, smooth = true),
+
+    // The 2-state recursion replayed with the matrix-Riccati gain
+    // literals (generator above).
+    "ts_kalman_trend" -> kalmanTrendOracleSql(qL = 2.0, qS = 0.125,
+      r = 8.0),
 
     // The ts_holt recurrence replayed per (key, phase) stratum.
     "ts_holt_seasonal" ->

@@ -684,6 +684,116 @@ object TimeSeries {
     (ks.toSeq, cs.toSeq)
   }
 
+  /** Per-step coefficients for the LOCAL-LINEAR-TREND Kalman model
+    * (state (level, slope); F = [[1,1],[0,1]], H = [1,0],
+    * Q = diag(qL, qS), obs noise r) — the 2×2 matrix Riccati recursion,
+    * data-independent like [[kalmanCoeffs]] and frozen the same way
+    * (all three P entries move ≤ 4 ulps, or `cap`). P₁ = diag(r, r)
+    * with x₁ = (y₁, 0) ⇒ K₁ = (1, 0). Returns the gain schedules
+    * (k1 = level gain, k2 = slope gain), both length m. */
+  def kalmanTrendCoeffs(qL: Double, qS: Double, r: Double, cap: Int = 512)
+      : (Seq[Double], Seq[Double]) = {
+    require(qL > 0 && qS > 0 && r > 0, "qL, qS, r > 0")
+    var (p11, p12, p22) = (r, 0.0, r)
+    val k1s = scala.collection.mutable.ArrayBuffer(1.0)
+    val k2s = scala.collection.mutable.ArrayBuffer(0.0)
+    var done = false
+    while (!done && k1s.size < cap) {
+      val pp11 = p11 + 2 * p12 + p22 + qL
+      val pp12 = p12 + p22
+      val pp22 = p22 + qS
+      val s = pp11 + r
+      val k1 = pp11 / s
+      val k2 = pp12 / s
+      k1s += k1; k2s += k2
+      val n11 = (1 - k1) * pp11
+      val n12 = (1 - k1) * pp12
+      val n22 = pp22 - k2 * pp12
+      done = (n11 == p11 || math.abs(n11 - p11) <= 4 * math.ulp(p11)) &&
+        (n12 == p12 || math.abs(n12 - p12) <= 4 * math.ulp(math.abs(p12) max 1e-300)) &&
+        (n22 == p22 || math.abs(n22 - p22) <= 4 * math.ulp(p22))
+      p11 = n11; p12 = n12; p22 = n22
+    }
+    (k1s.toSeq, k2s.toSeq)
+  }
+
+  /** Exact local-linear-trend Kalman filter — [[holt]]'s model class
+    * with OPTIMAL time-varying gains instead of fixed (α, β) smoothing:
+    * x_t = (I − K_t H)·F·x_{t−1} + K_t·y_t on the state (level, slope),
+    * A_t = [[1−k1, 1−k1], [−k2, 1−k2]]. This is the per-row affine
+    * scan at full MATRIX generality ([[affineScanMat]]): every row
+    * carries its own 2×2 map + 2-vector and the scan composes matrix
+    * products pairwise in ⌈log₂ n⌉ window-lag rounds — the machinery
+    * [[kalman]] exercised for scalars and holt for a constant matrix.
+    * Gain schedules ride as literal-array lookups ([[kalmanTrendCoeffs]],
+    * identical doubles both engines). Scale shape identical to holt;
+    * oracle replays the recursion sequentially; 6-decimal round absorbs
+    * the association ulps. Returns
+    * (key, bucket, n, level, slope, forecast_next). */
+  def kalmanTrend(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, qL: Double, qS: Double, r: Double,
+      maxLevels: Int = 24): DataFrame = {
+    val (k1s, k2s) = kalmanTrendCoeffs(qL, qS, r)
+    val m = k1s.length
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    def lu(v: Seq[Double]) = element_at(array(v.map(lit): _*),
+      least(col("__rn"), lit(m)).cast("int"))
+    val base = collapse(df, keyCol, tsCol, bucketSec)
+      .select(col(keyCol), col("bucket"), col("n"),
+        row_number().over(byKey).as("__rn"))
+      .withColumn("__k1", lu(k1s)).withColumn("__k2", lu(k2s))
+      .select(col(keyCol), col("bucket"), col("n"), col("__rn"),
+        (lit(1.0) - col("__k1")).as("__a11"),
+        (lit(1.0) - col("__k1")).as("__a12"),
+        (-col("__k2")).as("__a21"),
+        // A₁ must be the ZERO matrix (x₁ = (y₁, 0) regardless of the
+        // pre-series state); k1₁ = 1, k2₁ = 0 zero every entry except
+        // a22 = 1 − k2 — handled explicitly.
+        when(col("__rn") === 1, lit(0.0))
+          .otherwise(lit(1.0) - col("__k2")).as("__a22"),
+        (col("__k1") * col("n").cast("double")).as("__b1"),
+        (col("__k2") * col("n").cast("double")).as("__b2"))
+    affineScanMat(base, Seq(keyCol), maxLevels)
+      .select(col(keyCol), col("bucket"), col("n"),
+        (round(col("__b1"), 6) + lit(0.0)).as("level"),
+        (round(col("__b2"), 6) + lit(0.0)).as("slope"),
+        (round(col("__b1") + col("__b2"), 6) + lit(0.0)).as("forecast_next"))
+  }
+
+  /** [[affineScan]] at 2×2 matrix generality: rows carry
+    * (__a11..__a22, __b1, __b2); composition is the matrix product and
+    * affine apply — (A, b) ∘ (A', b') = (A·A', A·b' + b) — in
+    * ⌈log₂ n⌉ window-lag rounds over the one (key, bucket) exchange. */
+  private def affineScanMat(frame: DataFrame, keyCols: Seq[String],
+      maxLevels: Int): DataFrame = {
+    val g = keyCols.map(col)
+    val maxNRow = frame.groupBy(g: _*).count().agg(max(col("count"))).head()
+    val maxN = if (maxNRow.isNullAt(0)) 1L else maxNRow.getLong(0)
+    val rounds = Iterator.from(0).dropWhile(r => (1L << r) < maxN).next()
+    require(rounds <= maxLevels,
+      s"series length $maxN needs $rounds doubling rounds > maxLevels=$maxLevels")
+    val w = Window.partitionBy(g: _*).orderBy(col("bucket"))
+    val acols = Seq("__a11", "__a12", "__a21", "__a22", "__b1", "__b2")
+    val others = frame.columns.filterNot(acols.toSet).map(col).toSeq
+    var cur = frame
+    for (r <- 0 until rounds) {
+      val off = 1 << r
+      val l = acols.map(c => c -> lag(col(c), off).over(w)).toMap
+      def keep(c: String, v: Column) = when(l("__a11").isNull, col(c))
+        .otherwise(v).as(c)
+      cur = cur.select(others ++ Seq(
+        keep("__a11", col("__a11") * l("__a11") + col("__a12") * l("__a21")),
+        keep("__a12", col("__a11") * l("__a12") + col("__a12") * l("__a22")),
+        keep("__a21", col("__a21") * l("__a11") + col("__a22") * l("__a21")),
+        keep("__a22", col("__a21") * l("__a12") + col("__a22") * l("__a22")),
+        keep("__b1", col("__a11") * l("__b1") + col("__a12") * l("__b2") +
+          col("__b1")),
+        keep("__b2", col("__a21") * l("__b1") + col("__a22") * l("__b2") +
+          col("__b2"))): _*)
+    }
+    cur
+  }
+
   /** Exact Kalman filter (local-level model) over a keyed bucket-count
     * series — the state-space generalization of [[ewma]] whose gain
     * ADAPTS per step: early observations are weighted by the exact

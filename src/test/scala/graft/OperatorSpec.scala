@@ -3299,6 +3299,35 @@ class OperatorSpec extends SparkSuite {
     assert(f(59)._3 == f(59)._2, s"s_T = l_T: ${f(59)}")
   }
 
+  test("kalman trend: slope converges to the ramp; local-level filter can't") {
+    // counts = hr + 1, a pure unit ramp: the 2-state filter's slope must
+    // converge near 1 and its one-step forecast must track the next
+    // observation closely; the LOCAL-LEVEL filter on the same series
+    // lags by construction (its forecast is the smoothed level).
+    val rows = (0 until 60).flatMap { hr =>
+      Seq.fill(hr + 1)(("k", java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:20:00Z")
+          .plusSeconds(3600L * hr))))
+    }
+    val f = graft.ops.TimeSeries.kalmanTrend(
+        rows.toDF("event_type", "ts"), "event_type", "ts", 3600L,
+        qL = 2.0, qS = 0.125, r = 8.0)
+      .orderBy("bucket")
+      .select($"n", $"level", $"slope", $"forecast_next")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(f.length == 60)
+    val last = f.last
+    assert(math.abs(last._3 - 1.0) < 0.05, s"slope on a unit ramp: $last")
+    assert(math.abs(last._4 - 61.0) < 1.0, s"forecast tracks: $last")
+    val ll = graft.ops.TimeSeries.kalman(
+        rows.toDF("event_type", "ts"), "event_type", "ts", 3600L,
+        q = 2.0, r = 8.0)
+      .orderBy("bucket").select($"level").as[Double].collect()
+    // local-level forecast = level; on a ramp it trails the trend model
+    assert(math.abs(ll.last - 61.0) > math.abs(last._4 - 61.0) + 0.5,
+      s"trend model must beat local-level on a ramp: ll=${ll.last} vs $last")
+  }
+
   test("period detect: exact 12-cycle found at the FUNDAMENTAL lag, not its harmonics") {
     // pattern repeats every 12 hours over 120 buckets: with the biased
     // (den over ALL t) ACF estimator a perfect cycle scores exactly

@@ -716,6 +716,34 @@ class PropertySpec extends SparkSuite {
         assert(k == wk && l == wl && s == ws,
           s"key $k: got ($l,$s) want ($wl,$ws)")
       }
+      // the MATRIX scan (local-linear-trend model) against its own
+      // sequential 2-state replay on the same ragged series
+      val (qL, qS) = (2.0, 0.125)
+      val (k1s, k2s) = graft.ops.TimeSeries.kalmanTrendCoeffs(qL, qS, r)
+      val gotT = graft.ops.TimeSeries.kalmanTrend(
+          rows.toDF("event_type", "ts"), "event_type", "ts", 3600L,
+          qL, qS, r)
+        .select($"event_type", $"bucket", $"level", $"slope")
+        .as[(String, Long, Double, Double)].collect()
+        .sortBy(x => (x._1, x._2))
+      val wantT = byBucket.keys.map(_._1).toSeq.distinct.sorted.flatMap { k =>
+        val xs = byBucket.collect { case ((`k`, hr), cnt) => (hr, cnt) }
+          .toSeq.sortBy(_._1).map(_._2.toDouble)
+        var (l, b) = (xs(0), 0.0)
+        (k, r6(l), r6(b)) +: (1 until xs.length).map { t =>
+          val i = math.min(t + 1, k1s.length) - 1
+          val (k1, k2) = (k1s(i), k2s(i))
+          val nl = (1 - k1) * l + (1 - k1) * b + k1 * xs(t)
+          val nb = -k2 * l + (1 - k2) * b + k2 * xs(t)
+          l = nl; b = nb
+          (k, r6(l), r6(b))
+        }
+      }
+      assert(gotT.length == wantT.length)
+      gotT.zip(wantT).foreach { case ((k, _, l, s), (wk, wl, ws)) =>
+        assert(k == wk && l == wl && s == ws,
+          s"trend key $k: got ($l,$s) want ($wl,$ws)")
+      }
     }
   }
 
