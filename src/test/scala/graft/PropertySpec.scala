@@ -747,6 +747,61 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bitext margin equals a bit-exact brute-force replay; output is a partial matching") {
+    // The replay reproduces the engine's IEEE trees operation-for-
+    // operation (sequential-fold cosine, rank-order 0.0-seeded
+    // averages, the add/halve/divide margin), so doubles compare
+    // EXACTLY — no tolerance anywhere.
+    val rnd = new scala.util.Random(21)
+    (1 to 3).foreach { _ =>
+      val vecs = (0L until 12L).map(i =>
+        (i, Array.fill(4)((rnd.nextInt(19) - 9) / 10.0f)))
+        .filter(_._2.exists(_ != 0f))
+      val src = vecs.filter(_._1 % 2 == 0)
+      val tgt = vecs.filter(_._1 % 2 == 1)
+      val k = 2
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def dot(x: Array[Float], y: Array[Float]) = {
+          var s = 0.0; var i = 0
+          while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+          s
+        }
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      }
+      val sims = for { (si, sv) <- src; (ti, tv) <- tgt }
+        yield (si, ti, cos(tv, sv))
+      def topk(by: Long => Seq[(Long, Long, Double)]) = by
+      val fwd = src.map(_._1).flatMap { s =>
+        sims.filter(_._1 == s).sortBy(p => (-p._3, p._2)).take(k)
+          .zipWithIndex.map { case ((a, b, x), i) => (a, b, x, i + 1) } }
+      val bwd = tgt.map(_._1).flatMap { t =>
+        sims.filter(_._2 == t).sortBy(p => (-p._3, p._1)).take(k)
+          .zipWithIndex.map { case ((a, b, x), i) => (a, b, x, i + 1) } }
+      def avg(rows: Seq[(Long, Long, Double, Int)], of: ((Long, Long, Double, Int)) => Long) =
+        rows.groupBy(of).view.mapValues { g =>
+          g.sortBy(_._4).map(_._3).foldLeft(0.0)(_ + _) / g.size }.toMap
+      val af = avg(fwd, _._1); val ab = avg(bwd, _._2)
+      val cands = (fwd.map(r => (r._1, r._2, r._3)) ++
+        bwd.map(r => (r._1, r._2, r._3))).distinct
+      val margins = cands.map { case (s, t, x) =>
+        (s, t, x, x / ((af(s) + ab(t)) / 2.0)) }
+      val bestS = margins.groupBy(_._1).view.mapValues(
+        _.minBy(p => (-p._4, p._2))).toMap
+      val bestT = margins.groupBy(_._2).view.mapValues(
+        _.minBy(p => (-p._4, p._1))).toMap
+      val want = margins.filter(p =>
+        bestS(p._1) == p && bestT(p._2) == p)
+        .map(p => (p._1, p._2, p._3, p._4)).toSet
+      val got = graft.ops.Similarity.bitextMargin(
+          src.toDF("vec_id", "embedding"), tgt.toDF("vec_id", "embedding"),
+          k = k)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(got == want, s"got=$got want=$want")
+      // partial matching: no src or tgt appears twice
+      assert(got.map(_._1).size == got.size && got.map(_._2).size == got.size)
+    }
+  }
+
   test("bipartite double cover agrees with brute-force BFS parity on random graphs") {
     val edgeGen: Gen[List[(Long, Long)]] = Gen.listOfN(45, for {
       a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
