@@ -69,6 +69,12 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] full artifact write failed: ${e.getMessage}") }
+    // Tail-proof LAST line (VERDICT r13 #1): the driver's stdout parse has
+    // failed four rounds running because the 300-query map above overflows
+    // its tail window. This short line (<300 bytes, contract-shaped:
+    // metric/value/unit/sf present) survives ANY >=2 KB tail capture; the
+    // per-query map lives in the full line above and in the artifact file.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","runs_per_query":$runs,"agg":"min","artifact":"$fullOut"}""")
     spark.stop()
   }
 }

@@ -110,6 +110,19 @@ object SparkEntry {
         timeCol = "ts", keyCol = "user_id", valueCol = "value",
         gap = "5 minutes", lateness = "10 minutes", streaming = false)),
 
+    // Append-mode windowed aggregate (W3's complement — the output mode
+    // most production sinks accept): each hourly (window × key) row
+    // emitted exactly once when the watermark closes the window. Batch
+    // twin gates here: the closed-window subset (window_end + lateness
+    // <= max event time, the drained stream's final watermark).
+    // StreamingSpec pins exactly-once emission per closed window across
+    // epochs.
+    "stream_append_close" -> ((s, dir) =>
+      graft.streaming.StreamOps.appendCloseWindows(t(s, dir, "events"),
+        timeCol = "ts", keyCol = "event_type", idCol = "event_id",
+        valueCol = "value", duration = "1 hour", lateness = "10 minutes",
+        streaming = false)),
+
     "stream_dedup_exact" -> ((s, dir) =>
       graft.streaming.StreamOps.dedupStream(
         t(s, dir, "events").unionAll(t(s, dir, "events")),
@@ -1707,6 +1720,33 @@ object SparkEntry {
         e.filter(pmod(col("vec_id"), lit(2)) === 1), k = 4)
     },
 
+    // SYMMETRIC corpus×corpus bitext mining — the regime a real mining
+    // pipeline runs: ivfTopK per direction (routed cells, no
+    // corpus-sized broadcast either way) feeding the identical
+    // margin/mutual tail. IVF retrieval is approximate, so the gate is
+    // containment of the IVF miner's mutual pairs in the exact miner's
+    // (the ann_mmr_ivf discipline): the engine asserts >= 60% of exact
+    // pairs re-mined (measured ~0.9 at sf0.01/sf0.1, floor 0.6) and the
+    // exact-pair COUNT itself is oracle-replayed, so a recall collapse
+    // turns the flag false and reds the row.
+    "ann_bitext_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val src = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val tgt = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val exact = Similarity.bitextMargin(src, tgt, k = 4)
+      val approx = Similarity.bitextMarginIvf(src, tgt, k = 4,
+        nCells = 16, nProbe = 8)
+      exact.select(col("src_id"), col("tgt_id"))
+        .join(approx.select(col("src_id").as("__s2"),
+          col("tgt_id").as("__t2")),
+          col("src_id") === col("__s2") && col("tgt_id") === col("__t2"),
+          "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("__s2").isNotNull, 1L).otherwise(0L)).as("__found"))
+        .select(col("n_exact"),
+          (col("__found") * 10L >= col("n_exact") * 6L).as("bitext_ok"))
+    },
+
     // Hybrid retrieval: RRF-fuse the lexical (integer-scaled-idf term
     // overlap, top-50) and vector (brute-force cosine, top-50) rankings
     // for the same 8-query panel; doc_id and vec_id index the same
@@ -3064,6 +3104,25 @@ object SparkEntry {
     "ts_kalman_trend" -> ((s, dir) =>
       TimeSeries.kalmanTrend(t(s, dir, "events"), keyCol = "event_type",
         tsCol = "ts", bucketSec = 3600L, qL = 2.0, qS = 0.125, r = 8.0)),
+
+    // Yule-Walker AR(2) over hourly counts: φ from the first two
+    // autocorrelations in closed form (rounded-at-6 r₁/r₂ make the φ
+    // algebra a fixed IEEE tree on both engines), one-step forecasts
+    // from the two observed lags — no recursion, no scan; the
+    // oscillatory-regime complement to holt/seasonal/kalman.
+    "ts_ar2" -> ((s, dir) =>
+      TimeSeries.ar2(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L)),
+
+    // Four-way rolling-origin backtest: Holt vs seasonal-naive vs
+    // per-phase seasonal Holt vs Yule-Walker AR(2), per-key MAEs +
+    // winner (tie-break ar2 > seasonal_holt > holt > naive). The
+    // planted-key spec pins AR(2) beating all three on an oscillatory
+    // series.
+    "ts_backtest_ar2" -> ((s, dir) =>
+      TimeSeries.ar2Backtest(t(s, dir, "events"),
+        keyCol = "event_type", tsCol = "ts", bucketSec = 3600L,
+        alpha = 0.5, beta = 0.25, period = 24)),
 
     // Benford first-digit audit over order totals — the classic
     // data-quality screen for fabricated numeric columns. Digits come
@@ -5515,6 +5574,46 @@ object SparkEntry {
     "ts_kalman_trend" -> kalmanTrendOracleSql(qL = 2.0, qS = 0.125,
       r = 8.0),
 
+    // Yule-Walker AR(2) replayed: same collapse, rounded mean and
+    // rounded lag-1/lag-2 autocorrelations, identical closed-form φ
+    // tree and per-row forecast (window lags, no recursion).
+    "ts_ar2" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (SELECT event_type, round(avg(CAST(n AS DOUBLE)), 6) AS mu
+        |       FROM c GROUP BY event_type),
+        |d AS (SELECT c.event_type, bucket, n, mu,
+        |        CAST(n AS DOUBLE) - mu AS d,
+        |        lag(CAST(n AS DOUBLE) - mu, 1) OVER w AS l1,
+        |        lag(CAST(n AS DOUBLE) - mu, 2) OVER w AS l2
+        |      FROM c JOIN mu ON mu.event_type = c.event_type
+        |      WINDOW w AS (PARTITION BY c.event_type ORDER BY bucket)),
+        |s AS (SELECT event_type, sum(d*d) AS den, sum(d*l1) AS n1,
+        |        sum(d*l2) AS n2
+        |      FROM d GROUP BY event_type),
+        |r AS (SELECT event_type,
+        |        CASE WHEN den > 0 THEN round(n1/den, 6) END AS r1,
+        |        CASE WHEN den > 0 THEN round(n2/den, 6) END AS r2
+        |      FROM s),
+        |f AS (SELECT event_type,
+        |        CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |               AND abs(1.0 - r1*r1) >= 1e-9
+        |             THEN r1 * (1.0 - r2) / (1.0 - r1*r1)
+        |             ELSE 0.0 END AS p1,
+        |        CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |               AND abs(1.0 - r1*r1) >= 1e-9
+        |             THEN (r2 - r1*r1) / (1.0 - r1*r1)
+        |             ELSE 0.0 END AS p2
+        |      FROM r)
+        |SELECT d.event_type, bucket, n,
+        |       round(p1, 6) + 0 AS phi1, round(p2, 6) + 0 AS phi2, mu,
+        |       CASE WHEN l1 IS NOT NULL
+        |            THEN round(mu + p1 * d + p2 * l1, 6) + 0
+        |       END AS forecast_next
+        |FROM d JOIN f ON f.event_type = d.event_type""".stripMargin,
+
     // The ts_holt recurrence replayed per (key, phase) stratum.
     "ts_holt_seasonal" ->
       """WITH RECURSIVE c AS (
@@ -5547,6 +5646,107 @@ object SparkEntry {
     // (key, phase) seasonal chain, the position-24 naive lag — all
     // joined at the evaluable buckets; MAE comparisons on the SAME
     // rounded values the engine compares.
+    // The four-way backtest: the seasonal replay plus the Yule-Walker
+    // AR(2) forecast chain (windowed, no recursion), joined at rn-1.
+    "ts_backtest_ar2" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, bucket, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |       FROM c),
+        |rec AS (
+        |  SELECT event_type, bucket, n, rn,
+        |         CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.event_type, rk.bucket, rk.n, rk.rn,
+        |         0.5 * rk.n + 0.5 * (rec.l + rec.b),
+        |         0.25 * ((0.5 * rk.n + 0.5 * (rec.l + rec.b)) - rec.l)
+        |           + 0.75 * rec.b
+        |  FROM rec JOIN rk ON rk.event_type = rec.event_type
+        |                  AND rk.rn = rec.rn + 1),
+        |rks AS (SELECT event_type, bucket % 24 AS phase, bucket, n,
+        |         row_number() OVER (PARTITION BY event_type, bucket % 24
+        |                            ORDER BY bucket) AS rn
+        |        FROM c),
+        |recs AS (
+        |  SELECT event_type, phase, bucket, n, rn,
+        |         CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM rks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rks.event_type, rks.phase, rks.bucket, rks.n, rks.rn,
+        |         0.5 * rks.n + 0.5 * (recs.l + recs.b),
+        |         0.25 * ((0.5 * rks.n + 0.5 * (recs.l + recs.b)) - recs.l)
+        |           + 0.75 * recs.b
+        |  FROM recs JOIN rks ON rks.event_type = recs.event_type
+        |                    AND rks.phase = recs.phase
+        |                    AND rks.rn = recs.rn + 1),
+        |mu AS (SELECT event_type, round(avg(CAST(n AS DOUBLE)), 6) AS mu
+        |       FROM c GROUP BY event_type),
+        |dd AS (SELECT c.event_type, bucket, n, mu,
+        |        CAST(n AS DOUBLE) - mu AS d,
+        |        lag(CAST(n AS DOUBLE) - mu, 1) OVER w AS l1,
+        |        lag(CAST(n AS DOUBLE) - mu, 2) OVER w AS l2
+        |      FROM c JOIN mu ON mu.event_type = c.event_type
+        |      WINDOW w AS (PARTITION BY c.event_type ORDER BY bucket)),
+        |ss AS (SELECT event_type, sum(d*d) AS den, sum(d*l1) AS n1,
+        |        sum(d*l2) AS n2
+        |      FROM dd GROUP BY event_type),
+        |rr2 AS (SELECT event_type,
+        |        CASE WHEN den > 0 THEN round(n1/den, 6) END AS r1,
+        |        CASE WHEN den > 0 THEN round(n2/den, 6) END AS r2
+        |      FROM ss),
+        |ph AS (SELECT event_type,
+        |        CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |               AND abs(1.0 - r1*r1) >= 1e-9
+        |             THEN r1 * (1.0 - r2) / (1.0 - r1*r1)
+        |             ELSE 0.0 END AS p1,
+        |        CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |               AND abs(1.0 - r1*r1) >= 1e-9
+        |             THEN (r2 - r1*r1) / (1.0 - r1*r1)
+        |             ELSE 0.0 END AS p2
+        |      FROM rr2),
+        |fa AS (SELECT dd.event_type, bucket,
+        |        CASE WHEN l1 IS NOT NULL
+        |             THEN round(mu + p1 * d + p2 * l1, 6) + 0
+        |        END AS f
+        |       FROM dd JOIN ph ON ph.event_type = dd.event_type),
+        |far AS (SELECT fa.event_type, rk.rn, fa.f
+        |        FROM fa JOIN rk ON rk.event_type = fa.event_type
+        |                       AND rk.bucket = fa.bucket),
+        |fc AS (SELECT event_type, rn, round(l + b, 6) + 0 AS f FROM rec),
+        |fs AS (SELECT event_type, phase, rn, round(l + b, 6) + 0 AS f
+        |       FROM recs),
+        |ev AS (SELECT rk.event_type, rk.n, fc.f AS fh, p.n AS fn,
+        |         f2.f AS fsv, f3.f AS fav
+        |       FROM rk
+        |       JOIN fc ON fc.event_type = rk.event_type AND fc.rn = rk.rn - 1
+        |       JOIN rk p ON p.event_type = rk.event_type AND p.rn = rk.rn - 24
+        |       JOIN rks rr ON rr.event_type = rk.event_type
+        |                  AND rr.bucket = rk.bucket
+        |       JOIN fs f2 ON f2.event_type = rr.event_type
+        |                 AND f2.phase = rr.phase AND f2.rn = rr.rn - 1
+        |       JOIN far f3 ON f3.event_type = rk.event_type
+        |                  AND f3.rn = rk.rn - 1
+        |       WHERE f3.f IS NOT NULL),
+        |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+        |          round(sum(abs(n - fh)) / count(*), 6) AS mae_holt,
+        |          round(CAST(sum(abs(n - fn)) AS BIGINT) / count(*), 6)
+        |            AS mae_naive,
+        |          round(sum(abs(n - fsv)) / count(*), 6) AS mae_sholt,
+        |          round(sum(abs(n - fav)) / count(*), 6) AS mae_ar2
+        |        FROM ev GROUP BY event_type)
+        |SELECT event_type, n_evals, mae_holt, mae_naive, mae_sholt, mae_ar2,
+        |       CASE WHEN mae_ar2 <= mae_sholt AND mae_ar2 <= mae_holt
+        |              AND mae_ar2 <= mae_naive THEN 'ar2'
+        |            WHEN mae_sholt <= mae_holt AND mae_sholt <= mae_naive
+        |              THEN 'seasonal_holt'
+        |            WHEN mae_holt <= mae_naive THEN 'holt'
+        |            ELSE 'naive' END AS winner
+        |FROM agg""".stripMargin,
+
     "ts_backtest_seasonal" ->
       """WITH RECURSIVE c AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
@@ -7660,6 +7860,21 @@ object SparkEntry {
         |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated
         |FROM events GROUP BY event_type, date_trunc('minute', ts)""".stripMargin,
 
+    // The closed-window subset of the hourly window aggregate: the
+    // final watermark is max(ts) - lateness, a window is emitted iff
+    // window_end + lateness <= max(ts) — exact timestamp integer
+    // comparisons on both engines.
+    "stream_append_close" ->
+      """WITH w AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS window_start,
+        |         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |         count(event_id) AS total_trips, avg(value) AS average_fare
+        |  FROM events GROUP BY 1, 2, 3),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT event_type, window_start, window_end, total_trips,
+        |       average_fare
+        |FROM w, m WHERE window_end + INTERVAL 10 MINUTE <= mx""".stripMargin,
+
     "ref_accumulated_upsert" ->
       """WITH w AS (
         |  SELECT event_type, date_trunc('minute', ts) + INTERVAL 1 MINUTE AS last_updated,
@@ -8490,6 +8705,40 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid) AS k2
         |      FROM m)
         |SELECT sid AS src_id, tid AS tgt_id, sim, margin
+        |FROM r WHERE k1 = 1 AND k2 = 1""".stripMargin,
+
+    // The exact miner's pair count replayed (same CTE chain); the
+    // containment flag is the engine's assertion, literal true here —
+    // an IVF recall collapse flips the engine's flag and reds the row.
+    "ann_bitext_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id % 2 = 0),
+        |tg AS (SELECT vec_id AS tid, v AS tv FROM e WHERE vec_id % 2 = 1),
+        |p AS (SELECT sid, tid,
+        |        list_reduce(list_transform(range(0, len(sv)), i -> sv[i+1] * tv[i+1]), (x,y) -> x + y) /
+        |        (sqrt(list_reduce(list_transform(range(0, len(sv)), i -> sv[i+1] * sv[i+1]), (x,y) -> x + y)) *
+        |         sqrt(list_reduce(list_transform(range(0, len(sv)), i -> tv[i+1] * tv[i+1]), (x,y) -> x + y))) AS sim
+        |      FROM s, tg),
+        |fr AS (SELECT sid, tid, sim, row_number() OVER (PARTITION BY sid
+        |         ORDER BY sim DESC, tid) AS rk FROM p),
+        |br AS (SELECT sid, tid, sim, row_number() OVER (PARTITION BY tid
+        |         ORDER BY sim DESC, sid) AS rk FROM p),
+        |af AS (SELECT sid, list_reduce(list(sim ORDER BY rk), (x,y) -> x + y)
+        |         / count(*) AS a FROM fr WHERE rk <= 4 GROUP BY sid),
+        |ab AS (SELECT tid, list_reduce(list(sim ORDER BY rk), (x,y) -> x + y)
+        |         / count(*) AS b FROM br WHERE rk <= 4 GROUP BY tid),
+        |cand AS (SELECT sid, tid, sim FROM fr WHERE rk <= 4
+        |         UNION
+        |         SELECT sid, tid, sim FROM br WHERE rk <= 4),
+        |m AS (SELECT cand.sid, cand.tid, cand.sim,
+        |             cand.sim / ((af.a + ab.b) / 2.0) AS margin
+        |      FROM cand JOIN af ON af.sid = cand.sid
+        |                JOIN ab ON ab.tid = cand.tid),
+        |r AS (SELECT sid, tid, sim, margin,
+        |        row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS k1,
+        |        row_number() OVER (PARTITION BY tid ORDER BY margin DESC, sid) AS k2
+        |      FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS bitext_ok
         |FROM r WHERE k1 = 1 AND k2 = 1""".stripMargin,
 
     // Both source rankings replayed (scaled-idf overlap; the

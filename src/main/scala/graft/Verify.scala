@@ -40,12 +40,15 @@ object Verify {
     // it — mirrors Bench's SPARK_GRAFT_BENCH_ONLY. oracle_sql.json is
     // narrowed to match so tools/check.py sees a consistent pair.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    var nOk = 0
+    var nFail = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        nOk += 1
         // Divergence-capture artifact: the WRITTEN parquet (exactly what
         // the driver's checker reads) re-read and dumped as sorted
         // canonical row strings, so a driver-side hash red comes with the
@@ -78,6 +81,7 @@ object Verify {
             s"[verify] $name artifact failed (gate output OK): ${e.getMessage}")
         }
       } catch { case e: Throwable =>
+        nFail += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -116,6 +120,11 @@ object Verify {
         .ansiMergeStatement("ride_metrics", "ride_metrics_stage"))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/merge_sql.json"), merge)
+    // Tail-proof LAST stdout line (VERDICT r13 #1): the driver's
+    // correctness capture arrived empty two rounds running; a short
+    // machine-parseable exit summary makes pass/fail recoverable from any
+    // stdout tail window even if the per-query artifacts are lost.
+    println(s"""{"n_queries":${nOk + nFail},"n_ok":$nOk,"n_fail":$nFail,"out_dir":"$outDir"}""")
     spark.stop()
   }
 }

@@ -491,7 +491,14 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     require(win % bands == 0 && hop >= 1 && win >= hop, "win % bands == 0")
     require(maxDt >= 1 && maxDt < 8 && bands <= 8, "hash packing bounds")
+    // Single-byte-payload guard ENFORCED HERE, not just at call sites
+    // (ADVICE r13 #2): the energy stub indexes the cast string by CHAR
+    // position while the oracle's substr indexes BYTES — a multi-byte
+    // payload would silently misalign frames instead of failing. Rows
+    // where chars != bytes are excluded inside the op, so the
+    // precondition cannot drift from callers.
     val frames = media.filter(col("n_bytes") >= win)
+      .filter(octet_length(col("media")) === length(col("media").cast("string")))
       .select(col("media_id"), col("media").cast("string").as("__s"),
         explode(sequence(lit(0L),
           expr(s"(n_bytes - $win) div $hop"))).as("t"))

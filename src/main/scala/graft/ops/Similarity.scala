@@ -237,7 +237,13 @@ object Similarity {
       col("embedding").cast("array<double>").as("__sv"))
     val cand = tgt.select(col("vec_id").as("tgt_id"),
       col("embedding").cast("array<double>").as("__tv"))
-    val pairs = cand.join(broadcast(qry), col("src_id") =!= col("tgt_id"))
+    // Plain cross join (no src_id =!= tgt_id exclusion): the oracle, the
+    // property-test replay, and the paper's algorithm all keep identical
+    // ids — src/tgt are different LANGUAGES, so equal ids are distinct
+    // sentences and excluding them would silently shift neighborhood
+    // averages if the op is ever run over overlapping id spaces
+    // (ADVICE r13 #1).
+    val pairs = cand.crossJoin(broadcast(qry))
       .select(col("src_id"), col("tgt_id"),
         cosine(col("__tv"), col("__sv")).as("sim"))
       .filter(col("sim").isNotNull)
@@ -253,6 +259,49 @@ object Similarity {
     val bwd = pairs
       .withColumn("rank", row_number().over(byTgtRank))
       .filter(col("rank") <= k)
+      .select(col("src_id"), col("tgt_id"), col("rank"), col("sim"))
+    bitextTail(fwd, bwd)
+  }
+
+  /** [[bitextMargin]] with the retrieval swapped for [[ivfTopK]] per
+    * direction — the SYMMETRIC corpus×corpus mining regime the
+    * bitextMargin scale note names: neither side is a bounded batch, so
+    * the all-pairs frame is replaced by two routed-cell approximate
+    * retrievals (each one cell equi-join, nothing corpus-sized
+    * broadcast in either direction), and everything below the
+    * directional top-k lists — neighborhood averages, margins, mutual
+    * filter — is the identical [[bitextTail]] machinery. The two
+    * directions score a shared pair bit-identically (cosine is
+    * argument-order symmetric: same index fold, commutative products),
+    * so the candidate-union dedup is exact.
+    *
+    * Precondition (inherited from [[ivfTopK]]'s self-pair exclusion):
+    * src and tgt id spaces should be disjoint — a pair with src_id ==
+    * tgt_id is dropped by the retrievals. Approximation: a pair both
+    * retrievals miss cannot be mined; recall is tuned by nProbe (the
+    * gated query measures containment vs the exact miner). */
+  def bitextMarginIvf(src: DataFrame, tgt: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val fwd = ivfTopK(tgt, src, k, nCells, nProbe)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("rank"), col("sim"))
+    val bwd = ivfTopK(src, tgt, k, nCells, nProbe)
+      .select(col("neighbor_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("rank"), col("sim"))
+    bitextTail(fwd, bwd)
+  }
+
+  /** The retrieval-agnostic tail of margin-based bitext mining: from a
+    * per-src forward top-k list and a per-tgt backward top-k list (both
+    * (src_id, tgt_id, rank, sim); sims for a pair present in both must
+    * be identical doubles), compute both neighborhood averages
+    * (rank-ordered folds from 0.0 — the oracle's list_reduce order),
+    * score the candidate union by margin = sim / ((a+b)/2), and keep
+    * mutual bests (argmax ties on partner id). Everything here is
+    * bounded by (|src|+|tgt|)·k rows — nothing all-pairs. */
+  private def bitextTail(fwd: DataFrame, bwd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def nbrAvg(top: DataFrame, idCol: String, avgOut: String) =
       top.groupBy(col(idCol))
         .agg((aggregate(

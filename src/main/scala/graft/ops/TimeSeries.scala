@@ -646,6 +646,129 @@ object TimeSeries {
           .otherwise(lit("naive")))
   }
 
+  /** AR(2) forecasting by Yule-Walker estimation over a keyed
+    * regular-bucket count series — the classical autoregressive
+    * complement to [[holt]] (trend), [[holtSeasonal]] (cycle) and
+    * [[kalman]] (state space): an oscillatory/mean-reverting series
+    * (x_t − μ) = φ₁(x_{t−1} − μ) + φ₂(x_{t−2} − μ) + ε_t is exactly
+    * the regime all three of those model poorly. The Yule-Walker
+    * equations give the coefficients in closed form from the first two
+    * autocorrelations ([[acfBuckets]]' estimator):
+    * φ₁ = r₁(1 − r₂)/(1 − r₁²), φ₂ = (r₂ − r₁²)/(1 − r₁²).
+    *
+    * Determinism: μ, r₁, r₂ are accumulated doubles → each rounds at 6
+    * decimals (the acfBuckets contract convention), after which the φ
+    * algebra and every per-row forecast μ + φ₁·d_t + φ₂·d_{t−1} are
+    * fixed IEEE trees over bit-identical inputs on both engines. A key
+    * with a degenerate denominator (constant series: Σd² = 0; or
+    * |1 − r₁²| below 1e-9 after rounding) falls back to the mean
+    * forecast (φ₁ = φ₂ = 0) — the guard lives INSIDE the rounded-input
+    * algebra so both engines take the same branch.
+    *
+    * Scale shape: one map-side-combined collapse is the only
+    * corpus-sized stage ([[acfBuckets]]' shape); then two window lags
+    * and one keyed aggregate over (key, bucket) rows, the per-key model
+    * frame broadcast back. No recursion at all — AR(2)'s one-step
+    * forecast needs only the two observed lags, never a scan.
+    * Returns (key, bucket, n, phi1, phi2, mu, forecast_next) where
+    * forecast_next is the forecast for the NEXT observed position,
+    * null until both lags exist. */
+  def ar2(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long): DataFrame = {
+    val c = collapse(df, keyCol, tsCol, bucketSec)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val m = c.groupBy(col(keyCol))
+      .agg(round(avg(col("n").cast("double")), 6).as("__mu"))
+    val d = c.join(broadcast(m), Seq(keyCol))
+      .select(col(keyCol), col("bucket"), col("n"), col("__mu"),
+        (col("n").cast("double") - col("__mu")).as("__d"))
+    val lagged = d
+      .withColumn("__l1", lag(col("__d"), 1).over(byKey))
+      .withColumn("__l2", lag(col("__d"), 2).over(byKey))
+    val sums = lagged.groupBy(col(keyCol)).agg(
+      sum(col("__d") * col("__d")).as("__den"),
+      sum(col("__d") * col("__l1")).as("__n1"),
+      sum(col("__d") * col("__l2")).as("__n2"))
+    val r1 = when(col("__den") > 0, round(col("__n1") / col("__den"), 6))
+    val r2 = when(col("__den") > 0, round(col("__n2") / col("__den"), 6))
+    val phi = sums.select(col(keyCol), r1.as("__r1"), r2.as("__r2"))
+      .select(col(keyCol), col("__r1"), col("__r2"),
+        (lit(1.0) - col("__r1") * col("__r1")).as("__pd"))
+      .select(col(keyCol),
+        when(col("__r1").isNotNull && col("__r2").isNotNull &&
+            abs(col("__pd")) >= 1e-9,
+          col("__r1") * (lit(1.0) - col("__r2")) / col("__pd"))
+          .otherwise(lit(0.0)).as("__p1"),
+        when(col("__r1").isNotNull && col("__r2").isNotNull &&
+            abs(col("__pd")) >= 1e-9,
+          (col("__r2") - col("__r1") * col("__r1")) / col("__pd"))
+          .otherwise(lit(0.0)).as("__p2"))
+    lagged.join(broadcast(phi), Seq(keyCol))
+      .select(col(keyCol), col("bucket"), col("n"),
+        (round(col("__p1"), 6) + lit(0.0)).as("phi1"),
+        (round(col("__p2"), 6) + lit(0.0)).as("phi2"),
+        col("__mu").as("mu"),
+        when(col("__l1").isNotNull,
+          round(col("__mu") + col("__p1") * col("__d") +
+            col("__p2") * col("__l1"), 6) + lit(0.0))
+          .as("forecast_next"))
+  }
+
+  /** [[seasonalBacktest]] extended with the [[ar2]] model — the
+    * four-way rolling-origin eval (Holt, seasonal-naive, per-phase
+    * seasonal Holt, Yule-Walker AR(2)) that completes the classical
+    * forecasting bake-off: AR(2) is built to win oscillatory /
+    * mean-reverting keys that trend and cycle models both miss. Rows
+    * are evaluable where ALL FOUR forecasts exist; winner tie-breaks
+    * ar2 > seasonal_holt > holt > naive (prefer the model that wins
+    * outright; on ties prefer the richer dynamics only when not
+    * worse).
+    *
+    * Scale shape: all four models ride the same (key, bucket, n)
+    * collapse; AR(2) adds two window lags and one keyed aggregate —
+    * no recursion, no extra corpus-sized stage. Error sums are
+    * accumulated doubles → round(…,6) both engines (naive's is exact
+    * integer). Returns (key, n_evals, mae_holt, mae_naive, mae_sholt,
+    * mae_ar2, winner). */
+  def ar2Backtest(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, alpha: Double, beta: Double,
+      period: Int = 24): DataFrame = {
+    val h = holt(df, keyCol, tsCol, bucketSec, alpha, beta)
+    val hs = holtSeasonal(df, keyCol, tsCol, bucketSec, alpha, beta, period)
+    val ar = ar2(df, keyCol, tsCol, bucketSec)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val byPhase = Window.partitionBy(col(keyCol), col("phase"))
+      .orderBy(col("bucket"))
+    val a = h.select(col(keyCol), col("bucket"), col("n"),
+      lag(col("forecast_next"), 1).over(byKey).as("__fh"),
+      lag(col("n"), period).over(byKey).as("__fn"))
+    val b = hs.select(col(keyCol), col("bucket"),
+      lag(col("forecast_next"), 1).over(byPhase).as("__fs"))
+    val r = ar.select(col(keyCol), col("bucket"),
+      lag(col("forecast_next"), 1).over(byKey).as("__fa"))
+    val ev = a.join(b, Seq(keyCol, "bucket")).join(r, Seq(keyCol, "bucket"))
+      .filter(col("__fh").isNotNull && col("__fn").isNotNull &&
+        col("__fs").isNotNull && col("__fa").isNotNull)
+    ev.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_evals"),
+        round(sum(abs(col("n").cast("double") - col("__fh"))) /
+          count(lit(1)), 6).as("mae_holt"),
+        round(sum(abs(col("n") - col("__fn"))).cast("double") /
+          count(lit(1)), 6).as("mae_naive"),
+        round(sum(abs(col("n").cast("double") - col("__fs"))) /
+          count(lit(1)), 6).as("mae_sholt"),
+        round(sum(abs(col("n").cast("double") - col("__fa"))) /
+          count(lit(1)), 6).as("mae_ar2"))
+      .withColumn("winner",
+        when(col("mae_ar2") <= col("mae_sholt") &&
+          col("mae_ar2") <= col("mae_holt") &&
+          col("mae_ar2") <= col("mae_naive"), lit("ar2"))
+          .when(col("mae_sholt") <= col("mae_holt") &&
+            col("mae_sholt") <= col("mae_naive"), lit("seasonal_holt"))
+          .when(col("mae_holt") <= col("mae_naive"), lit("holt"))
+          .otherwise(lit("naive")))
+  }
+
   /** Per-step Kalman coefficients for the local-level model
     * (x_t = x_{t−1} + w_t, w ~ N(0,q); y_t = x_t + v_t, v ~ N(0,r)) —
     * shared with the oracle builder so both engines embed the IDENTICAL

@@ -67,6 +67,44 @@ object StreamOps {
         col("window.start").as("window_start"), col("window.end").as("window_end"))
   }
 
+  /** APPEND-mode windowed aggregate — W3's complement (the reference
+    * runs update mode, streaming_job.py:129; append is the mode most
+    * production sinks accept): each (window × key) aggregate is emitted
+    * EXACTLY ONCE, when the watermark passes the window's end, and
+    * never revised. Streaming form: watermark → tumbling window × key →
+    * count/avg, run with `outputMode("append")` — Spark finalizes a
+    * window when watermark ≥ window.end. Batch twin (the gated form,
+    * plan-identical above the closure filter): the same aggregate
+    * restricted to CLOSED windows, window_end + lateness ≤ max(event
+    * time) — the final watermark of a drained stream — so the twin's
+    * rows are exactly the set the append stream has emitted once the
+    * last epoch's watermark advances. Exactly-once across epochs is
+    * pinned in StreamingSpec.
+    *
+    * Scale shape: one map-side-combined keyed aggregate; the closure
+    * filter joins a broadcast 1-row max — nothing corpus-sized past
+    * the aggregate; streaming state is bounded by OPEN windows only
+    * (append mode frees a window's state at emission). */
+  def appendCloseWindows(df: DataFrame, timeCol: String, keyCol: String,
+      idCol: String, valueCol: String, duration: String, lateness: String,
+      streaming: Boolean): DataFrame = {
+    def agg(src: DataFrame): DataFrame = src
+      .groupBy(window(col(timeCol), duration), col(keyCol))
+      .agg(count(col(idCol)).as("total_trips"),
+        avg(col(valueCol)).as("average_fare"))
+      .select(col(keyCol), col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("total_trips"), col("average_fare"))
+    if (streaming) agg(df.withWatermark(timeCol, lateness))
+    else {
+      val wm = broadcast(df.agg(max(col(timeCol)).as("__maxts")))
+      agg(df).crossJoin(wm)
+        .filter(col("window_end") + expr(s"INTERVAL $lateness") <=
+          col("__maxts"))
+        .drop("__maxts")
+    }
+  }
+
   /** Session windows: events within `gap` of each other merge into one
     * session per key (built-in session_window — state merges adjacent
     * sessions and closes them once the watermark passes the gap). */

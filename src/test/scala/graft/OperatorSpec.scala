@@ -3455,6 +3455,85 @@ class OperatorSpec extends SparkSuite {
     assert(sK._3 > 0.0, "plain holt pays a positive MAE on the cycle")
   }
 
+  test("ar2: Yule-Walker wins the four-way backtest on an oscillatory key; constant key degrades to mean") {
+    // key "o": an exact period-5 integer pattern (18,12,4,4,12 — one
+    // dominant harmonic) over 96 hourly buckets. Period 5 divides
+    // neither 24 nor the phase stride, so naive-24 and per-phase holt
+    // both see a rotating value (gcd(5,24)=1) and plain holt chases the
+    // oscillation; Yule-Walker AR(2) captures the harmonic in closed
+    // form (sequential replay: mae_ar2 ≈ 0.6548 vs 5.6–6.6 for the
+    // other three). key "c": constant counts — Σd² = 0 trips the
+    // degenerate guard, φ = 0, forecast = mean exactly.
+    val pat = Seq(18, 12, 4, 4, 12)
+    val rows = (0 until 96).flatMap { hr =>
+      Seq.fill(pat(hr % 5))(("o", hr)) ++ Seq.fill(7)(("c", hr))
+    }.map { case (k, hr) => (k, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:45:00Z")
+        .plusSeconds(3600L * hr)))
+    }.toDF("event_type", "ts")
+    val model = graft.ops.TimeSeries.ar2(rows, "event_type", "ts", 3600L)
+      .as[(String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect()
+    val c = model.filter(_._1 == "c")
+    assert(c.forall(r => r._4 == 0.0 && r._5 == 0.0),
+      s"constant key must take the degenerate guard: ${c.take(3).toSeq}")
+    assert(c.filter(_._7.isDefined).forall(_._7.contains(7.0)),
+      "constant key forecasts its mean exactly")
+    val o = model.filter(_._1 == "o").sortBy(_._2)
+    assert(o.head._7.isEmpty && o.tail.forall(_._7.isDefined),
+      "forecast_next exists from the second observed bucket on")
+    // sequential replay of the rounded-input Yule-Walker algebra
+    assert(math.abs(o.head._4 - 0.586946) < 1e-5, s"phi1 ${o.head._4}")
+    assert(math.abs(o.head._5 - (-0.963832)) < 1e-5, s"phi2 ${o.head._5}")
+    val bt = graft.ops.TimeSeries.ar2Backtest(rows, "event_type", "ts",
+        3600L, alpha = 0.5, beta = 0.25, period = 24)
+      .as[(String, Long, Double, Double, Double, Double, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val bo = bt("o")
+    assert(bo._2 == 72L, s"evals $bo")
+    assert(bo._7 == "ar2", s"AR(2) must win the oscillatory key: $bo")
+    assert(math.abs(bo._6 - 0.654825) < 1e-3, s"mae_ar2 drifted: $bo")
+    assert(bo._6 < bo._3 && bo._6 < bo._4 && bo._6 < bo._5,
+      s"ar2 beats all three: $bo")
+    assert(math.abs(bo._4 - 5.611111) < 1e-3, s"naive replay: $bo")
+  }
+
+  test("bitext IVF miner re-mines the planted parallel pairs the exact miner finds") {
+    // 4 tight axis clusters in 8 dims; each src (even id) has a planted
+    // tgt partner (odd id) 0.002 away on the cluster's spread axis while
+    // same-cluster neighbors sit ≥ 0.2 apart — the exact miner's mutual
+    // bests are exactly the 16 planted pairs. The IVF swap (4 cells,
+    // nProbe 2) must route partners to the same cell and re-mine them:
+    // containment vs the exact miner ≥ 75%, and every IVF pair IS a
+    // planted pair (tgt = src + 1).
+    def vec(c: Int, off: Double): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(c) = 1.0f; a(c + 4) = off.toFloat; a
+    }
+    val vecs = (0 until 16).flatMap { i =>
+      val c = i % 4
+      Seq((2L * i, vec(c, 0.1 + 0.05 * i)),
+        (2L * i + 1, vec(c, 0.1 + 0.05 * i + 0.002)))
+    }.toDF("vec_id", "embedding")
+    val src = vecs.filter($"vec_id" % 2 === 0)
+    val tgt = vecs.filter($"vec_id" % 2 === 1)
+    val planted = (0 until 16).map(i => (2L * i, 2L * i + 1)).toSet
+    val exact = graft.ops.Similarity.bitextMargin(src, tgt, k = 4)
+      .select($"src_id", $"tgt_id").as[(Long, Long)].collect().toSet
+    // margin-based mutual matching is a PARTIAL matching: every mined
+    // pair must be planted, and most planted pairs are mined (the
+    // neighborhood normalization legitimately drops a few within-cluster
+    // pairs whose margins cross)
+    assert(exact.subsetOf(planted) && exact.size >= 12,
+      s"exact miner mines planted pairs only: $exact")
+    val ivf = graft.ops.Similarity.bitextMarginIvf(src, tgt, k = 4,
+        nCells = 4, nProbe = 2)
+      .select($"src_id", $"tgt_id").as[(Long, Long)].collect().toSet
+    assert(ivf.forall(p => p._2 == p._1 + 1),
+      s"every IVF pair must be a planted pair: $ivf")
+    assert(ivf.intersect(exact).size * 4 >= exact.size * 3,
+      s"containment >= 75%: ${ivf.size} of ${exact.size}")
+  }
+
   test("holt: doubling scan equals the sequential recurrence, every key length") {
     // Key lengths 1, 2, 9 exercise every doubling-round edge: no rounds,
     // one partial round, and prefixes that straddle 2^r boundaries. The

@@ -86,6 +86,51 @@ class StreamingSpec extends SparkSuite {
     assert(m.average_fare == 20.0)
   }
 
+  test("append-mode close: each window emits exactly once on watermark close; equals the batch twin") {
+    import graft.streaming.StreamOps
+    val source = MemoryStream[(String, Double, Long, Double)]
+    val df = source.toDF()
+      .toDF("event_type", "epoch_s", "event_id", "value")
+      .select(col("event_type"), timestamp_seconds(col("epoch_s")).as("ts"),
+        col("event_id"), col("value"))
+    val out = StreamOps.appendCloseWindows(df, "ts", "event_type",
+      "event_id", "value", "1 hour", "10 minutes", streaming = true)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val q = out.writeStream.format("memory").queryName("append_close")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // hours 0 (two events), 2, 3.5, 4 — final watermark 4:00 − 10 min =
+    // 3:50 closes [0,1) and [2,3); [3,4) and [4,5) stay open forever.
+    val batches = Seq(
+      Seq(("k", t0 + 10, 1L, 10.0), ("k", t0 + 1800, 2L, 30.0)),
+      Seq(("k", t0 + 7200, 3L, 50.0), ("k", t0 + 3 * 3600 + 1800, 4L, 70.0)),
+      Seq(("k", t0 + 4 * 3600, 5L, 90.0)))
+    try batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("append_close")
+      .select(col("event_type"), col("window_start").cast("long"),
+        col("window_end").cast("long"), col("total_trips"),
+        col("average_fare"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.length == got.distinct.length,
+      s"append mode must never re-emit a window: ${got.toSeq}")
+    val expect = Set(
+      ("k", t0.toLong, t0.toLong + 3600, 2L, 20.0),
+      ("k", t0.toLong + 7200, t0.toLong + 10800, 1L, 50.0))
+    assert(got.toSet == expect, s"emitted-once set: ${got.toSeq}")
+    // batch twin over the drained input: identical closed-window set
+    val all = batches.flatten
+      .toDF("event_type", "epoch_s", "event_id", "value")
+      .select(col("event_type"), timestamp_seconds(col("epoch_s")).as("ts"),
+        col("event_id"), col("value"))
+    val twin = StreamOps.appendCloseWindows(all, "ts", "event_type",
+        "event_id", "value", "1 hour", "10 minutes", streaming = false)
+      .select(col("event_type"), col("window_start").cast("long"),
+        col("window_end").cast("long"), col("total_trips"),
+        col("average_fare"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(twin.toSet == expect, s"batch twin: ${twin.toSeq}")
+  }
+
   test("streaming dedup suppresses duplicate trip ids within the watermark") {
     import graft.streaming.StreamOps
     val source = MemoryStream[String]
