@@ -1726,9 +1726,10 @@ object SparkEntry {
     // margin/mutual tail. IVF retrieval is approximate, so the gate is
     // containment of the IVF miner's mutual pairs in the exact miner's
     // (the ann_mmr_ivf discipline): the engine asserts >= 60% of exact
-    // pairs re-mined (measured ~0.9 at sf0.01/sf0.1, floor 0.6) and the
-    // exact-pair COUNT itself is oracle-replayed, so a recall collapse
-    // turns the flag false and reds the row.
+    // pairs re-mined (measured: 144/161 = 0.894 at sf0.01, 550/639 =
+    // 0.861 at sf0.1; floor 0.6) and the exact-pair COUNT itself is
+    // oracle-replayed, so a recall collapse turns the flag false and
+    // reds the row.
     "ann_bitext_ivf" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val src = e.filter(pmod(col("vec_id"), lit(2)) === 0)

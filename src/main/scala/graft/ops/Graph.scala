@@ -1327,7 +1327,11 @@ object Graph {
     deg.join(best, Seq("node"), "left")
       .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"),
         col("d"))
-      .persist(lvl)
+      // localCheckpoint, not persist (r14 perf pass, same measurement as
+      // louvainTwoLevelLabels): the rollup and the coarse build each
+      // reference this frame 2-3 times; truncating here keeps AQE from
+      // re-walking the gains tree per downstream stage.
+      .localCheckpoint()
   }
 
   /** Community rollup of a (node, lbl, d) assignment over the original
@@ -1409,12 +1413,18 @@ object Graph {
     val l2 = degW.select(col("snode"))
       .join(best, Seq("snode"), "left")
       .select(col("snode"), coalesce(col("lbl2"), col("snode")).as("lbl2"))
-    // persisted: the rollup reads this frame three times (member agg +
-    // both internal-edge label attaches); the composed chain stays
-    // materialized once per action instead of re-deriving per reference
+    // localCheckpoint, not persist (r14 perf pass): the rollup reads
+    // this frame three times, so with a lazy persist every downstream
+    // plan still carries the FULL two-level logical tree and AQE
+    // re-optimizes it at each of its ~35 stage materializations —
+    // measured 14.9 s for graph_louvain_multilevel at sf0.1; truncating
+    // the lineage here makes every rollup reference a leaf scan and
+    // took the same query to 9.1 s on the same host (the
+    // leidenRefineLabels lesson applied one level down). Callers get a
+    // checkpointed frame — do NOT re-checkpoint it.
     l1.join(l2.select(col("snode").as("lbl"), col("lbl2")), Seq("lbl"))
       .select(col("node"), col("lbl2").as("lbl"), col("d"))
-      .persist(lvl)
+      .localCheckpoint()
   }
 
   /** Leiden-style refinement of the two-level Louvain partition (Traag,
@@ -1459,7 +1469,7 @@ object Graph {
     // persisted-but-not-truncated frame cost 4.7 s for 2 cached jobs).
     // Truncating the lineage makes every downstream plan a leaf scan —
     // the bpeLoop/graph_hits lesson applied at the composition boundary.
-    val l = louvainTwoLevelLabels(edges).localCheckpoint()
+    val l = louvainTwoLevelLabels(edges) // returns localCheckpoint'ed
     val within = edges
       .join(l.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
       .join(l.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
@@ -1503,7 +1513,7 @@ object Graph {
   def leidenQuality(edges0: DataFrame, maxRounds: Int = 24): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = edges0.persist(lvl)
-    val lou = louvainTwoLevelLabels(edges).localCheckpoint()
+    val lou = louvainTwoLevelLabels(edges) // returns localCheckpoint'ed
     def withinOf(lf: DataFrame): DataFrame = edges
       .join(lf.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
       .join(lf.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))

@@ -335,6 +335,41 @@ object ScaleProbe {
         docs.filter(octet_length(col("text")) === length(col("text")) &&
           octet_length(col("text")) > 0), "doc_id", "text")).count()
     report("audio fingerprint match")(afp(docS()))(afp(docB()))
+    // Round-14 additions. AR(2) rides the holt regime (10x series) but
+    // has NO scan at all — two window lags + one keyed aggregate.
+    def ar2p(ev: DataFrame): Long =
+      graft.ops.TimeSeries.ar2(
+        ev.withColumn("ts", col("ts").cast("timestamp")),
+        "event_type", "ts", 3600L).count()
+    report("AR(2) Yule-Walker")(
+      ar2p(s.read.parquet(s"$sfDir/events.parquet")))(
+      ar2p(s.read.parquet(ev10)))
+    def bt4(ev: DataFrame): Long =
+      graft.ops.TimeSeries.ar2Backtest(
+        ev.withColumn("ts", col("ts").cast("timestamp")),
+        "event_type", "ts", 3600L, 0.5, 0.25, period = 24).count()
+    report("4-way AR(2) backtest")(
+      bt4(s.read.parquet(s"$sfDir/events.parquet")))(
+      bt4(s.read.parquet(ev10)))
+    // Symmetric corpus x corpus bitext via IVF per direction: BOTH
+    // sides grow 10x; retrieval stays routed-cell equi-joins (nothing
+    // corpus-sized broadcast), the tail is (|src|+|tgt|)·k bounded.
+    def bitextIvf(emb: DataFrame): Long =
+      graft.ops.Similarity.bitextMarginIvf(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 4, nCells = 16,
+        nProbe = 8).count()
+    report("bitext IVF (sym corpus)")(bitextIvf(embS()))(bitextIvf(embB()))
+    // Append-close batch twin: one keyed window aggregate + a broadcast
+    // 1-row max — the closure filter adds nothing data-sized.
+    def apc(ev: DataFrame): Long =
+      graft.streaming.StreamOps.appendCloseWindows(
+        ev.withColumn("ts", col("ts").cast("timestamp")),
+        "ts", "event_type", "event_id", "value", "1 hour", "10 minutes",
+        streaming = false).count()
+    report("append-close twin")(
+      apc(s.read.parquet(s"$sfDir/events.parquet")))(
+      apc(s.read.parquet(ev10)))
     s.stop()
   }
 }
