@@ -1324,7 +1324,15 @@ object Dedup {
         s"maxRepeats: nested-repeat chain exceeds maxLevels=$maxLevels " +
           "(periodic text nests one level per period step) — raise maxLevels")
       // binary search all groups' divergence depths in lockstep; resolved
-      // groups (hi == lo+1) test mid == lo, agree, and stay fixed
+      // groups (hi == lo+1) test mid == lo, agree, and stay fixed.
+      // Per-round checkpoints are DELIBERATE (r14 perf pass, measured):
+      // chaining all `steps` rounds into one plan read 3x WORSE at
+      // sf0.1 (AQE re-optimizes the remaining tree at every one of the
+      // chain's 2*steps exchanges), and a window-lead rank build
+      // measured no better than the join form — both variants were
+      // tried and reverted; the frames here are tiny (duplicated-region
+      // footprint), so materialization is cheap and keeps every round's
+      // plan a leaf join.
       for (_ <- 1 to steps) {
         val mid = floor((col("lo") + col("hi")) / 2).cast("int")
         val tested = withId(g.withColumn("__mid", mid), col("__mid"), "__idm")
