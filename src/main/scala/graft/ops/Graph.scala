@@ -50,6 +50,24 @@ object Graph {
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
+  /** [[checkpointRound]] fused with the round's convergence probe: the
+    * checkpoint is LAZY and the probe's aggregate is the action that
+    * materializes it — one job per round where the eager form paid two
+    * (materialize, then probe), halving the per-round fixed cost that
+    * dominates converged loops on small frames (r14 perf pass). The
+    * probe MUST run before the caller frees the previous round's blocks
+    * (a lazily-checkpointed frame still reads its parent's blocks until
+    * its own are written); returning the probe value enforces that
+    * order by construction. */
+  private def checkpointRoundWith[T](df: DataFrame)(probe: DataFrame => T)
+      : (DataFrame, Set[Int], T) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager = false)
+    val t = probe(out)
+    (out, (sc.getPersistentRDDs.keySet -- before).toSet, t)
+  }
+
   /** Distinct undirected edges in canonical (a < b) orientation from a
     * possibly-duplicated, possibly-bidirectional raw pair stream. */
   def canonicalEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
@@ -282,10 +300,14 @@ object Graph {
       .agg(min(col("w")).as("w"))
       .select(col("ca"), col("cb"), col("w"),
         col("ca").as("oa"), col("cb").as("ob"))
-    var (ce, ceIds) = checkpointRound(canon)
+    // fused probes throughout this loop (r14): the emptiness/stability
+    // counts ride each checkpoint's materializing job — full-scan
+    // count(), never limit(1) (a partial first action would leave
+    // missing partitions for doCheckpoint's extra job)
+    var (ce, ceIds, ceN) = checkpointRoundWith(canon)(_.count())
     val forest = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var i = 0
-    var done = ce.limit(1).count() == 0L
+    var done = ceN == 0L
     while (!done && i < maxRounds) {
       // per-component minimum incident edge under (w, oa, ob); one
       // grouped agg yields BOTH the forest edges and the selection
@@ -327,8 +349,9 @@ object Graph {
             col("x.parent") === col("y.hc"))
           .select(col("x.comp").as("comp"), col("hp").as("parent"),
             (col("hp") =!= col("x.parent")).as("__moved"))
-        val (nextPar, nextParIds) = checkpointRound(hop)
-        stable = nextPar.filter(col("__moved")).limit(1).count() == 0L
+        val (nextPar, nextParIds, moved) =
+          checkpointRoundWith(hop)(_.filter(col("__moved")).count())
+        stable = moved == 0L
         freeRound(nextPar, parIds)
         par = nextPar.drop("__moved"); parIds = nextParIds
         j += 1
@@ -356,12 +379,12 @@ object Graph {
         .agg(min_by(struct(col("w"), col("oa"), col("ob")),
           struct(col("w"), col("oa"), col("ob"))).as("e"))
         .select(col("ca"), col("cb"), col("e.w"), col("e.oa"), col("e.ob"))
-      val (next, nextIds) = checkpointRound(projected)
+      val (next, nextIds, nextN) = checkpointRoundWith(projected)(_.count())
       // sel's checkpoint blocks stay live: the returned forest reads
       // them (≤ maxRounds small frames); only superseded ce rounds free
       freeRound(next, ceIds)
       ce = next; ceIds = nextIds
-      done = ce.limit(1).count() == 0L
+      done = nextN == 0L
       i += 1
     }
     if (!done) {
@@ -761,14 +784,13 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-    var (e, eIds) = checkpointRound(canon)
     def stats(df: DataFrame): (Long, Long) = {
       // bit_xor, not sum: a sum of random 64-bit hashes overflows ANSI
       // BIGINT; xor is order-independent and never overflows
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var prev = stats(e)
+    var (e, eIds, prev) = checkpointRoundWith(canon)(stats)
     var converged = prev._1 == 0L
     var i = 0
     while (!converged && i < maxRounds) {
@@ -791,10 +813,11 @@ object Graph {
         .unionAll(minsS.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b"))
         .distinct()
-      val (next, nextIds) = checkpointRound(small)
+      // probe-first, free-after: the lazy checkpoint reads the previous
+      // round's blocks until the probe job writes its own
+      val (next, nextIds, cur) = checkpointRoundWith(small)(stats)
       freeRound(next, eIds)
       e = next; eIds = nextIds
-      val cur = stats(e)
       converged = cur == prev
       prev = cur
       i += 1
@@ -897,15 +920,17 @@ object Graph {
         .join(nextActive.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
       // checkpoint every successor BEFORE freeing the round's blocks:
-      // nextActive and merged still read the old edge frame via retired
+      // nextActive and merged still read the old edge frame via retired.
+      // The survivor count rides the active frame's checkpoint job
+      // (fused probe) instead of a separate count action.
       val (e2, e2Ids) = checkpointRound(nextE)
-      val (a2, a2Ids) = checkpointRound(nextActive)
+      val (a2, a2Ids, n2) = checkpointRoundWith(nextActive)(_.count())
       val (d2, d2Ids) = checkpointRound(merged)
       freeRound(e2, eIds); freeRound(a2, aIds); freeRound(d2, dIds)
       e = e2; eIds = e2Ids
       active = a2; aIds = a2Ids
       decided = d2; dIds = d2Ids
-      nActive = active.count()
+      nActive = n2
       r += 1
     }
     freeRound(e, eIds); freeRound(active, aIds)
@@ -1000,13 +1025,13 @@ object Graph {
         .join(nextActive.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
       val (e2, e2Ids) = checkpointRound(nextE)
-      val (a2, a2Ids) = checkpointRound(nextActive)
+      val (a2, a2Ids, n2) = checkpointRoundWith(nextActive)(_.count())
       val (c2, c2Ids) = checkpointRound(merged)
       freeRound(e2, eIds); freeRound(a2, aIds); freeRound(c2, cIds)
       e = e2; eIds = e2Ids
       active = a2; aIds = a2Ids
       colors = c2; cIds = c2Ids
-      nActive = active.count()
+      nActive = n2
       r += 1
     }
     freeRound(full, eIds ++ fullIds); freeRound(active, aIds)
@@ -1204,11 +1229,14 @@ object Graph {
       var stable = false
       while (!stable) {
         require(round < maxRounds, s"SCC coloring exceeded $maxRounds rounds")
+        // lazy checkpoint + full-scan label-sum probe in ONE job per
+        // round (r14 fused-probe pass; nothing is freed under this
+        // loop, so laziness is unconditionally safe here)
         st = st.unionAll(
             st.join(pushAdj, Seq("t", "node"))
               .select(col("t"), col("dst").as("node"), col("lbl")))
           .groupBy(col("t"), col("node")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val cur = lblSum(st)
         stable = cur.compareTo(prev) == 0
         prev = cur
