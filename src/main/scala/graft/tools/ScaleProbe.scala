@@ -63,9 +63,14 @@ object ScaleProbe {
       }
       ts.min
     }
+    // Dev-only narrowing (comma-separated tag substrings): re-probe only
+    // the named rows without re-running the whole battery.
+    val only = sys.env.get("SCALEPROBE_ONLY").map(_.split(",").toSeq)
     def report(tag: String)(small: => Long)(big: => Long): Unit = {
-      val a = timeCold(small); val b = timeCold(big)
-      println(f"$tag%-28s sf0.1=${a}%7.2f s   ${replicas}x=${b}%7.2f s   ratio=${b / a}%5.2f")
+      if (only.forall(_.exists(tag.contains))) {
+        val a = timeCold(small); val b = timeCold(big)
+        println(f"$tag%-28s sf0.1=${a}%7.2f s   ${replicas}x=${b}%7.2f s   ratio=${b / a}%5.2f")
+      }
     }
 
     val liS = () => s.read.parquet(s"$sfDir/lineitem.parquet")
