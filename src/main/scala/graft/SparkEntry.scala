@@ -3115,6 +3115,14 @@ object SparkEntry {
       TimeSeries.ar2(t(s, dir, "events"), keyCol = "event_type",
         tsCol = "ts", bucketSec = 3600L)),
 
+    // Multi-step AR(2) forecasting: the model rolled h=12 steps past
+    // each key's last observed bucket — the recurrence evaluated as a
+    // chain of projected columns (linear plan), raw doubles bit-equal
+    // to the oracle's recursive CTE, only the emitted forecast rounds.
+    "ts_ar2_forecast" -> ((s, dir) =>
+      TimeSeries.ar2Forecast(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, h = 12)),
+
     // Four-way rolling-origin backtest: Holt vs seasonal-naive vs
     // per-phase seasonal Holt vs Yule-Walker AR(2), per-key MAEs +
     // winner (tie-break ar2 > seasonal_holt > holt > naive). The
@@ -5647,6 +5655,60 @@ object SparkEntry {
     // (key, phase) seasonal chain, the position-24 naive lag — all
     // joined at the evaluable buckets; MAE comparisons on the SAME
     // rounded values the engine compares.
+    // The h-step forecast recursion replayed as a recursive CTE over
+    // the same rounded-input phi algebra: each step the identical
+    // mul-add tree (p1*g + p2*gp) over unrounded doubles, rounded only
+    // at emission — bit-exact both engines.
+    "ts_ar2_forecast" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (SELECT event_type, round(avg(CAST(n AS DOUBLE)), 6) AS mu
+        |       FROM c GROUP BY event_type),
+        |dd AS (SELECT c.event_type, bucket, mu,
+        |        CAST(n AS DOUBLE) - mu AS d,
+        |        lag(CAST(n AS DOUBLE) - mu, 1) OVER w AS l1,
+        |        lag(CAST(n AS DOUBLE) - mu, 2) OVER w AS l2,
+        |        row_number() OVER wd AS rnd
+        |      FROM c JOIN mu ON mu.event_type = c.event_type
+        |      WINDOW w AS (PARTITION BY c.event_type ORDER BY bucket),
+        |             wd AS (PARTITION BY c.event_type ORDER BY bucket DESC)),
+        |ss AS (SELECT event_type, sum(d*d) AS den, sum(d*l1) AS n1,
+        |        sum(d*l2) AS n2
+        |      FROM dd GROUP BY event_type),
+        |rr2 AS (SELECT event_type,
+        |        CASE WHEN den > 0 THEN round(n1/den, 6) END AS r1,
+        |        CASE WHEN den > 0 THEN round(n2/den, 6) END AS r2
+        |      FROM ss),
+        |ph AS (SELECT event_type,
+        |        CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |               AND abs(1.0 - r1*r1) >= 1e-9
+        |             THEN r1 * (1.0 - r2) / (1.0 - r1*r1)
+        |             ELSE 0.0 END AS p1,
+        |        CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |               AND abs(1.0 - r1*r1) >= 1e-9
+        |             THEN (r2 - r1*r1) / (1.0 - r1*r1)
+        |             ELSE 0.0 END AS p2
+        |      FROM rr2),
+        |l2f AS (SELECT event_type,
+        |         max(CASE WHEN rnd = 1 THEN d END) AS d0,
+        |         max(CASE WHEN rnd = 2 THEN d END) AS d1,
+        |         max(CASE WHEN rnd = 1 THEN bucket END) AS lastb,
+        |         max(mu) AS mu, count(*) AS nl
+        |        FROM dd WHERE rnd <= 2 GROUP BY event_type),
+        |rec AS (
+        |  SELECT l.event_type, 1 AS step, p1*d0 + p2*d1 AS g, d0 AS gp,
+        |         lastb, mu, p1, p2
+        |  FROM l2f l JOIN ph ON ph.event_type = l.event_type
+        |  WHERE nl >= 2
+        |  UNION ALL
+        |  SELECT event_type, step + 1, p1*g + p2*gp, g, lastb, mu, p1, p2
+        |  FROM rec WHERE step < 12)
+        |SELECT event_type, CAST(step AS INT) AS step,
+        |       lastb + step AS bucket, round(mu + g, 6) + 0 AS forecast
+        |FROM rec""".stripMargin,
+
     // The four-way backtest: the seasonal replay plus the Yule-Walker
     // AR(2) forecast chain (windowed, no recursion), joined at rn-1.
     "ts_backtest_ar2" ->

@@ -685,13 +685,32 @@ object TimeSeries {
     val lagged = d
       .withColumn("__l1", lag(col("__d"), 1).over(byKey))
       .withColumn("__l2", lag(col("__d"), 2).over(byKey))
+    val phi = ar2Phi(lagged, keyCol)
+    lagged.join(broadcast(phi), Seq(keyCol))
+      .select(col(keyCol), col("bucket"), col("n"),
+        (round(col("__p1"), 6) + lit(0.0)).as("phi1"),
+        (round(col("__p2"), 6) + lit(0.0)).as("phi2"),
+        col("__mu").as("mu"),
+        when(col("__l1").isNotNull,
+          round(col("__mu") + col("__p1") * col("__d") +
+            col("__p2") * col("__l1"), 6) + lit(0.0))
+          .as("forecast_next"))
+  }
+
+  /** The per-key Yule-Walker closed form shared by [[ar2]] and
+    * [[ar2Forecast]]: from a deviation frame carrying (__d, __l1, __l2),
+    * one keyed aggregate of the lag-product sums, r₁/r₂ rounded at 6
+    * (the engine-equivalence boundary), φ as fixed IEEE trees with the
+    * degenerate guard inside the rounded algebra. Returns
+    * (key, __p1, __p2) — UNROUNDED φ (consumers round for display). */
+  private def ar2Phi(lagged: DataFrame, keyCol: String): DataFrame = {
     val sums = lagged.groupBy(col(keyCol)).agg(
       sum(col("__d") * col("__d")).as("__den"),
       sum(col("__d") * col("__l1")).as("__n1"),
       sum(col("__d") * col("__l2")).as("__n2"))
     val r1 = when(col("__den") > 0, round(col("__n1") / col("__den"), 6))
     val r2 = when(col("__den") > 0, round(col("__n2") / col("__den"), 6))
-    val phi = sums.select(col(keyCol), r1.as("__r1"), r2.as("__r2"))
+    sums.select(col(keyCol), r1.as("__r1"), r2.as("__r2"))
       .select(col(keyCol), col("__r1"), col("__r2"),
         (lit(1.0) - col("__r1") * col("__r1")).as("__pd"))
       .select(col(keyCol),
@@ -703,15 +722,72 @@ object TimeSeries {
             abs(col("__pd")) >= 1e-9,
           (col("__r2") - col("__r1") * col("__r1")) / col("__pd"))
           .otherwise(lit(0.0)).as("__p2"))
-    lagged.join(broadcast(phi), Seq(keyCol))
-      .select(col(keyCol), col("bucket"), col("n"),
-        (round(col("__p1"), 6) + lit(0.0)).as("phi1"),
-        (round(col("__p2"), 6) + lit(0.0)).as("phi2"),
-        col("__mu").as("mu"),
-        when(col("__l1").isNotNull,
-          round(col("__mu") + col("__p1") * col("__d") +
-            col("__p2") * col("__l1"), 6) + lit(0.0))
-          .as("forecast_next"))
+  }
+
+  /** Multi-step AR(2) forecasting — [[ar2]]'s model rolled h steps past
+    * each key's last observed bucket: with deviations g, the forecast
+    * recurrence ĝ_{k} = φ₁·ĝ_{k−1} + φ₂·ĝ_{k−2} starts from the last two
+    * OBSERVED deviations (ĝ₀ = d_T, ĝ₋₁ = d_{T−1}) and each step's
+    * output is μ + ĝ_k — the h-step-ahead path a capacity planner
+    * actually reads off the model (oscillations damp toward μ at the
+    * rate the estimated roots dictate).
+    *
+    * Determinism: the recurrence is evaluated as a chain of PROJECTED
+    * columns (one per step — linear plan, never an exponentially
+    * substituted expression tree), each step one mul-add tree over the
+    * unrounded φ and previous steps' unrounded values; the oracle's
+    * recursive CTE evaluates the identical tree shape per step, so raw
+    * doubles agree bit-for-bit and only the emitted forecast rounds.
+    * Keys with a single observed bucket have no d_{T−1} and emit
+    * nothing (documented; the mean-only fallback is [[ar2]]'s job).
+    *
+    * Scale shape: the collapse is the only corpus-sized stage; the
+    * model frame is one row per key (two window lags + the [[ar2Phi]]
+    * aggregate + a last-two pick via row_number desc), and the h steps
+    * are h literal column projections over that one-row-per-key frame —
+    * driver holds nothing, h is a bounded knob.
+    * Returns (key, step ∈ [1,h], bucket = last_bucket + step,
+    * forecast). */
+  def ar2Forecast(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, h: Int = 12): DataFrame = {
+    require(h >= 1 && h <= 96, "h in [1,96]")
+    val c = collapse(df, keyCol, tsCol, bucketSec)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val byKeyDesc = Window.partitionBy(col(keyCol))
+      .orderBy(col("bucket").desc)
+    val m = c.groupBy(col(keyCol))
+      .agg(round(avg(col("n").cast("double")), 6).as("__mu"))
+    val d = c.join(broadcast(m), Seq(keyCol))
+      .select(col(keyCol), col("bucket"), col("__mu"),
+        (col("n").cast("double") - col("__mu")).as("__d"))
+    val lagged = d
+      .withColumn("__l1", lag(col("__d"), 1).over(byKey))
+      .withColumn("__l2", lag(col("__d"), 2).over(byKey))
+    val phi = ar2Phi(lagged, keyCol)
+    val last2 = d.withColumn("__rnd", row_number().over(byKeyDesc))
+      .filter(col("__rnd") <= 2)
+      .groupBy(col(keyCol))
+      .agg(max(when(col("__rnd") === 1, col("__d"))).as("__d0"),
+        max(when(col("__rnd") === 2, col("__d"))).as("__d1"),
+        max(when(col("__rnd") === 1, col("bucket"))).as("__lastb"),
+        max(col("__mu")).as("__mu"),
+        count(lit(1)).as("__nlast"))
+      .filter(col("__nlast") >= 2) // single-bucket keys emit nothing
+    var frame = last2.join(broadcast(phi), Seq(keyCol))
+      .withColumn("__g1", col("__p1") * col("__d0") + col("__p2") * col("__d1"))
+    if (h >= 2)
+      frame = frame.withColumn("__g2",
+        col("__p1") * col("__g1") + col("__p2") * col("__d0"))
+    for (k <- 3 to h)
+      frame = frame.withColumn(s"__g$k",
+        col("__p1") * col(s"__g${k - 1}") + col("__p2") * col(s"__g${k - 2}"))
+    frame
+      .select(col(keyCol), col("__mu"), col("__lastb"),
+        posexplode(array((1 to h).map(k => col(s"__g$k")): _*))
+          .as(Seq("__s0", "__g")))
+      .select(col(keyCol), (col("__s0") + 1).as("step"),
+        (col("__lastb") + col("__s0") + 1).as("bucket"),
+        (round(col("__mu") + col("__g"), 6) + lit(0.0)).as("forecast"))
   }
 
   /** [[seasonalBacktest]] extended with the [[ar2]] model — the

@@ -3498,6 +3498,54 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(bo._4 - 5.611111) < 1e-3, s"naive replay: $bo")
   }
 
+  test("ar2 forecast: h-step path replays the recurrence exactly and damps toward the mean") {
+    // Same period-5 oscillatory key as the backtest spec. The h-step
+    // path must (a) equal an in-test replay of the projected-column
+    // recurrence bit-for-bit (rounded emission), (b) oscillate with a
+    // DAMPING envelope — the estimated roots sit inside the unit circle
+    // (|phi2| < 1), so the late-step amplitude is strictly below the
+    // early-step amplitude; (c) a single-bucket key emits nothing.
+    val pat = Seq(18, 12, 4, 4, 12)
+    val rows = ((0 until 96).flatMap { hr =>
+      Seq.fill(pat(hr % 5))(("o", hr))
+    } ++ Seq(("solo", 3))).map { case (k, hr) =>
+      (k, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:45:00Z")
+          .plusSeconds(3600L * hr)))
+    }.toDF("event_type", "ts")
+    val h = 40
+    val got = graft.ops.TimeSeries.ar2Forecast(rows, "event_type", "ts",
+        3600L, h = h)
+      .as[(String, Int, Long, Double)].collect()
+    assert(!got.exists(_._1 == "solo"), "single-bucket key emits nothing")
+    val o = got.filter(_._1 == "o").sortBy(_._2)
+    val b0 = java.time.Instant.parse("2024-01-01T00:45:00Z")
+      .getEpochSecond / 3600 // absolute epoch-hour of bucket 0
+    assert(o.map(_._2).toSeq == (1 to h) &&
+      o.map(_._3).toSeq == ((b0 + 96) to (b0 + 95 + h)),
+      "steps and buckets")
+    // in-test replay of the op's contract arithmetic
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = (0 until 96).map(t => pat(t % 5).toDouble)
+    val mu = r6(xs.sum / xs.length)
+    val d = xs.map(_ - mu)
+    val den = d.map(x => x * x).sum
+    val r1 = r6(d.zip(d.drop(1)).map { case (a, b) => b * a }.sum / den)
+    val r2 = r6(d.zip(d.drop(2)).map { case (a, b) => b * a }.sum / den)
+    val p1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val gs = Iterator.iterate((p1 * d(95) + p2 * d(94), d(95))) {
+      case (g, gp) => (p1 * g + p2 * gp, g)
+    }.map(_._1).take(h).toSeq
+    o.zip(gs).foreach { case ((_, step, _, f), g) =>
+      assert(f == r6(mu + g) + 0.0, s"step $step: $f vs ${r6(mu + g)}")
+    }
+    val early = gs.take(5).map(math.abs).max
+    val late = gs.drop(h - 5).map(math.abs).max
+    assert(late < early, s"damping envelope: late $late >= early $early")
+  }
+
   test("bitext IVF miner re-mines the planted parallel pairs the exact miner finds") {
     // 4 tight axis clusters in 8 dims; each src (even id) has a planted
     // tgt partner (odd id) 0.002 away on the cluster's spread axis while

@@ -666,6 +666,69 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("ar2 equals the rounded-input Yule-Walker replay on random ragged series") {
+    // Replays the op's EXACT contract arithmetic: mu, r1, r2 round at 6
+    // decimals (absorbing engine-vs-fold accumulation ulps, the holt
+    // argument), then phi and every forecast are fixed IEEE trees over
+    // those identical doubles — so the rounded outputs must agree
+    // EXACTLY, including the degenerate guard (constant keys planted
+    // alongside the random ones: Sigma d^2 == 0.0 exactly because
+    // d = x - round(avg) == 0.0 when all x equal).
+    val seriesGen: Gen[List[(String, Int, Int)]] = Gen.listOfN(60, for {
+      key <- Gen.oneOf("a", "b", "c")
+      hr <- Gen.choose(0, 39)
+      cnt <- Gen.choose(1, 9)
+    } yield (key, hr, cnt))
+    samples(seriesGen, 3).foreach { triples =>
+      val withConst = triples ++ (0 until 6).map(hr => ("k", hr, 4)) ++
+        List(("one", 7, 3)) // single-bucket key: forecast stays null
+      val byBucket = withConst.groupBy(t => (t._1, t._2))
+        .view.mapValues(_.map(_._3).sum).toMap
+      val rows = byBucket.toSeq.flatMap { case ((k, hr), cnt) =>
+        Seq.fill(cnt)((k, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:15:00Z")
+            .plusSeconds(3600L * hr))))
+      }
+      val got = graft.ops.TimeSeries.ar2(rows.toDF("event_type", "ts"),
+          "event_type", "ts", 3600L)
+        .select($"event_type", $"bucket", $"phi1", $"phi2", $"mu",
+          $"forecast_next")
+        .as[(String, Long, Double, Double, Double, Option[Double])]
+        .collect().sortBy(r => (r._1, r._2))
+      def r6(d: Double): Double =
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = byBucket.keys.map(_._1).toSeq.distinct.sorted.flatMap { k =>
+        val xs = byBucket.collect { case ((`k`, hr), cnt) => (hr, cnt) }
+          .toSeq.sortBy(_._1).map(_._2.toDouble)
+        val mu = r6(xs.sum / xs.length)
+        val d = xs.map(_ - mu)
+        val den = d.map(x => x * x).sum
+        val n1 = d.zip(d.drop(1)).map { case (a, b) => b * a }.sum
+        val n2 = d.zip(d.drop(2)).map { case (a, b) => b * a }.sum
+        val (r1, r2) =
+          if (den > 0 && xs.length >= 2)
+            (Some(r6(n1 / den)),
+              if (xs.length >= 3) Some(r6(n2 / den)) else None)
+          else (None, None)
+        val (p1, p2) = (r1, r2) match {
+          case (Some(a), Some(b)) if math.abs(1.0 - a * a) >= 1e-9 =>
+            (a * (1.0 - b) / (1.0 - a * a), (b - a * a) / (1.0 - a * a))
+          case _ => (0.0, 0.0)
+        }
+        d.indices.map { i =>
+          val f = if (i >= 1) Some(r6(mu + p1 * d(i) + p2 * d(i - 1)) + 0.0)
+            else None
+          (k, r6(p1) + 0.0, r6(p2) + 0.0, mu, f)
+        }
+      }
+      assert(got.length == want.length, s"${got.length} vs ${want.length}")
+      got.zip(want).foreach { case ((k, b, g1, g2, gm, gf), (wk, w1, w2, wm, wf)) =>
+        assert(k == wk && g1 == w1 && g2 == w2 && gm == wm && gf == wf,
+          s"key $k bucket $b: got ($g1,$g2,$gm,$gf) want ($w1,$w2,$wm,$wf)")
+      }
+    }
+  }
+
   test("kalman scan and RTS smoother equal the sequential recurrences on random ragged series") {
     // The general per-row affine scan (time-varying coefficients — the
     // machinery holt's constant matrix never exercises) must agree with
