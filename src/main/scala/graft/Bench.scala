@@ -54,10 +54,18 @@ object Bench {
       times(i)(r) = (System.nanoTime() - t0) / 1e9
     }
     val results = queries.indices.map(i => queries(i)._1 -> times(i).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // JSON string escape for interpolated paths (ADVICE r14): a quote or
+    // backslash in sfDir/fullOut must not break the contract lines.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"agg":"min"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)},"runs_per_query":$runs,"agg":"min"}"""
     println(line)
     // Persist the COMPLETE per-query map too: the driver's stdout capture
     // has truncated the front of the alphabetical tail in past rounds
@@ -74,7 +82,7 @@ object Bench {
     // its tail window. This short line (<300 bytes, contract-shaped:
     // metric/value/unit/sf present) survives ANY >=2 KB tail capture; the
     // per-query map lives in the full line above and in the artifact file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","runs_per_query":$runs,"agg":"min","artifact":"$fullOut"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":${q(sfDir)},"runs_per_query":$runs,"agg":"min","artifact":${q(fullOut)}}""")
     spark.stop()
   }
 }

@@ -42,6 +42,11 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
     var nOk = 0
     var nFail = 0
+    // Per-query produce status, dumped as a correctness-SHAPED skeleton
+    // (rows/schema/hash null until tools/check.py fills them) so a
+    // stdout-less driver still finds a per-query artifact in the output
+    // dir (VERDICT r14 #6 — third belt for the dead correctness capture).
+    val produced = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -49,6 +54,7 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         nOk += 1
+        produced(name) = None
         // Divergence-capture artifact: the WRITTEN parquet (exactly what
         // the driver's checker reads) re-read and dumped as sorted
         // canonical row strings, so a driver-side hash red comes with the
@@ -82,6 +88,7 @@ object Verify {
         }
       } catch { case e: Throwable =>
         nFail += 1
+        produced(name) = Some(s"verify produce failed: ${e.getMessage}")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -120,11 +127,24 @@ object Verify {
         .ansiMergeStatement("ride_metrics", "ride_metrics_stage"))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/merge_sql.json"), merge)
+    // Correctness-shaped per-query skeleton (VERDICT r14 #6): one entry
+    // per attempted query; rows/schema/hash start null ("produced, not
+    // yet oracled") and tools/check.py REWRITES this file in place with
+    // the filled verdicts. A failed produce carries its error here, so
+    // the artifact dir alone distinguishes "never ran" from "red".
+    val skel = produced.map { case (name, err) =>
+      val e = err.map(m => q(m.take(300))).getOrElse("null")
+      s"${q(name)}: {\"rows_match\": null, \"schema_match\": null, " +
+        s"\"hash_match\": null, \"err\": $e}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/correctness.json"), skel)
     // Tail-proof LAST stdout line (VERDICT r13 #1): the driver's
     // correctness capture arrived empty two rounds running; a short
     // machine-parseable exit summary makes pass/fail recoverable from any
     // stdout tail window even if the per-query artifacts are lost.
-    println(s"""{"n_queries":${nOk + nFail},"n_ok":$nOk,"n_fail":$nFail,"out_dir":"$outDir"}""")
+    // outDir is q()-escaped (ADVICE r14): a quote/backslash in the path
+    // must not break the machine-parseable contract line.
+    println(s"""{"n_queries":${nOk + nFail},"n_ok":$nOk,"n_fail":$nFail,"out_dir":${q(outDir)}}""")
     spark.stop()
   }
 }

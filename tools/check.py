@@ -151,6 +151,21 @@ def main(sf_dir, out_dir, json_out=None):
             rec(name, rows=True, schema=True, hashm=True)
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail")
+    # Fill the correctness-shaped skeleton Verify wrote into the output
+    # dir (VERDICT r14 #6): entries this compare covered get their real
+    # verdicts; non-oracled entries (signature queries) keep Verify's
+    # nulls. A stdout-less driver still finds the per-query file here.
+    import os
+    skel_path = f"{out_dir}/correctness.json"
+    if os.path.exists(skel_path):
+        try:
+            skel = json.load(open(skel_path))
+            skel.update(record)
+            with open(skel_path, "w") as f:
+                json.dump(skel, f, indent=1, sort_keys=True)
+            print(f"filled {skel_path} ({len(record)} of {len(skel)} rows)")
+        except Exception as e:
+            print(f"warn: skeleton fill failed: {e}")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"n_ok": n_ok, "n_fail": n_bad,
