@@ -1245,6 +1245,22 @@ object Dedup {
       out
     }
     val K = math.max(1, 32 - Integer.numberOfLeadingZeros(cap - 1)) // ceil(log2 cap)
+    // Rank arrays are SEEDED at width 2^K0 (K0 = floor(log2 minLen)), not
+    // width 1 (r15 perf pass): no tested length is ever below minLen, so
+    // the first K0 doubling rounds — each a (doc,pos) self-join + md5 +
+    // checkpoint over the FULL candidate-position frame — computed ranks
+    // nothing downstream reads. The seed is one narrow scan (slice +
+    // concat_ws + md5 per position, the same O(len·minLen) work step 1's
+    // window hash already does). Equality semantics are identical to the
+    // doubled construction: md5(space-joined min(remaining, 2^K0)-token
+    // slice) collides exactly when the doubled E-coded tree does (tokens
+    // are \s+-split so the join is injective; a short suffix differs from
+    // any longer window by string length). Rank VALUES differ from the
+    // width-1 construction — nothing observes them except equality and
+    // the internal gid md5s.
+    val K0 = 31 - Integer.numberOfLeadingZeros(minLen) // floor(log2 minLen)
+    // element_at(rks, j) = rank identifying tokens [pos, pos + 2^(K0+j-1))
+    val nRk = K - K0 + 1 // top entry: width 2^K, the E-coded suffix id
     // 1. prune to positions whose minLen-window recurs, and their docs
     val wins = posSpanWindows(docs, idCol, textCol, minLen)
       .select(col(idCol).as("doc"), col("wpos").as("pos"),
@@ -1263,131 +1279,152 @@ object Dedup {
       .persist(lvl)
     val toks = tk.select(col("doc"), col("len"),
       posexplode(col("tk")).as(Seq("pos", "tok")))
-    // 2. rank tables: rks(k+1) identifies tokens [pos, pos+2^k), END-coded
-    var ranks = toks.select(col("doc"), col("pos"), col("len"),
-      array(md5(col("tok"))).as("rks"))
+    // 2. rank tables, seeded at width 2^K0 directly from the token arrays
+    // (one narrow Generate+Project, no shuffle), then doubled K - K0
+    // times. END-coding at the seed is implicit: a suffix shorter than
+    // the window IS its own slice, and distinct lengths join to distinct
+    // strings.
+    var ranks = tk.select(col("doc"), col("len"), col("tk"),
+        posexplode(col("tk")).as(Seq("pos", "__t")))
+      .select(col("doc"), col("pos"), col("len"),
+        array(md5(concat_ws(" ",
+          slice(col("tk"), col("pos") + 1, lit(1 << K0))))).as("rks"))
     ranks = cycle(ranks)
-    for (k <- 1 to K) {
+    for (k <- (K0 + 1) to K) {
       val off = 1 << (k - 1)
       val right = ranks.select(col("doc"), (col("pos") - off).as("pos"),
-        element_at(col("rks"), k).as("__rr"))
+        element_at(col("rks"), k - K0).as("__rr"))
       ranks = cycle(ranks.join(right, Seq("doc", "pos"), "left")
         .select(col("doc"), col("pos"), col("len"),
           concat(col("rks"), array(md5(concat(
-            element_at(col("rks"), k), lit("|"),
+            element_at(col("rks"), k - K0), lit("|"),
             coalesce(col("__rr"), lit("E")))))).as("rks")))
     }
     // ranks must outlive the loops below: pin it out of the cycle chain
     val rankT = ranks.persist(lvl)
     prevIds = Set.empty
-    // identity of the tl-token window at (doc, pos): two overlapping
-    // 2^floor(log2 tl) ranks when the window fits, the END-coded top rank
-    // (remaining content + remaining length) when it does not
-    // Members carry their OWN position's rank array as `rks`, so each id
-    // evaluation joins rankT once (for the overlapping right window at
-    // pos + tl - 2^k), not twice — one exchange per lockstep round saved.
-    def withId(m: DataFrame, tl: Column, out: String): DataFrame = {
-      var kE: Column = lit(0)
-      var p2: Column = lit(1)
-      for (kk <- 1 to K) {
-        kE = when(tl >= (1 << kk), lit(kk)).otherwise(kE)
-        p2 = when(tl >= (1 << kk), lit(1 << kk)).otherwise(p2)
-      }
-      val bpos = col("pos") + tl - p2
-      m.withColumn("__bpos", bpos)
-        .join(rankT.select(col("doc"), col("pos").as("__bpos"),
-          col("rks").as("__rb")), Seq("doc", "__bpos"), "left")
-        .withColumn(out,
-          when(col("len") - col("pos") >= tl,
-            md5(concat(element_at(col("rks"), kE.cast("int") + 1), lit("|"),
-              element_at(col("__rb"), kE.cast("int") + 1), lit("|"),
-              tl.cast("string"))))
-          .otherwise(concat(lit("E|"), element_at(col("rks"), lit(K + 1)))))
-        .drop("__rb", "__bpos")
+    // 3. per-member window-id ARRAY for every depth in [minLen, cap] —
+    // the r15 search rewrite. The r14 lockstep binary search paid
+    // levels x ceil(log2 range) JOBS, each a g x rankT join plus a gid
+    // window plus a checkpoint; at the duplicated-region frame sizes this
+    // op actually sees (11.5k member positions, 22.5k candidate-doc
+    // tokens at sf0.1) that cost was ~100 jobs of pure fixed overhead,
+    // not data. Instead: gather each member's next-J rank arrays ONCE
+    // (one bounded explode-join, J = cap-dependent, 63 at cap=128), then
+    // compute the member's id at EVERY candidate depth as one projected
+    // array — id(d) = md5(rank_kE(pos) | rank_kE(pos + d - 2^kE) | d)
+    // with kE = floor(log2 d), or the E-coded suffix id when the window
+    // overruns the doc. After that NO rank joins exist anywhere: a
+    // group's divergence depth is the common-prefix length of its id
+    // arrays, and lcp(set) = lcp(lexicographic min, lexicographic max),
+    // so ONE gid-window pass (min/max of the array column) replaces the
+    // whole per-level binary search. (The r14 receipts about chaining
+    // lockstep rounds applied to the JOIN-per-round design and are moot
+    // here — there are no rounds left to chain.)
+    val J = (K0 to K).map(k => math.min(cap, (1 << (k + 1)) - 1) - (1 << k))
+      .max
+    val gath = p0
+      .select(col("doc"), col("pos"),
+        explode(sequence(lit(0), lit(J))).as("__j"))
+      .select(col("doc"), col("pos"), col("__j"),
+        (col("pos") + col("__j")).as("__rp"))
+      .join(rankT.select(col("doc"), col("pos").as("__rp"), col("len"),
+        col("rks")), Seq("doc", "__rp"))
+      .groupBy(col("doc"), col("pos"))
+      .agg(max(when(col("__j") === 0, col("len"))).as("len"),
+        map_from_entries(collect_list(struct(col("__j"), col("rks"))))
+          .as("__rwin"))
+    val own = element_at(col("__rwin"), lit(0))
+    def idAt(d: Int): Column = {
+      val kE = 31 - Integer.numberOfLeadingZeros(d)
+      val off = d - (1 << kE)
+      val kIdx = kE - K0 + 1
+      when(col("len") - col("pos") >= d,
+        md5(concat(element_at(own, kIdx), lit("|"),
+          element_at(element_at(col("__rwin"), lit(off)), kIdx),
+          lit("|"), lit(d.toString))))
+        .otherwise(concat(lit("E|"), element_at(own, lit(nRk))))
     }
-    // 3. level-0 groups: occurrence sets of repeated minLen-windows
-    // (each member picks up its own rank array here, carried through
-    // every round below)
-    var g = withId(p0
-        .join(rankT.select(col("doc"), col("pos"), col("len"), col("rks")),
-          Seq("doc", "pos")),
-        lit(minLen), "__id0")
-      .select(md5(concat(col("__id0"), lit("#"), lit(minLen))).as("gid"),
-        col("doc"), col("pos"), col("len"), col("rks"),
-        lit(minLen).as("lo"), lit(cap + 1).as("hi"))
-    g = cycle(g)
-    val steps = 32 - Integer.numberOfLeadingZeros(cap + 1 - minLen)
+    val withIds = gath.select(col("doc"), col("pos"), col("len"),
+      array((minLen to cap).map(idAt): _*).as("ids"))
+    // level-0 groups: occurrence classes of the minLen-window id
+    var g = cycle(withIds.select(
+      md5(concat(element_at(col("ids"), 1), lit("#"), lit(minLen)))
+        .as("gid"),
+      col("doc"), col("pos"), col("len"), col("ids")))
+    rankT.unpersist(blocking = false) // gather was its last consumer
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
     val emittedLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var level = 0
-    while (!g.isEmpty) {
-      require(level < maxLevels,
-        s"maxRepeats: nested-repeat chain exceeds maxLevels=$maxLevels " +
-          "(periodic text nests one level per period step) — raise maxLevels")
-      // binary search all groups' divergence depths in lockstep; resolved
-      // groups (hi == lo+1) test mid == lo, agree, and stay fixed.
-      // Per-round checkpoints are DELIBERATE (r14 perf pass, measured):
-      // chaining all `steps` rounds into one plan read 3x WORSE at
-      // sf0.1 (AQE re-optimizes the remaining tree at every one of the
-      // chain's 2*steps exchanges), and a window-lead rank build
-      // measured no better than the join form — both variants were
-      // tried and reverted; the frames here are tiny (duplicated-region
-      // footprint), so materialization is cheap and keeps every round's
-      // plan a leaf join.
-      for (_ <- 1 to steps) {
-        val mid = floor((col("lo") + col("hi")) / 2).cast("int")
-        val tested = withId(g.withColumn("__mid", mid), col("__mid"), "__idm")
-        // group agreement as ONE gid-partitioned window pass (min == max
-        // of the tested id) — the groupBy+join-back form paid a second
-        // gid exchange every round
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gid"))
-        g = cycle(tested
-          .withColumn("__agree",
-            min(col("__idm")).over(w) === max(col("__idm")).over(w))
-          .select(col("gid"), col("doc"), col("pos"), col("len"), col("rks"),
-            when(col("__agree"), col("__mid")).otherwise(col("lo")).as("lo"),
-            when(col("__agree"), col("hi")).otherwise(col("__mid")).as("hi")))
+    var done = false
+    while (!done) {
+      // Divergence depth per group in ONE window pass: l* = the last
+      // depth where every member's id agrees = minLen - 1 + lcp of the
+      // group's id arrays; j0 = first index where the lexicographic
+      // min and max arrays differ (0 = never ⇒ the group agrees through
+      // cap: legitimate only when all members end together — the same
+      // identical-suffix class the binary search resolved via lo == cap).
+      // The E-form cannot collide with the normal form, so a group with
+      // mixed remaining lengths diverges no later than minR + 1 and
+      // full-group agreement never resumes past the first divergence —
+      // first-false IS the divergence depth.
+      val ann = g
+        .withColumn("__mn", min(col("ids")).over(wg))
+        .withColumn("__mx", max(col("ids")).over(wg))
+        .withColumn("__minR", min(col("len") - col("pos")).over(wg))
+        .withColumn("__maxR", max(col("len") - col("pos")).over(wg))
+        .withColumn("__j0", array_position(
+          zip_with(col("__mn"), col("__mx"), (a, b) => a === b), false))
+        .select(col("gid"), col("doc"), col("pos"), col("len"), col("ids"),
+          when(col("__j0") === 0, lit(cap))
+            .otherwise(col("__j0") + lit(minLen - 2)).cast("int").as("__ls"),
+          col("__minR"), col("__maxR"))
+      // deliberately OUTSIDE the cycle chain and never unpersisted: the
+      // per-level annotated frames back emitAll lazily for the rest of
+      // the op (the same lifetime the per-level emitted checkpoints had)
+      val annC = ann.localCheckpoint()
+      val chk = annC.agg(count(lit(1)),
+        max(when(col("__ls") === cap && col("__maxR") > cap, 1)
+          .otherwise(0))).first()
+      if (chk.getLong(0) == 0L) done = true
+      else {
+        require(level < maxLevels,
+          s"maxRepeats: nested-repeat chain exceeds maxLevels=$maxLevels " +
+            "(periodic text nests one level per period step) — raise maxLevels")
+        // l* == cap with a member extending past cap ⇒ a repeat reaches
+        // cap tokens without diverging — raise loudly, never truncate
+        require(chk.getInt(1) == 0,
+          s"maxRepeats: a repeat reaches cap=$cap tokens without diverging — " +
+            "raise cap (output would otherwise be silently truncated)")
+        emittedLevels += annC.select(col("gid"), col("doc"), col("pos"),
+          when(col("__ls") === cap, least(col("__minR"), lit(cap)))
+            .otherwise(col("__ls")).as("rep_len"))
+        // children: classes of >= 2 members at l*+1 (only where a true
+        // divergence exists below cap), and only members whose suffix
+        // EXTENDS past l* — a member ending exactly at l* (the doc-end
+        // E-form) has nothing below the node: a pure-E child class would
+        // re-emit the parent's string with a partial occurrence set (the
+        // duplicate the maxRepeats property test caught). The child id
+        // is element_at(ids, l*+1): already carried, no recomputation.
+        val kids = annC
+          .filter(col("__ls") < cap && col("len") - col("pos") > col("__ls"))
+          .withColumn("__idc",
+            element_at(col("ids"), col("__ls") - lit(minLen) + 2))
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gid"), col("__idc"))
+        g = cycle(kids
+          .withColumn("__n", count(lit(1)).over(wk))
+          .filter(col("__n") >= 2)
+          .select(md5(concat(col("__idc"), lit("#"),
+              (col("__ls") + 1).cast("string"))).as("gid"),
+            col("doc"), col("pos"), col("len"), col("ids")))
+        level += 1
       }
-      // resolved: divergence depth l* = lo; lo == cap means "never diverged
-      // below cap" — legitimate only when all members end together (same
-      // remaining length R <= cap: the repeat IS the common suffix)
-      val stats = g.groupBy(col("gid")).agg(
-        min(col("len") - col("pos")).as("__minR"),
-        max(col("len") - col("pos")).as("__maxR"))
-      val atCapOver = g.join(stats, Seq("gid"))
-        .filter(col("lo") === cap && col("__maxR") > cap).take(1)
-      require(atCapOver.isEmpty,
-        s"maxRepeats: a repeat reaches cap=$cap tokens without diverging — " +
-          "raise cap (output would otherwise be silently truncated)")
-      val emitted = g.join(stats, Seq("gid"))
-        .select(col("gid"), col("doc"), col("pos"), col("len"), col("rks"),
-          col("lo"),
-          when(col("lo") === cap, least(col("__minR"), lit(cap)))
-            .otherwise(col("lo")).as("rep_len"))
-      emittedLevels += emitted
-        .select(col("gid"), col("doc"), col("pos"), col("rep_len"))
-        .localCheckpoint()
-      // children: classes of >= 2 members at l*+1 (only where a true
-      // divergence exists below cap), and only members whose suffix
-      // EXTENDS past l* — a member ending exactly at l* (the doc-end
-      // E-form) has nothing below the node: a pure-E child class would
-      // re-emit the parent's string with a partial occurrence set (the
-      // duplicate the maxRepeats property test caught; classes are never
-      // E/normal-mixed because the id formats cannot collide)
-      val kids = withId(emitted.filter(col("lo") < cap &&
-        col("len") - col("pos") > col("lo")), col("lo") + 1, "__idc")
-      val bigEnough = kids.groupBy(col("gid"), col("__idc"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
-        .select(col("gid"), col("__idc"))
-      g = cycle(kids.join(bigEnough, Seq("gid", "__idc"), "left_semi")
-        .select(md5(concat(col("__idc"), lit("#"),
-            (col("lo") + 1).cast("string"))).as("gid"),
-          col("doc"), col("pos"), col("len"), col("rks"),
-          (col("lo") + 1).as("lo"), lit(cap + 1).as("hi")))
-      level += 1
     }
     val emitAll = emittedLevels.reduceOption(_ unionAll _)
       .getOrElse(g.select(col("gid"), col("doc"), col("pos"),
-        col("lo").as("rep_len")))
+        lit(0).as("rep_len")))
+
     (emitAll, toks, tk)
   }
 
