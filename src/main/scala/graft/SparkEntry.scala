@@ -163,6 +163,7 @@ object SparkEntry {
         .select(col("purchase_id"), col("view_id"))
     },
 
+
     // Per-window heavy hitters, batch twin (exact). The streaming form is
     // a bounded Misra–Gries counter set per open window (state ≤ m keys
     // at ANY key cardinality) — both regimes pinned in StreamingSpec.
@@ -1693,8 +1694,12 @@ object SparkEntry {
     "ann_mmr_ivf" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 8)
+      // nCells AND nProbe both derived (ceil(sqrt(N)) cells, probe half —
+      // VERDICT r14 #3): pinning nProbe=8 under a derived cell count is
+      // the measured recall-collapse mode (sf0.1: 45 cells, 8 probed →
+      // containment 1/8; half-probing restores the gated floors).
       val approx = Similarity.mmrRerankFrom(emb,
-        Similarity.ivfTopK(emb, qs, k = 32, nProbe = 8), k = 8)
+        Similarity.ivfTopK(emb, qs, k = 32), k = 8)
       val exact = Similarity.mmrRerank(emb, qs, candK = 32, k = 8)
       exact.select(col("query_id"), col("neighbor_id"))
         .join(broadcast(approx.select(col("query_id").as("q2"),
@@ -1735,15 +1740,22 @@ object SparkEntry {
       val src = e.filter(pmod(col("vec_id"), lit(2)) === 0)
       val tgt = e.filter(pmod(col("vec_id"), lit(2)) === 1)
       val exact = Similarity.bitextMargin(src, tgt, k = 4)
-      val approx = Similarity.bitextMarginIvf(src, tgt, k = 4,
-        nCells = 16, nProbe = 8)
+      // nCells is DERIVED (ceil(sqrt(N)) per direction — VERDICT r14 #3),
+      // not fixed: the containment gate below re-verifies recall under
+      // whatever cell count the sizing rule picks at each sf.
+      val approx = Similarity.bitextMarginIvf(src, tgt, k = 4)
       exact.select(col("src_id"), col("tgt_id"))
         .join(approx.select(col("src_id").as("__s2"),
           col("tgt_id").as("__t2")),
           col("src_id") === col("__s2") && col("tgt_id") === col("__t2"),
           "left")
         .agg(count(lit(1)).as("n_exact"),
-          sum(when(col("__s2").isNotNull, 1L).otherwise(0L)).as("__found"))
+          // coalesce: sum over ZERO rows is NULL (ADVICE r14) — on a
+          // degenerate fixture where the exact miner finds no pairs the
+          // flag must be vacuously true (0 >= 0), never NULL, to match
+          // the oracle's literal true.
+          coalesce(sum(when(col("__s2").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("__found"))
         .select(col("n_exact"),
           (col("__found") * 10L >= col("n_exact") * 6L).as("bitext_ok"))
     },
@@ -1930,16 +1942,17 @@ object SparkEntry {
     // drops below 0.4 turns the row red. The fixture embeddings are
     // uniform random — the adversarial case for any partitioning index
     // (neighbors-by-noise scatter across cells), so the defensible floor
-    // here is 0.4 at nProbe=8/16 (measured min on the fixture: exactly
-    // 0.40, mean 0.84). On data that actually clusters the same index
-    // reaches recall 1.0 at nProbe=2 — that floor is pinned in
-    // OperatorSpec's clustered-data test.
+    // here is 0.4 probing half the (derived, ceil-sqrt(N)) cells —
+    // the same probed-fraction the original fixed 8-of-16 setting had.
+    // On data that actually clusters the same index reaches recall 1.0
+    // at nProbe=2 of 4 — that floor is pinned in OperatorSpec's
+    // clustered-data test.
     "ann_ivf_recall" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 8)
       val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = Similarity.ivfTopK(emb, qs, k = 10, nProbe = 8)
+      val approx = Similarity.ivfTopK(emb, qs, k = 10)
         .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
       exact.join(approx,
           col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left_semi")
@@ -1980,18 +1993,20 @@ object SparkEntry {
     // floor vs the exact brute-force list (the ann_ivf_recall gating
     // convention — the oracle pins `true` for every query, so a recall
     // regression turns the gate red). The graph is built at internal
-    // k=20 and queried at 10 — the standard build-wider-than-you-query
+    // k=16 and queried at 10 — the standard build-wider-than-you-query
     // trick; this fixture is near-uniform random in 64 dims (the hardest
     // regime for descent: no neighborhood gradient), and the wider build
-    // holds per-query hits ≥ 7 at BOTH sf0.01 (measured 10/10 every
-    // query) and sf0.1 (min 7) where a k=10 build degraded to 2.
+    // holds per-query hits ≥ 7 at every sf (r15 sweep: min 8 at
+    // sf0.001, 9 at sf0.01, 7 at sf0.1 — the same margin the former
+    // k=20 build had at 36% more candidate fan-out; a k=10 build
+    // degraded to 2, and rounds=2 at k=20 landed ON the floor at 6).
     // Deterministic end-to-end, so the measured floor is stable.
     "ann_nndescent_recall" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 8)
       val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = Similarity.nnDescent(emb, k = 20, rounds = 3)
+      val approx = Similarity.nnDescent(emb, k = 16, rounds = 3)
         .filter(col("node_id") < 8 && col("rank") <= 10)
         .select(col("node_id").as("q2"), col("neighbor_id").as("n2"))
       exact.join(approx,
@@ -2854,6 +2869,35 @@ object SparkEntry {
             (f, i) => (round(f.cast("double") * 255) - i).cast("long").cast("string")), ",")
             .as("feature_bytes"))),
 
+    // REAL PNG decode through the full multimodal path (VERDICT r14 #5):
+    // deterministic grayscale gradients (pixel i = (31·doc_id + i) mod
+    // 256) are encoded to real PNGs by the JDK codec, written as binary
+    // files, read back through the binaryFile source, and decoded by
+    // decodePng — an actual DEFLATE inflate + PNG defilter in the
+    // documented mapPartitions seam. The gate pins the RECOVERED pixel
+    // bytes (full lowercase hex, not just a hash) against the oracle's
+    // replay of the generator formula: PNG is lossless, so any codec
+    // drift, raster transpose, or band mixup reds the row.
+    "mm_decode_png" -> { (s, dir) =>
+      val specs = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(8) + pmod(col("doc_id"), lit(8))).cast("int").as("width"),
+        (lit(8) + pmod(col("doc_id") * 3, lit(8))).cast("int").as("height"),
+        (col("doc_id") * 31).as("seed"))
+      val path = layoutPath("png_fixture")
+      Sources.writeBinaryFiles(Multimodal.encodePngGray(s, specs).toDF(),
+        "media_id", "png", path)
+      val media = Sources.readBinaryFiles(s, path).select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
+          .as("media_id"),
+        col("content").as("media"), lit("image/png").as("mime"),
+        col("length").as("n_bytes"))
+      Multimodal.decodePng(s, media).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          lower(hex(col("pixels"))).as("pixel_hex"))
+    },
+
     // ── wave 7: time series, layout, semi-structured, LM statistics ────
 
     // Left-outer interval join: purchases with no view in the preceding
@@ -3130,6 +3174,24 @@ object SparkEntry {
     // series.
     "ts_backtest_ar2" -> ((s, dir) =>
       TimeSeries.ar2Backtest(t(s, dir, "events"),
+        keyCol = "event_type", tsCol = "ts", bucketSec = 3600L,
+        alpha = 0.5, beta = 0.25, period = 24)),
+
+    // ARI(2,1): Yule-Walker AR(2) over FIRST DIFFERENCES, forecasts
+    // integrated back from the last observed level — the trending-AND-
+    // oscillating regime the level AR(2) chases with near-unit-root φ.
+    // mu is the mean difference (the drift); a pure-trend key degrades
+    // to naive-with-drift inside the rounded guard algebra.
+    "ts_ari2" -> ((s, dir) =>
+      TimeSeries.ari2(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L)),
+
+    // Five-way rolling-origin backtest: the four-way eval plus ARI(2,1)
+    // (tie-break ari2 > ar2 > seasonal_holt > holt > naive). The
+    // planted-key spec pins ARI(2) beating all four on a trend+cycle
+    // series.
+    "ts_backtest_ari2" -> ((s, dir) =>
+      TimeSeries.ari2Backtest(t(s, dir, "events"),
         keyCol = "event_type", tsCol = "ts", bucketSec = 3600L,
         alpha = 0.5, beta = 0.25, period = 24)),
 
@@ -5623,6 +5685,53 @@ object SparkEntry {
         |       END AS forecast_next
         |FROM d JOIN f ON f.event_type = d.event_type""".stripMargin,
 
+    // The ts_ar2 chain over FIRST DIFFERENCES, forecasts integrated
+    // back from the level: z = n - lag(n), mu over defined z only, the
+    // identical rounded-r Yule-Walker algebra, and the emitted forecast
+    // CAST(n AS DOUBLE) + mu + p1*d + p2*l1 — the same left-assoc IEEE
+    // tree the engine projects.
+    "ts_ari2" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |z AS (SELECT event_type, bucket, n,
+        |        CAST(n - lag(n, 1) OVER (PARTITION BY event_type
+        |                                 ORDER BY bucket) AS DOUBLE) AS z
+        |      FROM c),
+        |mu AS (SELECT event_type, round(avg(z), 6) AS mu
+        |       FROM z WHERE z IS NOT NULL GROUP BY event_type),
+        |d AS (SELECT z.event_type, bucket, n, mu,
+        |        z - mu AS d,
+        |        lag(z - mu, 1) OVER w AS l1,
+        |        lag(z - mu, 2) OVER w AS l2
+        |      FROM z JOIN mu ON mu.event_type = z.event_type
+        |      WINDOW w AS (PARTITION BY z.event_type ORDER BY bucket)),
+        |s AS (SELECT event_type, sum(d*d) AS den, sum(d*l1) AS n1,
+        |        sum(d*l2) AS n2
+        |      FROM d GROUP BY event_type),
+        |r AS (SELECT event_type,
+        |        CASE WHEN den > 0 THEN round(n1/den, 6) END AS r1,
+        |        CASE WHEN den > 0 THEN round(n2/den, 6) END AS r2
+        |      FROM s),
+        |f AS (SELECT event_type,
+        |        CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |               AND abs(1.0 - r1*r1) >= 1e-9
+        |             THEN r1 * (1.0 - r2) / (1.0 - r1*r1)
+        |             ELSE 0.0 END AS p1,
+        |        CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |               AND abs(1.0 - r1*r1) >= 1e-9
+        |             THEN (r2 - r1*r1) / (1.0 - r1*r1)
+        |             ELSE 0.0 END AS p2
+        |      FROM r)
+        |SELECT d.event_type, bucket, n,
+        |       round(p1, 6) + 0 AS phi1, round(p2, 6) + 0 AS phi2, mu,
+        |       CASE WHEN d IS NOT NULL AND l1 IS NOT NULL
+        |            THEN round(CAST(n AS DOUBLE) + mu + p1 * d + p2 * l1, 6)
+        |                 + 0
+        |       END AS forecast_next
+        |FROM d JOIN f ON f.event_type = d.event_type""".stripMargin,
+
     // The ts_holt recurrence replayed per (key, phase) stratum.
     "ts_holt_seasonal" ->
       """WITH RECURSIVE c AS (
@@ -5803,6 +5912,152 @@ object SparkEntry {
         |        FROM ev GROUP BY event_type)
         |SELECT event_type, n_evals, mae_holt, mae_naive, mae_sholt, mae_ar2,
         |       CASE WHEN mae_ar2 <= mae_sholt AND mae_ar2 <= mae_holt
+        |              AND mae_ar2 <= mae_naive THEN 'ar2'
+        |            WHEN mae_sholt <= mae_holt AND mae_sholt <= mae_naive
+        |              THEN 'seasonal_holt'
+        |            WHEN mae_holt <= mae_naive THEN 'holt'
+        |            ELSE 'naive' END AS winner
+        |FROM agg""".stripMargin,
+
+    // The four-way backtest extended with the differenced ARI(2,1)
+    // chain (ts_ari2's CTEs), evaluated at the same rn-1 alignment.
+    "ts_backtest_ari2" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, bucket, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |       FROM c),
+        |rec AS (
+        |  SELECT event_type, bucket, n, rn,
+        |         CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rk.event_type, rk.bucket, rk.n, rk.rn,
+        |         0.5 * rk.n + 0.5 * (rec.l + rec.b),
+        |         0.25 * ((0.5 * rk.n + 0.5 * (rec.l + rec.b)) - rec.l)
+        |           + 0.75 * rec.b
+        |  FROM rec JOIN rk ON rk.event_type = rec.event_type
+        |                  AND rk.rn = rec.rn + 1),
+        |rks AS (SELECT event_type, bucket % 24 AS phase, bucket, n,
+        |         row_number() OVER (PARTITION BY event_type, bucket % 24
+        |                            ORDER BY bucket) AS rn
+        |        FROM c),
+        |recs AS (
+        |  SELECT event_type, phase, bucket, n, rn,
+        |         CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM rks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rks.event_type, rks.phase, rks.bucket, rks.n, rks.rn,
+        |         0.5 * rks.n + 0.5 * (recs.l + recs.b),
+        |         0.25 * ((0.5 * rks.n + 0.5 * (recs.l + recs.b)) - recs.l)
+        |           + 0.75 * recs.b
+        |  FROM recs JOIN rks ON rks.event_type = recs.event_type
+        |                    AND rks.phase = recs.phase
+        |                    AND rks.rn = recs.rn + 1),
+        |mu AS (SELECT event_type, round(avg(CAST(n AS DOUBLE)), 6) AS mu
+        |       FROM c GROUP BY event_type),
+        |dd AS (SELECT c.event_type, bucket, n, mu,
+        |        CAST(n AS DOUBLE) - mu AS d,
+        |        lag(CAST(n AS DOUBLE) - mu, 1) OVER w AS l1,
+        |        lag(CAST(n AS DOUBLE) - mu, 2) OVER w AS l2
+        |      FROM c JOIN mu ON mu.event_type = c.event_type
+        |      WINDOW w AS (PARTITION BY c.event_type ORDER BY bucket)),
+        |ss AS (SELECT event_type, sum(d*d) AS den, sum(d*l1) AS n1,
+        |        sum(d*l2) AS n2
+        |      FROM dd GROUP BY event_type),
+        |rr2 AS (SELECT event_type,
+        |        CASE WHEN den > 0 THEN round(n1/den, 6) END AS r1,
+        |        CASE WHEN den > 0 THEN round(n2/den, 6) END AS r2
+        |      FROM ss),
+        |ph AS (SELECT event_type,
+        |        CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |               AND abs(1.0 - r1*r1) >= 1e-9
+        |             THEN r1 * (1.0 - r2) / (1.0 - r1*r1)
+        |             ELSE 0.0 END AS p1,
+        |        CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |               AND abs(1.0 - r1*r1) >= 1e-9
+        |             THEN (r2 - r1*r1) / (1.0 - r1*r1)
+        |             ELSE 0.0 END AS p2
+        |      FROM rr2),
+        |fa AS (SELECT dd.event_type, bucket,
+        |        CASE WHEN l1 IS NOT NULL
+        |             THEN round(mu + p1 * d + p2 * l1, 6) + 0
+        |        END AS f
+        |       FROM dd JOIN ph ON ph.event_type = dd.event_type),
+        |far AS (SELECT fa.event_type, rk.rn, fa.f
+        |        FROM fa JOIN rk ON rk.event_type = fa.event_type
+        |                       AND rk.bucket = fa.bucket),
+        |zz AS (SELECT event_type, bucket, n,
+        |        CAST(n - lag(n, 1) OVER (PARTITION BY event_type
+        |                                 ORDER BY bucket) AS DOUBLE) AS z
+        |      FROM c),
+        |mui AS (SELECT event_type, round(avg(z), 6) AS mu
+        |        FROM zz WHERE z IS NOT NULL GROUP BY event_type),
+        |ddi AS (SELECT zz.event_type, bucket, n, mu,
+        |         z - mu AS d,
+        |         lag(z - mu, 1) OVER wi AS l1,
+        |         lag(z - mu, 2) OVER wi AS l2
+        |       FROM zz JOIN mui ON mui.event_type = zz.event_type
+        |       WINDOW wi AS (PARTITION BY zz.event_type ORDER BY bucket)),
+        |ssi AS (SELECT event_type, sum(d*d) AS den, sum(d*l1) AS n1,
+        |         sum(d*l2) AS n2
+        |       FROM ddi GROUP BY event_type),
+        |rri AS (SELECT event_type,
+        |         CASE WHEN den > 0 THEN round(n1/den, 6) END AS r1,
+        |         CASE WHEN den > 0 THEN round(n2/den, 6) END AS r2
+        |       FROM ssi),
+        |phi AS (SELECT event_type,
+        |         CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |                AND abs(1.0 - r1*r1) >= 1e-9
+        |              THEN r1 * (1.0 - r2) / (1.0 - r1*r1)
+        |              ELSE 0.0 END AS p1,
+        |         CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |                AND abs(1.0 - r1*r1) >= 1e-9
+        |              THEN (r2 - r1*r1) / (1.0 - r1*r1)
+        |              ELSE 0.0 END AS p2
+        |       FROM rri),
+        |fi AS (SELECT ddi.event_type, bucket,
+        |         CASE WHEN d IS NOT NULL AND l1 IS NOT NULL
+        |              THEN round(CAST(n AS DOUBLE) + mu + p1 * d + p2 * l1,
+        |                         6) + 0
+        |         END AS f
+        |        FROM ddi JOIN phi ON phi.event_type = ddi.event_type),
+        |fir AS (SELECT fi.event_type, rk.rn, fi.f
+        |        FROM fi JOIN rk ON rk.event_type = fi.event_type
+        |                       AND rk.bucket = fi.bucket),
+        |fc AS (SELECT event_type, rn, round(l + b, 6) + 0 AS f FROM rec),
+        |fs AS (SELECT event_type, phase, rn, round(l + b, 6) + 0 AS f
+        |       FROM recs),
+        |ev AS (SELECT rk.event_type, rk.n, fc.f AS fh, p.n AS fn,
+        |         f2.f AS fsv, f3.f AS fav, f4.f AS fiv
+        |       FROM rk
+        |       JOIN fc ON fc.event_type = rk.event_type AND fc.rn = rk.rn - 1
+        |       JOIN rk p ON p.event_type = rk.event_type AND p.rn = rk.rn - 24
+        |       JOIN rks rr ON rr.event_type = rk.event_type
+        |                  AND rr.bucket = rk.bucket
+        |       JOIN fs f2 ON f2.event_type = rr.event_type
+        |                 AND f2.phase = rr.phase AND f2.rn = rr.rn - 1
+        |       JOIN far f3 ON f3.event_type = rk.event_type
+        |                  AND f3.rn = rk.rn - 1
+        |       JOIN fir f4 ON f4.event_type = rk.event_type
+        |                  AND f4.rn = rk.rn - 1
+        |       WHERE f3.f IS NOT NULL AND f4.f IS NOT NULL),
+        |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+        |          round(sum(abs(n - fh)) / count(*), 6) AS mae_holt,
+        |          round(CAST(sum(abs(n - fn)) AS BIGINT) / count(*), 6)
+        |            AS mae_naive,
+        |          round(sum(abs(n - fsv)) / count(*), 6) AS mae_sholt,
+        |          round(sum(abs(n - fav)) / count(*), 6) AS mae_ar2,
+        |          round(sum(abs(n - fiv)) / count(*), 6) AS mae_ari2
+        |        FROM ev GROUP BY event_type)
+        |SELECT event_type, n_evals, mae_holt, mae_naive, mae_sholt, mae_ar2,
+        |       mae_ari2,
+        |       CASE WHEN mae_ari2 <= mae_ar2 AND mae_ari2 <= mae_sholt
+        |              AND mae_ari2 <= mae_holt AND mae_ari2 <= mae_naive
+        |              THEN 'ari2'
+        |            WHEN mae_ar2 <= mae_sholt AND mae_ar2 <= mae_holt
         |              AND mae_ar2 <= mae_naive THEN 'ar2'
         |            WHEN mae_sholt <= mae_holt AND mae_sholt <= mae_naive
         |              THEN 'seasonal_holt'
@@ -8084,6 +8339,7 @@ object SparkEntry {
         | AND v.ts >= p.ts - INTERVAL 600 SECOND AND v.ts <= p.ts
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin,
 
+
     "rel_approx_quantile" ->
       """SELECT o_orderpriority, median(o_totalprice) AS exact_med,
         |       true AS approx_within_5pct
@@ -10045,5 +10301,20 @@ object SparkEntry {
         |         i -> ascii(substr(text, CAST(i % strlen(text) AS INT) + 1, 1))), ',') AS feature_bytes
         |FROM documents
         |WHERE strlen(text) = length(text) AND strlen(text) > 0""".stripMargin,
+
+    // The PNG generator formula replayed byte-for-byte: the engine's
+    // pixel_hex is the DECODED raster, so equality here proves the real
+    // codec round-trip (encode → file → binaryFile source → inflate →
+    // defilter) recovered every pixel of every image exactly.
+    "mm_decode_png" ->
+      """WITH s AS (SELECT doc_id AS media_id,
+        |             CAST(8 + doc_id % 8 AS BIGINT) AS width,
+        |             CAST(8 + (doc_id * 3) % 8 AS BIGINT) AS height,
+        |             doc_id * 31 AS seed
+        |           FROM documents)
+        |SELECT media_id, width, height,
+        |       array_to_string(list_transform(range(0, width * height),
+        |         i -> format('{:02x}', (seed + i) % 256)), '') AS pixel_hex
+        |FROM s""".stripMargin,
   )
 }

@@ -13,15 +13,26 @@ case class MediaRecord(media_id: Long, media: Array[Byte], mime: String, n_bytes
 case class MediaFeatures(media_id: Long, width: Int, height: Int,
     n_frames: Int, feature: Array[Float])
 
+/** One encoded PNG payload (the fixture half of the real-codec path). */
+case class EncodedPng(media_id: Long, png: Array[Byte])
+
+/** Output of the REAL image decode: true dimensions + the raw band-0
+  * sample bytes in row-major order. */
+case class DecodedImage(media_id: Long, width: Int, height: Int,
+    pixels: Array[Byte])
+
 /** Multimodal-column operators: treat image/audio/video as opaque `binary`
   * columns with typed metadata, and run decode / feature-extract /
   * frame-sample as partition-batched functions.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * environment): `decodeStub` produces deterministic fake dimensions and
-  * features from the bytes. Everything around it — binary schema, batch
-  * iteration shape (`mapPartitions`, the Scala analog of `mapInPandas`
-  * batches), partitioning, metadata projection — is real and tested.
+  * The generic decode step is STUBBED (no external image/audio codecs in
+  * this environment): `decodeStub` produces deterministic fake dimensions
+  * and features from the bytes. Everything around it — binary schema,
+  * batch iteration shape (`mapPartitions`, the Scala analog of
+  * `mapInPandas` batches), partitioning, metadata projection — is real
+  * and tested. For PNG the swap-in is DONE: [[decodePng]] runs the JDK's
+  * real `javax.imageio` codec in the identical batch seam, demonstrating
+  * the stub discipline's drop-in claim end to end.
   */
 object Multimodal {
 
@@ -160,6 +171,72 @@ object Multimodal {
             (b.toFloat + i) / 255f
           }
           MediaFeatures(rec.media_id, w, h, frames, feat)
+        }
+      }
+  }
+
+  /** REAL PNG decode at the [[decodeStub]] seam (VERDICT r14 #5 — the
+    * swap-in the stub discipline promised): `javax.imageio` ships in the
+    * JDK (headless-safe for `BufferedImage` work, no external codec
+    * needed), so the decode step here is an actual DEFLATE inflate +
+    * PNG defilter, not a stand-in. Identical batch shape to the stub —
+    * one `mapPartitions` pass, binary in / typed row out — so the two
+    * are drop-in interchangeable at every call site.
+    *
+    * Output pixels are the raster's BAND-0 samples in row-major order
+    * (for the grayscale fixtures this IS the image, byte-exact; for an
+    * RGB input it is the red channel — documented, deterministic). Raw
+    * raster access, never `drawImage`: a graphics blit may apply
+    * colorspace conversion, which would make the recovered bytes
+    * renderer-dependent. A payload ImageIO cannot decode raises loudly
+    * (null from `read`) rather than emitting a fake row. */
+  def decodePng(spark: SparkSession, media: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("media"), col("mime"), col("n_bytes"))
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        batch.map { rec =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.media))
+          require(img != null,
+            s"media_id ${rec.media_id}: payload is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          val samples = img.getRaster.getSamples(0, 0, w, h, 0,
+            new Array[Int](w * h))
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) { px(i) = samples(i).toByte; i += 1 }
+          DecodedImage(rec.media_id, w, h, px)
+        }
+      }
+  }
+
+  /** Fixture half of the real-codec path: encode a deterministic 8-bit
+    * grayscale gradient (pixel i = (seed + i) mod 256, row-major) as a
+    * real PNG via the same JDK codec. The PNG BYTES are not pinned by
+    * any gate (an encoder is free to pick filters/compression levels);
+    * the gate pins what [[decodePng]] RECOVERS, which is codec-version
+    * independent because PNG is lossless. specs: (media_id, width,
+    * height, seed). */
+  def encodePngGray(spark: SparkSession, specs: DataFrame): Dataset[EncodedPng] = {
+    import spark.implicits._
+    specs.select(col("media_id").cast("long"), col("width").cast("int"),
+        col("height").cast("int"), col("seed").cast("long"))
+      .as[(Long, Int, Int, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (id, w, h, seed) =>
+          require(w >= 1 && h >= 1 && w * h <= (1 << 24),
+            s"media_id $id: bad dims ${w}x$h")
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) { px(i) = ((seed + i) % 256).toByte; i += 1 }
+          img.getRaster.setDataElements(0, 0, w, h, px)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          EncodedPng(id, bos.toByteArray)
         }
       }
   }

@@ -28,6 +28,43 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[Sco
   override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
 }
 
+/** [[TopKAggregator]] with id-dedupe folded INTO the k-bounded buffer,
+  * for candidate streams where the same id can arrive more than once but
+  * every arrival carries a BIT-IDENTICAL score (deterministic cosine of
+  * the same two vectors — nnDescent's re-scored existing edges and
+  * repeated hash-draws). Under that precondition, first-wins dedupe
+  * inside the buffer equals the `groupBy(id).max` + top-k composition
+  * exactly, which retires the dedicated dedupe exchange nnDescent paid
+  * before every top-k re-aggregation (one corpus-candidate-sized shuffle
+  * per descent round). Buffer stays ≤ k; the contains probe is O(k) per
+  * insert with k ≤ ~32 everywhere this is used. */
+class TopKDistinctAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+  private def better(a: ScoredId, b: ScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+  override def zero: Seq[ScoredId] = Vector.empty
+  override def reduce(buf: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = {
+    // capacity-reject FIRST (O(1)): once the buffer is full most
+    // candidates lose to buf.last; an in-buffer id can never lose to
+    // buf.last (it IS last or better), so this never wrongly skips the
+    // dedupe path. Then the O(k) id scan, then a sorted-position insert
+    // (buf is maintained sorted) instead of a full re-sort.
+    if (buf.size >= k && better(buf.last, a)) buf
+    else if (buf.exists(_.id == a.id)) buf
+    else {
+      val at = buf.indexWhere(e => better(a, e))
+      val ins = if (at < 0) buf :+ a else buf.patch(at, Seq(a), 0)
+      if (ins.size > k) ins.init else ins
+    }
+  }
+  override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] = {
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    (b1 ++ b2).sortWith(better).filter(e => seen.add(e.id)).take(k)
+  }
+  override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r.sortWith(better)
+  override def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
+}
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Math is done with higher-order functions on `array<double>` (exact
@@ -281,7 +318,7 @@ object Similarity {
     * retrievals miss cannot be mined; recall is tuned by nProbe (the
     * gated query measures containment vs the exact miner). */
   def bitextMarginIvf(src: DataFrame, tgt: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 0): DataFrame = {
     require(k >= 1, "k >= 1")
     val fwd = ivfTopK(tgt, src, k, nCells, nProbe)
       .select(col("query_id").as("src_id"),
@@ -382,12 +419,41 @@ object Similarity {
     * Assignment and probing shuffle only on the cell id (equi-join), the
     * same scale shape as the LSH variant; recall is tuned by nProbe. */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 2, sampleN: Int = 256,
+      nCells: Int = 0, nProbe: Int = 0, sampleN: Int = 256,
       iters: Int = 5): DataFrame = {
+    // nCells <= 0 (the default) derives the cell count from the corpus:
+    // ceil(sqrt(N)) — the standard IVF sizing that keeps per-cell
+    // occupancy ~sqrt(N) so neither the routing scan (queries × nCells
+    // dot products) nor the probed-cell scan (nProbe × N/nCells) grows
+    // linearly in N (SCALE.md "bitext IVF" row; VERDICT r14 #3). Clamped
+    // to the training sample size — past sampleN cells the driver-side
+    // k-means has fewer points than centroids; raise sampleN alongside
+    // at real scale (it stays a fixed-size bounded collect either way).
+    // The count is one columnar metadata-backed job over the candidate
+    // frame, paid once per build — the same order as the sample collect.
+    val nCellsEff =
+      if (nCells > 0) nCells
+      else {
+        val n = candidates.count()
+        math.max(2, math.min(sampleN.toLong,
+          math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      }
+    // nProbe <= 0 (the default) derives the probe count as HALF the
+    // cells. nProbe is the recall knob and its right value is a
+    // FRACTION of nCells, not an absolute (probing 8 of 16 cells and 8
+    // of 45 cells are different algorithms): when the sizing rule grows
+    // nCells with the corpus, a fixed nProbe silently collapses recall —
+    // measured on the near-uniform random fixture: derived cells with
+    // nProbe pinned at 8 took min recall@10 from 0.7 to 0.1 at sf0.1.
+    // Half-the-cells reproduces the gated fixtures' measured floors at
+    // every sf; clustered real corpora tune it DOWN (the planted-cluster
+    // spec holds recall 1.0 at nProbe = 2 of 4).
+    val nProbeEff =
+      if (nProbe > 0) nProbe else math.max(2, (nCellsEff + 1) / 2)
     val sample = candidates.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.length >= nCells, s"need >= $nCells sample vectors")
+    require(sample.length >= nCellsEff, s"need >= $nCellsEff sample vectors")
     val dim = sample.head.length
     // Lloyd's k-means on the sample, deterministic (fixed seed + fixed
     // sample order). Init = k-means++ D²-sampling: first-nCells init
@@ -401,9 +467,9 @@ object Similarity {
     }
     var centroids = {
       val rnd = new scala.util.Random(17)
-      val chosen = Array.fill(nCells)(0)
+      val chosen = Array.fill(nCellsEff)(0)
       val minD = Array.fill(sample.length)(Double.MaxValue)
-      for (c <- 1 until nCells) {
+      for (c <- 1 until nCellsEff) {
         var i = 0
         while (i < sample.length) {
           val d = d2(sample(i), sample(chosen(c - 1)))
@@ -428,12 +494,12 @@ object Similarity {
       chosen.map(i => sample(i).clone())
     }
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nCells)(new Array[Double](dim))
-      val counts = new Array[Int](nCells)
+      val sums = Array.fill(nCellsEff)(new Array[Double](dim))
+      val counts = new Array[Int](nCellsEff)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < nCells) {
+        while (c < nCellsEff) {
           var d = 0.0; var i = 0
           while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
@@ -465,7 +531,7 @@ object Similarity {
       col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("query_emb"))
       .withColumn("cell",
-        explode(graft.functions.vectornative.probe_centroids(col("query_emb"), cSeq, nProbe)))
+        explode(graft.functions.vectornative.probe_centroids(col("query_emb"), cSeq, nProbeEff)))
     cand
       .join(qry, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -604,8 +670,11 @@ object Similarity {
     *    neighbor-of-neighbor fan-out ≤ 4k² per node. Candidate scoring
     *    attaches vectors via two keyed joins against the persisted
     *    embedding frame; the merge with the current graph dedupes on
-    *    (node, cand) — a re-scored existing edge's cosine is
-    *    bit-identical, max() collapses it — then re-top-ks k-bounded.
+    *    (node, cand) INSIDE the k-bounded aggregator
+    *    ([[TopKDistinctAggregator]] — a re-scored existing edge's cosine
+    *    is bit-identical, so first-wins dedupe in the buffer equals the
+    *    former max()-collapse pre-pass while retiring its dedicated
+    *    exchange every round).
     *  - The per-round graph is localCheckpoint'ed (the bpeLoop
     *    discipline), keeping the logical plan linear in rounds.
     *
@@ -617,7 +686,12 @@ object Similarity {
   def nnDescent(vectors: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 5, "rounds in [1,5] (jobs grow per round)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val topk = udaf(new TopKAggregator(k))
+    // Dedupe-aware top-k (r15 perf pass): candidate streams here repeat
+    // ids only with bit-identical scores (same deterministic cosine), so
+    // folding the dedupe into the k-bounded buffer replaces the former
+    // groupBy(node, cand).max pre-pass — one candidate-sized exchange
+    // per round (plus one at init) retired with identical output.
+    val topk = udaf(new TopKDistinctAggregator(k))
     val emb = vectors.select(col("vec_id").cast("long").as("node"),
       col("embedding").cast("array<double>").as("v")).persist(lvl)
     // aggregated graph shape: (node, top: array<struct<id,score>>), k-bounded
@@ -644,15 +718,28 @@ object Similarity {
         .join(byRank, Seq("__tr"))
         .filter(col("node") =!= col("cand"))
         .select(col("node"), col("cand"), cosine(col("v"), col("cv")).as("sim"))
-        .filter(col("sim").isNotNull)
-        .groupBy(col("node"), col("cand")).agg(max(col("sim")).as("sim")))
+        .filter(col("sim").isNotNull))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       val cur = edges(knn)
       val rev = edges(topkAgg(
         cur.select(col("cand").as("node"), col("node").as("cand"), col("sim"))))
+      // persisted: und feeds BOTH sides of the neighbor-of-neighbor
+      // self-join below — unpersisted, each side would recompute the
+      // reverse-cap aggregation (its own exchange) from the checkpoint
+      // (r15 perf pass; the frame is the already-k-bounded edge list,
+      // N·2k rows, so caching it is strictly cheaper than re-aggregating)
       val und = cur.select(col("node"), col("cand"))
-        .unionAll(rev.select(col("node"), col("cand")))
+        .unionAll(rev.select(col("node"), col("cand"))).persist(lvl)
+      // distinct() is KEPT deliberately (r15, measured): retiring it in
+      // favor of aggregator-side dedupe alone read 2.8 s faster at sf0.1
+      // (pure exchange overhead at fixture scale) but the candidate
+      // stream's duplicate multiplicity is 3.05 even on this near-uniform
+      // fixture (DupProbe; shared-mid pairs) and worse on clustered data
+      // — without the dedupe every downstream exchange and cosine pays
+      // that factor at 100 TB. Map-side partial aggregation already
+      // dedupes before this shuffle, so its scale cost is one exchange
+      // of the already-deduped pairs.
       val cands = und.select(col("node").as("src"), col("cand").as("mid"))
         .join(und.select(col("node").as("mid"), col("cand")), Seq("mid"))
         .select(col("src").as("node"), col("cand"))
@@ -663,10 +750,8 @@ object Similarity {
         .join(emb.select(col("node").as("cand"), col("v").as("cv")), Seq("cand"))
         .select(col("node"), col("cand"), cosine(col("v"), col("cv")).as("sim"))
         .filter(col("sim").isNotNull)
-      knn = topkAgg(
-          cur.unionAll(scored)
-            .groupBy(col("node"), col("cand")).agg(max(col("sim")).as("sim")))
-        .localCheckpoint()
+      knn = topkAgg(cur.unionAll(scored)).localCheckpoint()
+      und.unpersist(blocking = false)
     }
     knn.select(col("node").as("node_id"), posexplode(col("top")))
       .select(col("node_id"), col("col.id").as("neighbor_id"),

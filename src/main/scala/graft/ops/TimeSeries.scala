@@ -790,6 +790,58 @@ object TimeSeries {
         (round(col("__mu") + col("__g"), 6) + lit(0.0)).as("forecast"))
   }
 
+  /** ARI(2,1) — [[ar2]] composed with FIRST DIFFERENCING (d = 1
+    * integration): the Yule-Walker AR(2) is fit to z_t = n_t − n_{t−1}
+    * instead of the levels, and the one-step forecast integrates back
+    * from the last observed level, ŷ_{t+1} = n_t + ẑ_{t+1}. This is the
+    * regime a trending AND oscillating key needs: differencing removes
+    * the trend (a unit root the level AR(2) would chase with φ near the
+    * stationarity boundary), the AR(2) models the residual oscillation, and a
+    * pure-linear-trend key degrades gracefully — constant differences
+    * give Σd² = 0, the [[ar2Phi]] guard zeroes φ, and the forecast
+    * becomes the drift extrapolation n_t + μz (naive-with-drift), both
+    * engines taking the branch on the same rounded inputs.
+    *
+    * Determinism: μz (mean difference), r₁, r₂ round at 6 exactly as in
+    * [[ar2]]; the integration adds one exact int→double cast and one
+    * addition to the fixed IEEE forecast tree. Keys with a single
+    * observed bucket have no difference at all and emit nothing (the
+    * [[ar2Forecast]] convention); the first bucket of each surviving
+    * key carries null lags and a null forecast.
+    *
+    * Scale shape: identical to [[ar2]] — the collapse is the only
+    * corpus-sized stage; differencing is one more window lag on the
+    * (key, bucket) frame, the model attach a broadcast of one row per
+    * key. Returns (key, bucket, n, phi1, phi2, mu, forecast_next) with
+    * mu = the mean DIFFERENCE (the drift) and forecast_next the
+    * integrated level forecast for the next observed position. */
+  def ari2(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long): DataFrame = {
+    val c = collapse(df, keyCol, tsCol, bucketSec)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val z = c.withColumn("__z",
+      (col("n") - lag(col("n"), 1).over(byKey)).cast("double"))
+    val m = z.filter(col("__z").isNotNull).groupBy(col(keyCol))
+      .agg(round(avg(col("__z")), 6).as("__mu"))
+    val d = z.join(broadcast(m), Seq(keyCol))
+      .select(col(keyCol), col("bucket"), col("n"), col("__mu"),
+        (col("__z") - col("__mu")).as("__d"))
+    val lagged = d
+      .withColumn("__l1", lag(col("__d"), 1).over(byKey))
+      .withColumn("__l2", lag(col("__d"), 2).over(byKey))
+    val phi = ar2Phi(lagged, keyCol)
+    lagged.join(broadcast(phi), Seq(keyCol))
+      .select(col(keyCol), col("bucket"), col("n"),
+        (round(col("__p1"), 6) + lit(0.0)).as("phi1"),
+        (round(col("__p2"), 6) + lit(0.0)).as("phi2"),
+        col("__mu").as("mu"),
+        when(col("__d").isNotNull && col("__l1").isNotNull,
+          round(col("n").cast("double") + col("__mu") +
+            col("__p1") * col("__d") + col("__p2") * col("__l1"), 6)
+            + lit(0.0))
+          .as("forecast_next"))
+  }
+
   /** [[seasonalBacktest]] extended with the [[ar2]] model — the
     * four-way rolling-origin eval (Holt, seasonal-naive, per-phase
     * seasonal Holt, Yule-Walker AR(2)) that completes the classical
@@ -839,6 +891,71 @@ object TimeSeries {
         when(col("mae_ar2") <= col("mae_sholt") &&
           col("mae_ar2") <= col("mae_holt") &&
           col("mae_ar2") <= col("mae_naive"), lit("ar2"))
+          .when(col("mae_sholt") <= col("mae_holt") &&
+            col("mae_sholt") <= col("mae_naive"), lit("seasonal_holt"))
+          .when(col("mae_holt") <= col("mae_naive"), lit("holt"))
+          .otherwise(lit("naive")))
+  }
+
+  /** [[ar2Backtest]] extended with the [[ari2]] model — the five-way
+    * rolling-origin eval (Holt, seasonal-naive, per-phase seasonal
+    * Holt, level AR(2), differenced ARI(2,1)) that completes the
+    * classical bake-off with the integrated model: ARI(2) is built to
+    * win keys that trend AND oscillate, where the level AR(2) chases
+    * the unit root and Holt misses the cycle. Rows are evaluable where
+    * ALL FIVE forecasts exist; winner tie-breaks ari2 > ar2 >
+    * seasonal_holt > holt > naive (prefer the richer dynamics only
+    * when not worse — the established convention one model deeper).
+    *
+    * Scale shape: all five models ride the same (key, bucket, n)
+    * collapse; ARI(2) adds three window lags (one difference + two
+    * deviation lags) and one keyed aggregate — nothing corpus-sized
+    * beyond the shared collapse. Returns (key, n_evals, mae_holt,
+    * mae_naive, mae_sholt, mae_ar2, mae_ari2, winner). */
+  def ari2Backtest(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, alpha: Double, beta: Double,
+      period: Int = 24): DataFrame = {
+    val h = holt(df, keyCol, tsCol, bucketSec, alpha, beta)
+    val hs = holtSeasonal(df, keyCol, tsCol, bucketSec, alpha, beta, period)
+    val ar = ar2(df, keyCol, tsCol, bucketSec)
+    val ari = ari2(df, keyCol, tsCol, bucketSec)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val byPhase = Window.partitionBy(col(keyCol), col("phase"))
+      .orderBy(col("bucket"))
+    val a = h.select(col(keyCol), col("bucket"), col("n"),
+      lag(col("forecast_next"), 1).over(byKey).as("__fh"),
+      lag(col("n"), period).over(byKey).as("__fn"))
+    val b = hs.select(col(keyCol), col("bucket"),
+      lag(col("forecast_next"), 1).over(byPhase).as("__fs"))
+    val r = ar.select(col(keyCol), col("bucket"),
+      lag(col("forecast_next"), 1).over(byKey).as("__fa"))
+    val ri = ari.select(col(keyCol), col("bucket"),
+      lag(col("forecast_next"), 1).over(byKey).as("__fi"))
+    val ev = a.join(b, Seq(keyCol, "bucket")).join(r, Seq(keyCol, "bucket"))
+      .join(ri, Seq(keyCol, "bucket"))
+      .filter(col("__fh").isNotNull && col("__fn").isNotNull &&
+        col("__fs").isNotNull && col("__fa").isNotNull &&
+        col("__fi").isNotNull)
+    ev.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_evals"),
+        round(sum(abs(col("n").cast("double") - col("__fh"))) /
+          count(lit(1)), 6).as("mae_holt"),
+        round(sum(abs(col("n") - col("__fn"))).cast("double") /
+          count(lit(1)), 6).as("mae_naive"),
+        round(sum(abs(col("n").cast("double") - col("__fs"))) /
+          count(lit(1)), 6).as("mae_sholt"),
+        round(sum(abs(col("n").cast("double") - col("__fa"))) /
+          count(lit(1)), 6).as("mae_ar2"),
+        round(sum(abs(col("n").cast("double") - col("__fi"))) /
+          count(lit(1)), 6).as("mae_ari2"))
+      .withColumn("winner",
+        when(col("mae_ari2") <= col("mae_ar2") &&
+          col("mae_ari2") <= col("mae_sholt") &&
+          col("mae_ari2") <= col("mae_holt") &&
+          col("mae_ari2") <= col("mae_naive"), lit("ari2"))
+          .when(col("mae_ar2") <= col("mae_sholt") &&
+            col("mae_ar2") <= col("mae_holt") &&
+            col("mae_ar2") <= col("mae_naive"), lit("ar2"))
           .when(col("mae_sholt") <= col("mae_holt") &&
             col("mae_sholt") <= col("mae_naive"), lit("seasonal_holt"))
           .when(col("mae_holt") <= col("mae_naive"), lit("holt"))

@@ -260,10 +260,12 @@ object ScaleProbe {
       graft.ops.TextAnalysis.chrF(docB(), adjPairs(docB(), 5L)).count())
     // MMR over IVF: the routed retrieval replaces the brute-force scan;
     // training sample and re-rank frames are fixed-size at any corpus.
+    // nCells/nProbe derived (ceil-sqrt(N) cells, probe half — the gated
+    // default), so this row measures the adaptive sizing's scale curve.
     def mmrIvf(emb: DataFrame): Long = {
       val q = emb.filter(col("vec_id") % 251 === 0).limit(8)
       graft.ops.Similarity.mmrRerankFrom(emb,
-        graft.ops.Similarity.ivfTopK(emb, q, k = 32, nProbe = 8), k = 8)
+        graft.ops.Similarity.ivfTopK(emb, q, k = 32), k = 8)
         .count()
     }
     report("MMR over IVF (8 queries)")(mmrIvf(embS()))(mmrIvf(embB()))
@@ -362,8 +364,7 @@ object ScaleProbe {
     def bitextIvf(emb: DataFrame): Long =
       graft.ops.Similarity.bitextMarginIvf(
         emb.filter(col("vec_id") % 2 === 0),
-        emb.filter(col("vec_id") % 2 === 1), k = 4, nCells = 16,
-        nProbe = 8).count()
+        emb.filter(col("vec_id") % 2 === 1), k = 4).count()
     report("bitext IVF (sym corpus)")(bitextIvf(embS()))(bitextIvf(embB()))
     // Append-close batch twin: one keyed window aggregate + a broadcast
     // 1-row max — the closure filter adds nothing data-sized.

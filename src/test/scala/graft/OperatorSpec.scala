@@ -1494,6 +1494,38 @@ class OperatorSpec extends SparkSuite {
     assert(feats.map(_.feature.toSeq).toSet == again.map(_.feature.toSeq).toSet)
   }
 
+  test("real PNG codec: encode → decode recovers every pixel byte-exactly") {
+    // Three gradient images incl. a full 0..255 byte sweep (16x16) — the
+    // REAL javax.imageio round trip must be lossless and row-major, and
+    // must reject a non-image payload loudly rather than fake a row.
+    val specs = Seq((1L, 16, 16, 0L), (2L, 13, 9, 155L), (3L, 1, 1, 7L))
+      .toDF("media_id", "width", "height", "seed")
+    val pngs = Multimodal.encodePngGray(spark, specs).collect()
+    assert(pngs.length == 3)
+    // PNG magic: every payload is a real PNG stream, not a passthrough
+    assert(pngs.forall(p => (p.png(0) & 0xff) == 0x89 &&
+      p.png(1) == 'P' && p.png(2) == 'N' && p.png(3) == 'G'))
+    val media = Multimodal.encodePngGray(spark, specs).toDF()
+      .select($"media_id", $"png".as("media"), lit("image/png").as("mime"),
+        octet_length($"png").cast("long").as("n_bytes"))
+    val dec = Multimodal.decodePng(spark, media).collect()
+      .map(d => d.media_id -> d).toMap
+    for ((id, w, h, seed) <- Seq((1L, 16, 16, 0L), (2L, 13, 9, 155L), (3L, 1, 1, 7L))) {
+      val d = dec(id)
+      assert(d.width == w && d.height == h, s"dims $id: ${d.width}x${d.height}")
+      val expect = Array.tabulate(w * h)(i => ((seed + i) % 256).toByte)
+      assert(d.pixels.toSeq == expect.toSeq, s"pixels differ for media $id")
+    }
+    val junk = Seq((9L, "not a png".getBytes("UTF-8")))
+      .toDF("media_id", "media")
+      .select($"media_id", $"media", lit("text/plain").as("mime"),
+        octet_length($"media").cast("long").as("n_bytes"))
+    val err = intercept[Exception] {
+      Multimodal.decodePng(spark, junk).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("plan: partition-pruned read touches only the selected directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -3544,6 +3576,79 @@ class OperatorSpec extends SparkSuite {
     val early = gs.take(5).map(math.abs).max
     val late = gs.drop(h - 5).map(math.abs).max
     assert(late < early, s"damping envelope: late $late >= early $early")
+  }
+
+  test("ari2: differenced AR(2) wins the five-way backtest on a trend+cycle key; linear key is exact") {
+    // key "tc": drift +1 per bucket PLUS the period-5 harmonic
+    // (n_t = t + pat(t%5)) — the level AR(2) chases the unit root, holt
+    // misses the cycle, naive-24 pays the 24-bucket drift; differencing
+    // removes the trend and leaves an exactly periodic difference series
+    // ARI(2) models in closed form. key "lin": n_t = 5 + 2t — constant
+    // differences trip the Σd² = 0 guard (φ = 0) and the integrated
+    // forecast n_t + μz is EXACT (mae_ari2 = 0, the naive-with-drift
+    // degeneration). key "solo": a single bucket emits nothing.
+    val pat = Seq(10, 6, 2, 2, 6)
+    val rows = ((0 until 96).flatMap { hr =>
+      Seq.fill(hr + pat(hr % 5))(("tc", hr)) ++
+        Seq.fill(5 + 2 * hr)(("lin", hr))
+    } ++ Seq(("solo", 3))).map { case (k, hr) =>
+      (k, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:45:00Z")
+          .plusSeconds(3600L * hr)))
+    }.toDF("event_type", "ts")
+    val model = graft.ops.TimeSeries.ari2(rows, "event_type", "ts", 3600L)
+      .as[(String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect()
+    assert(!model.exists(_._1 == "solo"), "single-bucket key emits nothing")
+    val lin = model.filter(_._1 == "lin").sortBy(_._2)
+    assert(lin.forall(r => r._4 == 0.0 && r._5 == 0.0),
+      s"constant differences take the degenerate guard: ${lin.take(3).toSeq}")
+    assert(lin.forall(_._6 == 2.0), "drift mu is the constant step")
+    lin.filter(_._7.isDefined).foreach { r =>
+      assert(r._7.contains(r._3.toDouble + 2.0),
+        s"linear key integrates exactly: $r")
+    }
+    // sequential replay of the differenced Yule-Walker algebra for "tc"
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = (0 until 96).map(t => (t + pat(t % 5)).toDouble)
+    val zs = xs.zip(xs.drop(1)).map { case (a, b) => b - a }
+    val mu = r6(zs.sum / zs.length)
+    val d = zs.map(_ - mu)
+    val den = d.map(x => x * x).sum
+    val r1 = r6(d.zip(d.drop(1)).map { case (a, b) => b * a }.sum / den)
+    val r2 = r6(d.zip(d.drop(2)).map { case (a, b) => b * a }.sum / den)
+    val p1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val tc = model.filter(_._1 == "tc").sortBy(_._2)
+    assert(math.abs(tc.head._4 - r6(p1)) < 1e-9, s"phi1 ${tc.head._4}")
+    assert(math.abs(tc.head._5 - r6(p2)) < 1e-9, s"phi2 ${tc.head._5}")
+    assert(tc.take(2).forall(_._7.isEmpty) && tc.drop(2).forall(_._7.isDefined),
+      "forecast_next exists from the third observed bucket on")
+    // d(i) deviates z_{i+1} = x_{i+1} − x_i: the forecast AT bucket t is
+    // x_t + mu + p1·d(t−1) + p2·d(t−2)
+    tc.drop(2).foreach { r =>
+      val t = (r._2 - tc.head._2).toInt
+      val f = r6(xs(t) + mu + p1 * d(t - 1) + p2 * d(t - 2))
+      assert(r._7.contains(f + 0.0), s"bucket $t: ${r._7} vs $f")
+    }
+    val bt = graft.ops.TimeSeries.ari2Backtest(rows, "event_type", "ts",
+        3600L, alpha = 0.5, beta = 0.25, period = 24)
+      .as[(String, Long, Double, Double, Double, Double, Double, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val b = bt("tc")
+    assert(b._2 == 72L, s"evals $b")
+    assert(b._8 == "ari2", s"ARI(2) must win the trend+cycle key: $b")
+    assert(b._7 < b._3 && b._7 < b._4 && b._7 < b._5 && b._7 < b._6,
+      s"ari2 beats all four: $b")
+    // replay the ari2 MAE over the evaluable buckets t = 24..95
+    val maeReplay = (24 until 96).map { t =>
+      math.abs(xs(t) - r6(xs(t - 1) + mu + p1 * d(t - 2) + p2 * d(t - 3)))
+    }.sum / 72.0
+    assert(math.abs(b._7 - maeReplay) < 1e-3, s"mae_ari2 replay: $b vs $maeReplay")
+    val bl = bt("lin")
+    assert(bl._7 == 0.0 && bl._8 == "ari2",
+      s"linear key: ari2 exact and wins: $bl")
   }
 
   test("bitext IVF miner re-mines the planted parallel pairs the exact miner finds") {
