@@ -1345,6 +1345,18 @@ object Dedup {
           lit("|"), lit(d.toString))))
         .otherwise(concat(lit("E|"), element_at(own, lit(nRk))))
     }
+    // Known, measured tradeoff: the (cap − minLen + 1)-element id array
+    // (~97 md5 trees in one projection at the defaults) exceeds the JVM's
+    // 64 KB generated-method limit, so Spark logs "Failed to compile …
+    // Code grows beyond 64 KB" and falls back to interpreted eval FOR
+    // THIS PROJECTION ONLY. That is accounted for in the receipts: the
+    // 30.7 → 20.6 s same-host win and the 100× ScaleProbe ratio (4.2 on
+    // 100× data) both include the fallback, and the frame it evaluates
+    // is the pruned duplicated-region footprint (member positions), never
+    // the corpus — interpreted md5 there is bounded by dup density, not
+    // data size. Chunking the array across separate selects does not
+    // help: whole-stage codegen re-fuses consecutive projections into the
+    // same oversized method.
     val withIds = gath.select(col("doc"), col("pos"), col("len"),
       array((minLen to cap).map(idAt): _*).as("ids"))
     // level-0 groups: occurrence classes of the minLen-window id
