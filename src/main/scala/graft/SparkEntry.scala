@@ -3195,6 +3195,14 @@ object SparkEntry {
         keyCol = "event_type", tsCol = "ts", bucketSec = 3600L,
         alpha = 0.5, beta = 0.25, period = 24)),
 
+    // Multi-step ARI(2,1) forecast: the differenced AR(2) chain rolled
+    // 12 steps with the level integrated back (ŷ = n_T + k·μz + Σĝ) —
+    // a drift line with damping oscillation; raw doubles hash-gate
+    // (projected-column recurrence = the oracle's recursive CTE tree).
+    "ts_ari2_forecast" -> ((s, dir) =>
+      TimeSeries.ari2Forecast(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L, h = 12)),
+
     // Benford first-digit audit over order totals — the classic
     // data-quality screen for fabricated numeric columns. Digits come
     // from the INTEGER cents string (never from double formatting, which
@@ -6064,6 +6072,72 @@ object SparkEntry {
         |            WHEN mae_holt <= mae_naive THEN 'holt'
         |            ELSE 'naive' END AS winner
         |FROM agg""".stripMargin,
+
+    // The ts_ari2 difference/deviation chain, then the forecast
+    // recurrence as a recursive CTE carrying (g, gp, s): g' = p1*g +
+    // p2*gp, s' = s + g' — the identical left-assoc IEEE trees the
+    // engine's projected columns build; the emitted level forecast is
+    // round(CAST(nT AS DOUBLE) + step*mu + s, 6). Window names are
+    // unique (wi/wdi): DuckDB flattens the WINDOW namespace inside
+    // WITH RECURSIVE.
+    "ts_ari2_forecast" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |zz AS (SELECT event_type, bucket, n,
+        |        CAST(n - lag(n, 1) OVER (PARTITION BY event_type
+        |                                 ORDER BY bucket) AS DOUBLE) AS z
+        |      FROM c),
+        |mui AS (SELECT event_type, round(avg(z), 6) AS mu
+        |        FROM zz WHERE z IS NOT NULL GROUP BY event_type),
+        |ddi AS (SELECT zz.event_type, bucket, n, mu,
+        |         z - mu AS d,
+        |         lag(z - mu, 1) OVER wi AS l1,
+        |         lag(z - mu, 2) OVER wi AS l2,
+        |         row_number() OVER wdi AS rnd
+        |       FROM zz JOIN mui ON mui.event_type = zz.event_type
+        |       WINDOW wi AS (PARTITION BY zz.event_type ORDER BY bucket),
+        |              wdi AS (PARTITION BY zz.event_type
+        |                      ORDER BY bucket DESC)),
+        |ssi AS (SELECT event_type, sum(d*d) AS den, sum(d*l1) AS n1,
+        |         sum(d*l2) AS n2
+        |       FROM ddi GROUP BY event_type),
+        |rri AS (SELECT event_type,
+        |         CASE WHEN den > 0 THEN round(n1/den, 6) END AS r1,
+        |         CASE WHEN den > 0 THEN round(n2/den, 6) END AS r2
+        |       FROM ssi),
+        |phi AS (SELECT event_type,
+        |         CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |                AND abs(1.0 - r1*r1) >= 1e-9
+        |              THEN r1 * (1.0 - r2) / (1.0 - r1*r1)
+        |              ELSE 0.0 END AS p1,
+        |         CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |                AND abs(1.0 - r1*r1) >= 1e-9
+        |              THEN (r2 - r1*r1) / (1.0 - r1*r1)
+        |              ELSE 0.0 END AS p2
+        |       FROM rri),
+        |l2f AS (SELECT event_type,
+        |         max(CASE WHEN rnd = 1 THEN d END) AS d0,
+        |         max(CASE WHEN rnd = 2 THEN d END) AS d1,
+        |         max(CASE WHEN rnd = 1 THEN bucket END) AS lastb,
+        |         max(CASE WHEN rnd = 1 THEN n END) AS nt,
+        |         max(mu) AS mu, count(*) AS nl
+        |        FROM ddi WHERE d IS NOT NULL AND rnd <= 2
+        |        GROUP BY event_type),
+        |rec AS (
+        |  SELECT l.event_type, 1 AS step, p1*d0 + p2*d1 AS g, d0 AS gp,
+        |         p1*d0 + p2*d1 AS s, lastb, nt, mu, p1, p2
+        |  FROM l2f l JOIN phi ON phi.event_type = l.event_type
+        |  WHERE nl >= 2
+        |  UNION ALL
+        |  SELECT event_type, step + 1, p1*g + p2*gp, g,
+        |         s + (p1*g + p2*gp), lastb, nt, mu, p1, p2
+        |  FROM rec WHERE step < 12)
+        |SELECT event_type, CAST(step AS INT) AS step,
+        |       lastb + step AS bucket,
+        |       round(CAST(nt AS DOUBLE) + step * mu + s, 6) + 0 AS forecast
+        |FROM rec""".stripMargin,
 
     "ts_backtest_seasonal" ->
       """WITH RECURSIVE c AS (

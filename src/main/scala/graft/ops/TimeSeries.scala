@@ -962,6 +962,87 @@ object TimeSeries {
           .otherwise(lit("naive")))
   }
 
+  /** Multi-step ARI(2,1) forecasting — [[ari2]]'s model rolled h steps
+    * past each key's last observed bucket, with the integration the
+    * differenced model requires: the AR(2) recurrence runs on the
+    * DIFFERENCE deviations (ĝ_k = φ₁·ĝ_{k−1} + φ₂·ĝ_{k−2}, seeded from
+    * the last two observed deviations), each step's difference forecast
+    * is ẑ_{T+k} = μz + ĝ_k, and the LEVEL forecast accumulates them
+    * back from the last level: ŷ_{T+k} = n_T + k·μz + Σ_{j≤k} ĝ_j.
+    * A trending-and-oscillating key therefore forecasts a drift line
+    * with a damping oscillation around it; a pure-linear key (φ = 0 via
+    * the degenerate guard) forecasts the exact drift extrapolation
+    * n_T + k·μz.
+    *
+    * Determinism: the ĝ chain and its running sum are PROJECTED columns
+    * (one per step — linear plan, the [[ar2Forecast]] discipline); the
+    * emitted forecast is round(n_T + k·μz + s_k, 6) over the identical
+    * left-associated IEEE tree the oracle's recursive CTE replays
+    * (k·μz is an exact-integer-valued double times the rounded drift on
+    * both engines). Keys with fewer than two observed difference
+    * deviations (< 3 buckets) emit nothing — the [[ar2Forecast]]
+    * convention one difference deeper.
+    *
+    * Scale shape: identical to [[ari2]] — the collapse is the only
+    * corpus-sized stage; the forecast frame is one row per key wide and
+    * h columns deep before the explode. Returns
+    * (key, step, bucket, forecast). */
+  def ari2Forecast(df: DataFrame, keyCol: String, tsCol: String,
+      bucketSec: Long, h: Int = 12): DataFrame = {
+    require(h >= 1 && h <= 96, "h in [1,96]")
+    val c = collapse(df, keyCol, tsCol, bucketSec)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val byKeyDesc = Window.partitionBy(col(keyCol))
+      .orderBy(col("bucket").desc)
+    val z = c.withColumn("__z",
+      (col("n") - lag(col("n"), 1).over(byKey)).cast("double"))
+    val m = z.filter(col("__z").isNotNull).groupBy(col(keyCol))
+      .agg(round(avg(col("__z")), 6).as("__mu"))
+    val d = z.join(broadcast(m), Seq(keyCol))
+      .select(col(keyCol), col("bucket"), col("n"), col("__mu"),
+        (col("__z") - col("__mu")).as("__d"))
+    val lagged = d
+      .withColumn("__l1", lag(col("__d"), 1).over(byKey))
+      .withColumn("__l2", lag(col("__d"), 2).over(byKey))
+    val phi = ar2Phi(lagged, keyCol)
+    // last two observed DEVIATIONS plus the last LEVEL: every bucket
+    // after the first carries a deviation, so rnd = 1 is the key's last
+    // bucket and its n is the integration base n_T
+    val last2 = d.filter(col("__d").isNotNull)
+      .withColumn("__rnd", row_number().over(byKeyDesc))
+      .filter(col("__rnd") <= 2)
+      .groupBy(col(keyCol))
+      .agg(max(when(col("__rnd") === 1, col("__d"))).as("__d0"),
+        max(when(col("__rnd") === 2, col("__d"))).as("__d1"),
+        max(when(col("__rnd") === 1, col("bucket"))).as("__lastb"),
+        max(when(col("__rnd") === 1, col("n"))).as("__nT"),
+        max(col("__mu")).as("__mu"),
+        count(lit(1)).as("__nlast"))
+      .filter(col("__nlast") >= 2) // < 3 buckets: no ARI(2) seed, emit nothing
+    var frame = last2.join(broadcast(phi), Seq(keyCol))
+      .withColumn("__g1", col("__p1") * col("__d0") + col("__p2") * col("__d1"))
+      .withColumn("__s1", col("__g1"))
+    if (h >= 2)
+      frame = frame
+        .withColumn("__g2",
+          col("__p1") * col("__g1") + col("__p2") * col("__d0"))
+        .withColumn("__s2", col("__s1") + col("__g2"))
+    for (k <- 3 to h)
+      frame = frame
+        .withColumn(s"__g$k",
+          col("__p1") * col(s"__g${k - 1}") + col("__p2") * col(s"__g${k - 2}"))
+        .withColumn(s"__s$k", col(s"__s${k - 1}") + col(s"__g$k"))
+    frame
+      .select(col(keyCol), col("__mu"), col("__lastb"), col("__nT"),
+        posexplode(array((1 to h).map(k => col(s"__s$k")): _*))
+          .as(Seq("__s0", "__sv")))
+      .select(col(keyCol), (col("__s0") + 1).as("step"),
+        (col("__lastb") + col("__s0") + 1).as("bucket"),
+        (round(col("__nT").cast("double") +
+          (col("__s0") + 1).cast("double") * col("__mu") + col("__sv"), 6)
+          + lit(0.0)).as("forecast"))
+  }
+
   /** Per-step Kalman coefficients for the local-level model
     * (x_t = x_{t−1} + w_t, w ~ N(0,q); y_t = x_t + v_t, v ~ N(0,r)) —
     * shared with the oracle builder so both engines embed the IDENTICAL

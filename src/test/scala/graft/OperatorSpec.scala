@@ -3649,6 +3649,26 @@ class OperatorSpec extends SparkSuite {
     val bl = bt("lin")
     assert(bl._7 == 0.0 && bl._8 == "ari2",
       s"linear key: ari2 exact and wins: $bl")
+    // multi-step integrated forecast: replay ĝ_k = p1·ĝ_{k-1} + p2·ĝ_{k-2}
+    // seeded from the last two deviations, ŷ_k = n_T + k·μz + Σ_{j≤k} ĝ_j
+    val fc = graft.ops.TimeSeries.ari2Forecast(rows, "event_type", "ts",
+        3600L, h = 6)
+      .as[(String, Int, Long, Double)].collect()
+    assert(!fc.exists(_._1 == "solo"), "no seed, no forecast rows")
+    val fcTc = fc.filter(_._1 == "tc").sortBy(_._2)
+    assert(fcTc.map(_._2).toSeq == (1 to 6) &&
+      fcTc.map(_._3).toSeq == (1 to 6).map(tc.head._2 + 95 + _),
+      s"step/bucket grid: ${fcTc.toSeq}")
+    var g1 = d(94); var g2 = d(93); var sAcc = 0.0
+    (1 to 6).foreach { k =>
+      val g = p1 * g1 + p2 * g2; g2 = g1; g1 = g; sAcc += g
+      val want = r6(xs(95) + k * mu + sAcc) + 0.0
+      assert(fcTc(k - 1)._4 == want, s"step $k: ${fcTc(k - 1)._4} vs $want")
+    }
+    // pure-linear key: φ = 0 via the guard, forecast is the exact drift line
+    val fcLin = fc.filter(_._1 == "lin").sortBy(_._2)
+    assert(fcLin.map(_._4).toSeq == (1 to 6).map(k => 195.0 + 2.0 * k),
+      s"drift extrapolation: ${fcLin.toSeq}")
   }
 
   test("bitext IVF miner re-mines the planted parallel pairs the exact miner finds") {
