@@ -3203,6 +3203,39 @@ object SparkEntry {
       TimeSeries.ari2Forecast(t(s, dir, "events"), keyCol = "event_type",
         tsCol = "ts", bucketSec = 3600L, h = 12)),
 
+    // Monthly cohort retention over orders: cohort = month of a
+    // customer's first order, offset grid counts distinct actives.
+    // Integer month algebra (year*12+month) both engines share; counts
+    // only, so exact at any scale.
+    "rel_retention_cohort" -> ((s, dir) =>
+      Behavior.retentionCohort(t(s, dir, "orders"),
+        entityCol = "o_custkey", dateCol = "o_orderdate")),
+
+    // First-order Markov transition matrix over each user's ordered
+    // event stream (ts with event_id tiebreak): counts + row-normalized
+    // probabilities (exact-long division, bit-identical across engines).
+    "rel_transition_matrix" -> ((s, dir) =>
+      Behavior.transitionMatrix(t(s, dir, "events"), entityCol = "user_id",
+        tsCol = "ts", idCol = "event_id", typeCol = "event_type")),
+
+    // Ordered multi-step funnel signup→view→click→purchase with the
+    // earliest-greedy completion rule (strict >). Distinct from
+    // stream_funnel, which attributes each purchase to its latest
+    // preceding view — this one counts users reaching each PREFIX.
+    "rel_funnel_steps" -> ((s, dir) =>
+      Behavior.funnelSteps(t(s, dir, "events"), entityCol = "user_id",
+        tsCol = "ts", typeCol = "event_type",
+        steps = Seq("signup", "view", "click", "purchase"))),
+
+    // Neyman-optimal stratified allocation of a 1000-row audit sample
+    // across order priorities: σ from exact integer-cents moments, the
+    // one cross-engine float (the stratum-sum denominator) rounded to 6
+    // decimals before the floor per the rounded-algebra convention.
+    "sample_neyman" -> ((s, dir) =>
+      Sampling.neymanAllocation(t(s, dir, "orders"),
+        stratumCol = "o_orderpriority", valueCol = "o_totalprice",
+        totalN = 1000L)),
+
     // Benford first-digit audit over order totals — the classic
     // data-quality screen for fabricated numeric columns. Digits come
     // from the INTEGER cents string (never from double formatting, which
@@ -6138,6 +6171,87 @@ object SparkEntry {
         |       lastb + step AS bucket,
         |       round(CAST(nt AS DOUBLE) + step * mu + s, 6) + 0 AS forecast
         |FROM rec""".stripMargin,
+
+    // Same integer month algebra (year*12+month-1) as the operator; the
+    // (entity, month) distinct makes the grid count exact without a
+    // countDistinct.
+    "rel_retention_cohort" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS c,
+        |             CAST(year(o_orderdate)*12 + month(o_orderdate) - 1
+        |                  AS INT) AS m
+        |           FROM orders),
+        |c0 AS (SELECT c, min(m) AS m0 FROM a GROUP BY c)
+        |SELECT CAST(m0 // 12 AS INT) AS cohort_year,
+        |       CAST(m0 % 12 + 1 AS INT) AS cohort_month,
+        |       CAST(m - m0 AS INT) AS month_offset,
+        |       count(*) AS n_customers
+        |FROM a JOIN c0 USING (c)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Same (ts, event_id) total order as the operator's lag window; the
+    // probability divides exact longs (the window sum is cast off
+    // HUGEINT before the division, which both engines then do in
+    // double).
+    "rel_transition_matrix" ->
+      """WITH x AS (SELECT event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |tm AS (SELECT prev AS prev_type, event_type AS next_type,
+        |              count(*) AS n
+        |       FROM x WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |       CAST(n AS DOUBLE)
+        |         / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+        |         AS p
+        |FROM tm""".stripMargin,
+
+    // Earliest-greedy prefix completion, strict > at every hop — the
+    // scalar-min join chain is the literal definition the engine's
+    // array_min/filter chain computes.
+    "rel_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, min(e.ts) AS t2
+        |       FROM s1 JOIN events e ON e.user_id = s1.user_id
+        |        AND e.event_type = 'view' AND e.ts > s1.t1
+        |       GROUP BY s1.user_id),
+        |s3 AS (SELECT s2.user_id, min(e.ts) AS t3
+        |       FROM s2 JOIN events e ON e.user_id = s2.user_id
+        |        AND e.event_type = 'click' AND e.ts > s2.t2
+        |       GROUP BY s2.user_id),
+        |s4 AS (SELECT s3.user_id, min(e.ts) AS t4
+        |       FROM s3 JOIN events e ON e.user_id = s3.user_id
+        |        AND e.event_type = 'purchase' AND e.ts > s3.t3
+        |       GROUP BY s3.user_id)
+        |SELECT 1 AS step_idx, 'signup' AS step,
+        |       (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin,
+
+    // Integer-cents moments in HUGEINT (exact, fold-order free), one
+    // correctly-rounded cast to double for the variance — σ is then
+    // bit-identical to the engine's decimal path; the stratum-sum share
+    // rounds to 6 decimals before the floor, same as the operator.
+    "sample_neyman" ->
+      """WITH p AS (SELECT o_orderpriority AS stratum,
+        |             count(*) AS n_pop,
+        |             sum(CAST(round(o_totalprice*100) AS HUGEINT)) AS s1,
+        |             sum(CAST(round(o_totalprice*100) AS HUGEINT)
+        |               * CAST(round(o_totalprice*100) AS HUGEINT)) AS s2
+        |           FROM orders GROUP BY 1),
+        |w AS (SELECT stratum, n_pop,
+        |        sqrt(CASE WHEN n_pop > 1
+        |          THEN CAST(n_pop*s2 - s1*s1 AS DOUBLE)
+        |             / CAST(n_pop*(n_pop-1) AS DOUBLE)
+        |          ELSE 0.0 END) / 100.0 AS sigma
+        |      FROM p)
+        |SELECT stratum, n_pop, round(sigma, 6) AS sigma,
+        |       CAST(floor(1000.0 * round(n_pop * sigma
+        |         / (SELECT sum(n_pop * sigma) FROM w), 6)) AS BIGINT)
+        |         AS alloc
+        |FROM w""".stripMargin,
 
     "ts_backtest_seasonal" ->
       """WITH RECURSIVE c AS (

@@ -367,4 +367,52 @@ object Sampling {
         (col("__rep_split").isNotNull &&
           col("__rep_split") =!= col("split")).as("reassigned"))
   }
+
+  /** Neyman-optimal stratified sample allocation: stratum h of size N_h
+    * and value standard deviation σ_h receives
+    * n_h = ⌊ totalN · N_h σ_h / Σ_g N_g σ_g ⌋ — the allocation that
+    * minimizes the variance of the stratified mean estimator at a fixed
+    * total sample size (Neyman 1934). [[stratifiedSample]] draws at a
+    * RATE; this computes the budget SPLIT a fixed-size audit sample
+    * should use when strata differ in spread.
+    *
+    * Exactness across engines: the per-stratum second moment accumulates
+    * in integer cents (sum and sum-of-squares as 38-digit decimals —
+    * fold-order independent, exact), so the variance both engines carry
+    * into sqrt is the SAME double and σ_h is bit-identical. The one
+    * cross-engine float hazard left is Σ_g N_g σ_g (a sum over a handful
+    * of stratum rows whose order differs between engines), so the share
+    * is rounded to 6 decimals before the floor — the repo's standard
+    * rounded-algebra gate convention, which makes both engines take the
+    * floor on the same value.
+    *
+    * One aggregate over the corpus (map-side combinable), one broadcast
+    * of the |strata|-row frame for the total: nothing here grows with
+    * the data. Degenerate strata (n ≤ 1) contribute σ = 0. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      totalN: Long): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("decimal(38,0)")
+    val per = df
+      .select(col(stratumCol).as("stratum"), cents.as("__c"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("__c")).as("__s1"),
+        sum(col("__c") * col("__c")).as("__s2"))
+    // Sample variance from exact integer moments: (n·S2 − S1²)/(n(n−1)),
+    // numerator exact in decimal then one correctly-rounded cast — both
+    // engines convert the identical integer, so the doubles agree.
+    val n = col("n_pop")
+    val varCents2 = when(n > 1,
+      (n * col("__s2") - col("__s1") * col("__s1")).cast("double")
+        / (n * (n - 1)).cast("double")).otherwise(lit(0.0))
+    val withSigma = per
+      .withColumn("__sigma", sqrt(varCents2) / lit(100.0))
+      .withColumn("__w", n.cast("double") * col("__sigma"))
+    val tot = withSigma.agg(sum(col("__w")).as("__wsum"))
+    withSigma.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_pop"),
+        round(col("__sigma"), 6).as("sigma"),
+        floor(lit(totalN.toDouble)
+          * round(col("__w") / col("__wsum"), 6)).cast("long").as("alloc"))
+  }
 }

@@ -4871,4 +4871,77 @@ class OperatorSpec extends SparkSuite {
       "doc_id", "text", minLen = 4, cap = 16)
     assert(none.count() == 0L)
   }
+
+  test("funnel steps: earliest-greedy prefix, strict ordering, tie excluded") {
+    val ev = Seq(
+      // user 1 completes all four steps in order
+      (1L, 0L, "signup"), (1L, 10L, "view"), (1L, 20L, "click"),
+      (1L, 30L, "purchase"),
+      // user 2's only views precede its signup -> stops at step 1
+      (2L, 0L, "view"), (2L, 10L, "signup"), (2L, 5L, "view"),
+      // user 3: view TIES the signup (strict > excludes it); the later
+      // click can't count without a view
+      (3L, 0L, "signup"), (3L, 0L, "view"), (3L, 5L, "click"),
+      // user 4 reaches step 2 and then skips click -> purchase ignored
+      (4L, 0L, "signup"), (4L, 5L, "view"), (4L, 6L, "purchase"))
+      .toDF("user_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = Behavior.funnelSteps(ev, "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase"))
+      .select($"step_idx", $"step", $"n_users")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "signup", 4L), (2, "view", 2L),
+      (3, "click", 1L), (4, "purchase", 1L)), got.mkString(","))
+  }
+
+  test("transition matrix: counts, row-normalized p, id tiebreak at tied ts") {
+    val ev = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"),
+      (2L, 1L, 4L, "A"), (2L, 2L, 5L, "A"),
+      // user 3: equal timestamps -> event_id orders X before Y
+      (3L, 5L, 1L, "X"), (3L, 5L, 2L, "Y"))
+      .toDF("user_id", "sec", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = Behavior.transitionMatrix(ev, "user_id", "ts", "event_id",
+      "event_type")
+      .select($"prev_type", $"next_type", $"n", $"p")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("A", "B", 1L, 0.5), ("A", "A", 1L, 0.5), ("B", "A", 1L, 1.0),
+      ("X", "Y", 1L, 1.0)), got.toString)
+  }
+
+  test("retention cohort: first-month cohorts, distinct actives, offsets") {
+    val orders = Seq(
+      // c1: two orders in 2020-01 collapse to one active month
+      (1L, "2020-01-05"), (1L, "2020-01-20"), (1L, "2020-03-02"),
+      (2L, "2020-03-15"),
+      // c3 spans a year boundary: offset 2 from 2019-12
+      (3L, "2019-12-01"), (3L, "2020-02-10"))
+      .toDF("cust", "d").withColumn("d", to_timestamp($"d"))
+    val got = Behavior.retentionCohort(orders, "cust", "d")
+      .select($"cohort_year", $"cohort_month", $"month_offset", $"n_customers")
+      .as[(Int, Int, Int, Long)].collect().toSet
+    assert(got == Set(
+      (2020, 1, 0, 1L), (2020, 1, 2, 1L),
+      (2020, 3, 0, 1L),
+      (2019, 12, 0, 1L), (2019, 12, 2, 1L)), got.toString)
+  }
+
+  test("neyman allocation: budget follows N_h*sigma_h; degenerate strata get 0") {
+    val df = Seq(
+      // stratum A: zero variance -> sigma 0 -> alloc 0
+      ("A", 10.0), ("A", 10.0), ("A", 10.0),
+      // stratum B: sd of {10,20,30} dollars = 10 exactly
+      ("B", 10.0), ("B", 20.0), ("B", 30.0),
+      // singleton stratum: n=1 guard -> sigma 0
+      ("C", 99.0))
+      .toDF("stratum", "v")
+    val got = Sampling.neymanAllocation(df, "stratum", "v", totalN = 1000L)
+      .select($"stratum", $"n_pop", $"sigma", $"alloc")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(got == Set(
+      ("A", 3L, 0.0, 0L), ("B", 3L, 10.0, 1000L), ("C", 1L, 0.0, 0L)),
+      got.toString)
+  }
 }
