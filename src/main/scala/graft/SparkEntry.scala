@@ -3236,6 +3236,28 @@ object SparkEntry {
         stratumCol = "o_orderpriority", valueCol = "o_totalprice",
         totalN = 1000L)),
 
+    // PPS Poisson sampling: inclusion ∝ order value, membership by the
+    // integer md5 draw vs round(π·1e6) — an integer-vs-integer gate
+    // both engines decide identically.
+    "sample_pps" -> ((s, dir) =>
+      Sampling.ppsSample(t(s, dir, "orders"), keyCol = "o_orderkey",
+        valueCol = "o_totalprice", totalN = 1000L)),
+
+    // Theta-method forecasting (OLS trend + SES of the theta2 line,
+    // α=0.5 dyadic) per event type over hourly counts — the M3 winner
+    // as a collapse + one broadcast OLS + the log-round SES scan.
+    "ts_theta" -> ((s, dir) =>
+      TimeSeries.theta(t(s, dir, "events"), keyCol = "event_type",
+        tsCol = "ts", bucketSec = 3600L)),
+
+    // Decile lift / cumulative gains over order values — global rank
+    // via the two-level prefix op (never a corpus-wide ORDER BY
+    // window), ntile boundaries reproduced exactly, gain/lift as fixed
+    // IEEE trees over exact integer-cents sums.
+    "rel_decile_lift" -> ((s, dir) =>
+      Profile.decileLift(t(s, dir, "orders"), keyCol = "o_orderkey",
+        valueCol = col("o_totalprice"), n = 10)),
+
     // Benford first-digit audit over order totals — the classic
     // data-quality screen for fabricated numeric columns. Digits come
     // from the INTEGER cents string (never from double formatting, which
@@ -6229,6 +6251,96 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin,
+
+    // Same md5 draw as sample_consistent; π is the fixed tree
+    // (n·cents)/Σcents over exactly-converted doubles and membership is
+    // the integer draw < round(π·1e6) comparison.
+    "sample_pps" ->
+      """WITH tt AS (SELECT CAST(sum(CAST(round(o_totalprice*100) AS HUGEINT))
+        |                        AS DOUBLE) AS tot
+        |            FROM orders)
+        |SELECT o_orderkey,
+        |       CAST(round(least(1.0,
+        |         1000.0 * CAST(round(o_totalprice*100) AS BIGINT)
+        |           / (SELECT tot FROM tt)) * 1000000.0) AS BIGINT) AS pi_ppm
+        |FROM orders
+        |WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 1000000
+        |      < CAST(round(least(1.0,
+        |          1000.0 * CAST(round(o_totalprice*100) AS BIGINT)
+        |            / (SELECT tot FROM tt)) * 1000000.0) AS BIGINT)""".stripMargin,
+
+    // Same OLS moment algebra in HUGEINT, the identical fixed IEEE
+    // trees for slope/intercept/z/trend, and the SES recursion as a
+    // recursive CTE — the doubling scan's association ulps absorbed by
+    // the shared 6-decimal round (the holt precedent); the forecast
+    // reads the ROUNDED ses on both sides.
+    "ts_theta" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, bucket, n,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY bucket) - 1 AS t
+        |       FROM c),
+        |o AS (SELECT event_type, count(*) AS m,
+        |        CAST(sum(t) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS sy,
+        |        sum(CAST(t AS HUGEINT) * n) AS sty,
+        |        sum(CAST(t AS HUGEINT) * t) AS stt
+        |      FROM rk GROUP BY 1),
+        |ab AS (SELECT event_type, m, st, sy,
+        |        CASE WHEN m*stt - CAST(st AS HUGEINT)*st = 0 THEN 0.0
+        |             ELSE CAST(m*sty - CAST(st AS HUGEINT)*sy AS DOUBLE)
+        |                / CAST(m*stt - CAST(st AS HUGEINT)*st AS DOUBLE)
+        |        END AS ib
+        |      FROM o),
+        |ab2 AS (SELECT event_type, ib,
+        |         (CAST(sy AS DOUBLE) - ib * CAST(st AS DOUBLE))
+        |           / CAST(m AS DOUBLE) AS ia
+        |        FROM ab),
+        |z AS (SELECT rk.event_type, bucket, n, t, ia, ib,
+        |        2.0 * n - (ia + ib * t) AS z
+        |      FROM rk JOIN ab2 ON ab2.event_type = rk.event_type),
+        |rec AS (
+        |  SELECT event_type, bucket, n, t, ia, ib, z, z AS s
+        |  FROM z WHERE t = 0
+        |  UNION ALL
+        |  SELECT z.event_type, z.bucket, z.n, z.t, z.ia, z.ib, z.z,
+        |         0.5 * z.z + 0.5 * rec.s
+        |  FROM rec JOIN z ON z.event_type = rec.event_type
+        |                 AND z.t = rec.t + 1)
+        |SELECT event_type, bucket, n,
+        |       round(ia + ib * t, 6) + 0 AS trend,
+        |       round(s, 6) + 0 AS ses,
+        |       round(0.5 * (ia + ib * (CAST(t AS DOUBLE) + 1.0))
+        |             + 0.5 * round(s, 6), 6) + 0 AS forecast_next
+        |FROM rec""".stripMargin,
+
+    // ntile(10) over (cents DESC, key) is exactly the engine's
+    // two-level rank + ntileFromRank; gains/lifts are the same fixed
+    // division trees over exact integer sums.
+    "rel_decile_lift" ->
+      """WITH v AS (SELECT o_orderkey AS k,
+        |             CAST(round(o_totalprice*100) AS BIGINT) AS c
+        |           FROM orders),
+        |r AS (SELECT k, c, ntile(10) OVER (ORDER BY c DESC, k) AS decile
+        |      FROM v),
+        |d AS (SELECT decile, count(*) AS n_rows,
+        |        sum(CAST(c AS HUGEINT)) AS sc
+        |      FROM r GROUP BY 1),
+        |t AS (SELECT count(*) AS nr, sum(CAST(c AS HUGEINT)) AS tc FROM v)
+        |SELECT CAST(decile AS INT) AS decile, n_rows,
+        |       CAST(sum(n_rows) OVER w AS BIGINT) AS cum_rows,
+        |       CAST(sum(sc) OVER w AS DOUBLE)
+        |         / CAST((SELECT tc FROM t) AS DOUBLE) AS gain,
+        |       (CAST(sum(sc) OVER w AS DOUBLE)
+        |          / CAST((SELECT tc FROM t) AS DOUBLE))
+        |         / (CAST(sum(n_rows) OVER w AS DOUBLE)
+        |            / CAST((SELECT nr FROM t) AS DOUBLE)) AS lift
+        |FROM d
+        |WINDOW w AS (ORDER BY decile
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // Integer-cents moments in HUGEINT (exact, fold-order free), one
     // correctly-rounded cast to double for the variance — σ is then

@@ -785,4 +785,49 @@ object Profile {
       .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"))
       .filter(col("n_rows") > 0)
   }
+
+  /** Decile lift / cumulative-gains table — the model-eval classic: rank
+    * rows by value descending, cut into `n` equal buckets, and report
+    * each bucket's cumulative share of the total value (gain) and its
+    * ratio to the share a random ordering would capture (lift). A
+    * perfect value-concentrating ranking shows lift ≫ 1 in decile 1
+    * decaying to 1.0 at decile n.
+    *
+    * The global rank rides [[TwoLevelRank]] (orderCols = the NEGATED
+    * cents so ascending rank = value-descending, key as tiebreak,
+    * stripe = key div 4096 — monotone in the tie order, satisfying the
+    * stripe precondition); `ntileFromRank` reproduces SQL ntile()
+    * bucket boundaries exactly. Value sums accumulate in integer cents
+    * as 38-digit decimals; gain and lift are fixed single-division IEEE
+    * trees over those exact integers, so raw doubles gate bit-equal.
+    * The only ordered window after the rank runs over the n-row decile
+    * frame. `keyCol` must be a unique numeric row id. */
+  def decileLift(df: DataFrame, keyCol: String, valueCol: Column,
+      n: Int = 10): DataFrame = {
+    require(n >= 2 && n <= 1000, "n in [2,1000]")
+    val v = df.select(col(keyCol).as("__k"),
+      round(valueCol * 100).cast("long").as("__c"))
+      .withColumn("__negc", -col("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = TwoLevelRank.rank(v, Nil, Seq("__negc"),
+      expr("__k div 4096"), Seq("__k"), "__i")
+    val tot = v.agg(count(lit(1)).as("__n"),
+      sum(col("__c").cast("decimal(38,0)")).as("__tc"))
+    val byDecile = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", TwoLevelRank.ntileFromRank(col("__i"), col("__n"), n))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__c").cast("decimal(38,0)")).as("__sc"),
+        first(col("__tc")).as("__tc"), first(col("__n")).as("__nn"))
+      .select(col("decile"), col("n_rows"),
+        sum(col("n_rows")).over(byDecile).as("cum_rows"),
+        (sum(col("__sc")).over(byDecile).cast("double")
+          / col("__tc").cast("double")).as("gain"),
+        ((sum(col("__sc")).over(byDecile).cast("double")
+            / col("__tc").cast("double"))
+          / (sum(col("n_rows")).over(byDecile).cast("double")
+            / col("__nn").cast("double"))).as("lift"))
+  }
 }

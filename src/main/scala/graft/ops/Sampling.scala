@@ -368,6 +368,37 @@ object Sampling {
           col("__rep_split") =!= col("split")).as("reassigned"))
   }
 
+  /** Probability-proportional-to-size (PPS) Poisson sampling: row i with
+    * size x_i gets inclusion probability π_i = min(1, n·x_i/Σx) and is
+    * selected when its deterministic md5 draw falls under π_i — the
+    * design whose Horvitz–Thompson estimator Σ_{selected} x_i/π_i is
+    * unbiased for the total at expected sample size ≤ n. The same
+    * consistent-hash membership contract as [[consistentSample]]: the
+    * selected set is partition-, retry-, and engine-independent.
+    *
+    * Cross-engine exactness: Σx accumulates in integer cents as a
+    * 38-digit decimal (exact at any scale — a BIGINT sum overflows
+    * around 10¹² high-value rows); π is then one fixed IEEE tree
+    * (n·x_i)/Σx of exactly-convertible doubles, and membership compares
+    * the integer draw against round(π·10⁶) — an integer-vs-integer
+    * gate, so both engines keep exactly the same rows.
+    *
+    * One broadcast 1-row total, then a narrow codegen'd filter — no
+    * shuffle of the corpus. Returns the selected rows' (key, pi_ppm). */
+  def ppsSample(df: DataFrame, keyCol: String, valueCol: String,
+      totalN: Long): DataFrame = {
+    require(totalN >= 1, "totalN >= 1")
+    val cents = round(col(valueCol) * 100).cast("long")
+    val tot = df.agg(
+      sum(cents.cast("decimal(38,0)")).cast("double").as("__tot"))
+    val pi = least(lit(1.0),
+      lit(totalN.toDouble) * cents.cast("double") / col("__tot"))
+    df.crossJoin(broadcast(tot))
+      .withColumn("pi_ppm", round(pi * 1000000.0).cast("long"))
+      .filter(drawOf(col(keyCol)) < col("pi_ppm"))
+      .select(col(keyCol), col("pi_ppm"))
+  }
+
   /** Neyman-optimal stratified sample allocation: stratum h of size N_h
     * and value standard deviation σ_h receives
     * n_h = ⌊ totalN · N_h σ_h / Σ_g N_g σ_g ⌋ — the allocation that

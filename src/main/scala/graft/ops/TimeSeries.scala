@@ -416,6 +416,66 @@ object TimeSeries {
     holtScan(c, Seq(keyCol, "phase"), alpha, beta, maxLevels)
   }
 
+  /** Theta-method forecasting (Assimakopoulos & Nikolopoulos 2000, the
+    * M3-competition winner): decompose the per-key series into the
+    * θ=0 line (the OLS linear trend) and the θ=2 line z_t = 2·y_t −
+    * trend_t, smooth z with SES, and forecast the average of the
+    * extrapolated trend and the (flat) SES level. Fixed smoothing
+    * α (default 0.5 — dyadic, so every scan coefficient is exactly
+    * representable) keeps the whole method deterministic.
+    *
+    * Cross-engine exactness: the OLS moments accumulate as 38-digit
+    * decimals of integer (t, n) products (fold-order free), so slope =
+    * num/den and intercept are single fixed IEEE trees — bit-identical;
+    * z and the trend line are fixed trees over those; only the SES
+    * recursion associates differently under the doubling scan, absorbed
+    * by the 6-decimal round (the holt/kalman precedent). The forecast
+    * combines the ROUNDED ses so both engines read the same input.
+    *
+    * Scale shape: the [[collapse]] is the only corpus-sized stage; OLS
+    * is one map-side-combinable aggregate (|keys| rows, broadcast
+    * back); the SES is the ⌈log₂ n⌉-round [[affineScan]]. Returns
+    * (key, bucket, n, trend, ses, forecast_next). */
+  def theta(df: DataFrame, keyCol: String, tsCol: String, bucketSec: Long,
+      alpha: Double = 0.5, maxLevels: Int = 24): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val idx = collapse(df, keyCol, tsCol, bucketSec)
+      .select(col(keyCol), col("bucket"), col("n"),
+        (row_number().over(byKey).cast("long") - 1L).as("__t"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ols = idx.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__m"),
+      sum(col("__t")).as("__st"),
+      sum(col("n")).as("__sy"),
+      sum(dec(col("__t")) * dec(col("n"))).as("__sty"),
+      sum(dec(col("__t")) * dec(col("__t"))).as("__stt"))
+    val num = dec(col("__m")) * col("__sty") - dec(col("__st")) * dec(col("__sy"))
+    val den = dec(col("__m")) * col("__stt") - dec(col("__st")) * dec(col("__st"))
+    val withLine = idx.join(broadcast(ols), Seq(keyCol))
+      .withColumn("__ib", when(den === dec(lit(0L)), lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double")))
+      .withColumn("__ia",
+        (col("__sy").cast("double") - col("__ib") * col("__st").cast("double"))
+          / col("__m").cast("double"))
+      .withColumn("__z", lit(2.0) * col("n").cast("double")
+        - (col("__ia") + col("__ib") * col("__t").cast("double")))
+    val base = withLine.select(col(keyCol), col("bucket"), col("n"),
+      col("__t"), col("__ia"), col("__ib"), col("__z"),
+      when(col("__t") === 0L, lit(0.0)).otherwise(lit(1 - alpha)).as("__a"),
+      when(col("__t") === 0L, col("__z"))
+        .otherwise(lit(alpha) * col("__z")).as("__b"))
+    affineScan(base, Seq(keyCol), maxLevels)
+      .select(col(keyCol), col("bucket"), col("n"),
+        (round(col("__ia") + col("__ib") * col("__t").cast("double"), 6)
+          + lit(0.0)).as("trend"),
+        (round(col("__b"), 6) + lit(0.0)).as("ses"),
+        (round(lit(0.5) * (col("__ia")
+            + col("__ib") * (col("__t").cast("double") + lit(1.0)))
+          + lit(0.5) * round(col("__b"), 6), 6) + lit(0.0))
+          .as("forecast_next"))
+  }
+
   /** The (key..., bucket, n) collapse shared by the Holt family — the
     * only corpus-sized stage, materialized at the boundary. */
   private def collapse(df: DataFrame, keyCol: String, tsCol: String,

@@ -376,6 +376,63 @@ object ScaleProbe {
     report("append-close twin")(
       apc(s.read.parquet(s"$sfDir/events.parquet")))(
       apc(s.read.parquet(ev10)))
+    // Round-15 additions. Behavioral family: 10x USERS (shift user_id +
+    // event_id, so per-user state stays flat — the operator's documented
+    // bound) for funnel/transitions; 10x CUSTOMERS for retention; the
+    // ev10 10x-series regime for Theta (rides the holt scan).
+    val evU = {
+      val base = s.read.parquet(s"$sfDir/events.parquet")
+      val out = s"$workDir/events_u"
+      (0 until replicas).map(i => base
+        .withColumn("user_id", col("user_id") + lit(i * shift))
+        .withColumn("event_id", col("event_id") + lit(i * shift)))
+        .reduce(_ unionAll _).write.mode("overwrite").parquet(out)
+      out
+    }
+    def evCast(p: String): DataFrame =
+      s.read.parquet(p).withColumn("ts", col("ts").cast("timestamp"))
+    def funnel(ev: DataFrame): Long =
+      graft.ops.Behavior.funnelSteps(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase")).count()
+    report("funnel steps (10x users)")(
+      funnel(evCast(s"$sfDir/events.parquet")))(funnel(evCast(evU)))
+    def trans(ev: DataFrame): Long =
+      graft.ops.Behavior.transitionMatrix(ev, "user_id", "ts", "event_id",
+        "event_type").count()
+    report("transition matrix (10x users)")(
+      trans(evCast(s"$sfDir/events.parquet")))(trans(evCast(evU)))
+    val ord10 = replicate("orders", (d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * shift))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * shift)))
+    def ordCast(p: String): DataFrame = s.read.parquet(p)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    def ret(o: DataFrame): Long =
+      graft.ops.Behavior.retentionCohort(o, "o_custkey", "o_orderdate")
+        .count()
+    report("cohort retention (10x cust)")(
+      ret(ordCast(s"$sfDir/orders.parquet")))(ret(ordCast(ord10)))
+    def dlift(o: DataFrame): Long =
+      graft.ops.Profile.decileLift(o, "o_orderkey", col("o_totalprice"))
+        .count()
+    report("decile lift (two-level)")(
+      dlift(s.read.parquet(s"$sfDir/orders.parquet")))(
+      dlift(s.read.parquet(ord10)))
+    def thetaP(ev: DataFrame): Long =
+      graft.ops.TimeSeries.theta(ev, "event_type", "ts", 3600L).count()
+    report("Theta method (10x series)")(
+      thetaP(evCast(s"$sfDir/events.parquet")))(thetaP(evCast(ev10)))
+    def pps(o: DataFrame): Long =
+      graft.ops.Sampling.ppsSample(o, "o_orderkey", "o_totalprice", 1000L)
+        .count()
+    report("PPS sample (narrow)")(
+      pps(s.read.parquet(s"$sfDir/orders.parquet")))(
+      pps(s.read.parquet(ord10)))
+    def ney(o: DataFrame): Long =
+      graft.ops.Sampling.neymanAllocation(o, "o_orderpriority",
+        "o_totalprice", 1000L).count()
+    report("Neyman allocation")(
+      ney(s.read.parquet(s"$sfDir/orders.parquet")))(
+      ney(s.read.parquet(ord10)))
     s.stop()
   }
 }

@@ -4928,6 +4928,70 @@ class OperatorSpec extends SparkSuite {
       (2019, 12, 0, 1L), (2019, 12, 2, 1L)), got.toString)
   }
 
+  test("theta method: exact trend on a linear key, SES recursion replay") {
+    // key L: y_t = 10 + 2t for t=0..9 -> OLS recovers intercept 10,
+    // slope 2 exactly (integer moments); z_t = 2y - trend = y, so ses
+    // follows the sequential SES of y and the forecast averages the
+    // extrapolated line with the rounded ses.
+    val ev = (0 until 10).flatMap { t0 =>
+      Seq.fill(10 + 2 * t0)(("L", t0.toLong * 3600L))
+    }.toDF("k", "sec").withColumn("ts", timestamp_seconds($"sec"))
+    val got = TimeSeries.theta(ev, "k", "ts", bucketSec = 3600L)
+      .select($"bucket", $"n", $"trend", $"ses", $"forecast_next")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    // sequential replay with the same rounded algebra
+    var s = 0.0
+    got.zipWithIndex.foreach { case ((_, n, trend, ses, fc), t0) =>
+      val line = 10.0 + 2.0 * t0
+      assert(trend == line, s"trend at $t0: $trend != $line")
+      val z = 2.0 * n - line
+      s = if (t0 == 0) z else 0.5 * z + 0.5 * s
+      assert(math.abs(ses - s) < 2e-6, s"ses at $t0: $ses vs $s")
+      val sesR = math.rint(s * 1e6) / 1e6
+      val want = math.rint((0.5 * (10.0 + 2.0 * (t0 + 1.0)) + 0.5 * sesR) * 1e6) / 1e6
+      assert(math.abs(fc - want) < 2e-6, s"forecast at $t0: $fc vs $want")
+    }
+  }
+
+  test("pps sample: inclusion proportional to size, caps at 1, deterministic") {
+    val df = (1L to 200L).map(k => (k, if (k <= 10) 1000.0 else 1.0))
+      .toDF("key", "v")
+    val got = Sampling.ppsSample(df, "key", "v", totalN = 5L)
+      .as[(Long, Long)].collect().toMap
+    // total cents = 10*100000 + 190*100 = 1019000; big rows have
+    // pi = min(1, 5*100000/1019000) = 0.49...; small pi ~ 0.00049
+    val piBig = math.round(math.min(1.0, 5.0 * 100000.0 / 1019000.0) * 1e6)
+    got.foreach { case (k, ppm) =>
+      assert(ppm == (if (k <= 10) piBig else
+        math.round(math.min(1.0, 5.0 * 100.0 / 1019000.0) * 1e6)), (k, ppm))
+    }
+    // determinism: same selection under a different partitioning
+    val again = Sampling.ppsSample(df.repartition(7), "key", "v", 5L)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // a value large enough to dominate caps at pi_ppm = 1e6 and is
+    // always selected
+    val capped = Sampling.ppsSample(
+      Seq((1L, 1e9), (2L, 0.01)).toDF("key", "v"), "key", "v", 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(capped(1L) == 1000000L, capped.toString)
+  }
+
+  test("decile lift: concentrated value ranks first, gain/lift exact") {
+    // 100 rows: keys 1..10 worth $100 each, keys 11..100 worth $1 ->
+    // decile 1 is exactly the ten $100 rows: gain = 1000/1090,
+    // lift = gain/0.1
+    val df = (1L to 100L).map(k => (k, if (k <= 10) 100.0 else 1.0))
+      .toDF("key", "v")
+    val got = Profile.decileLift(df, "key", col("v"), n = 10)
+      .select($"decile", $"n_rows", $"cum_rows", $"gain", $"lift")
+      .as[(Int, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == 10 && got.forall(_._2 == 10L))
+    assert(got.head._4 == 100000.0 / 109000.0, got.head.toString)
+    assert(got.head._5 == (100000.0 / 109000.0) / 0.1, got.head.toString)
+    assert(got.last._3 == 100L && got.last._4 == 1.0 && got.last._5 == 1.0)
+  }
+
   test("neyman allocation: budget follows N_h*sigma_h; degenerate strata get 0") {
     val df = Seq(
       // stratum A: zero variance -> sigma 0 -> alloc 0
