@@ -1090,4 +1090,148 @@ class PropertySpec extends SparkSuite {
       assert(got.length == math.min(k, sims.size))
     }
   }
+
+  test("funnel and transition matrix replay brute force on random tied streams") {
+    val gen = for {
+      u <- Gen.choose(1, 12)
+      t <- Gen.choose(0, 50) // coarse clock → deliberate ties
+      ty <- Gen.oneOf("signup", "view", "click", "purchase", "noise")
+    } yield (u.toLong, t.toLong, ty)
+    val steps = Seq("signup", "view", "click", "purchase")
+    samples(Gen.listOfN(400, gen), 3).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, t, ty), i) =>
+        (u, t, i.toLong, ty)
+      }
+      val df = rows.toDF("user_id", "sec", "event_id", "event_type")
+        .withColumn("ts", timestamp_seconds($"sec"))
+      // funnel: earliest-greedy strict-> replay
+      val reach = Array.fill(steps.size)(0L)
+      rows.groupBy(_._1).foreach { case (_, es) =>
+        var prev = Long.MinValue
+        var ok = true
+        steps.zipWithIndex.foreach { case (st, si) =>
+          if (ok) {
+            val cand = es.filter(e =>
+              e._4 == st && (si == 0 || e._2 > prev)).map(_._2)
+            if (cand.nonEmpty) { prev = cand.min; reach(si) += 1 }
+            else ok = false
+          }
+        }
+      }
+      val gotF = graft.ops.Behavior
+        .funnelSteps(df, "user_id", "ts", "event_type", steps)
+        .select($"step_idx", $"n_users").as[(Int, Long)].collect().toMap
+      steps.indices.foreach(i =>
+        assert(gotF(i + 1) == reach(i), s"step ${i + 1}: $gotF vs ${reach.toSeq}"))
+      // transitions: (sec, event_id) total-order lag replay, p = n/total
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._2, e._3)).map(_._4)
+          .sliding(2).filter(_.size == 2).map(w => (w(0), w(1))).toSeq
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val gotT = graft.ops.Behavior
+        .transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+        .select($"prev_type", $"next_type", $"n", $"p")
+        .as[(String, String, Long, Double)].collect()
+      assert(gotT.map(r => (r._1, r._2) -> r._3).toMap == want, "counts")
+      val rowSums = want.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+      gotT.foreach { case (p, _, n, prob) =>
+        assert(prob == n.toDouble / rowSums(p).toDouble, s"p($p) $prob") }
+    }
+  }
+
+  test("decile lift replays a driver-side sort + ntile on duplicate-heavy values") {
+    val gen = Gen.choose(1, 40) // heavy duplicates → ntile ties matter
+    samples(Gen.listOfN(137, gen), 3).foreach { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }
+      val got = graft.ops.Profile
+        .decileLift(rows.toDF("key", "v"), "key", col("v"), n = 10)
+        .select($"decile", $"n_rows", $"cum_rows", $"gain", $"lift")
+        .as[(Int, Long, Long, Double, Double)].collect().sortBy(_._1)
+      val cents = rows.map { case (k, v) => (k, math.round(v * 100)) }
+      val sorted = cents.sortBy { case (k, c) => (-c, k) }
+      val bigN = sorted.size
+      val q = bigN / 10; val m = bigN % 10
+      def bucket(r0: Int): Int =
+        if (r0 < m * (q + 1)) r0 / (q + 1) + 1
+        else m + (r0 - m * (q + 1)) / math.max(q, 1) + 1
+      val byB = sorted.zipWithIndex
+        .groupBy { case (_, r0) => bucket(r0) }
+      val total = cents.map(_._2).sum
+      var cumR = 0L; var cumC = 0L
+      (1 to 10).foreach { d =>
+        val rowsB = byB.getOrElse(d, Seq.empty)
+        cumR += rowsB.size; cumC += rowsB.map(_._1._2).sum
+        val (gd, nr, cr, gain, lift) = (got(d - 1)._1, got(d - 1)._2,
+          got(d - 1)._3, got(d - 1)._4, got(d - 1)._5)
+        assert(gd == d && nr == rowsB.size && cr == cumR, got(d - 1).toString)
+        assert(gain == cumC.toDouble / total.toDouble, s"gain d=$d")
+        assert(lift == (cumC.toDouble / total.toDouble)
+          / (cumR.toDouble / bigN.toDouble), s"lift d=$d")
+      }
+    }
+  }
+
+  test("theta equals a sequential OLS+SES replay on random ragged series") {
+    val gen = for {
+      k <- Gen.oneOf("a", "b", "c")
+      b <- Gen.choose(0, 40)
+    } yield (k, b)
+    samples(Gen.listOfN(300, gen), 3).foreach { pts =>
+      val df = pts.map { case (k, b) => (k, b.toLong * 3600L) }
+        .toDF("k", "sec").withColumn("ts", timestamp_seconds($"sec"))
+      val got = graft.ops.TimeSeries.theta(df, "k", "ts", 3600L)
+        .select($"k", $"bucket", $"n", $"trend", $"ses", $"forecast_next")
+        .as[(String, Long, Long, Double, Double, Double)].collect()
+        .groupBy(_._1)
+      pts.groupBy(_._1).foreach { case (key, ps) =>
+        val series = ps.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (b, g) => (b.toLong, g.size.toLong) }
+        val mN = series.size
+        val st = BigInt((0 until mN).sum)
+        val sy = BigInt(series.map(_._2).sum)
+        val sty = (0 until mN).map(t => BigInt(t) * series(t)._2).sum
+        val stt = (0 until mN).map(t => BigInt(t) * t).sum
+        val num = mN * sty - st * sy
+        val den = mN * stt - st * st
+        val ib = if (den == 0) 0.0 else num.toDouble / den.toDouble
+        val ia = (sy.toDouble - ib * st.toDouble) / mN.toDouble
+        var s = 0.0
+        val rows = got(key).sortBy(_._2)
+        assert(rows.map(_._2).toSeq == series.map(_._1).toSeq, "bucket set")
+        rows.zipWithIndex.foreach { case ((_, _, n, trend, ses, fc), t) =>
+          assert(n == series(t)._2)
+          val line = ia + ib * t.toDouble
+          assert(trend == math.rint(line * 1e6) / 1e6 + 0.0, s"trend t=$t")
+          val z = 2.0 * n - line
+          s = if (t == 0) z else 0.5 * z + 0.5 * s
+          assert(math.abs(ses - s) < 2e-6, s"ses t=$t: $ses vs $s")
+          val sesR = math.rint(ses * 1e6) / 1e6 // engine's own rounded ses
+          val want = math.rint((0.5 * (ia + ib * (t.toDouble + 1.0))
+            + 0.5 * sesR) * 1e6) / 1e6 + 0.0
+          assert(math.abs(fc - want) < 2e-6, s"fc t=$t: $fc vs $want")
+        }
+      }
+    }
+  }
+
+  test("pps sample equals an independent JVM-md5 replay") {
+    val rows = (1L to 300L).map(k => (k, (k % 17 + 1) * 3.0))
+    val got = graft.ops.Sampling
+      .ppsSample(rows.toDF("key", "v"), "key", "v", totalN = 40L)
+      .as[(Long, Long)].collect().toMap
+    val cents = rows.map { case (k, v) => (k, math.round(v * 100)) }
+    val tot = cents.map(_._2).sum.toDouble
+    def draw(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 1000000L
+    }
+    val want = cents.flatMap { case (k, c) =>
+      val ppm = math.round(math.min(1.0, 40.0 * c / tot) * 1000000.0)
+      if (draw(k) < ppm) Some(k -> ppm) else None
+    }.toMap
+    assert(got == want, s"selected ${got.size} vs ${want.size}")
+    assert(want.nonEmpty && want.size < 300, "fixture should partially select")
+  }
 }
