@@ -501,8 +501,16 @@ object Multimodal {
     * [[phashNearGroups]] (Hamming-neighborhood grouping). */
   def phashFrame(media: DataFrame): DataFrame = {
     val w = phashDctWeights()
+    // Byte-indexed sampling (r15 optimization): substr over a STRING is
+    // O(position) per call in Spark's UTF8String (it walks the bytes to
+    // find the char offset), so 64 stride probes cost O(64·n_bytes) per
+    // media row. The payloads here are guarded single-byte ASCII (char
+    // position == byte position — the decodeStub scoping every caller
+    // enforces), so slicing the BINARY column is value-identical and
+    // O(1) per probe; the 1-byte slice casts to its 1-char string for
+    // the same ascii() code point.
     val px = (0 until 64).map(i => ascii(expr(
-      s"substr(CAST(media AS STRING), 1 + ($i * n_bytes) div 64, 1)"))
+      s"CAST(substr(media, 1 + ($i * n_bytes) div 64, 1) AS STRING)"))
       .cast("long").as(s"__p$i"))
     val grid = media.filter(col("n_bytes") > 0)
       .select(Seq(col("media_id")) ++ px: _*)
@@ -574,17 +582,25 @@ object Multimodal {
     // payload would silently misalign frames instead of failing. Rows
     // where chars != bytes are excluded inside the op, so the
     // precondition cannot drift from callers.
+    // Byte-indexed energy probes (r15 optimization): substr over a STRING
+    // is O(position) in UTF8String, so the previous char-indexed form
+    // cost O(n_bytes) per probe × 8 probes × (frames × bands) rows —
+    // quadratic in payload length and the single fattest job of the op
+    // (2.6 s of the 6.4 s bench cost at sf0.1). The guard right above
+    // admits only single-byte payloads (char position == byte position),
+    // so slicing the BINARY payload is value-identical and O(1); the
+    // 1-byte slice casts to its 1-char string for the same ascii() code.
     val frames = media.filter(col("n_bytes") >= win)
       .filter(octet_length(col("media")) === length(col("media").cast("string")))
-      .select(col("media_id"), col("media").cast("string").as("__s"),
+      .select(col("media_id"), col("media"),
         explode(sequence(lit(0L),
           expr(s"(n_bytes - $win) div $hop"))).as("t"))
-    val withBand = frames.select(col("media_id"), col("__s"), col("t"),
+    val withBand = frames.select(col("media_id"), col("media"), col("t"),
       explode(sequence(lit(0L), lit(bands - 1L))).as("b"))
     val e = (0 until win / bands).map(j =>
-      ascii(col("__s").substr(
+      ascii(col("media").substr(
         (col("t") * hop + col("b") + lit(1L + bands.toLong * j)).cast("int"),
-        lit(1))).cast("long")).reduce(_ + _)
+        lit(1)).cast("string")).cast("long")).reduce(_ + _)
     val cells = withBand.select(col("media_id"), col("t"), col("b"),
       e.as("e"))
     val byBand = Window.partitionBy(col("media_id"), col("b"))

@@ -11,11 +11,11 @@ import org.apache.spark.sql.SparkSession
   * uses this split to decide whether a slow query needs a smaller plan
   * (big gap) or fewer/cheaper jobs (big Σ).
   *
-  * Usage: runMain graft.tools.Prof <queryName> [sfDir] [runs]
+  * Usage: runMain graft.tools.Prof <queryName>[,<queryName>…] [sfDir] [runs]
   */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder()
@@ -42,7 +42,7 @@ object Prof {
           jobs.synchronized { jobs += ((j.jobId, t0, System.nanoTime(), d)) }
         }
     })
-    for (r <- 1 to runs) {
+    for (name <- names; r <- 1 to runs) {
       spark.catalog.clearCache()
       jobs.synchronized { jobs.clear() }
       val t0 = System.nanoTime()
@@ -52,7 +52,7 @@ object Prof {
       Thread.sleep(500)
       val js = jobs.synchronized { jobs.sortBy(_._2).toVector }
       val jobSum = js.map(j => (j._3 - j._2) / 1e9).sum
-      println(f"== run $r: TOTAL $total%.2f s | jobs ${js.size} | " +
+      println(f"== $name run $r: TOTAL $total%.2f s | jobs ${js.size} | " +
         f"job-sum $jobSum%.2f s | driver gap ${total - jobSum}%.2f s")
       js.foreach { case (id, s, e, d) =>
         println(f"  job $id%4d ${(e - s) / 1e9}%8.3f s  ${d.take(100)}")
