@@ -1076,6 +1076,14 @@ object TextAnalysis {
       var prevIds = Set.empty[Int]
       var st = wf.select(col("word"), lit(0).as("pos"),
         lit(0.0).as("score"), lit("").as("path")).localCheckpoint()
+      // (r15 optimization receipt: a fixpoint EARLY EXIT — lazy
+      // checkpoint + (count, xor-hash) probe per round, the
+      // ccTwoStarsNodes shape — was tried and measured WORSE at sf0.1:
+      // text_unigram_encode 5.74 → 7.20 s, text_unigram_lm 5.36 →
+      // 6.08 s isolated. The fixture vocabulary genuinely uses the full
+      // `rounds` budget, so the probe aggregates — which must hash the
+      // accumulated PATH strings — bought no skipped rounds. The
+      // fixed-round loop stays.)
       for (_ <- 1 to rounds) {
         val before = sc.getPersistentRDDs.keySet
         val nxt = st.join(e, Seq("word", "pos"))
@@ -1283,6 +1291,13 @@ object TextAnalysis {
       docs.select(col(idCol).as("id"), lit(n).as("n"),
         explode(shingles(toks, n)).as("g"))
     }.reduce(_ unionAll _)
+    // (r15 optimization receipt: persisting this count frame for its
+    // multiple join-leg references was tried and measured WORSE at
+    // sf0.1 — text_bleu 3.82 → 5.17 s, text_rouge 2.93 → 4.27 s
+    // isolated. The duplicate legs execute as CONCURRENT stage jobs on
+    // otherwise-idle cores, so the recompute is nearly free in wall
+    // time, while the cache materialization is a serializing barrier.
+    // The unpersisted form stays.)
     val counts = grams.groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("id", "n").agg(sum(col("c")).as("tot"))
     val p = pairs.select(col("cand_id"), col("ref_id"))
@@ -1344,6 +1359,13 @@ object TextAnalysis {
       docs.select(col(idCol).as("id"), lit(n).as("n"),
         explode(shingles(toks, n)).as("g"))
     }.reduce(_ unionAll _)
+    // (r15 optimization receipt: persisting this count frame for its
+    // multiple join-leg references was tried and measured WORSE at
+    // sf0.1 — text_bleu 3.82 → 5.17 s, text_rouge 2.93 → 4.27 s
+    // isolated. The duplicate legs execute as CONCURRENT stage jobs on
+    // otherwise-idle cores, so the recompute is nearly free in wall
+    // time, while the cache materialization is a serializing barrier.
+    // The unpersisted form stays.)
     val counts = grams.groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
     val totals = counts.groupBy("id", "n").agg(sum(col("c")).as("tot"))
     val p = pairs.select(col("cand_id"), col("ref_id"))
