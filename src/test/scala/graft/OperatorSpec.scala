@@ -2139,6 +2139,23 @@ class OperatorSpec extends SparkSuite {
     assert(after <= before + 2, s"leaked checkpoint blocks: $before -> $after")
   }
 
+  test("two-star CC: duplicate (m,w) rows from large-star resolve correctly without its distinct") {
+    // r15 optimization guard: large-star's distinct() was dropped (the
+    // small-star distinct subsumes it). This graph is built so the FIRST
+    // large-star round emits a duplicate edge — u=2 (Γ={1,6}, m=1) and
+    // u=3 (Γ={1,6}, m=1) both emit (1,6) — exercising the duplicate path
+    // through small-star's min aggregate and final distinct. The loop
+    // must still converge to the true components and the terminal
+    // star-shape assertion must hold (it throws on any malformed edge
+    // set, so a plain pass is the assertion).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 6L), (3L, 6L),
+      (20L, 21L)).toDF("a", "b")
+    val nodes = Graph.ccTwoStarsNodes(edges, maxRounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(nodes == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 1L,
+      20L -> 20L, 21L -> 20L), nodes.toString)
+  }
+
   test("audio fingerprint: offset copy matches at one consistent offset; unrelated doc stays silent") {
     // doc 2 is doc 1 shifted by exactly one hop (32 chars of pad), so
     // every interior frame of 1 reappears in 2 one frame later: the
