@@ -1582,7 +1582,11 @@ object Graph {
       .join(lf.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
       .join(lf.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
       .filter(col("la") === col("lb")).select(col("a"), col("b"), col("la"))
-    val comp = ccTwoStarsNodes(withinOf(lou).select(col("a"), col("b")),
+    // Each partition's within-restriction feeds BOTH its closure and its
+    // l_c modularity aggregate: pin it once instead of re-running the two
+    // label joins per consumer (r15 optimization, second pass).
+    val withinLou = withinOf(lou).localCheckpoint()
+    val comp = ccTwoStarsNodes(withinLou.select(col("a"), col("b")),
       maxRounds)
     val leiden = lou
       .join(comp.select(col("node"), col("lbl").as("__c")), Seq("node"), "left")
@@ -1590,7 +1594,8 @@ object Graph {
         col("d"))
       .localCheckpoint() // composition boundary (the graph_leiden lesson)
     // invariant 1: an INDEPENDENT closure over the within-REFINED edges
-    val compR = ccTwoStarsNodes(withinOf(leiden).select(col("a"), col("b")),
+    val withinLei = withinOf(leiden).localCheckpoint()
+    val compR = ccTwoStarsNodes(withinLei.select(col("a"), col("b")),
       maxRounds)
     val disc = leiden
       .join(compR.select(col("node"), col("lbl").as("__c2")), Seq("node"),
@@ -1600,8 +1605,9 @@ object Graph {
       .agg(sum(when(col("__nc") > 1, 1L).otherwise(0L)).as("n_disconnected"))
     // invariant 2: scaled-integer modularity of both partitions
     val mRow = broadcast(edges.agg(count(lit(1)).as("__m")))
-    def qScaled(lf: DataFrame, qName: String, nName: String): DataFrame = {
-      val lc = withinOf(lf)
+    def qScaled(within: DataFrame, lf: DataFrame, qName: String,
+        nName: String): DataFrame = {
+      val lc = within
         .groupBy(col("la").as("community")).agg(count(lit(1)).as("l_c"))
       val dc = lf.groupBy(col("lbl").as("community"))
         .agg(sum(col("d")).as("d_c"))
@@ -1610,8 +1616,8 @@ object Graph {
           col("d_c") * col("d_c")).as(qName),
           count(lit(1)).as(nName))
     }
-    val q1 = qScaled(lou, "q_scaled_louvain", "n_comm_louvain")
-    val q2 = qScaled(leiden, "q_scaled_leiden", "n_comm_leiden")
+    val q1 = qScaled(withinLou, lou, "q_scaled_louvain", "n_comm_louvain")
+    val q2 = qScaled(withinLei, leiden, "q_scaled_leiden", "n_comm_leiden")
     val out = q1.crossJoin(q2).crossJoin(broadcast(disc))
       .select(col("n_comm_louvain"), col("n_comm_leiden"),
         col("n_disconnected").cast("long").as("n_disconnected"),

@@ -558,10 +558,12 @@ object Multimodal {
     * single-byte text (the [[phashFrame]] ASCII scoping) so char and
     * byte positions agree with the oracle's substr.
     *
-    * Scale shape: cells are a bounded explode (frames × bands) over one
-    * payload scan; peaks are two per-media window passes (lag/lead by
-    * time within band, by band within frame — strict local max over the
-    * 4-neighborhood, exact on integer energies, never a self-join);
+    * Scale shape: band energies are ONE array column per frame over one
+    * payload scan (the frames × bands cells exist only as a post-window
+    * posexplode); peaks are a single per-media window pass (lag/lead of
+    * the energy array by time) plus local array lookups for the
+    * band-neighbor tests — strict local max over the 4-neighborhood,
+    * exact on integer energies, never a self-join;
     * landmark pairing explodes Δt ∈ [1, maxDt] and equi-joins peaks on
     * (media, t+Δt) — never a within-media cross join; "hot" hashes
     * appearing in > `maxMediaPerHash` media are dropped before matching
@@ -603,19 +605,35 @@ object Multimodal {
         lit(1)).cast("string")).cast("long")).reduce(_ + _)
     val cells = withBand.select(col("media_id"), col("t"), col("b"),
       e.as("e"))
-    val byBand = Window.partitionBy(col("media_id"), col("b"))
-      .orderBy(col("t"))
-    val byTime = Window.partitionBy(col("media_id"), col("t"))
-      .orderBy(col("b"))
+    // ONE window pass for all four neighbors (r15 optimization, second
+    // pass): the (t, b) grid is COMPLETE — every frame computes every
+    // band's energy — so in PARTITION BY media ORDER BY (t, b) the
+    // band-neighbors are lag/lead 1 (valid only while b stays inside the
+    // frame: guarded by the row's OWN b, a constant test, not a peek at
+    // the neighbor) and the time-neighbors are exactly lag/lead `bands`
+    // rows (same b, t±1 — completeness makes the stride exact; partition
+    // edges go NULL and fall to the same -1 sentinel the per-band
+    // windows produced). Replaces the two exchanges+sorts over the cells
+    // frame (PARTITION BY (media,b) and PARTITION BY (media,t)) with one.
+    // An array-per-frame variant (band energies as ONE array column,
+    // lag/lead of the array over PARTITION BY media ORDER BY t, local
+    // element_at probes) was tried and measured WORSE — 2.73 → 3.08 s
+    // isolated min-of-3 at sf0.1: the per-row array construction and the
+    // unsafe-array deep copies through WindowExec cost more than the
+    // exchange they save at this payload shape. Same integer energies,
+    // same strict 4-neighborhood rule, bit-equal peaks by construction.
+    val byCell = Window.partitionBy(col("media_id"))
+      .orderBy(col("t"), col("b"))
     val peaks = cells.select(col("media_id"), col("t"), col("b"), col("e"),
-        lag(col("e"), 1).over(byBand).as("__tp"),
-        lead(col("e"), 1).over(byBand).as("__tn"),
-        lag(col("e"), 1).over(byTime).as("__bp"),
-        lead(col("e"), 1).over(byTime).as("__bn"))
+        lag(col("e"), bands).over(byCell).as("__tp"),
+        lead(col("e"), bands).over(byCell).as("__tn"),
+        lag(col("e"), 1).over(byCell).as("__bp"),
+        lead(col("e"), 1).over(byCell).as("__bn"))
       .filter(col("e") > coalesce(col("__tp"), lit(-1L)) &&
         col("e") > coalesce(col("__tn"), lit(-1L)) &&
-        col("e") > coalesce(col("__bp"), lit(-1L)) &&
-        col("e") > coalesce(col("__bn"), lit(-1L)))
+        col("e") > coalesce(when(col("b") > 0, col("__bp")), lit(-1L)) &&
+        col("e") > coalesce(when(col("b") < bands - 1, col("__bn")),
+          lit(-1L)))
       .select(col("media_id"), col("t"), col("b"), col("e"))
       // materialize: the frame feeds both sides of the landmark join
       .localCheckpoint()

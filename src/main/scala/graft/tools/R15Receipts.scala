@@ -123,6 +123,48 @@ object R15Receipts {
         slice(col("__arr"), col("pos") + 1, lit(J + 1)).as("__rwin"))
     dump("maxrepeat_gather_fragment_before", gatherBefore)
     dump("maxrepeat_gather_fragment_after", gatherAfter)
+
+    // ── 4. audioFingerprint peak pass (second r15 pass): two window
+    // exchanges over the band-exploded cells (PARTITION BY (media,b)
+    // ORDER BY t + PARTITION BY (media,t) ORDER BY b) vs ONE window over
+    // the complete (t,b) grid (PARTITION BY media ORDER BY (t,b); band
+    // neighbors at lag/lead 1 guarded by the row's own b, time neighbors
+    // at stride `bands`).
+    {
+      import org.apache.spark.sql.expressions.Window
+      val cellsDf = cells(byteIndexed = true)
+      val byBand = Window.partitionBy(col("media_id"), col("b"))
+        .orderBy(col("t"))
+      val byTime = Window.partitionBy(col("media_id"), col("t"))
+        .orderBy(col("b"))
+      val peaksBefore = cellsDf.select(col("media_id"), col("t"), col("b"),
+          col("e"),
+          lag(col("e"), 1).over(byBand).as("__tp"),
+          lead(col("e"), 1).over(byBand).as("__tn"),
+          lag(col("e"), 1).over(byTime).as("__bp"),
+          lead(col("e"), 1).over(byTime).as("__bn"))
+        .filter(col("e") > coalesce(col("__tp"), lit(-1L)) &&
+          col("e") > coalesce(col("__tn"), lit(-1L)) &&
+          col("e") > coalesce(col("__bp"), lit(-1L)) &&
+          col("e") > coalesce(col("__bn"), lit(-1L)))
+        .select(col("media_id"), col("t"), col("b"), col("e"))
+      val byCell = Window.partitionBy(col("media_id"))
+        .orderBy(col("t"), col("b"))
+      val peaksAfter = cellsDf.select(col("media_id"), col("t"), col("b"),
+          col("e"),
+          lag(col("e"), bands).over(byCell).as("__tp"),
+          lead(col("e"), bands).over(byCell).as("__tn"),
+          lag(col("e"), 1).over(byCell).as("__bp"),
+          lead(col("e"), 1).over(byCell).as("__bn"))
+        .filter(col("e") > coalesce(col("__tp"), lit(-1L)) &&
+          col("e") > coalesce(col("__tn"), lit(-1L)) &&
+          col("e") > coalesce(when(col("b") > 0, col("__bp")), lit(-1L)) &&
+          col("e") > coalesce(when(col("b") < bands - 1, col("__bn")),
+            lit(-1L)))
+        .select(col("media_id"), col("t"), col("b"), col("e"))
+      dump("mm_audio_peaks_fragment_before", peaksBefore)
+      dump("mm_audio_peaks_fragment_after", peaksAfter)
+    }
     s.stop()
   }
 }

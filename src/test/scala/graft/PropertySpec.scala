@@ -1234,4 +1234,64 @@ class PropertySpec extends SparkSuite {
     assert(got == want, s"selected ${got.size} vs ${want.size}")
     assert(want.nonEmpty && want.size < 300, "fixture should partially select")
   }
+
+  test("audio fingerprint equals a sequential constellation replay on random ASCII payloads") {
+    // Guards the r15 one-window peak restructure: the op now derives all
+    // four neighbors of the 4-neighborhood from ONE ordered pass over the
+    // complete (t, b) grid (band neighbors at lag/lead 1 guarded by the
+    // row's own b, time neighbors at stride `bands`), so the boundary
+    // classes — first/last frame, band 0, band bands-1, single-frame
+    // payloads — are exactly where a stride or guard bug would bite.
+    // The replay below recomputes the WHOLE pipeline sequentially
+    // (energies, strict 4-neighborhood peaks, landmark packing, pair
+    // offset vote) and must agree row-for-row.
+    import spark.implicits._
+    val (win, hop, bands, maxDt, minHits) = (64, 32, 8, 5, 3)
+    val rnd = new scala.util.Random(20260819)
+    // lengths hit the frame-count edge cases: exactly one frame, one
+    // frame + a dangling sub-hop tail, two frames, and longer bodies;
+    // doc 7 is doc 6 shifted one hop so cross-media matches exist
+    val base = (1L to 6L).zip(Seq(64, 65, 96, 200, 333, 512)).map {
+      case (id, n) => (id, Seq.fill(n)((33 + rnd.nextInt(94)).toChar).mkString)
+    }
+    val all = base :+ ((7L, ("#" * hop) + base.last._2))
+    val got = graft.ops.Multimodal.audioFingerprint(
+        graft.ops.Multimodal.asMedia(all.toDF("doc_id", "text"),
+          "doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def peaks(s: String): Seq[(Long, Long, Long)] = {
+      val nT = (s.length - win) / hop + 1
+      val e = Array.tabulate(nT, bands) { (t, b) =>
+        (0 until win / bands).map(j => s.charAt(t * hop + b + bands * j).toLong).sum
+      }
+      for {
+        t <- 0 until nT; b <- 0 until bands
+        if e(t)(b) > (if (t > 0) e(t - 1)(b) else -1L)
+        if e(t)(b) > (if (t < nT - 1) e(t + 1)(b) else -1L)
+        if e(t)(b) > (if (b > 0) e(t)(b - 1) else -1L)
+        if e(t)(b) > (if (b < bands - 1) e(t)(b + 1) else -1L)
+      } yield (t.toLong, b.toLong, e(t)(b))
+    }
+    val lms = all.flatMap { case (id, s) =>
+      val pk = peaks(s)
+      for {
+        (t1, b1, e1) <- pk; (t2, b2, e2) <- pk
+        dt = t2 - t1; if dt >= 1 && dt <= maxDt
+      } yield (id, t1,
+        ((((b1 * 8 + b2) * 8) + dt) * 8 + e1 % 8) * 8 + e2 % 8)
+    }
+    // 7 docs < maxMediaPerHash=64: the stop-hash guard never fires here
+    // (its fan-out bound has its own scoping in the op doc)
+    val want = (for {
+      (ma, ta, h) <- lms; (mb, tb, h2) <- lms
+      if h2 == h && ma < mb
+    } yield (ma, mb, ta - tb))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .collect { case ((a, b, o), c) if c >= minHits => (a, b, o, c) }
+      .toSet
+    assert(got == want,
+      s"got=${got.toSeq.sorted} want=${want.toSeq.sorted}")
+    assert(want.exists(p => p._1 == 6L && p._2 == 7L),
+      "the shifted copy must match its source")
+  }
 }
