@@ -3501,7 +3501,14 @@ object SparkEntry {
     // declarative plan; N and out-degrees in-plan; every node emitted
     // (no top-k ordering on a near-tied double).
     "graph_pagerank" -> { (s, dir) =>
-      val e = tradePairs(s, dir)
+      // e pinned at the QUERY site (r15 second pass): the fwd/rev union
+      // references the trade-pair distinct twice, and exchange reuse
+      // does NOT collapse the duplicate across union legs (plan audit:
+      // reused=0 — the tradePairs scaladoc's reuse note predates AQE's
+      // per-leg re-planning). Pinning here leaves tradePairs'
+      // single-reference consumers (hits, pagerank_directed) untaxed,
+      // the measured reason its own persist was rejected.
+      val e = tradePairs(s, dir).localCheckpoint()
       val fwd = e.select(col("c").as("src"), (-col("su") - 1).as("dst"))
       val rev = e.select((-col("su") - 1).as("src"), col("c").as("dst"))
       Graph.pagerank(fwd.unionAll(rev), "src", "dst", iters = 3, damping = 0.85)
@@ -3514,7 +3521,8 @@ object SparkEntry {
     // shape as graph_pagerank; oracle replays the recurrence.
     "graph_ppr" -> { (s, dir) =>
       import s.implicits._
-      val e = tradePairs(s, dir)
+      // pinned for the two-leg union — same receipt as graph_pagerank
+      val e = tradePairs(s, dir).localCheckpoint()
       val fwd = e.select(col("c").as("src"), (-col("su") - 1).as("dst"))
       val rev = e.select((-col("su") - 1).as("src"), col("c").as("dst"))
       val seeds = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
@@ -3529,10 +3537,12 @@ object SparkEntry {
     // unrolled plan shape as graph_pagerank; oracle replays the
     // weighted recurrence.
     "graph_pagerank_weighted" -> { (s, dir) =>
+      // pinned for the two-leg union — same receipt as graph_pagerank
       val e = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("su"))
         .agg(count(lit(1)).cast("double").as("w"))
+        .localCheckpoint()
       val fwd = e.select(col("c").as("src"), (-col("su") - 1).as("dst"), col("w"))
       val rev = e.select((-col("su") - 1).as("src"), col("c").as("dst"), col("w"))
       Graph.pagerankWeighted(fwd.unionAll(rev), "src", "dst", "w",
@@ -3560,10 +3570,16 @@ object SparkEntry {
       // (c, su) pair collapses with a has-return flag, then fwd edges
       // come from every pair and back-edges from the flagged ones (the
       // two join+distinct passes this replaces scanned lineitem twice).
+      // pairs is pinned (r15 second pass): the union below reads it
+      // twice and AQE only reuses the BROADCAST side across the legs —
+      // the plan audit showed each leg re-running the orders⋈lineitem
+      // shuffle+aggregate (PLANS.md: two separate pair-agg Exchanges,
+      // one ReusedExchange only for the orders broadcast).
       val pairs = t(s, dir, "orders").join(t(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey").as("c"), (-col("l_suppkey") - 1).as("su"))
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("r"))
+        .localCheckpoint()
       val ed = pairs.select(col("c").as("src"), col("su").as("dst"))
         .unionAll(pairs.filter(col("r") === 1)
           .select(col("su").as("src"), col("c").as("dst")))
@@ -3577,10 +3593,13 @@ object SparkEntry {
     // (mutual-reachability representatives), so the gate proves the
     // peeling loop lands on the exact answer, not just a fixpoint.
     "graph_scc_converged" -> { (s, dir) =>
+      // pairs pinned for the two-leg union — same plan-audit receipt as
+      // graph_scc_bounded above (r15 second pass)
       val pairs = t(s, dir, "orders").join(t(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey").as("c"), (-col("l_suppkey") - 1).as("su"))
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("r"))
+        .localCheckpoint()
       val ed = pairs.select(col("c").as("src"), col("su").as("dst"))
         .unionAll(pairs.filter(col("r") === 1)
           .select(col("su").as("src"), col("c").as("dst")))
@@ -3699,10 +3718,16 @@ object SparkEntry {
     // pair: the weighted generalization of graph_bfs, exact integer
     // distances over <=3-hop paths from the %97 seed customers.
     "graph_sssp_weighted" -> { (s, dir) =>
+      // e pinned (r15 second pass): the union below references it twice
+      // and exchange reuse does NOT collapse the duplicated
+      // orders⋈lineitem aggregate across union legs (the graph_scc plan
+      // audit receipt) — so even adj's ONE persist materialization paid
+      // the build twice.
       val e = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("su"))
         .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
       // persisted: the relaxation joins this frame once per round (and
       // the seed set derives from it) — without the cache each round
       // re-runs the orders⋈lineitem build (the bfsDistances discipline)
@@ -3887,10 +3912,14 @@ object SparkEntry {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
       .distinct()
     // (No query-boundary persist here, unlike coPurchaseEdges: every
-    // consumer immediately re-distincts and persists inside the Graph op,
-    // and the one double-reference plan — pagerank's fwd/rev union —
-    // already collapses via exchange reuse. Measured: the extra cache
-    // layer cost hits/ppr 0.4-0.6 s and won nothing.)
+    // consumer immediately re-distincts and persists inside the Graph op.
+    // A persist layer HERE was measured to cost the single-reference
+    // consumers (hits, pagerank_directed) 0.4-0.6 s and win nothing; the
+    // double-reference consumers — pagerank's and ppr's fwd/rev unions,
+    // whose duplicated distinct AQE does NOT collapse across union legs
+    // (r15 second-pass plan audit; an earlier note here claimed
+    // otherwise) — pin the result with localCheckpoint at their own
+    // query sites instead.)
 
   /** [[coPurchaseEdges]] with the support count kept — the weighted edge
     * frame item-item CF scores over (⟨v_a, v_b⟩ = Σ_orders cnt_a·cnt_b,
